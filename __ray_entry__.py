@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in data_dedup_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one pipeline/operator from SURVEY.md §2 (or a
+north_rule extension); ``oracle_sql()`` gives the DuckDB-equivalent SQL over
+the pre-registered parquet views.  The dedup queries run over the
+``web_pages`` corpus derived deterministically from the ``documents`` view
+(data_dedup_ray/corpus.py) so both sides see the identical table.
 """
 
 from __future__ import annotations
@@ -18,27 +15,95 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from data_dedup_ray.corpus import web_pages, web_pages_sql
+from data_dedup_ray.pipelines import exact
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: exact-dedup cascade over the sf0.001 web_pages corpus."""
+    ds = web_pages("/root/testdata/sf0.001")
+    return exact.dedup_pages(ds, collapse=False).select_columns(
+        ["url", "cluster_id", "n_keys", "n_members"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-dedup family (reference parity: Engine + Files + CLI semantics)
+# --------------------------------------------------------------------------
+
+
+def _q_exact_clusters(sf_dir: str):
+    res = exact.dedup_pages(web_pages(sf_dir), collapse=False)
+    return res.select_columns(["url", "cluster_id", "n_members"])
+
+
+def _q_exact_report(sf_dir: str):
+    res = exact.dedup_pages(web_pages(sf_dir), collapse=False)
+    return exact.duplicate_report(res)
+
+
+def _q_keep_first(sf_dir: str):
+    res = exact.dedup_pages(web_pages(sf_dir), collapse=False)
+    import pyarrow.compute as pc
+
+    return res.map_batches(
+        lambda t: t.filter(pc.equal(t["url"], t["cluster_id"])),
+        batch_format="pyarrow",
+    ).select_columns(["url", "n_members"])
+
+
+def _q_identity_collapse(sf_dir: str):
+    return exact.collapse_identity(web_pages(sf_dir)).select_columns(
+        ["inode_id", "url"]
+    )
+
+
+def _q_hardlinks(sf_dir: str):
+    return exact.hardlinks(web_pages(sf_dir))
+
+
+def _q_ignore_empty(sf_dir: str):
+    res = exact.dedup_pages(web_pages(sf_dir), collapse=False, ignore_empty=True)
+    return res.select_columns(["url", "cluster_id", "n_members"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup_clusters": _q_exact_clusters,
+        "exact_dedup_report": _q_exact_report,
+        "exact_dedup_keep_first": _q_keep_first,
+        "exact_dedup_ignore_empty": _q_ignore_empty,
+        "identity_collapse": _q_identity_collapse,
+        "hardlink_groups": _q_hardlinks,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_clusters": web_pages_sql(
+            "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"
+            " count(*) OVER (PARTITION BY text) AS n_members FROM web_pages"
+        ),
+        "exact_dedup_report": web_pages_sql(
+            "SELECT min(url) AS cluster_id, count(*) AS n_members,"
+            " string_agg(url, chr(9) ORDER BY url) AS members"
+            " FROM web_pages GROUP BY text HAVING count(*) > 1"
+        ),
+        "exact_dedup_keep_first": web_pages_sql(
+            "SELECT min(url) AS url, count(*) AS n_members"
+            " FROM web_pages GROUP BY text"
+        ),
+        "exact_dedup_ignore_empty": web_pages_sql(
+            "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"
+            " count(*) OVER (PARTITION BY text) AS n_members FROM web_pages"
+            " WHERE strlen(text) > 0"
+        ),
+        "identity_collapse": web_pages_sql(
+            "SELECT inode_id, min(url) AS url FROM web_pages GROUP BY inode_id"
+        ),
+        "hardlink_groups": web_pages_sql(
+            "SELECT inode_id, count(*) AS n_links,"
+            " string_agg(url, chr(9) ORDER BY url) AS members"
+            " FROM web_pages GROUP BY inode_id HAVING count(*) > 1"
+        ),
+    }

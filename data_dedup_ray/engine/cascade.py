@@ -1,0 +1,348 @@
+"""The lazy digest cascade — reference Engine semantics, Ray-Data-first.
+
+The reference routes objects one at a time down a digest-key trie, computing
+digest k for an object iff ≥2 objects share its level-(k-1) key prefix
+(/root/reference/lib/Data/Dedup/Engine.pm:368-407 — the push-down in
+``_block_to_keystore``, Engine.pm:351-364).  This module reproduces those
+semantics *level-wise* over a streaming ``ray.data.Dataset``:
+
+Pass 1 (planning, slim):
+    one ``map_batches`` computes every *eager* (cheap) digest plus a running
+    64-bit prefix hash per level, and emits per-batch partial counts
+    ``(level, pfx, cnt)``; a small ``groupby(level, pfx).sum`` yields the
+    per-level collision sets, which are broadcast with ``ray.put``.  Only
+    fixed-width hash columns are shuffled — never content.
+
+Pass 2 (assignment):
+    an actor-pool ``map_batches`` recomputes eager digests, closes every row
+    at the first level where its prefix is collision-free
+    (``n_keys = level+1``, its own block — Engine.pm:397-404), and computes
+    the *expensive* digests ONLY for surviving candidate rows (the lazy
+    cascade's entire point, Theory.pod:55-67).  Candidates then shuffle once,
+    keyed on the eager digest tuple, and a local per-group trie over the
+    expensive digests closes the remaining blocks exactly as the reference
+    trie would (singleton at level j → ``n_keys = j+1``; agreement through
+    all levels → one duplicate block, Engine.pm:391-395).
+
+Observable-semantics note: eager digests are computed for every row even
+where the reference would have short-circuited — they are vectorized
+in-memory column ops here, cheaper than the bookkeeping to avoid them — but
+the *reported* counters (``count_keys_computed`` / ``count_collisions``) and
+all block structure (membership, key-prefix lengths) follow the reference
+definitions exactly (Engine.pm:500-578).
+
+Scale notes: the broadcast collision sets are bounded by the number of
+*distinct colliding prefixes* (≪ corpus size at realistic dup rates); at
+extreme scale swap the frozenset for a Bloom filter (false positives only
+cost extra expensive-digest computations, never correctness, because the
+final grouping keys on actual digest values).  The candidate shuffle moves
+only id + digest columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from data_dedup_ray.engine.stage import DigestStage
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit hash of a digest column (uint64)."""
+    if pa.types.is_integer(arr.type):
+        vals = arr.to_numpy(zero_copy_only=False)
+        return pd.util.hash_array(np.ascontiguousarray(vals, dtype=np.int64))
+    return pd.util.hash_array(np.asarray(arr.to_pylist(), dtype=object))
+
+
+def _mix(parent: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Running prefix-hash combine (boost hash_combine shape)."""
+    with np.errstate(over="ignore"):
+        return parent ^ (
+            h + _GOLDEN + (parent << np.uint64(6)) + (parent >> np.uint64(2))
+        )
+
+
+def _pfx_chain(batch: pa.Table, stages: list[DigestStage]) -> tuple[list[pa.Array], np.ndarray]:
+    """Compute eager digest columns + per-level running prefix hashes."""
+    digests, pfx = [], []
+    parent = np.zeros(batch.num_rows, dtype=np.uint64)
+    for st in stages:
+        d = st.compute(batch)
+        digests.append(d)
+        parent = _mix(parent, _hash64(d))
+        pfx.append(parent.copy())
+    return digests, np.asarray(pfx)
+
+
+class _PartialCounts:
+    """Pass 1: per-batch partial (level, pfx, cnt) rows — a combiner, so the
+    planning shuffle moves one row per distinct prefix per batch."""
+
+    def __init__(self, stages: list[DigestStage]):
+        self.stages = stages
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, pfx = _pfx_chain(batch, self.stages)
+        levels, keys, cnts = [], [], []
+        for k in range(len(self.stages)):
+            u, c = np.unique(pfx[k], return_counts=True)
+            levels.append(np.full(len(u), k, dtype=np.int32))
+            keys.append(u.view(np.int64))
+            cnts.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "level": np.concatenate(levels),
+                "pfx": np.concatenate(keys),
+                "cnt": np.concatenate(cnts),
+            }
+        )
+
+
+def _colliding_sets(ds: ray.data.Dataset, stages: list[DigestStage],
+                    eager: list[DigestStage]) -> tuple[list[np.ndarray], int]:
+    """Aggregate pass-1 counts → (per-level sorted colliding-pfx arrays, N)."""
+    counts = (
+        ds.map_batches(_PartialCounts(eager), batch_format="pyarrow")
+        .groupby(["level", "pfx"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    n_rows = int(counts.loc[counts["level"] == 0, "cnt"].sum())
+    colliding = []
+    for k in range(len(eager)):
+        lv = counts[(counts["level"] == k) & (counts["cnt"] > 1)]
+        colliding.append(np.sort(lv["pfx"].to_numpy(dtype=np.int64)))
+    return colliding, n_rows
+
+
+class _Assign:
+    """Pass 2 actor: close unique rows, compute expensive digests for
+    candidates only.  Collision sets broadcast once per actor via ray.put."""
+
+    def __init__(self, stages, eager_n, id_col, colliding_ref):
+        self.stages: list[DigestStage] = stages
+        self.eager_n = eager_n
+        self.id_col = id_col
+        self.colliding: list[np.ndarray] = ray.get(colliding_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        eager = self.stages[: self.eager_n]
+        lazy = self.stages[self.eager_n:]
+        digests, pfx = _pfx_chain(batch, eager)
+
+        alive = np.ones(n, dtype=bool)
+        n_keys = np.zeros(n, dtype=np.int64)
+        for k in range(self.eager_n):
+            hit = np.isin(pfx[k].view(np.int64), self.colliding[k])
+            closed = alive & ~hit
+            n_keys[closed] = k + 1
+            alive &= hit
+        n_keys[alive] = -1  # candidates: filled after the shuffle
+
+        cols = {self.id_col: batch[self.id_col]}
+        for st, d in zip(eager, digests):
+            cols[st.column] = d
+        if lazy and alive.any():
+            idx = np.flatnonzero(alive)
+            sub = batch.take(pa.array(idx))
+            for st in lazy:
+                vals = st.compute(sub).to_pylist()
+                out = np.full(n, None, dtype=object)
+                out[idx] = vals
+                cols[st.column] = pa.array(out, type=st.dtype)
+        else:
+            for st in lazy:
+                cols[st.column] = pa.nulls(n, type=st.dtype)
+        cols["n_keys"] = pa.array(n_keys)
+        cols["is_candidate"] = pa.array(alive)
+        return pa.table(cols)
+
+
+def _close_candidates(stages, eager_n, id_col):
+    """Per-eager-prefix local trie over the expensive digest levels —
+    exactly the reference's subtree semantics (Engine.pm:368-407)."""
+    lazy_cols = [st.column for st in stages[eager_n:]]
+    n_levels = len(stages)
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        n_keys = np.empty(len(df), dtype=np.int64)
+        cluster = np.empty(len(df), dtype=object)
+        members = np.empty(len(df), dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=object)
+
+        def rec(idx: np.ndarray, level: int) -> None:
+            if level == n_levels:
+                n_keys[idx] = n_levels
+                cluster[idx] = ids[idx].min()
+                members[idx] = len(idx)
+                return
+            col = df[lazy_cols[level - eager_n]].to_numpy(dtype=object)[idx]
+            order = {}
+            for i, v in zip(idx, col):
+                order.setdefault(v, []).append(i)
+            for sub in order.values():
+                sub = np.asarray(sub)
+                if len(sub) == 1:
+                    n_keys[sub] = level + 1
+                    cluster[sub] = ids[sub][0]
+                    members[sub] = 1
+                else:
+                    rec(sub, level + 1)
+
+        rec(np.arange(len(df)), eager_n)
+        out = df.drop(columns=["n_keys", "is_candidate"])
+        out["n_keys"] = n_keys
+        out["cluster_id"] = np.asarray([str(c) for c in cluster], dtype=object)
+        out["n_members"] = members
+        return out
+
+    return close
+
+
+def _mask(expr):
+    return lambda t: t.filter(expr(t))
+
+
+def dedup_cascade(
+    ds: ray.data.Dataset,
+    stages: list[DigestStage],
+    *,
+    id_col: str = "url",
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """Run the lazy digest cascade; returns one row per input row with
+    ``[id_col, k_<stage>..., n_keys, cluster_id, n_members]``.
+
+    Two rows are duplicates iff they share one ``cluster_id`` with
+    ``n_members > 1`` — i.e. they agreed on every digest in the chain
+    (Engine.pm:391-395).  ``n_keys`` is the block's key-prefix length
+    (Engine.pm:243-252).
+    """
+    if not stages:
+        return _degenerate_block(ds, id_col)
+
+    # The lazy split: everything before the first expensive stage is eager.
+    # Level 0 is always computed for every object (Engine.pm:426-430), so the
+    # eager prefix is never empty.
+    eager_n = max(
+        1, next((i for i, s in enumerate(stages) if s.expensive), len(stages))
+    )
+    eager = stages[:eager_n]
+
+    colliding, n_rows = _colliding_sets(ds, stages, eager)
+    if n_rows == 1:
+        # Reference corner case: a lone object's block never gets keys
+        # (Engine.t "one object in a block"; Engine.pm:397-404).
+        out = ds.select_columns([id_col]).map_batches(
+            lambda t: _with_const(t, stages, id_col), batch_format="pyarrow"
+        )
+        return out
+    ref = ray.put(colliding)
+
+    assigned = ds.map_batches(
+        _Assign,
+        fn_constructor_kwargs={
+            "stages": stages,
+            "eager_n": eager_n,
+            "id_col": id_col,
+            "colliding_ref": ref,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    out_cols = [id_col] + [st.column for st in stages] + [
+        "n_keys", "cluster_id", "n_members",
+    ]
+
+    uniques = assigned.map_batches(
+        _mask(lambda t: pc.invert(t["is_candidate"])), batch_format="pyarrow"
+    ).map_batches(_finalize_unique(id_col), batch_format="pyarrow").select_columns(out_cols)
+
+    candidates = assigned.map_batches(
+        _mask(lambda t: t["is_candidate"]), batch_format="pyarrow"
+    )
+    closed = candidates.groupby([st.column for st in eager]).map_groups(
+        _close_candidates(stages, eager_n, id_col), batch_format="pandas"
+    ).select_columns(out_cols)
+
+    return uniques.union(closed)
+
+
+def _finalize_unique(id_col):
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["is_candidate"])
+        t = t.append_column("cluster_id", pc.cast(t[id_col], pa.string()))
+        return t.append_column("n_members", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+    return fn
+
+
+def _with_const(t: pa.Table, stages, id_col) -> pa.Table:
+    cols = {id_col: t[id_col]}
+    for st in stages:
+        cols[st.column] = pa.nulls(t.num_rows, type=st.dtype)
+    cols["n_keys"] = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+    cols["cluster_id"] = pc.cast(t[id_col], pa.string())
+    cols["n_members"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+    return pa.table(cols)
+
+
+def _degenerate_block(ds: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """Empty blocking config ⇒ every object is one duplicate block
+    (Engine.pm:138-139; Engine.t:65-84)."""
+    ids = ds.select_columns([id_col])
+    pdf = ids.to_pandas()  # degenerate conformance path: small corpora only
+    cid = str(pdf[id_col].min())
+    n = len(pdf)
+    pdf["n_keys"] = 0
+    pdf["cluster_id"] = cid
+    pdf["n_members"] = n
+    return ray.data.from_pandas(pdf)
+
+
+# --------------------------------------------------------------------------
+# Counters — reference definitions, computed over the cascade result.
+# --------------------------------------------------------------------------
+
+
+def _result_frame(result) -> pd.DataFrame:
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    return result
+
+
+def count_keys_computed(result, stages: list[DigestStage]) -> list[int]:
+    """Per-level digest evaluation counts (Engine.pm:569-578): level k was
+    computed for every object in a block whose key prefix is longer than k,
+    i.e. ``#rows with n_keys > k``.  Trailing never-reached levels are
+    omitted, as in the reference."""
+    df = _result_frame(result)
+    depth = int(df["n_keys"].max())
+    return [int((df["n_keys"] > k).sum()) for k in range(depth)]
+
+
+def count_collisions(result, stages: list[DigestStage]) -> list[int]:
+    """Per-level collision counts (Engine.pm:500-532): at level k, every
+    key-prefix shared by ≥2 objects that did NOT end as a single block
+    contributes (#blocks under it − 1)."""
+    df = _result_frame(result)
+    depth = int(df["n_keys"].max())
+    cols = [st.column for st in stages]
+    out = []
+    for k in range(depth):
+        reach = df[df["n_keys"] > k]
+        g = reach.groupby(cols[: k + 1], dropna=False, sort=False)
+        sizes = g.size()
+        nblocks = g["cluster_id"].nunique()
+        out.append(int((nblocks[sizes > 1] - 1).sum()))
+    return out

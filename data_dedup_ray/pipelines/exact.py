@@ -1,0 +1,138 @@
+"""Exact-duplicate pipeline — the Files/CLI layer re-expressed on Ray Data.
+
+Maps the reference's file-level operators (/root/reference/lib/Data/Dedup/
+Files.pm, Files/CLI.pm) onto the web_pages table: ``url`` plays the file
+path, ``text`` the file content, ``inode_id`` the hardlink identity
+(SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from data_dedup_ray.engine import dedup_cascade, resolve_chain
+
+
+def filter_empty(ds: ray.data.Dataset, content_col: str = "text") -> ray.data.Dataset:
+    """``ignore_empty``: drop zero-length content (Files.pm:104-116,223;
+    without it all empty rows legitimately form one duplicate block,
+    Files.t:231-271)."""
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(pc.binary_length(t[content_col]), 0)),
+        batch_format="pyarrow",
+    )
+
+
+def _first_seen(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values("url", kind="stable").head(1)
+
+
+def collapse_identity(
+    ds: ray.data.Dataset, identity_col: str = "inode_id"
+) -> ray.data.Dataset:
+    """Hardlink collapse: only one page per identity key enters dedup
+    (Files.pm:225,167).  The reference keeps the first *seen*; execution
+    order is non-deterministic here, so we pin the CLI's resolution policy —
+    the alphabetically-first url (CLI.pm:281-283, CLI.t:91-97).
+
+    Shuffle key: ``identity_col``.  Groups are hardlink-sized (tiny), so no
+    skew handling is needed."""
+    return ds.groupby(identity_col).map_groups(_first_seen, batch_format="pandas")
+
+
+def _hardlink_group(g: pd.DataFrame) -> pd.DataFrame:
+    urls = sorted(g["url"])
+    return pd.DataFrame(
+        {
+            "inode_id": [g["inode_id"].iloc[0]],
+            "n_links": [len(urls)],
+            "members": ["\t".join(urls)],
+        }
+    )
+
+
+def hardlinks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """All urls grouped by identity key, multi-member groups only
+    (Files.pm:341 `hardlinks` accessor)."""
+    grouped = ds.select_columns(["inode_id", "url"]).groupby("inode_id").map_groups(
+        _hardlink_group, batch_format="pandas"
+    )
+    return grouped.map_batches(
+        lambda t: t.filter(pc.greater(t["n_links"], 1)), batch_format="pyarrow"
+    )
+
+
+def dedup_pages(
+    ds: ray.data.Dataset,
+    *,
+    chain: list[str] | None = None,
+    ignore_empty: bool = False,
+    collapse: bool = True,
+    id_col: str = "url",
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """scan → predicates → cascade: the `Files->scan` + `Engine->add` path
+    (Files.pm:215-240) as one lazy Dataset pipeline."""
+    if ignore_empty:
+        ds = filter_empty(ds)
+    if collapse and "inode_id" in ds.schema().names:
+        ds = collapse_identity(ds)
+    stages = resolve_chain(chain)
+    return dedup_cascade(ds, stages, id_col=id_col, concurrency=concurrency)
+
+
+def _report_group(g: pd.DataFrame) -> pd.DataFrame:
+    urls = sorted(g["url"])
+    return pd.DataFrame(
+        {
+            "cluster_id": [g["cluster_id"].iloc[0]],
+            "n_members": [len(urls)],
+            "members": ["\t".join(urls)],
+        }
+    )
+
+
+def duplicate_report(result: ray.data.Dataset) -> ray.data.Dataset:
+    """The CLI duplicate report (CLI.pm:285-310): only blocks with >1 member,
+    members tab-joined in lexicographic order — one row per duplicate
+    cluster.  Render with ``report_text`` for the byte-exact TSV."""
+    dups = result.map_batches(
+        lambda t: t.filter(pc.greater(t["n_members"], 1)), batch_format="pyarrow"
+    )
+    return dups.select_columns(["cluster_id", "url", "n_members"]).groupby(
+        "cluster_id"
+    ).map_groups(_report_group, batch_format="pandas")
+
+
+def report_text(result: ray.data.Dataset) -> str:
+    """Byte-exact TSV conformance mode: lines sorted lexicographically, each
+    line the tab-joined sorted member urls + trailing newline
+    (CLI.pm:302-306; golden shape CLI.t:74-78)."""
+    lines = sorted(duplicate_report(result).to_pandas()["members"])
+    return "".join(line + "\n" for line in lines)
+
+
+def dedup_stats(result: ray.data.Dataset) -> dict[str, int]:
+    """The --verbose tallies (CLI.pm:313-321): unique objects, distinct
+    objects with duplicates, and duplicate count."""
+    agg = result.map_batches(
+        lambda t: pa.table(
+            {
+                "unique": [int(pc.sum(pc.equal(t["n_members"], 1)).as_py() or 0)],
+                "dup_rows": [int(pc.sum(pc.greater(t["n_members"], 1)).as_py() or 0)],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    clusters = duplicate_report(result).count()
+    unique = int(agg["unique"].sum())
+    dup_rows = int(agg["dup_rows"].sum())
+    return {
+        "unique": unique,
+        "distinct_with_duplicates": int(clusters),
+        "duplicates": dup_rows - int(clusters),
+        "total": unique + dup_rows,
+    }

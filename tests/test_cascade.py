@@ -1,0 +1,118 @@
+"""Engine-level conformance tests — ports of the reference Engine unit tests
+(/root/reference/t/unit/Data/Dedup/Engine.t) onto the level-wise Ray Data
+cascade: synthetic (letter, num) rows with toy digest stages, asserting exact
+block membership, key-prefix lengths, and the [6,3,3,0] collision counters.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from data_dedup_ray.engine import DigestStage, dedup_cascade, count_collisions, count_keys_computed
+
+
+def _col_stage(sid, fn, dtype=pa.int64(), expensive=False):
+    return DigestStage(id=sid, compute=fn, dtype=dtype, expensive=expensive)
+
+
+LETTER = _col_stage("letter", lambda t: pc.cast(t["letter"], pa.string()), pa.string())
+MOD2 = _col_stage("mod2", lambda t: pc.cast(pc.bit_wise_and(t["num"], 1), pa.int64()))
+
+
+def _mod(m):
+    return _col_stage(
+        f"mod{m}",
+        lambda t, m=m: pa.array([v % m for v in t["num"].to_pylist()], type=pa.int64()),
+    )
+
+
+def _ds(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["id", "letter", "num"])
+    )
+
+
+NINE = [
+    ("A1", "A", 1), ("B2", "B", 2), ("C3", "C", 3),
+    ("A4", "A", 4), ("B5", "B", 5), ("C6", "C", 6),
+    ("A7", "A", 7), ("B8", "B", 8), ("C9", "C", 9),
+]
+
+
+def _clusters(result_df):
+    out = {}
+    for cid, g in result_df.groupby("cluster_id"):
+        out[frozenset(g["id"])] = int(g["n_keys"].iloc[0])
+    return out
+
+
+def test_single_object_block():
+    # Engine.t "one object in a block": a lone object's block has NO keys.
+    res = dedup_cascade(_ds(NINE[:1]), [LETTER], id_col="id").to_pandas()
+    assert len(res) == 1
+    assert int(res["n_keys"].iloc[0]) == 0
+    assert res["cluster_id"].iloc[0] == "A1"
+
+
+def test_single_level_blocking():
+    # Engine.t:86-124: A1+A4 collide on letter → one block; B2, C3 singletons.
+    rows = [("A1", "A", 1), ("B2", "B", 2), ("A4", "A", 4), ("C3", "C", 3)]
+    res = dedup_cascade(_ds(rows), [LETTER], id_col="id").to_pandas()
+    assert _clusters(res) == {
+        frozenset({"A1", "A4"}): 1,
+        frozenset({"B2"}): 1,
+        frozenset({"C3"}): 1,
+    }
+
+
+def test_multi_level_blocking():
+    # Engine.t:126-142: stages [letter, num % 2] on A1 B2 C3 A4.
+    rows = [("A1", "A", 1), ("B2", "B", 2), ("C3", "C", 3), ("A4", "A", 4)]
+    res = dedup_cascade(_ds(rows), [LETTER, MOD2], id_col="id").to_pandas()
+    assert _clusters(res) == {
+        frozenset({"A4"}): 2,   # block A0
+        frozenset({"A1"}): 2,   # block A1
+        frozenset({"B2"}): 1,   # block B
+        frozenset({"C3"}): 1,   # block C
+    }
+
+
+@pytest.mark.parametrize("lazy", [False, True])
+def test_count_collisions_6330(lazy):
+    # Engine.t:235-271: 9 objects, 4 levels ⇒ collisions [6,3,3,0]; with the
+    # last two stages marked expensive the lazy path must agree exactly.
+    stages = [LETTER, MOD2, _mod(3), _mod(5)]
+    if lazy:
+        stages = [
+            stages[0],
+            stages[1],
+            _col_stage("mod3", stages[2].compute, expensive=True),
+            _col_stage("mod5", stages[3].compute, expensive=True),
+        ]
+    res = dedup_cascade(_ds(NINE), stages, id_col="id").to_pandas()
+    assert _clusters(res) == {
+        frozenset({"A1"}): 4, frozenset({"A4"}): 2, frozenset({"A7"}): 4,
+        frozenset({"B2"}): 4, frozenset({"B5"}): 2, frozenset({"B8"}): 4,
+        frozenset({"C3"}): 4, frozenset({"C6"}): 2, frozenset({"C9"}): 4,
+    }
+    assert count_collisions(res, stages) == [6, 3, 3, 0]
+    assert count_keys_computed(res, stages) == [9, 9, 6, 6]
+
+
+def test_degenerate_no_blocking():
+    # Engine.pm:138-139 / Engine.t:65-84: empty blocking ⇒ one all-dup block.
+    res = dedup_cascade(_ds(NINE), [], id_col="id").to_pandas()
+    assert len(res) == 9
+    assert set(res["cluster_id"]) == {"A1"}
+    assert set(res["n_keys"]) == {0}
+    assert set(res["n_members"]) == {9}
+
+
+def test_true_duplicates_cluster_together():
+    # Two rows agreeing on every digest are one block with all keys.
+    rows = [("A1", "A", 6), ("A2", "A", 6), ("B1", "B", 3)]
+    stages = [LETTER, MOD2, _mod(3)]
+    res = dedup_cascade(_ds(rows), stages, id_col="id").to_pandas()
+    assert _clusters(res) == {frozenset({"A1", "A2"}): 3, frozenset({"B1"}): 1}

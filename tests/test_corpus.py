@@ -1,0 +1,62 @@
+"""web_pages corpus: the Ray derivation and the SQL CTE must be twins, and
+extract_text(html) must reproduce text byte-identically (BASELINE.json:16)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_dedup_ray.corpus import web_pages, web_pages_sql
+from data_dedup_ray.stages.extract import extract_text
+
+
+@pytest.fixture(scope="module")
+def ray_pages(sf_dir):
+    return web_pages(sf_dir).to_pandas().sort_values("url").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def sql_pages(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    df = con.execute(
+        web_pages_sql("SELECT * FROM web_pages ORDER BY url")
+    ).fetchdf()
+    return df.reset_index(drop=True)
+
+
+def test_same_rows(ray_pages, sql_pages):
+    assert len(ray_pages) == len(sql_pages)
+    assert list(ray_pages["url"]) == list(sql_pages["url"])
+    assert list(ray_pages["text"]) == list(sql_pages["text"])
+    assert list(ray_pages["lang"]) == list(sql_pages["lang"])
+    assert list(ray_pages["inode_id"]) == list(sql_pages["inode_id"])
+    ray_html = [bytes(h) for h in ray_pages["html"]]
+    sql_html = [bytes(h) for h in sql_pages["html"]]
+    assert ray_html == sql_html
+    assert list(pd.to_datetime(ray_pages["warc_ts"])) == list(
+        pd.to_datetime(sql_pages["warc_ts"])
+    )
+
+
+def test_families_planted(ray_pages):
+    fams = ray_pages["url"].str.extract(r"https://(\w+)[.\d]").iloc[:, 0]
+    counts = ray_pages.groupby(ray_pages["url"].str.split(".").str[0]).size()
+    assert any(u.startswith("https://mirror.") for u in ray_pages["url"])
+    assert any(u.startswith("https://empty.") for u in ray_pages["url"])
+    empty = ray_pages[ray_pages["url"].str.startswith("https://empty.")]
+    assert (empty["text"] == "").all()
+    # exact duplicates really are byte-identical to their base page
+    mirrors = ray_pages[ray_pages["url"].str.startswith("https://mirror.")]
+    base = ray_pages[ray_pages["url"].str.startswith("https://site")]
+    base_by_id = dict(zip(base["url"].str.rsplit("/", n=1).str[1], base["text"]))
+    for _, row in mirrors.iterrows():
+        doc = row["url"].rsplit("/", 1)[1]
+        assert row["text"] == base_by_id[doc]
+
+
+def test_extract_text_invariant(sf_dir):
+    ds = web_pages(sf_dir).map_batches(extract_text, batch_format="pyarrow")
+    df = ds.to_pandas()
+    assert (df["extracted_text"] == df["text"]).all()
