@@ -67,9 +67,52 @@ def _q_ignore_empty(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+# --------------------------------------------------------------------------
+# Near-dup family (north_rule: MinHash/LSH, SimHash, components)
+# --------------------------------------------------------------------------
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    from data_dedup_ray.pipelines import near
+
+    pairs = near.minhash_dedup_pairs(web_pages(sf_dir), threshold=0.7)
+    return pd.DataFrame(
+        {
+            "url_a": pairs["url_a"],
+            "url_b": pairs["url_b"],
+            "jaccard_bp": np.floor(pairs["jaccard"] * 10000).astype(np.int64),
+        }
+    )
+
+
+def _q_near_clusters(sf_dir: str):
+    from data_dedup_ray.pipelines import near
+
+    return near.minhash_dedup_clusters(web_pages(sf_dir), threshold=0.7)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from data_dedup_ray.pipelines import near
+
+    return near.simhash_pairs(web_pages(sf_dir))
+
+
+def _q_simhash_clusters(sf_dir: str):
+    from data_dedup_ray.pipelines import near
+
+    return near.simhash_clusters(web_pages(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_clusters": _q_exact_clusters,
+        "minhash_near_dup_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_clusters,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_clusters": _q_simhash_clusters,
         "exact_dedup_report": _q_exact_report,
         "exact_dedup_keep_first": _q_keep_first,
         "exact_dedup_ignore_empty": _q_ignore_empty,
@@ -79,7 +122,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from data_dedup_ray.oracles import minhash_pairs_sql, near_dup_clusters_sql
+
     return {
+        # simhash_pairs / simhash_clusters intentionally omitted: the
+        # fingerprint function is not SQL-expressible → rows-only check;
+        # exactness is covered by tests/test_near.py's brute-force oracle.
+        "minhash_near_dup_pairs": minhash_pairs_sql(0.7),
+        "near_dup_clusters": near_dup_clusters_sql(0.7),
         "exact_dedup_clusters": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"
             " count(*) OVER (PARTITION BY text) AS n_members FROM web_pages"

@@ -1,0 +1,137 @@
+"""MinHash signatures + LSH banding — stateful actor-pool stage.
+
+north_rule extension (the reference implements exact dedup only —
+SURVEY.md §2.6): k-shingle MinHash signatures with band hashing, as one
+vectorized ``map_batches`` actor stage (permutation parameters built once
+per actor in ``__init__``).
+
+Vectorization strategy (no per-shingle Python):
+- tokenize each text with one compiled C regex (the only per-row Python);
+- hash ALL tokens of a batch in one ``pd.util.hash_array`` call;
+- shingle hashes = polynomial rolling combine of k consecutive token hashes
+  over the whole concatenated array (numpy, mod 2^64), masking windows that
+  cross document boundaries;
+- MinHash = multiply-shift permutations ``a*h + b (mod 2^64)`` applied to
+  the concatenated distinct-shingle array, then ``np.minimum.reduceat``
+  per-document segment minima — one numpy reduction for the whole batch;
+- band digests = polynomial combine over each band's signature rows.
+
+Shingle *identity* is the 64-bit rolling hash, not the joined string; two
+shingles collide with p≈2⁻⁶⁴, which is the standard MinHash trade
+(exactness is restored downstream by the Jaccard verify stage operating on
+the same hashed-shingle sets).
+
+Documents with fewer than ``shingle_k`` tokens have no shingle set and emit
+no bands: shingle-based near-dup is undefined for them (exact dedup already
+handles empty/near-empty rows).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _rng_odd(rng: np.random.Generator, n: int) -> np.ndarray:
+    a = rng.integers(0, 1 << 63, size=n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    return a
+
+
+def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """→ (concatenated token hash array, per-doc token counts)."""
+    toks = [TOKEN_RE.findall(t) if t else [] for t in texts]
+    counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    flat = [w for doc in toks for w in doc]
+    if flat:
+        hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
+    else:
+        hashes = np.empty(0, dtype=np.uint64)
+    return hashes, counts
+
+
+def shingle_sets(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct k-shingle hash sets for each text.
+
+    → (concatenated distinct-shingle array, per-doc set sizes)."""
+    hashes, counts = tokenize_batch(texts)
+    with np.errstate(over="ignore"):
+        # polynomial rolling combine over the concatenated token hashes
+        c = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+        n = len(hashes)
+        if n >= k:
+            win = hashes[: n - k + 1].copy()
+            for j in range(1, k):
+                win = win * c + hashes[j: n - k + 1 + j]
+        else:
+            win = np.empty(0, dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    out_sets, sizes = [], np.zeros(len(counts), dtype=np.int64)
+    for i in range(len(counts)):
+        s, e = starts[i], starts[i + 1]
+        if e - s >= k:
+            u = np.unique(win[s: e - k + 1])
+            out_sets.append(u)
+            sizes[i] = len(u)
+    cat = np.concatenate(out_sets) if out_sets else np.empty(0, dtype=np.uint64)
+    return cat, sizes
+
+
+class MinHashLSH:
+    """Actor stage: text → exploded ``(url, band_id, band_hash)`` rows.
+
+    Defaults (n_perm=126 = 42 bands × 3 rows) put the LSH s-curve threshold
+    near J≈0.42 with miss probability < 1e-8 at J≥0.7 — deterministic
+    given ``seed``, so results are run-order independent.
+    """
+
+    def __init__(self, *, n_perm: int = 126, band_r: int = 3, shingle_k: int = 5,
+                 seed: int = 42, id_col: str = "url", text_col: str = "text"):
+        assert n_perm % band_r == 0
+        self.n_perm, self.band_r, self.k = n_perm, band_r, shingle_k
+        self.n_bands = n_perm // band_r
+        self.id_col, self.text_col = id_col, text_col
+        rng = np.random.default_rng(seed)
+        self.A = _rng_odd(rng, n_perm)[:, None]
+        self.B = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)[:, None]
+        self.BC = _rng_odd(rng, band_r)
+
+    def signatures(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """→ (uint64 signature matrix [n_docs_with_shingles, n_perm],
+        bool mask of docs that have shingles)."""
+        cat, sizes = shingle_sets(texts, self.k)
+        has = sizes > 0
+        if not has.any():
+            return np.empty((0, self.n_perm), dtype=np.uint64), has
+        starts = np.concatenate([[0], np.cumsum(sizes[has])])[:-1]
+        with np.errstate(over="ignore"):
+            vals = self.A * cat[None, :] + self.B  # (n_perm, total_shingles)
+        sig = np.minimum.reduceat(vals, starts, axis=1).T  # (docs, n_perm)
+        return sig, has
+
+    def band_table(self, sig: np.ndarray, ids: np.ndarray) -> pa.Table:
+        n = sig.shape[0]
+        with np.errstate(over="ignore"):
+            bands = sig.reshape(n, self.n_bands, self.band_r)
+            bh = (bands * self.BC[None, None, :]).sum(axis=2, dtype=np.uint64)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, self.n_bands)),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.n_bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
+        sig, has = self.signatures(texts)
+        return self.band_table(sig, ids[has])

@@ -1,0 +1,105 @@
+"""MinHash/LSH + SimHash near-dup pipelines vs exact oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.oracles import minhash_pairs_sql, near_dup_clusters_sql
+from data_dedup_ray.pipelines import near
+from data_dedup_ray.pipelines.components import dsu_components, label_propagation
+from data_dedup_ray.stages.minhash import shingle_sets
+from data_dedup_ray.stages.simhash import popcount64, simhash_batch
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def pages(sf_dir):
+    return web_pages(sf_dir)
+
+
+def test_shingle_sets_deterministic():
+    texts = ["a b c d e f g", "a b c d e f g", "x y z", ""]
+    cat, sizes = shingle_sets(texts, 5)
+    assert sizes.tolist() == [3, 3, 0, 0]
+    assert (cat[:3] == cat[3:6]).all()
+
+
+def test_minhash_pairs_match_exact_jaccard(pages, con, sf_dir):
+    pairs = near.minhash_dedup_pairs(pages, threshold=0.7)
+    got = pd.DataFrame(
+        {
+            "url_a": pairs["url_a"],
+            "url_b": pairs["url_b"],
+            "jaccard_bp": np.floor(pairs["jaccard"] * 10000).astype(np.int64),
+        }
+    ).sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    want = con.execute(minhash_pairs_sql(0.7)).fetchdf().sort_values(
+        ["url_a", "url_b"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # planted exact dups (mirror family) must be J=1.0 pairs
+    assert (got[got["url_a"].str.contains("mirror")]["jaccard_bp"] == 10000).any() or (
+        got[got["url_b"].str.contains("mirror")]["jaccard_bp"] == 10000
+    ).any()
+
+
+def test_near_clusters_match_closure_oracle(pages, con):
+    got = (
+        near.minhash_dedup_clusters(pages, threshold=0.7)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = con.execute(near_dup_clusters_sql(0.7)).fetchdf().sort_values(
+        "url"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_simhash_pairs_match_bruteforce(pages):
+    got = near.simhash_pairs(pages).to_pandas()
+    df = pages.to_pandas()
+    fp, has = simhash_batch(df["text"].tolist())
+    ids = df["url"].to_numpy(dtype=object)[has]
+    order = np.argsort(ids)
+    ids, fp = ids[order], fp[order]
+    ai, bi = np.triu_indices(len(ids), k=1)
+    hd = popcount64(fp[ai] ^ fp[bi])
+    keep = hd <= 3
+    want = pd.DataFrame(
+        {"url_a": ids[ai[keep]], "url_b": ids[bi[keep]], "hamming": hd[keep]}
+    )
+    m = got.merge(want, on=["url_a", "url_b"], how="outer", indicator=True,
+                  suffixes=("_g", "_w"))
+    assert (m["_merge"] == "both").all()
+    assert (m["hamming_g"] == m["hamming_w"]).all()
+
+
+def test_dsu_components_deterministic():
+    edges = pd.DataFrame({"url_a": ["b", "c", "x"], "url_b": ["c", "a", "y"]})
+    out = dsu_components(edges)
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_label_propagation_matches_dsu(pages):
+    import ray.data
+
+    edges_df = near.minhash_dedup_pairs(pages, threshold=0.7)[["url_a", "url_b"]]
+    dsu = dsu_components(edges_df)
+    nodes = pages.select_columns(["url"])
+    lp = label_propagation(nodes, ray.data.from_pandas(edges_df)).to_pandas()
+    lp_map = dict(zip(lp["url"], lp["cluster_id"]))
+    for n, c in dsu.items():
+        assert lp_map[n] == c, (n, c, lp_map[n])
+    # non-edge nodes keep their own label
+    all_urls = set(pages.to_pandas()["url"])
+    for u in all_urls - set(dsu):
+        assert lp_map[u] == u
