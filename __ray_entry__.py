@@ -106,9 +106,52 @@ def _q_simhash_clusters(sf_dir: str):
     return near.simhash_clusters(web_pages(sf_dir))
 
 
+# --------------------------------------------------------------------------
+# Text analysis + embedding similarity (training-data-pipeline operators)
+# --------------------------------------------------------------------------
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+
+    from data_dedup_ray.pipelines.search import knn_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_topk(emb, k=5, n_queries=10)
+
+
+def _q_embedding_dup(sf_dir: str):
+    from data_dedup_ray.pipelines.search import augmented_embeddings, embedding_dup_pairs
+
+    return embedding_dup_pairs(augmented_embeddings(sf_dir), threshold=0.99)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import ray.data
+
+    from data_dedup_ray.pipelines.search import ann_lsh_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_lsh_topk(emb, k=5, n_queries=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from data_dedup_ray.pipelines import text
+
     return {
         "exact_dedup_clusters": _q_exact_clusters,
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        "lang_id": text.lang_id,
+        "doc_fingerprints": text.fingerprints,
+        "doc_stats_by_lang": text.doc_stats_by_lang,
+        "knn_topk": _q_knn,
+        "embedding_dup_pairs": _q_embedding_dup,
+        "ann_lsh_topk": _q_ann_lsh,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_clusters,
         "simhash_pairs": _q_simhash_pairs,
@@ -122,14 +165,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from data_dedup_ray.oracles import minhash_pairs_sql, near_dup_clusters_sql
+    from data_dedup_ray import oracles
 
     return {
+        # doc_fingerprints / ann_lsh_topk intentionally omitted (64-bit
+        # hash / approximate LSH not SQL-expressible) → rows-only checks;
+        # ann accuracy is covered by tests vs the exact knn.
+        "token_stats": oracles.token_stats_sql(),
+        "quality_scores": oracles.quality_scores_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "doc_stats_by_lang": oracles.doc_stats_sql(),
+        "knn_topk": oracles.knn_topk_sql(5, 10),
+        "embedding_dup_pairs": oracles.embedding_dup_sql(0.99),
         # simhash_pairs / simhash_clusters intentionally omitted: the
         # fingerprint function is not SQL-expressible → rows-only check;
         # exactness is covered by tests/test_near.py's brute-force oracle.
-        "minhash_near_dup_pairs": minhash_pairs_sql(0.7),
-        "near_dup_clusters": near_dup_clusters_sql(0.7),
+        "minhash_near_dup_pairs": oracles.minhash_pairs_sql(0.7),
+        "near_dup_clusters": oracles.near_dup_clusters_sql(0.7),
         "exact_dedup_clusters": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"
             " count(*) OVER (PARTITION BY text) AS n_members FROM web_pages"

@@ -47,6 +47,103 @@ def minhash_pairs_sql(threshold: float = 0.7) -> str:
     )
 
 
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_EN = "('the','a','of','and','to','is','in','that','it','for')"
+
+
+def token_stats_sql() -> str:
+    return (
+        f"SELECT doc_id, len({_TOKS}) AS n_tokens,"
+        f" len(array_to_string({_TOKS}, '')) AS n_token_chars,"
+        f" len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct"
+        f" FROM documents"
+    )
+
+
+def quality_scores_sql(min_tokens: int = 10) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_len, len({_TOKS}) AS n_tokens,
+         len(array_to_string({_TOKS}, '')) AS n_token_chars,
+         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+         len(list_filter({_TOKS}, x -> x IN {_EN})) AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_tokens, n_token_chars, n_punct, n_stopwords,
+       CAST(floor(n_stopwords * 10000.0 / greatest(n_tokens, 1)) AS BIGINT) AS stop_ratio_bp,
+       CAST(floor(n_punct * 10000.0 / greatest(n_len, 1)) AS BIGINT) AS punct_ratio_bp,
+       (n_tokens >= {min_tokens}
+        AND floor(n_punct * 10000.0 / greatest(n_len, 1)) < 2000) AS keep
+FROM s"""
+
+
+def lang_id_sql() -> str:
+    from data_dedup_ray.stages.textstats import LANG_MARKERS
+
+    def inlist(lang):
+        ws = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return f"len(list_filter(t, x -> x IN ({ws})))"
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+c AS (
+  SELECT doc_id, {inlist('en')} AS en, {inlist('de')} AS de,
+         {inlist('fr')} AS fr, {inlist('es')} AS es FROM s)
+SELECT doc_id, CASE
+  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+  WHEN de >= fr AND de >= es THEN 'de'
+  WHEN fr >= es THEN 'fr'
+  ELSE 'es' END AS lang_pred
+FROM c"""
+
+
+def doc_stats_sql() -> str:
+    return (
+        f"SELECT lang, source, count(*) AS n_docs,"
+        f" CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+        f" CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens"
+        f" FROM documents GROUP BY lang, source"
+    )
+
+
+_COS = (
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(e.embedding AS DOUBLE[]))"
+)
+
+
+def knn_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    """Exact cosine top-k (double math; basis points half-up rounded to
+    match the Ray side's floor(x*10000+0.5))."""
+    return f"""
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, e.vec_id) AS rank,
+       CAST(round({_COS} * 10000) AS BIGINT) AS cos_bp
+FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+WHERE q.vec_id < {n_queries}
+QUALIFY rank <= {k}"""
+
+
+def embedding_dup_sql(threshold: float = 0.99) -> str:
+    """Pairs with cosine ≥ threshold over the augmented table (exact-copy
+    vectors planted at vec_id+100000 for vec_id % 10 == 0 — the SQL twin of
+    pipelines/search.py augmented_embeddings)."""
+    cos = (
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       CAST(round({cos} * 10000) AS BIGINT) AS cos_bp
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
+
+
 def near_dup_clusters_sql(threshold: float = 0.7) -> str:
     """Connected components of the verified near-dup pair graph via a
     recursive transitive closure; singletons keep their own url."""

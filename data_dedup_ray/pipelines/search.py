@@ -1,0 +1,263 @@
+"""Embedding similarity search + embedding-cosine near-dup.
+
+Training-data-pipeline operators (task brief "similarity search"):
+
+- ``knn_topk``: exact brute-force cosine top-k — broadcast query matrix
+  (``ray.put`` once, read per actor), per-batch float64 matmul, per-batch
+  partial top-k, one small ``groupby(query_id)`` finalize.  The scale
+  baseline: O(N·Q) flops streamed over blocks, no N×N materialization.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets
+  restrict candidates to colliding buckets across ``n_tables`` tables;
+  approximate (recall measured in tests, no SQL oracle).
+- ``embedding_dup_pairs``: pairs with cosine ≥ threshold via the same
+  broadcast-matmul pattern (small side = the corpus itself at test scale;
+  at real scale the LSH bucket grouping replaces the broadcast).
+
+Cosine values are emitted as basis points (floor(cos·10000), float64
+math) for driver-hash-stable comparison with DuckDB's
+``list_cosine_similarity``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    x = np.array(batch[col].to_pylist(), dtype=np.float64)
+    return x
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+def augmented_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """embeddings + planted exact-copy vectors (vec_id % 10 == 0 → copy at
+    vec_id + 100000) — deterministic, SQL-twin in oracles.py."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 10 == 0
+        sub = batch.filter(pa.array(mask))
+        copies = pa.table(
+            {
+                "vec_id": pa.array(sub["vec_id"].to_numpy(zero_copy_only=False)
+                                   + 100000),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), copies])
+
+    return ds.map_batches(dup, batch_format="pyarrow")
+
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "cos_bp": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def knn_topk(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int | tuple = (1, 8),
+) -> pd.DataFrame:
+    """Exact cosine top-k for the queries ``vec_id < n_queries``.
+
+    → (query_id, neighbor_id, rank, cos_bp); self-matches excluded;
+    deterministic tie-break (cos desc, neighbor_id asc)."""
+    qdf = emb.filter(lambda r: r[id_col] < n_queries).to_pandas()
+    if len(qdf) == 0:
+        return _empty_topk()
+    qdf = qdf.sort_values(id_col)
+    qids = qdf[id_col].to_numpy()
+    Q = _normalize(np.array(qdf[emb_col].tolist(), dtype=np.float64))
+    ref = ray.put((qids, Q))
+
+    class _PartialTopK:
+        def __init__(self):
+            self.qids, self.Q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            X = _normalize(_matrix(batch, emb_col))
+            sims = X @ self.Q.T  # (batch, nq)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k, len(ids))
+            for j, q in enumerate(self.qids):
+                s = sims[:, j]
+                keep = ids != q
+                order = np.lexsort((ids[keep], -s[keep]))[:kk]
+                sel = np.flatnonzero(keep)[order]
+                out_q.append(np.full(len(sel), q, dtype=np.int64))
+                out_n.append(ids[sel])
+                out_s.append(s[sel])
+            return pa.table(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_s),
+                }
+            )
+
+    partial = emb.map_batches(_PartialTopK, batch_format="pyarrow",
+                              concurrency=concurrency)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cos_bp": np.floor(g["cos"].to_numpy() * 10000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return (
+        partial.groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def embedding_dup_pairs(
+    emb: ray.data.Dataset,
+    *,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int | tuple = (1, 8),
+) -> pd.DataFrame:
+    """All pairs with cosine ≥ threshold → (vec_id_a < vec_id_b, cos_bp).
+
+    Pattern: broadcast the (normalized) full matrix once, stream batches
+    against it.  At 100 TB the broadcast side becomes LSH buckets
+    (``ann_lsh_topk``'s table layout) — same output contract."""
+    all_df = emb.to_pandas().sort_values(id_col)
+    ids_all = all_df[id_col].to_numpy()
+    M = _normalize(np.array(all_df[emb_col].tolist(), dtype=np.float64))
+    ref = ray.put((ids_all, M))
+
+    class _Pairs:
+        def __init__(self):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            X = _normalize(_matrix(batch, emb_col))
+            sims = X @ self.M.T
+            bi, bj = np.nonzero(sims >= threshold)
+            a, b = ids[bi], self.ids[bj]
+            keep = a < b  # dedupe orientation + drop self
+            return pa.table(
+                {
+                    "vec_id_a": a[keep],
+                    "vec_id_b": b[keep],
+                    "cos_bp": np.floor(sims[bi, bj][keep] * 10000 + 0.5).astype(np.int64),
+                }
+            )
+
+    return (
+        emb.map_batches(_Pairs, batch_format="pyarrow", concurrency=concurrency)
+        .to_pandas()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def ann_lsh_topk(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 5,
+    n_queries: int = 10,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int | tuple = (1, 8),
+) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket candidates, then
+    exact cosine within candidates.  The scale path — candidates per query
+    are bounded by bucket occupancy instead of the corpus size."""
+    qdf = emb.filter(lambda r: r[id_col] < n_queries).to_pandas()
+    if len(qdf) == 0:
+        return _empty_topk()
+    qdf = qdf.sort_values(id_col)
+    dim = len(qdf[emb_col].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    Q = _normalize(np.array(qdf[emb_col].tolist(), dtype=np.float64))
+    qids = qdf[id_col].to_numpy()
+    qsig = np.stack([(Q @ planes[t].T > 0) for t in range(n_tables)])  # (T, nq, bits)
+    pow2 = 1 << np.arange(n_bits)
+    qbuckets = (qsig * pow2).sum(axis=2)  # (T, nq)
+    ref = ray.put((qids, Q, planes, qbuckets))
+
+    class _Candidates:
+        def __init__(self):
+            self.qids, self.Q, self.planes, self.qb = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            X = _normalize(_matrix(batch, emb_col))
+            cand = np.zeros((len(ids), len(self.qids)), dtype=bool)
+            for t in range(len(self.planes)):
+                xb = ((X @ self.planes[t].T > 0) * pow2).sum(axis=1)
+                cand |= xb[:, None] == self.qb[t][None, :]
+            sims = X @ self.Q.T
+            bi, bj = np.nonzero(cand)
+            keep = ids[bi] != self.qids[bj]
+            return pa.table(
+                {
+                    "query_id": self.qids[bj][keep],
+                    "neighbor_id": ids[bi][keep],
+                    "cos": sims[bi, bj][keep],
+                }
+            )
+
+    cands = emb.map_batches(_Candidates, batch_format="pyarrow",
+                            concurrency=concurrency)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cos_bp": np.floor(g["cos"].to_numpy() * 10000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return (
+        cands.groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
