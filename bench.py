@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data dedup engine.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline dedup pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same amplified corpus and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north_rule's
+N-vs-4N-node cluster requirement; see BASELINE.md).
+
+The dedup queries run over ``amplified_pages`` — a deterministic ×FACTOR
+revision expansion of the web_pages corpus (data_dedup_ray/corpus.py) — so
+throughput numbers are measured on a corpus large enough to exercise the
+shuffle, not on the raw 6.6k-row sf0.1 table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DEFAULT_FACTOR = int(os.environ.get("GRAFT_BENCH_FACTOR", "16"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+# --------------------------------------------------------------------------
+# Headline pipelines (each returns a row count so laziness can't hide work)
+# --------------------------------------------------------------------------
+
+
+def _pages(sf_dir: str, factor: int):
+    from data_dedup_ray.corpus import amplified_pages
+
+    return amplified_pages(sf_dir, factor)
+
+
+def q_exact_dedup(sf_dir: str, factor: int) -> int:
+    from data_dedup_ray.pipelines import exact
+
+    res = exact.dedup_pages(_pages(sf_dir, factor), collapse=False)
+    return res.count()
+
+
+def q_minhash_pairs(sf_dir: str, factor: int) -> int:
+    from data_dedup_ray.pipelines import near
+
+    pairs = near.minhash_dedup_pairs(_pages(sf_dir, factor), threshold=0.7)
+    return len(pairs)
+
+
+def q_near_clusters(sf_dir: str, factor: int) -> int:
+    from data_dedup_ray.pipelines import near
+
+    return near.minhash_dedup_clusters(_pages(sf_dir, factor), threshold=0.7).count()
+
+
+def q_simhash_clusters(sf_dir: str, factor: int) -> int:
+    from data_dedup_ray.pipelines import near
+
+    return near.simhash_clusters(_pages(sf_dir, factor)).count()
+
+
+def q_text_quality(sf_dir: str, factor: int) -> int:
+    from data_dedup_ray.pipelines import text
+
+    return text.quality_scores(sf_dir).count()
+
+
+def q_knn(sf_dir: str, factor: int) -> int:
+    import ray.data
+
+    from data_dedup_ray.pipelines.search import knn_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_topk(emb, k=5, n_queries=10).count()
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "near_dup_clusters": q_near_clusters,
+    "simhash_clusters": q_simhash_clusters,
+    "text_quality": q_text_quality,
+    "knn_topk": q_knn,
+}
+
+#: the single headline pipeline used for the scaling experiment
+HEADLINE = "near_dup_clusters"
+
+
+def _corpus_size(sf_dir: str, factor: int) -> int:
+    return _pages(sf_dir, factor).count()
+
+
+def run_suite(sf_dir: str, num_cpus: int, factor: int) -> dict:
+    _init_ray(num_cpus)
+    n_docs = _corpus_size(sf_dir, factor)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        rows[name] = int(fn(sf_dir, factor))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    dedup_sec = timings["exact_dedup"] + timings["near_dup_clusters"]
+    return {
+        "metric": "dedup+neardup suite wall time (amplified web_pages corpus)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "amplify_factor": factor,
+        "corpus_docs": n_docs,
+        "dedup_docs_per_sec": round(2 * n_docs / dedup_sec, 1),
+    }
+
+
+# --------------------------------------------------------------------------
+# Scaling: same job, fresh processes, num_cpus=N vs 4N
+# --------------------------------------------------------------------------
+
+
+def _run_child(num_cpus: int, sf_dir: str, factor: int) -> dict:
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # force a fresh local instance per process
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         "--num-cpus", str(num_cpus), "--sf-dir", sf_dir,
+         "--factor", str(factor)],
+        capture_output=True, text=True, env=env, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def child_main(num_cpus: int, sf_dir: str, factor: int) -> None:
+    import ray
+
+    _init_ray(num_cpus)
+    n_docs = _corpus_size(sf_dir, factor)
+    t0 = time.perf_counter()
+    n = QUERIES[HEADLINE](sf_dir, factor)
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({
+        "num_cpus": num_cpus, "sec": round(sec, 3), "rows": int(n),
+        "docs": n_docs, "docs_per_sec": round(n_docs / sec, 1),
+    }))
+
+
+def run_scaling(sf_dir: str, factor: int, lo: int = 8, hi: int = 32) -> dict:
+    lo_r = _run_child(lo, sf_dir, factor)
+    hi_r = _run_child(hi, sf_dir, factor)
+    eff = (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / (hi / lo)
+    return {
+        "metric": f"{HEADLINE} scaling efficiency ({lo}->{hi} cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {f"cpus_{lo}": lo_r["sec"], f"cpus_{hi}": hi_r["sec"]},
+        "throughput": {f"cpus_{lo}": lo_r["docs_per_sec"],
+                       f"cpus_{hi}": hi_r["docs_per_sec"]},
+        "sf": _sf_of(sf_dir),
+        "amplify_factor": factor,
+        "corpus_docs": lo_r["docs"],
+        "num_cpus": hi,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--factor", type=int, default=DEFAULT_FACTOR)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child:
+        child_main(args.num_cpus, args.sf_dir, args.factor)
+        return
+    if args.scaling:
+        result = run_scaling(args.sf_dir, args.factor)
+    else:
+        result = run_suite(args.sf_dir, args.num_cpus, args.factor)
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,17 +6,21 @@ Shuffle plan
 ------------
 1. ``MinHashLSH`` actor stage emits ``(url, band_id, band_hash)`` — tiny
    fixed-width rows; the html/text columns never enter the shuffle.
-2. ``groupby(band_id, band_hash)`` brings band-colliding docs together.
-   Skew guard: a group larger than ``group_cap`` (boilerplate bands) emits
-   a star (min-member ↔ others) instead of all O(g²) pairs — connectivity
-   for clustering is preserved, and the count of capped groups is reported
-   in the output's ``capped`` metadata column so recall accounting is
-   explicit.
+2. Rows are shuffled by a COARSE partition key ``_part =
+   hash(band_id, band_hash) % P`` rather than by the raw band key: the
+   per-group Python overhead of ``map_groups`` over millions of tiny band
+   groups dominates wall-time, while P≈cpu-count partitions give the same
+   co-location guarantee (equal band keys land in one partition) and let
+   pair emission run as ONE vectorized pandas self-merge per partition.
+   Skew guard: a band group larger than ``group_cap`` (boilerplate bands)
+   emits a star (min-member ↔ others) instead of all O(g²) pairs —
+   connectivity for clustering is preserved.
 3. Pair dedup across bands: ``groupby(url_a, url_b).count``.
-4. Verify: exact hashed-shingle Jaccard.  The candidate set is a small
-   fraction of the corpus, so representatives' shingle sets are fetched by
-   broadcast-filtering the docs table (no shuffle); at extreme scale this
-   becomes a hash-partitioned join keyed on url — same semantics.
+4. Verify: exact hashed-shingle Jaccard, distributed — candidate pairs
+   become a Dataset, the (small) url→shingle-set map is broadcast once via
+   ``ray.put``, and Jaccard is computed in an actor-pool ``map_batches``.
+   At extreme scale the broadcast becomes a hash-partitioned join keyed on
+   url — same semantics.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Min
 
 from data_dedup_ray.pipelines.components import attach_clusters, dsu_components
 from data_dedup_ray.stages.minhash import MinHashLSH, shingle_sets
@@ -44,6 +48,7 @@ def lsh_candidate_pairs(
     seed: int = 42,
     group_cap: int = 256,
     concurrency: int | tuple = (1, 8),
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Distinct candidate pairs ``(url_a < url_b)`` from LSH band collisions."""
     bands = ds.map_batches(
@@ -57,28 +62,114 @@ def lsh_candidate_pairs(
         concurrency=concurrency,
     )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"url_a": [], "url_b": []}).astype(str)
-        if len(ids) > group_cap:
-            # hot band: star pattern keeps the component connected without
-            # O(g²) pair explosion (SURVEY.md §7.4 skew guard)
-            a = [ids[0]] * (len(ids) - 1)
-            b = ids[1:]
-        else:
-            a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"url_a": list(a), "url_b": list(b)})
+    def add_part(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                t["band_hash"].to_numpy().view(np.uint64)
+                * np.uint64(0x100000001B3)
+                + t["band_id"].to_numpy().astype(np.uint64)
+            )
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
+    def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_partition(
+            g, key_cols=["band_id", "band_hash"], id_col=id_col,
+            group_cap=group_cap,
+        )
+
+    pairs = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_partition, batch_format="pandas")
     )
-    # distinct across bands
+    # distinct across bands / partitions
+    return _distinct_pairs(pairs, ["url_a", "url_b"],
+                           num_partitions=num_partitions)
+
+
+def _distinct_pairs(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    *,
+    num_partitions: int = 64,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Distinct rows by ``key_cols`` via coarse hash partitioning.
+
+    ``groupby(key_cols).aggregate`` pays per-group overhead on millions of
+    tiny groups; a shuffle on ``hash(key) % P`` followed by ONE vectorized
+    ``drop_duplicates`` per partition is semantically identical (equal keys
+    co-locate) and orders of magnitude faster.
+    """
+    keep = keep_cols or key_cols
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[key_cols], index=False).to_numpy()
+        b = b.copy()
+        b["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return b
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(key_cols, kind="stable").drop_duplicates(
+            key_cols
+        )[keep]
+
     return (
-        pairs.groupby(["url_a", "url_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["url_a", "url_b"])
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dd, batch_format="pandas")
     )
+
+
+def _pairs_in_partition(
+    g: pd.DataFrame,
+    *,
+    key_cols: list[str],
+    id_col: str,
+    group_cap: int,
+    carry: list[str] | None = None,
+) -> pd.DataFrame:
+    """All intra-group pairs of one coarse partition — vectorized.
+
+    One pandas self-merge on the factorized group code replaces per-group
+    Python; groups larger than ``group_cap`` fall back to a star on the
+    lexicographic min member (SURVEY.md §7.4 skew guard).  ``carry``
+    columns (e.g. simhash fingerprints) ride along as ``<col>_a/<col>_b``.
+    """
+    carry = carry or []
+    cols = [id_col, *carry]
+    empty = pd.DataFrame(
+        {f"{c}{s}": pd.Series(dtype=g[c].dtype)
+         for c in cols for s in ("_a", "_b")}
+    )
+    g = g.drop_duplicates([*key_cols, id_col])
+    code = g.groupby(key_cols, sort=False).ngroup().to_numpy()
+    sz = np.bincount(code)[code]
+    g = g.assign(_code=code)[sz > 1]
+    if not len(g):
+        return empty
+    sz = sz[sz > 1]
+    small, big = g[sz <= group_cap], g[sz > group_cap]
+    out = []
+    if len(small):
+        s = small[["_code", *cols]]
+        m = s.merge(s, on="_code", suffixes=("_a", "_b"))
+        out.append(m[m[f"{id_col}_a"] < m[f"{id_col}_b"]])
+    if len(big):
+        big = big.sort_values(["_code", id_col], kind="stable")
+        first = big.groupby("_code", sort=False).head(1)
+        rest = big.merge(
+            first[["_code", id_col]], on="_code", suffixes=("", "_min")
+        )
+        rest = rest[rest[id_col] != rest[f"{id_col}_min"]]
+        star = rest.merge(first[["_code", *cols]], on="_code",
+                          suffixes=("_b", "_a"))
+        out.append(star)
+    res = pd.concat(out, ignore_index=True) if out else empty
+    keep = [f"{c}{s}" for c in cols for s in ("_a", "_b")]
+    return res[keep].drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
 
 
 def _shingle_map(ds: ray.data.Dataset, urls, *, id_col, text_col, shingle_k,
@@ -129,24 +220,48 @@ def verify_pairs(
     threshold: float = 0.7,
 ) -> pd.DataFrame:
     """Exact Jaccard over hashed-shingle sets for each candidate pair;
-    keeps pairs with J ≥ threshold.  Returns (url_a, url_b, jaccard)."""
+    keeps pairs with J ≥ threshold.  Returns (url_a, url_b, jaccard).
+
+    Distributed: the url→shingle-set map covers only candidate urls and is
+    broadcast ONCE via ``ray.put``; Jaccard runs in an actor-pool
+    ``map_batches`` over the pair Dataset (at extreme scale the broadcast
+    becomes a hash join on url — the verification math is unchanged)."""
     if len(pairs) == 0:
         return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
     urls = set(pairs["url_a"]) | set(pairs["url_b"])
     sh = _shingle_map(ds, urls, id_col=id_col, text_col=text_col,
                       shingle_k=shingle_k)
-    out_a, out_b, out_j = [], [], []
-    for ua, ub in zip(pairs["url_a"], pairs["url_b"]):
-        sa, sb = sh.get(ua), sh.get(ub)
-        if sa is None or sb is None:
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            out_a.append(ua)
-            out_b.append(ub)
-            out_j.append(j)
-    return pd.DataFrame({"url_a": out_a, "url_b": out_b, "jaccard": out_j})
+    ref = ray.put(sh)
+
+    class _Verify:
+        def __init__(self):
+            self.sh = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_j = [], [], []
+            for ua, ub in zip(b["url_a"], b["url_b"]):
+                sa, sb = self.sh.get(ua), self.sh.get(ub)
+                if sa is None or sb is None:
+                    continue
+                # sets are np.unique output → already sorted
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    out_a.append(ua)
+                    out_b.append(ub)
+                    out_j.append(j)
+            return pd.DataFrame({"url_a": out_a, "url_b": out_b,
+                                 "jaccard": out_j})
+
+    pds = ray.data.from_pandas(
+        pairs[["url_a", "url_b"]].reset_index(drop=True)
+    ).repartition(min(32, max(1, len(pairs) // 2048)))
+    out = pds.map_batches(
+        _Verify, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
+    return out.reset_index(drop=True)
 
 
 def minhash_dedup_pairs(
@@ -179,8 +294,10 @@ def simhash_pairs(
     Fingerprints travel with the exploded chunk rows, so verification
     (XOR popcount) happens inside the group — no second lookup pass.
     Recall is 1.0 by the pigeonhole construction for ``max_hamming ≤ 3``
-    (stages/simhash.py); ``groupby(chunk_id, chunk_val)`` is the only
-    shuffle and moves three fixed-width columns per row.
+    (stages/simhash.py); the only shuffle moves three fixed-width columns
+    per row, keyed coarsely (``hash(chunk_id, chunk_val) % P``) so pair
+    emission is one vectorized self-merge per partition, with fingerprints
+    carried through the merge so Hamming verification happens in place.
     """
     from data_dedup_ray.stages.simhash import SimHashStage, popcount64
 
@@ -192,31 +309,46 @@ def simhash_pairs(
         concurrency=concurrency,
     )
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"url_a": [], "url_b": [], "hamming": []})
-        ids = g[id_col].to_numpy(dtype=object)
-        fps = g["fp"].to_numpy(dtype=np.int64).view(np.uint64)
-        if len(ids) > group_cap:
-            ai = np.zeros(len(ids) - 1, dtype=np.int64)
-            bi = np.arange(1, len(ids), dtype=np.int64)
-        else:
-            ai, bi = np.triu_indices(len(ids), k=1)
-        hd = popcount64(fps[ai] ^ fps[bi])
-        keep = hd <= max_hamming
-        return pd.DataFrame(
-            {"url_a": ids[ai[keep]], "url_b": ids[bi[keep]],
-             "hamming": hd[keep]}
+    num_partitions = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                t["chunk_val"].to_numpy().view(np.uint64)
+                * np.uint64(0x100000001B3)
+                + t["chunk_id"].to_numpy().astype(np.uint64)
+            )
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
         )
 
-    pairs = chunks.groupby(["chunk_id", "chunk_val"]).map_groups(
-        emit, batch_format="pandas"
+    def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_partition(
+            g, key_cols=["chunk_id", "chunk_val"], id_col=id_col,
+            group_cap=group_cap, carry=["fp"],
+        )
+
+    def hamming_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"url_a": [], "url_b": [], "hamming": []})
+        fa = b["fp_a"].to_numpy(dtype=np.int64).view(np.uint64)
+        fb = b["fp_b"].to_numpy(dtype=np.int64).view(np.uint64)
+        hd = popcount64(fa ^ fb)
+        out = pd.DataFrame(
+            {"url_a": b[f"{id_col}_a"], "url_b": b[f"{id_col}_b"],
+             "hamming": hd}
+        )
+        return out[out["hamming"] <= max_hamming]
+
+    pairs = (
+        chunks.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_partition, batch_format="pandas")
+        .map_batches(hamming_filter, batch_format="pandas")
     )
     # distinct across the 4 chunk tables (hamming identical per pair)
-    return pairs.groupby(["url_a", "url_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _distinct_pairs(pairs, ["url_a", "url_b"],
+                           keep_cols=["url_a", "url_b", "hamming"])
 
 
 def simhash_clusters(
