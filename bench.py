@@ -59,36 +59,47 @@ def _pages(sf_dir: str, factor: int):
     return amplified_pages(sf_dir, factor)
 
 
+def _nrows(res) -> int:
+    """Row count of a Dataset / DataFrame / Table result (forces execution)."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if hasattr(res, "count"):
+        return int(res.count())
+    return len(res)
+
+
 def q_exact_dedup(sf_dir: str, factor: int) -> int:
     from data_dedup_ray.pipelines import exact
 
     res = exact.dedup_pages(_pages(sf_dir, factor), collapse=False)
-    return res.count()
+    return _nrows(res)
 
 
 def q_minhash_pairs(sf_dir: str, factor: int) -> int:
     from data_dedup_ray.pipelines import near
 
     pairs = near.minhash_dedup_pairs(_pages(sf_dir, factor), threshold=0.7)
-    return len(pairs)
+    return _nrows(pairs)
 
 
 def q_near_clusters(sf_dir: str, factor: int) -> int:
     from data_dedup_ray.pipelines import near
 
-    return near.minhash_dedup_clusters(_pages(sf_dir, factor), threshold=0.7).count()
+    return _nrows(near.minhash_dedup_clusters(_pages(sf_dir, factor), threshold=0.7))
 
 
 def q_simhash_clusters(sf_dir: str, factor: int) -> int:
     from data_dedup_ray.pipelines import near
 
-    return near.simhash_clusters(_pages(sf_dir, factor)).count()
+    return _nrows(near.simhash_clusters(_pages(sf_dir, factor)))
 
 
 def q_text_quality(sf_dir: str, factor: int) -> int:
     from data_dedup_ray.pipelines import text
 
-    return text.quality_scores(sf_dir).count()
+    return _nrows(text.quality_scores(sf_dir))
 
 
 def q_knn(sf_dir: str, factor: int) -> int:
@@ -99,7 +110,7 @@ def q_knn(sf_dir: str, factor: int) -> int:
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return knn_topk(emb, k=5, n_queries=10).count()
+    return _nrows(knn_topk(emb, k=5, n_queries=10))
 
 
 QUERIES = {

@@ -198,10 +198,14 @@ _AMP_WORDS = np.array(
 class _Amplify:
     """Emit ``factor`` deterministic revisions per page (seeded word edits).
 
-    Revision r of a page keeps the text but appends r seeded marker words, so
-    revisions of one page form a near-duplicate family while different pages
-    stay far apart — a scale-realistic workload for bench.py without any
-    external data.  Seeded by (doc row hash, r): no wall-clock, no global RNG.
+    Common-Crawl-realistic duplicate density: revision ``r % 4 == 0`` keeps
+    the text near-identical (small appended marker → a near-dup of the
+    base), every other revision gets an ``r``-specific marker token injected
+    after every 3rd word — every 5-shingle then contains a marker, so those
+    revisions share (almost) no shingles with the base or with each other.
+    Factor 16 ⇒ each page yields a 4-member near-dup family + 12 distinct
+    documents (~25% dup rate).  Seeded by (doc row hash, r): no wall-clock,
+    no global RNG.
     """
 
     def __init__(self, factor: int):
@@ -214,7 +218,12 @@ class _Amplify:
             b = batch.copy()
             if r:
                 pick = _AMP_WORDS[(h + 2654435761 * r) % len(_AMP_WORDS)]
-                b["text"] = b["text"] + " rev" + str(r) + " " + pick
+                if r % 4 == 0:
+                    b["text"] = b["text"] + " rev" + str(r) + " " + pick
+                else:
+                    b["text"] = b["text"].str.replace(
+                        r"((?:\S+\s+){2}\S+)", rf"\1 q{r}z", regex=True
+                    ) + " rev" + str(r) + " " + pick
                 b["url"] = b["url"] + f"?rev={r}"
             out.append(b)
         return pd.concat(out, ignore_index=True)

@@ -172,6 +172,116 @@ def _pairs_in_partition(
     return res[keep].drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
 
 
+def shingle_rows(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> ray.data.Dataset:
+    """``(id, sh:binary)`` — each row's distinct k-shingle hash set as a
+    little-endian uint64 byte blob.  Bytes (not list/tensor columns) keep
+    the schema trivially stable across unions and shuffles."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        cat, sizes = shingle_sets(texts, shingle_k)
+        offs = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        blobs = [cat[offs[i]: offs[i + 1]].tobytes() for i in range(len(sizes))]
+        t = pa.table({id_col: batch[id_col].combine_chunks(),
+                      "sh": pa.array(blobs, type=pa.large_binary())})
+        return t.filter(pa.array(sizes > 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+def verify_pairs_partitioned(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification as a partitioned join — the 100 TB path.
+
+    Nothing is collected to the driver: shingle rows are co-shuffled with
+    the candidate pairs on ``hash(endpoint) % P`` (step A keyed on url_a,
+    step B on url_b), each step doing ONE vectorized pandas merge per
+    partition; step B computes Jaccard in place.  Shingle payloads move
+    through the object store exactly twice, as binary columns.
+    """
+    P = num_partitions
+    sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                      shingle_k=shingle_k).materialize()
+
+    def _part_of(s: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def _tag_sh(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "url_a": [""] * n, "url_b": [""] * n,
+            "key": b[id_col].astype(object), "sh": b["sh"],
+            "is_pair": np.zeros(n, dtype=bool), "_part": _part_of(b[id_col]),
+        })
+
+    def _tag_pairs(on: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({
+                "url_a": b["url_a"].astype(object),
+                "url_b": b["url_b"].astype(object),
+                "key": b[on].astype(object),
+                "sh": b["sh_a"] if "sh_a" in b else [b""] * n,
+                "is_pair": np.ones(n, dtype=bool), "_part": _part_of(b[on]),
+            })
+        return fn
+
+    def _join_a(g: pd.DataFrame) -> pd.DataFrame:
+        shg = g.loc[~g["is_pair"], ["key", "sh"]]
+        pg = g.loc[g["is_pair"], ["url_a", "url_b"]]
+        m = pg.merge(shg, left_on="url_a", right_on="key", how="inner")
+        return m[["url_a", "url_b"]].assign(sh_a=m["sh"])
+
+    def _join_b(g: pd.DataFrame) -> pd.DataFrame:
+        shg = g.loc[~g["is_pair"], ["key", "sh"]]
+        pg = g.loc[g["is_pair"], ["url_a", "url_b"]].assign(
+            sh_a=g.loc[g["is_pair"], "sh"]
+        )
+        m = pg.merge(shg, left_on="url_b", right_on="key", how="inner")
+        out_a, out_b, out_j = [], [], []
+        for ua, ub, ba, bb in zip(m["url_a"], m["url_b"], m["sh_a"], m["sh"]):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out_a.append(ua)
+                out_b.append(ub)
+                out_j.append(j)
+        return pd.DataFrame({"url_a": pd.Series(out_a, dtype=object),
+                             "url_b": pd.Series(out_b, dtype=object),
+                             "jaccard": pd.Series(out_j, dtype=np.float64)})
+
+    step_a = (
+        pairs.map_batches(_tag_pairs("url_a"), batch_format="pandas")
+        .union(sh.map_batches(_tag_sh, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(_join_a, batch_format="pandas")
+    )
+    return (
+        step_a.map_batches(_tag_pairs("url_b"), batch_format="pandas")
+        .union(sh.map_batches(_tag_sh, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(_join_b, batch_format="pandas")
+    )
+
+
 def _shingle_map(ds: ray.data.Dataset, urls, *, id_col, text_col, shingle_k,
                  concurrency=(1, 4)) -> dict:
     """url → distinct shingle-hash set, for the (small) candidate url set.
@@ -267,17 +377,24 @@ def verify_pairs(
 def minhash_dedup_pairs(
     ds: ray.data.Dataset, *, threshold: float = 0.7, **lsh_kwargs
 ) -> pd.DataFrame:
-    """LSH candidates → verified near-duplicate pairs (url_a < url_b)."""
+    """LSH candidates → verified near-duplicate pairs (url_a < url_b).
+
+    Fully pipeline-to-pipeline: candidates stay a Dataset and verification
+    is the partitioned join — the driver only sees the (output-sized)
+    verified pair list."""
     shingle_k = lsh_kwargs.get("shingle_k", 5)
-    cand = lsh_candidate_pairs(ds, **lsh_kwargs).to_pandas()
-    return verify_pairs(
+    cand = lsh_candidate_pairs(ds, **lsh_kwargs)
+    ver = verify_pairs_partitioned(
         ds,
         cand,
         id_col=lsh_kwargs.get("id_col", "url"),
         text_col=lsh_kwargs.get("text_col", "text"),
         shingle_k=shingle_k,
         threshold=threshold,
-    )
+    ).to_pandas()
+    if not len(ver):
+        return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
+    return ver.reset_index(drop=True)
 
 
 def simhash_pairs(
@@ -351,14 +468,146 @@ def simhash_pairs(
                            keep_cols=["url_a", "url_b", "hamming"])
 
 
-def simhash_clusters(
-    ds: ray.data.Dataset, *, max_hamming: int = 3, **kwargs
+def simhash_fp_pairs(
+    fp_rows: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    group_cap: int = 4096,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """Rows labeled by SimHash near-dup component (min-member url)."""
-    id_col = kwargs.get("id_col", "url")
-    edges = simhash_pairs(ds, max_hamming=max_hamming, **kwargs).to_pandas()
-    assignment = dsu_components(edges)
-    return attach_clusters(ds.select_columns([id_col]), assignment, id_col=id_col)
+    """``(fp_a, fp_b)`` pairs of DISTINCT fingerprints within Hamming ≤ d.
+
+    Nodes are fingerprints, not documents: on templated corpora thousands
+    of documents share one fingerprint, so the candidate graph over
+    distinct fps is orders of magnitude smaller than over documents while
+    inducing the identical document clustering (docs with equal fps are
+    trivially one component)."""
+    from data_dedup_ray.stages.simhash import key_values, popcount64
+
+    def dedupe_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates("fp")[["fp"]].copy()
+        b["_part"] = (
+            b["fp"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return b
+
+    distinct = (
+        fp_rows.map_batches(dedupe_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(lambda g: g.drop_duplicates("fp")[["fp"]],
+                    batch_format="pandas")
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy().view(np.uint64)
+        kv = key_values(fp)
+        n = len(fp)
+        n_keys = kv.shape[1]
+        out = pa.table(
+            {
+                "fp": pa.array(np.repeat(fp.view(np.int64), n_keys)),
+                "chunk_id": pa.array(
+                    np.tile(np.arange(n_keys, dtype=np.int32), n)
+                ),
+                "chunk_val": pa.array(kv.reshape(-1)),
+            }
+        )
+        with np.errstate(over="ignore"):
+            h = (
+                out["chunk_val"].to_numpy().view(np.uint64)
+                * np.uint64(0x100000001B3)
+                + out["chunk_id"].to_numpy().astype(np.uint64)
+            )
+        return out.append_column(
+            "_part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_partition(
+            g, key_cols=["chunk_id", "chunk_val"], id_col="fp",
+            group_cap=group_cap,
+        )
+
+    def hamming_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"fp_a": pd.Series(dtype=np.int64),
+                                 "fp_b": pd.Series(dtype=np.int64)})
+        fa = b["fp_a"].to_numpy(dtype=np.int64).view(np.uint64)
+        fb = b["fp_b"].to_numpy(dtype=np.int64).view(np.uint64)
+        keep = popcount64(fa ^ fb) <= max_hamming
+        return b.loc[keep, ["fp_a", "fp_b"]]
+
+    pairs = (
+        distinct.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_partition, batch_format="pandas")
+        .map_batches(hamming_filter, batch_format="pandas")
+    )
+    return _distinct_pairs(pairs, ["fp_a", "fp_b"],
+                           num_partitions=num_partitions)
+
+
+def simhash_clusters(
+    ds: ray.data.Dataset, *, max_hamming: int = 3, id_col: str = "url",
+    text_col: str = "text", concurrency: int | tuple = (1, 8),
+    group_cap: int = 4096,
+) -> ray.data.Dataset:
+    """Rows labeled by SimHash near-dup component (min-member url).
+
+    Pipeline: fingerprints → fp-level candidate graph (``simhash_fp_pairs``)
+    → driver DSU over DISTINCT-fp edges (bounded by the distinct-fp count,
+    not the document count) → per-component min url via one partitioned
+    aggregate → broadcast attach.  Docs with < 1 token keep their own url
+    as a singleton cluster id."""
+    from data_dedup_ray.stages.simhash import SimHashFingerprints
+
+    fp_rows = ds.map_batches(
+        SimHashFingerprints,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    ).materialize()
+
+    edges = simhash_fp_pairs(
+        fp_rows, max_hamming=max_hamming, group_cap=group_cap
+    ).to_pandas()
+    fp2root = dsu_components(edges, a="fp_a", b="fp_b")
+    ref = ray.put(fp2root)
+
+    def attach_root(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        fps = b["fp"].tolist()
+        return pd.DataFrame(
+            {id_col: b[id_col],
+             "root": pd.Series([m.get(f, f) for f in fps], dtype=np.int64)}
+        )
+
+    tagged = fp_rows.map_batches(attach_root, batch_format="pandas")
+
+    def min_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            b["root"].to_numpy().view(np.uint64) % np.uint64(64)
+        ).astype(np.int64)
+        return b
+
+    min_urls = (
+        tagged.map_batches(min_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(
+            lambda g: g.groupby("root", sort=False, as_index=False)[id_col]
+            .min(),
+            batch_format="pandas",
+        )
+    ).to_pandas()
+    root2min = dict(zip(min_urls["root"], min_urls[id_col]))
+    tg = tagged.to_pandas()
+    url2cluster = {
+        u: root2min[r] for u, r in zip(tg[id_col], tg["root"])
+    }
+    return attach_clusters(ds.select_columns([id_col]),
+                           url2cluster, id_col=id_col)
 
 
 def minhash_dedup_clusters(
