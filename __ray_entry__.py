@@ -94,6 +94,53 @@ def _q_near_clusters(sf_dir: str):
     return near.minhash_dedup_clusters(web_pages(sf_dir), threshold=0.7)
 
 
+def _q_substring_dup(sf_dir: str):
+    from data_dedup_ray.pipelines import substring
+
+    return substring.substring_dup_docs(web_pages(sf_dir))
+
+
+def _q_span_fingerprints(sf_dir: str):
+    from data_dedup_ray.pipelines import substring
+
+    return substring.dup_span_fingerprints(web_pages(sf_dir))
+
+
+def _q_substring_clusters(sf_dir: str):
+    from data_dedup_ray.pipelines import substring
+
+    return substring.substring_clusters(web_pages(sf_dir))
+
+
+def _q_cascade_counters(sf_dir: str):
+    import pandas as pd
+
+    from data_dedup_ray.engine import (count_collisions, count_keys_computed,
+                                       resolve_chain)
+
+    res = exact.dedup_pages(web_pages(sf_dir), collapse=False).to_pandas()
+    stages = resolve_chain(None)
+    kc = count_keys_computed(res, stages)
+    cc = count_collisions(res, stages)
+    return pd.DataFrame(
+        {"level": range(len(kc)), "keys_computed": kc, "collisions": cc}
+    )
+
+
+def _q_image_meta(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.image_meta(web_pages(sf_dir))
+
+
+def _q_frame_samples(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.frame_samples(web_pages(sf_dir)).select_columns(
+        ["url", "frame_idx"]
+    )
+
+
 def _q_simhash_pairs(sf_dir: str):
     from data_dedup_ray.pipelines import near
 
@@ -156,6 +203,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_clusters": _q_simhash_clusters,
+        "substring_dup_docs": _q_substring_dup,
+        "dup_span_fingerprints": _q_span_fingerprints,
+        "substring_clusters": _q_substring_clusters,
+        "cascade_counters": _q_cascade_counters,
+        "image_meta": _q_image_meta,
+        "frame_samples": _q_frame_samples,
         "exact_dedup_report": _q_exact_report,
         "exact_dedup_keep_first": _q_keep_first,
         "exact_dedup_ignore_empty": _q_ignore_empty,
@@ -180,6 +233,18 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs / simhash_clusters intentionally omitted: the
         # fingerprint function is not SQL-expressible → rows-only check;
         # exactness is covered by tests/test_near.py's brute-force oracle.
+        # dup_span_fingerprints / substring_clusters intentionally omitted
+        # (winnowed 64-bit rolling hashes are not SQL-expressible) →
+        # rows-only checks; exactness is covered by substring_dup_docs'
+        # oracle + tests/test_substring.py's brute-force span oracle.
+        # image_meta intentionally omitted (stub decoder metadata is
+        # hash-derived, not SQL-expressible) → rows-only check.
+        "frame_samples": web_pages_sql(
+            "SELECT url, CAST(i AS INTEGER) AS frame_idx FROM web_pages,"
+            " UNNEST(generate_series(0, 3)) AS g(i)"
+        ),
+        "substring_dup_docs": oracles.substring_dup_sql(50),
+        "cascade_counters": oracles.cascade_counters_sql(),
         "minhash_near_dup_pairs": oracles.minhash_pairs_sql(0.7),
         "near_dup_clusters": oracles.near_dup_clusters_sql(0.7),
         "exact_dedup_clusters": web_pages_sql(

@@ -1,0 +1,143 @@
+"""CLI — the ``ray job submit`` entrypoint (reference CLI.pm analogue).
+
+Mirrors ``bin/dedup_files`` option-for-option where the concept survives
+(/root/reference/lib/Data/Dedup/Files/CLI.pm:30-39, bin/dedup_files:22-36):
+
+    --dir       → --input      (parquet dir/file of web_pages-schema rows;
+                                repeated values accepted, duplicates skipped
+                                with a warning, CLI.pm:178-195)
+    --alg       → --alg        (ordered digest chain by name, repeatable;
+                                CLI.pm:89-97)
+    --outfile   → --output     (TSV report path or parquet dir)
+    --format    → --format     (tsv | parquet)
+    --quiet/--verbose          (same warning/statistics policy,
+                                CLI.pm:209-247,273-277)
+    (new)         --ignore-empty, --checkpoint-dir (resume), --near
+                  (MinHash/LSH near-dup instead of exact), --num-cpus
+
+Cluster usage::
+
+    ray job submit --working-dir . -- python -m data_dedup_ray.cli \
+        --input s3://corpus/pages --output s3://out/dups --format parquet
+
+Exit code 0 on success (bin/dedup_files:10; CLI.pm:333).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data_dedup_ray",
+                                description=__doc__.split("\n")[0])
+    p.add_argument("--input", action="append", required=True,
+                   help="parquet path of web_pages rows (repeatable)")
+    p.add_argument("--output", default=None,
+                   help="report destination (default: stdout for tsv)")
+    p.add_argument("--format", choices=["tsv", "parquet"], default="tsv")
+    p.add_argument("--alg", action="append", default=None,
+                   help="digest stage name, repeatable, order = chain order")
+    p.add_argument("--ignore-empty", action="store_true")
+    p.add_argument("--near", action="store_true",
+                   help="MinHash/LSH near-dup clusters instead of exact")
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="per-stage parquet checkpoints; rerun to resume")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="only for standalone runs; ignored under ray job")
+    return p
+
+
+def _dedupe_inputs(paths: list[str], quiet: bool) -> list[str]:
+    seen, out = set(), []
+    for d in paths:
+        if d in seen:
+            if not quiet:
+                print(f"warning: ignoring repeated input {d}", file=sys.stderr)
+            continue
+        seen.add(d)
+        out.append(d)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kw)
+
+    import ray.data
+
+    from data_dedup_ray.pipelines import exact
+
+    inputs = _dedupe_inputs(args.input, args.quiet)
+    ds = ray.data.read_parquet(inputs)
+
+    if args.checkpoint_dir:
+        from data_dedup_ray.state import Checkpointer
+
+        ck = Checkpointer(
+            args.checkpoint_dir,
+            {"alg": args.alg, "near": args.near,
+             "threshold": args.threshold,
+             "ignore_empty": args.ignore_empty, "inputs": inputs},
+        )
+    else:
+        ck = None
+
+    if args.near:
+        from data_dedup_ray.pipelines import near
+
+        def build():
+            return near.minhash_dedup_clusters(ds, threshold=args.threshold)
+
+        result = ck.run("near_clusters", build) if ck else build()
+        if args.format == "parquet":
+            result.write_parquet(args.output)
+        else:
+            pdf = result.to_pandas().sort_values(["cluster_id", "url"])
+            lines = [
+                "\t".join(g["url"]) for _, g in pdf.groupby("cluster_id")
+                if len(g) > 1
+            ]
+            text = "\n".join(sorted(lines)) + "\n"
+            _emit(text, args.output)
+    else:
+        def build():
+            return exact.dedup_pages(
+                ds, chain=args.alg, ignore_empty=args.ignore_empty
+            )
+
+        result = ck.run("exact_dedup", build) if ck else build()
+        if args.format == "parquet":
+            result.write_parquet(args.output)
+        else:
+            _emit(exact.report_text(result), args.output)
+        if args.verbose:
+            stats = exact.dedup_stats(result)
+            for k, v in stats.items():
+                print(f"{k}: {v}", file=sys.stderr)
+
+    ray.shutdown()
+    return 0
+
+
+def _emit(text: str, output: str | None) -> None:
+    if output:
+        with open(output, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

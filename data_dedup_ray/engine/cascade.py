@@ -47,6 +47,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from data_dedup_ray.util import autoscale_pool
 from ray.data.aggregate import Sum
 
 from data_dedup_ray.engine.stage import DigestStage
@@ -218,7 +220,7 @@ def dedup_cascade(
     stages: list[DigestStage],
     *,
     id_col: str = "url",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """Run the lazy digest cascade; returns one row per input row with
     ``[id_col, k_<stage>..., n_keys, cluster_id, n_members]``.
@@ -258,7 +260,7 @@ def dedup_cascade(
             "colliding_ref": ref,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or autoscale_pool(),
     )
 
     out_cols = [id_col] + [st.column for st in stages] + [

@@ -159,3 +159,68 @@ def near_dup_clusters_sql(threshold: float = 0.7) -> str:
         "SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id"
         " FROM web_pages w LEFT JOIN comp c ON c.url = w.url"
     )
+
+
+def substring_dup_sql(min_tokens: int = 50) -> str:
+    """Exact windowed-substring oracle: per url, the number of token-window
+    positions whose ``min_tokens``-token text occurs in ≥1 other document
+    (the SQL twin of pipelines/substring.substring_dup_docs — same
+    tokenizer, same MD5 window hash)."""
+    L = min_tokens
+    return (
+        f"WITH {WEB_PAGES_CTE},\n"
+        f"toks AS (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t"
+        f" FROM web_pages),\n"
+        f"win AS (SELECT url, md5(array_to_string(t[i:i+{L - 1}], ' ')) AS h\n"
+        f"  FROM toks, UNNEST(generate_series(1, len(t) - {L - 1})) AS g(i)\n"
+        f"  WHERE len(t) >= {L}),\n"
+        f"dup AS (SELECT h FROM win GROUP BY h"
+        f" HAVING count(DISTINCT url) > 1)\n"
+        f"SELECT url, count(*) AS n_dup_windows FROM win JOIN dup USING (h)"
+        f" GROUP BY url"
+    )
+
+
+def cascade_counters_sql() -> str:
+    """Reference counter semantics (Engine.pm:500-578) for the DEFAULT chain
+    [size, prefix_hash(first 4096B), sha(full)] expressed via content
+    equality: hash-key equality ⟺ the hashed byte-range equality (no
+    collisions at oracle scale), so the SQL groups on the byte ranges
+    directly.  ``n_keys``: first level whose group is a singleton (+1), or
+    full depth.  ``block_id``: own url for early-closed singletons, min url
+    of the full-content group otherwise."""
+    return (
+        f"WITH {WEB_PAGES_CTE},\n"
+        "lv AS (SELECT url,\n"
+        "  octet_length(encode(text)) AS k1, substr(text, 1, 4096) AS k2,"
+        " text AS k3,\n"
+        "  count(*) OVER (PARTITION BY octet_length(encode(text))) AS c1,\n"
+        "  count(*) OVER (PARTITION BY octet_length(encode(text)),"
+        " substr(text, 1, 4096)) AS c2\n"
+        "  FROM web_pages),\n"
+        "r AS (SELECT *,\n"
+        "  CASE WHEN c1 = 1 THEN 1 WHEN c2 = 1 THEN 2 ELSE 3 END AS n_keys,\n"
+        "  CASE WHEN c1 = 1 OR c2 = 1 THEN url"
+        " ELSE min(url) OVER (PARTITION BY k3) END AS block_id\n"
+        "  FROM lv),\n"
+        "g0 AS (SELECT k1, count(*) AS sz, count(DISTINCT block_id) AS nb"
+        " FROM r WHERE n_keys > 0 GROUP BY k1),\n"
+        "g1 AS (SELECT k1, k2, count(*) AS sz, count(DISTINCT block_id) AS nb"
+        " FROM r WHERE n_keys > 1 GROUP BY k1, k2),\n"
+        "g2 AS (SELECT k1, k2, k3, count(*) AS sz,"
+        " count(DISTINCT block_id) AS nb"
+        " FROM r WHERE n_keys > 2 GROUP BY k1, k2, k3),\n"
+        "kc AS (SELECT count(*) AS kc0,"
+        " count(*) FILTER (WHERE n_keys > 1) AS kc1,"
+        " count(*) FILTER (WHERE n_keys > 2) AS kc2 FROM r),\n"
+        "c0 AS (SELECT CAST(coalesce(sum(nb - 1) FILTER (WHERE sz > 1), 0) AS BIGINT) AS v"
+        " FROM g0),\n"
+        "c1 AS (SELECT CAST(coalesce(sum(nb - 1) FILTER (WHERE sz > 1), 0) AS BIGINT) AS v"
+        " FROM g1),\n"
+        "c2 AS (SELECT CAST(coalesce(sum(nb - 1) FILTER (WHERE sz > 1), 0) AS BIGINT) AS v"
+        " FROM g2)\n"
+        "SELECT CAST(0 AS BIGINT) AS level, kc0 AS keys_computed,"
+        " c0.v AS collisions FROM kc, c0\n"
+        "UNION ALL SELECT 1, kc1, c1.v FROM kc, c1\n"
+        "UNION ALL SELECT 2, kc2, c2.v FROM kc, c2"
+    )

@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from data_dedup_ray.util import autoscale_pool
 from ray.data.aggregate import Min
 
 
@@ -86,7 +88,7 @@ def attach_clusters(ds: ray.data.Dataset, assignment: dict, *,
             vals = [self.m.get(i, i) for i in ids]
             return batch.append_column(out_col, pa.array(vals, type=pa.string()))
 
-    return ds.map_batches(_Attach, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_Attach, batch_format="pyarrow", concurrency=autoscale_pool())
 
 
 def label_propagation(nodes: ray.data.Dataset, edges: ray.data.Dataset, *,

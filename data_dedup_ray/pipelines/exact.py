@@ -13,6 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from data_dedup_ray.util import autoscale_pool
+
 from data_dedup_ray.engine import dedup_cascade, resolve_chain
 
 
@@ -72,7 +74,7 @@ def dedup_pages(
     ignore_empty: bool = False,
     collapse: bool = True,
     id_col: str = "url",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """scan → predicates → cascade: the `Files->scan` + `Engine->add` path
     (Files.pm:215-240) as one lazy Dataset pipeline."""

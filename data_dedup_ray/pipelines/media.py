@@ -1,0 +1,64 @@
+"""Multimodal pipelines over binary payload columns.
+
+Uses the ``html:binary`` column of the web_pages corpus as the payload
+stand-in (the plumbing — schema, actor pools, small batches for large
+rows, fan-out layouts — is identical for real image/audio bytes; see
+stages/multimodal.py for the decode-stub contract).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.stages.multimodal import (DecodeImage, FrameSample,
+                                              ImageFeatures)
+from data_dedup_ray.util import autoscale_pool
+
+
+def _payload(ds: ray.data.Dataset, payload_col: str) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: pa.table({"url": t["url"], "payload": t[payload_col]}),
+        batch_format="pyarrow",
+    )
+
+
+def image_meta(
+    ds: ray.data.Dataset, *, payload_col: str = "html",
+    batch_size: int = 64, concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(url, width, height, mode, decode_ok) per payload row."""
+    return _payload(ds, payload_col).map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(["url", "width", "height", "mode", "decode_ok"])
+
+
+def image_features(
+    ds: ray.data.Dataset, *, payload_col: str = "html", dim: int = 64,
+    batch_size: int = 64, concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(url, embedding list<float32>[dim]) per payload row."""
+    return _payload(ds, payload_col).map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs=dict(dim=dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(["url", "embedding"])
+
+
+def frame_samples(
+    ds: ray.data.Dataset, *, payload_col: str = "html", n_frames: int = 4,
+    batch_size: int = 32, concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(url, frame_idx, frame:binary) — n_frames rows per payload."""
+    return _payload(ds, payload_col).map_batches(
+        FrameSample,
+        fn_constructor_kwargs=dict(n_frames=n_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    )

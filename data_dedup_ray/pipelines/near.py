@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from data_dedup_ray.util import autoscale_pool
 from ray.data.aggregate import Count, Min
 
 from data_dedup_ray.pipelines.components import attach_clusters, dsu_components
@@ -47,7 +49,7 @@ def lsh_candidate_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     group_cap: int = 256,
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Distinct candidate pairs ``(url_a < url_b)`` from LSH band collisions."""
@@ -59,7 +61,7 @@ def lsh_candidate_pairs(
         ),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        concurrency=concurrency or autoscale_pool(),
     )
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -283,7 +285,7 @@ def verify_pairs_partitioned(
 
 
 def _shingle_map(ds: ray.data.Dataset, urls, *, id_col, text_col, shingle_k,
-                 concurrency=(1, 4)) -> dict:
+                 concurrency=autoscale_pool()) -> dict:
     """url → distinct shingle-hash set, for the (small) candidate url set.
 
     Broadcast-filters the corpus: only candidate rows are tokenized."""
@@ -313,7 +315,7 @@ def _shingle_map(ds: ray.data.Dataset, urls, *, id_col, text_col, shingle_k,
             )
 
     rows = ds.map_batches(_Collect, batch_format="pyarrow",
-                          concurrency=concurrency).to_pandas()
+                          concurrency=concurrency or autoscale_pool()).to_pandas()
     return {
         r[0]: np.asarray(r[1], dtype=np.uint64)
         for r in rows[rows["has"]][[ "url", "shingles"]].itertuples(index=False)
@@ -367,7 +369,7 @@ def verify_pairs(
         pairs[["url_a", "url_b"]].reset_index(drop=True)
     ).repartition(min(32, max(1, len(pairs) // 2048)))
     out = pds.map_batches(
-        _Verify, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        _Verify, batch_format="pandas", batch_size=4096, concurrency=autoscale_pool()
     ).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
@@ -404,7 +406,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     group_cap: int = 1024,
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -423,7 +425,7 @@ def simhash_pairs(
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        concurrency=concurrency or autoscale_pool(),
     )
 
     num_partitions = 64
@@ -549,7 +551,7 @@ def simhash_fp_pairs(
 
 def simhash_clusters(
     ds: ray.data.Dataset, *, max_hamming: int = 3, id_col: str = "url",
-    text_col: str = "text", concurrency: int | tuple = (1, 8),
+    text_col: str = "text", concurrency: int | tuple | None = None,
     group_cap: int = 4096,
 ) -> ray.data.Dataset:
     """Rows labeled by SimHash near-dup component (min-member url).
@@ -566,7 +568,7 @@ def simhash_clusters(
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        concurrency=concurrency or autoscale_pool(),
     ).materialize()
 
     edges = simhash_fp_pairs(

@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from data_dedup_ray.util import autoscale_pool
+
 
 def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     x = np.array(batch[col].to_pylist(), dtype=np.float64)
@@ -79,7 +81,7 @@ def knn_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k for the queries ``vec_id < n_queries``.
 
@@ -120,7 +122,7 @@ def knn_topk(
             )
 
     partial = emb.map_batches(_PartialTopK, batch_format="pyarrow",
-                              concurrency=concurrency)
+                              concurrency=concurrency or autoscale_pool())
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],
@@ -149,7 +151,7 @@ def embedding_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
 ) -> pd.DataFrame:
     """All pairs with cosine ≥ threshold → (vec_id_a < vec_id_b, cos_bp).
 
@@ -181,7 +183,7 @@ def embedding_dup_pairs(
             )
 
     return (
-        emb.map_batches(_Pairs, batch_format="pyarrow", concurrency=concurrency)
+        emb.map_batches(_Pairs, batch_format="pyarrow", concurrency=concurrency or autoscale_pool())
         .to_pandas()
         .sort_values(["vec_id_a", "vec_id_b"])
         .reset_index(drop=True)
@@ -198,7 +200,7 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
 ) -> pd.DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket candidates, then
     exact cosine within candidates.  The scale path — candidates per query
@@ -240,7 +242,7 @@ def ann_lsh_topk(
             )
 
     cands = emb.map_batches(_Candidates, batch_format="pyarrow",
-                            concurrency=concurrency)
+                            concurrency=concurrency or autoscale_pool())
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],

@@ -1,0 +1,146 @@
+"""Substring (long-span) duplication pipelines — SURVEY.md §7 M5.
+
+The reference has no substring operator (SURVEY.md §2.6); the north_star
+mandates "suffix-array-based substring dedup".  See stages/substring.py
+for why fixed-minimum-length window grouping is the Ray-Data-native
+equivalent of the suffix-array formulation.
+
+Shuffle plan: window rows ``(url, whash)`` are tiny and fixed-width; they
+shuffle ONCE on ``hash(whash) % P`` (coarse partitions — same co-location
+guarantee as exact keys with none of the per-group overhead), where a
+vectorized pandas pass finds hashes spanning ≥2 distinct documents.
+Per-document rollups shuffle the (much smaller) hit set on
+``hash(url) % P``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.stages.substring import window_md5_rows, winnowed_rows
+
+
+def _coarse(ds: ray.data.Dataset, col: str, num_partitions: int) -> ray.data.Dataset:
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[col], index=False).to_numpy()
+        b = b.copy()
+        b["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return b
+
+    return ds.map_batches(add_part, batch_format="pandas").groupby("_part")
+
+
+def _dup_hits(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Rows of window-hash groups spanning ≥2 distinct docs (vectorized)."""
+    nun = g.groupby("whash", sort=False)[id_col].transform("nunique")
+    return g[nun > 1]
+
+
+def substring_dup_docs(
+    ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 50,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``(url, n_dup_windows)`` — window POSITIONS whose exact
+    ``min_tokens``-token text occurs in at least one other document.
+
+    Exact mode (MD5 window content hashes): every position counted, fully
+    reproducible in SQL — see ``oracles.substring_dup_sql``."""
+    rows = ds.map_batches(
+        window_md5_rows,
+        fn_kwargs=dict(min_tokens=min_tokens, id_col=id_col,
+                       text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    hits = _coarse(rows, "whash", num_partitions).map_groups(
+        lambda g: _dup_hits(g, id_col)[[id_col]],
+        batch_format="pandas",
+    )
+    return (
+        _coarse(hits, id_col, num_partitions)
+        .map_groups(
+            lambda g: g.groupby(id_col, sort=False)
+            .size()
+            .rename("n_dup_windows")
+            .reset_index(),
+            batch_format="pandas",
+        )
+    )
+
+
+def dup_span_fingerprints(
+    ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 50,
+    winnow_w: int = 8,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``(url, pos, whash, n_docs)`` — winnowed fingerprints shared by ≥2
+    docs: the scale path (≈1/winnow_w of the exact row volume; any shared
+    span of ``min_tokens + winnow_w − 1`` tokens is still guaranteed a
+    hit).  ``pos`` is the window's token offset within its document."""
+    rows = ds.map_batches(
+        winnowed_rows,
+        fn_kwargs=dict(min_tokens=min_tokens, winnow_w=winnow_w,
+                       id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("whash", sort=False)[id_col]
+        nun = gb.transform("nunique")
+        out = g[nun > 1].copy()
+        out["n_docs"] = nun[nun > 1].astype(np.int64)
+        return out[[id_col, "pos", "whash", "n_docs"]]
+
+    return _coarse(rows, "whash", num_partitions).map_groups(
+        hits, batch_format="pandas"
+    )
+
+
+def substring_clusters(
+    ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 50,
+    winnow_w: int = 8,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Docs labeled by shared-span component: two docs connect iff they
+    share a winnowed duplicated fingerprint.  Star edges per fingerprint
+    (min url ↔ others) keep edge volume linear in the hit count."""
+    from data_dedup_ray.pipelines.components import (attach_clusters,
+                                                     dsu_components)
+
+    fp = dup_span_fingerprints(
+        ds, min_tokens=min_tokens, winnow_w=winnow_w,
+        id_col=id_col, text_col=text_col,
+    )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["whash", id_col]).sort_values(
+            ["whash", id_col], kind="stable"
+        )
+        first = g.groupby("whash", sort=False)[id_col].transform("first")
+        rest = g[g[id_col] != first]
+        return pd.DataFrame(
+            {"url_a": first[g[id_col] != first].to_numpy(dtype=object),
+             "url_b": rest[id_col].to_numpy(dtype=object)}
+        )
+
+    edges = _coarse(fp, "whash", 64).map_groups(
+        star, batch_format="pandas"
+    ).to_pandas()
+    assignment = dsu_components(edges)
+    return attach_clusters(ds.select_columns([id_col]), assignment,
+                           id_col=id_col)

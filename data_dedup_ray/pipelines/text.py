@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pandas as pd
 import ray.data
+
+from data_dedup_ray.util import autoscale_pool
 from ray.data.aggregate import Sum
 
 from data_dedup_ray.stages import textstats
@@ -34,12 +36,12 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def lang_id(sf_dir: str, *, concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
+def lang_id(sf_dir: str, *, concurrency: int | tuple | None = None) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        textstats.LangId, batch_format="pyarrow", concurrency=concurrency
+        textstats.LangId, batch_format="pyarrow", concurrency=concurrency or autoscale_pool()
     ).select_columns(["doc_id", "lang_pred"])
 
 

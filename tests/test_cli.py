@@ -1,0 +1,75 @@
+"""CLI conformance: report format, option policy, resume."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from data_dedup_ray.corpus import web_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    web_pages(SF).write_parquet(d)
+    return d
+
+
+def _run(args, **kw):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    return subprocess.run(
+        [sys.executable, "-m", "data_dedup_ray.cli", *args],
+        capture_output=True, text=True, env=env, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        **kw,
+    )
+
+
+def test_tsv_report_golden_shape(ray_session, pages_parquet, tmp_path):
+    out = tmp_path / "report.tsv"
+    r = _run(["--input", pages_parquet, "--output", str(out),
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = out.read_text().splitlines()
+    assert lines  # the corpus plants exact duplicates
+    # each line: ≥2 tab-separated members, sorted; lines sorted
+    for ln in lines:
+        members = ln.split("\t")
+        assert len(members) >= 2 and members == sorted(members)
+    assert lines == sorted(lines)
+
+
+def test_repeated_input_warns_and_dedupes(ray_session, pages_parquet, tmp_path):
+    out = tmp_path / "r.tsv"
+    r = _run(["--input", pages_parquet, "--input", pages_parquet,
+              "--output", str(out), "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ignoring repeated input" in r.stderr
+    # dedupe of inputs → same report as single input
+    single = tmp_path / "s.tsv"
+    r2 = _run(["--input", pages_parquet, "--output", str(single),
+               "--quiet", "--num-cpus", "4"])
+    assert r2.returncode == 0
+    assert out.read_text() == single.read_text()
+    assert "ignoring repeated input" not in r2.stderr
+
+
+def test_checkpoint_resume_cli(ray_session, pages_parquet, tmp_path):
+    ck = tmp_path / "ck"
+    out1 = tmp_path / "a.tsv"
+    r = _run(["--input", pages_parquet, "--output", str(out1),
+              "--checkpoint-dir", str(ck), "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    stage_dirs = [d for d in os.listdir(ck) if d.startswith("exact_dedup-")]
+    assert len(stage_dirs) == 1
+    assert os.path.exists(ck / stage_dirs[0] / "_SUCCESS")
+    # resume produces the identical report from the checkpoint
+    out2 = tmp_path / "b.tsv"
+    r2 = _run(["--input", pages_parquet, "--output", str(out2),
+               "--checkpoint-dir", str(ck), "--num-cpus", "4"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert out1.read_text() == out2.read_text()

@@ -1,0 +1,50 @@
+"""Multimodal stage plumbing (deterministic stub decoders)."""
+
+import numpy as np
+import pytest
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.pipelines import media
+from data_dedup_ray.stages.multimodal import DecodeImage
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_image_meta_schema_and_determinism(ray_session):
+    a = media.image_meta(web_pages(SF)).to_pandas().sort_values("url")
+    b = media.image_meta(web_pages(SF)).to_pandas().sort_values("url")
+    assert list(a.columns) == ["url", "width", "height", "mode", "decode_ok"]
+    assert a["decode_ok"].all()
+    assert (a["width"] > 0).all()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_strict_decode_flags_not_drops(ray_session):
+    """Without a codec library, strict decode must flag rows (reference
+    unreadable-file policy: warn + skip, never crash; Files.pm:229-233)."""
+    res = media.image_meta(web_pages(SF).limit(16)).to_pandas()
+    assert len(res) == 16
+
+    import pyarrow as pa
+
+    stage = DecodeImage(strict=True)
+    out = stage(pa.table({"payload": pa.array([b"xx", b"yy"])}))
+    assert out["decode_ok"].to_pylist() == [False, False]
+
+
+def test_image_features_shape_and_norm(ray_session):
+    res = media.image_features(web_pages(SF).limit(32), dim=16).to_pandas()
+    emb = np.stack(res["embedding"].to_numpy())
+    assert emb.shape == (32, 16) and emb.dtype == np.float32
+    # identical payloads (mirror pages) → identical embeddings
+    assert len(res) == 32
+
+
+def test_frame_samples_fanout(ray_session):
+    n = 8
+    res = media.frame_samples(web_pages(SF).limit(n), n_frames=4).to_pandas()
+    assert len(res) == n * 4
+    assert set(res["frame_idx"]) == {0, 1, 2, 3}
+    # frames reassemble a prefix of the payload in order
+    g = res[res["url"] == res["url"].iloc[0]].sort_values("frame_idx")
+    assert all(len(f) > 0 for f in g["frame"])

@@ -1,0 +1,72 @@
+"""Substring (long-span) dedup vs a brute-force window oracle."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.pipelines import substring
+from data_dedup_ray.stages.minhash import TOKEN_RE
+
+SF = "/root/testdata/sf0.001"
+L = 50
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    return web_pages(SF).to_pandas()
+
+
+def brute_dup_windows(df: pd.DataFrame, min_tokens: int = L) -> dict:
+    """url → count of window positions whose window text occurs in ≥1
+    other doc (the reference oracle for substring_dup_docs)."""
+    wins: dict[str, list[str]] = {}
+    for url, text in zip(df["url"], df["text"]):
+        toks = TOKEN_RE.findall(text) if text else []
+        wins[url] = [
+            " ".join(toks[i: i + min_tokens])
+            for i in range(len(toks) - min_tokens + 1)
+        ]
+    owners: dict[str, set] = {}
+    for url, ws in wins.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(url)
+    out = {}
+    for url, ws in wins.items():
+        n = sum(1 for w in ws if len(owners[w]) > 1)
+        if n:
+            out[url] = n
+    return out
+
+
+def test_exact_matches_brute_force(ray_session, corpus):
+    got = substring.substring_dup_docs(web_pages(SF)).to_pandas()
+    want = brute_dup_windows(corpus)
+    assert dict(zip(got["url"], got["n_dup_windows"])) == want
+
+
+def test_quote_family_flagged(ray_session, corpus):
+    """Every quote page shares SHARED_SPAN (60 tokens ≥ L) with the other
+    quote pages → must be flagged."""
+    got = set(substring.substring_dup_docs(web_pages(SF)).to_pandas()["url"])
+    quotes = [u for u in corpus["url"] if u.startswith("https://quote.")]
+    assert quotes and set(quotes) <= got
+
+
+def test_winnowed_covers_long_spans(ray_session, corpus):
+    """Winnowing guarantee: spans ≥ L + w − 1 tokens still fingerprint.
+    SHARED_SPAN is 60 tokens = 50 + 8 + 2, so every quote page must emit
+    ≥1 duplicated fingerprint."""
+    fp = substring.dup_span_fingerprints(web_pages(SF)).to_pandas()
+    quotes = {u for u in corpus["url"] if u.startswith("https://quote.")}
+    assert quotes <= set(fp["url"])
+    assert (fp["n_docs"] >= 2).all()
+
+
+def test_substring_clusters_group_quotes(ray_session, corpus):
+    res = substring.substring_clusters(web_pages(SF)).to_pandas()
+    assert len(res) == len(corpus)
+    cl = dict(zip(res["url"], res["cluster_id"]))
+    quotes = sorted(u for u in corpus["url"] if u.startswith("https://quote."))
+    assert len({cl[u] for u in quotes}) == 1  # all quote pages together
