@@ -141,6 +141,53 @@ def _q_frame_samples(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from data_dedup_ray.pipelines import near
+
+    pairs = near.ngram_jaccard_pairs(web_pages(sf_dir), threshold=0.8)
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "url_a": t["url_a"],
+            "url_b": t["url_b"],
+            "jaccard_bp": pa.array(
+                np.floor(t["jaccard"].to_numpy(zero_copy_only=False) * 10000)
+                .astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_image_features(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.image_features(web_pages(sf_dir))
+
+
+def _q_image_resized(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.image_resized(web_pages(sf_dir))
+
+
+def _q_audio_features(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.audio_features(web_pages(sf_dir))
+
+
+def _q_audio_windows(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.audio_features(web_pages(sf_dir)).select_columns(
+        ["url", "n_windows"]
+    )
+
+
 def _q_simhash_pairs(sf_dir: str):
     from data_dedup_ray.pipelines import near
 
@@ -200,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup,
         "ann_lsh_topk": _q_ann_lsh,
         "minhash_near_dup_pairs": _q_minhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_clusters": _q_simhash_clusters,
@@ -208,6 +256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_clusters": _q_substring_clusters,
         "cascade_counters": _q_cascade_counters,
         "image_meta": _q_image_meta,
+        "image_features": _q_image_features,
+        "image_resized": _q_image_resized,
+        "audio_features": _q_audio_features,
+        "audio_window_counts": _q_audio_windows,
         "frame_samples": _q_frame_samples,
         "exact_dedup_report": _q_exact_report,
         "exact_dedup_keep_first": _q_keep_first,
@@ -246,6 +298,15 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_docs": oracles.substring_dup_sql(50),
         "cascade_counters": oracles.cascade_counters_sql(),
         "minhash_near_dup_pairs": oracles.minhash_pairs_sql(0.7),
+        # exact prefix-filtered all-pairs — same ground truth CTE, t=0.8;
+        # (image_features / image_resized / audio_features mfcc are
+        # stub-decoder-derived → rows-only checks; the audio stage's
+        # window framing IS oracle-checked via audio_window_counts.)
+        "ngram_jaccard_pairs": oracles.minhash_pairs_sql(0.8),
+        "audio_window_counts": web_pages_sql(
+            "SELECT url, CAST(floor(octet_length(html) / 2048) AS INTEGER)"
+            " AS n_windows FROM web_pages"
+        ),
         "near_dup_clusters": oracles.near_dup_clusters_sql(0.7),
         "exact_dedup_clusters": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

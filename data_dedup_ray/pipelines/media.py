@@ -11,8 +11,9 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from data_dedup_ray.stages.multimodal import (DecodeImage, FrameSample,
-                                              ImageFeatures)
+from data_dedup_ray.stages.multimodal import (AudioFeatures, DecodeImage,
+                                              FrameSample, ImageFeatures,
+                                              ResizeImage)
 from data_dedup_ray.util import autoscale_pool
 
 
@@ -48,6 +49,48 @@ def image_features(
         batch_size=batch_size,
         concurrency=concurrency or autoscale_pool(),
     ).select_columns(["url", "embedding"])
+
+
+def image_resized(
+    ds: ray.data.Dataset, *, payload_col: str = "html",
+    target_w: int = 224, target_h: int = 224,
+    batch_size: int = 32, concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(url, out_width, out_height, resized_bytes) per payload row."""
+    res = _payload(ds, payload_col).map_batches(
+        ResizeImage,
+        fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    )
+    return res.map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "out_width": t["out_width"],
+            "out_height": t["out_height"],
+            "resized_bytes": pa.array(
+                [len(b) for b in t["payload_resized"].to_pylist()],
+                type=pa.int64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def audio_features(
+    ds: ray.data.Dataset, *, payload_col: str = "html", dim: int = 13,
+    window: int = 2048, batch_size: int = 32,
+    concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(url, n_windows, mfcc list<float32>[dim]) per payload row."""
+    return _payload(ds, payload_col).map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs=dict(dim=dim, window=window),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(["url", "n_windows", "mfcc"])
 
 
 def frame_samples(

@@ -612,6 +612,80 @@ def simhash_clusters(
                            url2cluster, id_col=id_col)
 
 
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    num_partitions: int = 64,
+    group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram Jaccard ≥ ``threshold`` via prefix filtering.
+
+    Deterministic recall 1.0 — unlike the probabilistic MinHash/LSH path
+    (``minhash_dedup_pairs``), no signature can miss a qualifying pair.
+    Prefix-filtering principle (AllPairs/PPJoin family): under any global
+    total order on set elements, two sets with ``J(A,B) ≥ t`` must share
+    at least one element within each set's first ``n − ceil(t·n) + 1``
+    elements.  Our shingle sets are sorted uint64 hash arrays (np.unique
+    output), so the hash order is the global order for free.
+
+    Shuffle plan: only the (short) prefix hashes enter the candidate
+    shuffle — ``(shingle, url)`` rows keyed coarsely on ``shingle % P`` —
+    then one vectorized self-merge per partition emits candidates, and the
+    exact partitioned Jaccard join verifies.  At 100 TB, re-ordering
+    elements by ascending document frequency (a cheap pre-count) shrinks
+    prefixes' candidate fan-out further without changing semantics.
+
+    ``group_cap`` is a safety valve for pathological hot shingles; its
+    default is high enough that results stay exact on realistic corpora
+    (a star fallback beyond it preserves connectivity, not pair recall).
+    """
+    t = threshold
+    sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                      shingle_k=shingle_k)
+
+    def emit_prefix(b: pa.Table) -> pa.Table:
+        ids, blobs = b[id_col].to_pylist(), b["sh"].to_pylist()
+        out_sh, out_id = [], []
+        for uid, blob in zip(ids, blobs):
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            n = len(arr)
+            if n == 0:
+                continue
+            p = n - int(np.ceil(t * n)) + 1
+            out_sh.append(arr[:p])
+            out_id.extend([uid] * min(p, n))
+        cat = (np.concatenate(out_sh) if out_sh
+               else np.empty(0, dtype=np.uint64))
+        return pa.table({
+            "shingle": pa.array(cat),
+            id_col: pa.array(out_id, type=pa.string()),
+            "_part": pa.array(
+                (cat % np.uint64(num_partitions)).astype(np.int64)
+            ),
+        })
+
+    def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_partition(
+            g, key_cols=["shingle"], id_col=id_col, group_cap=group_cap,
+        )
+
+    cand = (
+        sh.map_batches(emit_prefix, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_partition, batch_format="pandas")
+    )
+    cand = _distinct_pairs(cand, ["url_a", "url_b"],
+                           num_partitions=num_partitions)
+    return verify_pairs_partitioned(
+        ds, cand, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+
+
 def minhash_dedup_clusters(
     ds: ray.data.Dataset, *, threshold: float = 0.7, **lsh_kwargs
 ) -> ray.data.Dataset:

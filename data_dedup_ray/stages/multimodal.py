@@ -113,6 +113,89 @@ class ImageFeatures:
         )
 
 
+class ResizeImage:
+    """``(id, payload)`` → + ``(payload_resized:binary, out_width, out_height)``.
+
+    Stand-in for a decode→resize→re-encode kernel: without a codec library
+    the "resize" is a deterministic byte-level downsample to a size
+    proportional to ``(target_w × target_h) / (fake_w × fake_h)`` of the
+    original payload — preserving the real stage's contract that output
+    rows are smaller, schema-stable, and computed per-batch in an actor
+    (resize kernels/LUTs built once per actor in a real implementation)."""
+
+    def __init__(self, *, payload_col: str = "payload",
+                 target_w: int = 224, target_h: int = 224):
+        self.payload_col = payload_col
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def resize_pixels(self, blob: bytes) -> bytes:
+        if not _HAVE_PIL:
+            raise NotImplementedError(
+                "real resize requires an image library; this container "
+                "ships none (stub per repo constraints)"
+            )
+        raise NotImplementedError("wire PIL here when available")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.payload_col].to_pylist()
+        out, ow, oh = [], [], []
+        for b in blobs:
+            b = b or b""
+            w, h, _ = _fake_meta(b)
+            scale = min(1.0, (self.target_w * self.target_h) / (w * h))
+            stride = max(1, int(round(1 / max(scale, 1e-9))))
+            out.append(b[::stride])
+            ow.append(min(w, self.target_w))
+            oh.append(min(h, self.target_h))
+        return (
+            batch.append_column("payload_resized", pa.array(out, type=pa.binary()))
+            .append_column("out_width", pa.array(ow, type=pa.int32()))
+            .append_column("out_height", pa.array(oh, type=pa.int32()))
+        )
+
+
+class AudioFeatures:
+    """``(id, payload)`` → + ``(n_windows, mfcc:list<float32>[dim])``.
+
+    Stand-in for an audio feature extractor (MFCC / fbank): payload bytes
+    are framed into fixed-size windows, each window reduced to a per-byte
+    energy histogram and projected through a seeded matrix built ONCE per
+    actor — the exact lifecycle a real torchaudio/librosa stage needs.
+    Window framing mirrors real hop-length semantics so batch sizing and
+    output fan-in are representative."""
+
+    def __init__(self, *, payload_col: str = "payload", dim: int = 13,
+                 window: int = 2048, seed: int = 42):
+        self.payload_col = payload_col
+        self.dim = dim
+        self.window = window
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((256, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.payload_col].to_pylist()
+        n_win, feats = [], []
+        for b in blobs:
+            b = b or b""
+            nw = max(0, len(b) // self.window)
+            n_win.append(nw)
+            if nw == 0:
+                feats.append(np.zeros(self.dim, dtype=np.float32))
+                continue
+            arr = np.frombuffer(b[: nw * self.window], dtype=np.uint8)
+            hist = np.bincount(arr, minlength=256).astype(np.float32)
+            hist /= max(np.linalg.norm(hist), 1e-9)
+            feats.append(hist @ self.proj)
+        return (
+            batch.append_column("n_windows", pa.array(n_win, type=pa.int32()))
+            .append_column(
+                "mfcc", pa.array([f.tolist() for f in feats],
+                                 type=pa.list_(pa.float32())),
+            )
+        )
+
+
 class FrameSample:
     """``(id, payload)`` → one row per sampled "frame" chunk.
 

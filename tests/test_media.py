@@ -48,3 +48,26 @@ def test_frame_samples_fanout(ray_session):
     # frames reassemble a prefix of the payload in order
     g = res[res["url"] == res["url"].iloc[0]].sort_values("frame_idx")
     assert all(len(f) > 0 for f in g["frame"])
+
+
+def test_image_resized_shrinks(ray_session):
+    res = media.image_resized(web_pages(SF).limit(32)).to_pandas()
+    assert list(res.columns) == ["url", "out_width", "out_height", "resized_bytes"]
+    assert len(res) == 32
+    assert (res["out_width"] <= 224).all() and (res["out_height"] <= 224).all()
+    assert (res["resized_bytes"] > 0).all()
+
+
+def test_audio_features_window_framing(ray_session):
+    res = media.audio_features(web_pages(SF), window=64, dim=8).to_pandas()
+    pages = web_pages(SF).to_pandas()
+    want = {u: max(0, len(h) // 64) for u, h in zip(pages["url"], pages["html"])}
+    got = dict(zip(res["url"], res["n_windows"]))
+    assert got == want
+    mfcc = np.stack(res["mfcc"].to_numpy())
+    assert mfcc.shape == (len(pages), 8) and mfcc.dtype == np.float32
+    # determinism: identical payloads → identical features
+    a = res.sort_values("url").reset_index(drop=True)
+    b = media.audio_features(web_pages(SF), window=64, dim=8).to_pandas()
+    b = b.sort_values("url").reset_index(drop=True)
+    assert a["n_windows"].equals(b["n_windows"])

@@ -103,3 +103,20 @@ def test_label_propagation_matches_dsu(pages):
     all_urls = set(pages.to_pandas()["url"])
     for u in all_urls - set(dsu):
         assert lp_map[u] == u
+
+
+def test_ngram_jaccard_exact_pairs(pages, con):
+    """Prefix-filtered exact all-pairs must equal the SQL ground truth at
+    t=0.8 — deterministic recall 1.0 (no LSH randomness involved)."""
+    got = (
+        near.ngram_jaccard_pairs(pages, threshold=0.8)
+        .to_pandas()
+        .assign(jaccard_bp=lambda d: np.floor(d["jaccard"] * 10000).astype(np.int64))
+        [["url_a", "url_b", "jaccard_bp"]]
+        .sort_values(["url_a", "url_b"])
+        .reset_index(drop=True)
+    )
+    want = con.execute(minhash_pairs_sql(0.8)).fetchdf().sort_values(
+        ["url_a", "url_b"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
