@@ -31,6 +31,10 @@ import time
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DEFAULT_FACTOR = int(os.environ.get("GRAFT_BENCH_FACTOR", "16"))
+#: the scaling experiment uses a larger corpus so per-stage compute (not
+#: fixed startup/shuffle overhead) dominates — the regime the north_rule's
+#: N-vs-4N-node criterion is about
+DEFAULT_SCALING_FACTOR = int(os.environ.get("GRAFT_SCALING_FACTOR", "64"))
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -210,18 +214,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
-    ap.add_argument("--factor", type=int, default=DEFAULT_FACTOR)
+    ap.add_argument("--factor", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child:
-        child_main(args.num_cpus, args.sf_dir, args.factor)
+        child_main(args.num_cpus, args.sf_dir, args.factor or DEFAULT_FACTOR)
         return
     if args.scaling:
-        result = run_scaling(args.sf_dir, args.factor)
+        result = run_scaling(args.sf_dir, args.factor or DEFAULT_SCALING_FACTOR)
     else:
-        result = run_suite(args.sf_dir, args.num_cpus, args.factor)
+        result = run_suite(args.sf_dir, args.num_cpus,
+                           args.factor or DEFAULT_FACTOR)
         import ray
 
         ray.shutdown()

@@ -123,7 +123,8 @@ def _derive(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-def web_pages(sf_dir: str, *, override_num_blocks: int | None = None) -> ray.data.Dataset:
+def web_pages(sf_dir: str, *, override_num_blocks: int | None = None,
+              batch_size: int | None = None) -> ray.data.Dataset:
     """The web_pages corpus for one scale tier, as a streaming Dataset.
 
     One parquet read (column-pruned to doc_id/text/lang) + one vectorized
@@ -135,7 +136,8 @@ def web_pages(sf_dir: str, *, override_num_blocks: int | None = None) -> ray.dat
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"], **kwargs
     )
-    return docs.map_batches(_derive, batch_format="pandas")
+    return docs.map_batches(_derive, batch_format="pandas",
+                            batch_size=batch_size)
 
 
 def _sql_html(text_expr: str) -> str:
@@ -195,17 +197,64 @@ _AMP_WORDS = np.array(
 )
 
 
+class _Pad:
+    """Pad each page's text to ~``target`` bytes with doc-specific filler.
+
+    The raw synthetic docs average ~300 bytes — tweet-sized, not
+    web-page-sized; Common-Crawl extracted text averages several KB.  The
+    filler words are seeded per doc (hash of url), so padding never
+    creates cross-doc shingle overlap; revisions of one base doc (added
+    by ``_Amplify`` afterwards) share its padding, preserving the planted
+    near-dup structure at realistic document lengths.
+    """
+
+    def __init__(self, target: int = 2048):
+        self.target = target
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch["url"].to_numpy(dtype=object))
+        texts = batch["text"].tolist()
+        out = []
+        W = len(_AMP_WORDS)
+        for t, seed in zip(texts, h):
+            seed = int(seed)
+            need = self.target - len(t)
+            if need <= 0:
+                out.append(t)
+                continue
+            n_words = need // 7 + 1
+            # a doc-seeded RNG sequence over a word×tag vocabulary: two
+            # different docs share (statistically) no 5-gram of filler, so
+            # padding adds ZERO cross-doc shingle overlap; an affine walk
+            # here once cycled with period 16 and silently welded all
+            # same-tag docs into J≈0.15 near-dups (3M phantom candidates)
+            rng = np.random.default_rng(seed)
+            idx = rng.integers(0, W, size=n_words)
+            tags = rng.integers(0, 997, size=n_words)
+            out.append(t + " " + " ".join(
+                f"{_AMP_WORDS[i]}x{g:x}" for i, g in zip(idx, tags)))
+        b = batch.copy()
+        b["text"] = out
+        return b
+
+
 class _Amplify:
     """Emit ``factor`` deterministic revisions per page (seeded word edits).
 
-    Common-Crawl-realistic duplicate density: revision ``r % 4 == 0`` keeps
-    the text near-identical (small appended marker → a near-dup of the
-    base), every other revision gets an ``r``-specific marker token injected
-    after every 3rd word — every 5-shingle then contains a marker, so those
-    revisions share (almost) no shingles with the base or with each other.
-    Factor 16 ⇒ each page yields a 4-member near-dup family + 12 distinct
-    documents (~25% dup rate).  Seeded by (doc row hash, r): no wall-clock,
-    no global RNG.
+    Common-Crawl-realistic duplicate density: revisions with ``r % 4 == 0``
+    are near-dups; all other revisions get an ``r``-specific marker token
+    injected after every 3rd word — every 5-shingle then contains a marker,
+    so those revisions share (almost) no shingles with anything else.
+
+    Near-dup revisions are grouped into BLOCKS of 16 (``block = r // 16``):
+    block 0's near revisions differ from the base only by a short suffix;
+    block k>0's get a block-specific injected marker plus a per-``r``
+    suffix, so they are near-dups of each other but not of other blocks.
+    ⇒ near-dup family size is CONSTANT (4) at every factor that is a
+    multiple of 16, and the ~25% dup rate holds — pair counts scale
+    LINEARLY with factor, the scale-invariance a real web corpus has
+    (cluster sizes don't grow because the crawl got bigger).  Seeded by
+    (doc row hash, r): no wall-clock, no global RNG.
     """
 
     def __init__(self, factor: int):
@@ -219,6 +268,11 @@ class _Amplify:
             if r:
                 pick = _AMP_WORDS[(h + 2654435761 * r) % len(_AMP_WORDS)]
                 if r % 4 == 0:
+                    block = r // 16
+                    if block:
+                        b["text"] = b["text"].str.replace(
+                            r"((?:\S+\s+){2}\S+)", rf"\1 p{block}x", regex=True
+                        )
                     b["text"] = b["text"] + " rev" + str(r) + " " + pick
                 else:
                     b["text"] = b["text"].str.replace(
@@ -229,9 +283,38 @@ class _Amplify:
         return pd.concat(out, ignore_index=True)
 
 
-def amplified_pages(sf_dir: str, factor: int) -> ray.data.Dataset:
-    """web_pages × ``factor`` deterministic revisions (bench workload)."""
-    ds = web_pages(sf_dir)
+def amplified_pages(sf_dir: str, factor: int,
+                    pad_to: int = 2048) -> ray.data.Dataset:
+    """web_pages × ``factor`` deterministic revisions at web-page-realistic
+    document lengths (bench workload; NOT oracle-checked).
+
+    High-expansion map: a few MB of parquet become GBs of pages.  Ray Data
+    bundles map inputs by INPUT bytes (``target_min_block_size``), which
+    would collapse this stage to a handful of tasks (measured: 5 tasks,
+    120 CPU-s — zero parallelism); reading with many blocks and a small
+    min-block floor keeps the expansion stage wide.  Real pipelines hit
+    the same issue whenever a source row fans out (frame sampling, chunk
+    explosion) — callers there should size blocks the same way.
+    """
+    import ray
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    # floor low enough that the small source blocks stay individual map
+    # inputs rather than being coalesced
+    ctx.target_min_block_size = 16 * 1024
+    ds = web_pages(sf_dir, override_num_blocks=64, batch_size=64)
+    # small batch_size = small min_rows_per_bundle: the default (1024 rows)
+    # would bundle the whole 5k-row source into ~5 tasks and serialize the
+    # ~100 CPU-s expansion stage
+    if pad_to:
+        ds = ds.map_batches(_Pad(pad_to), batch_format="pandas",
+                            batch_size=64)
     if factor > 1:
-        ds = ds.map_batches(_Amplify(factor), batch_format="pandas")
-    return ds
+        ds = ds.map_batches(_Amplify(factor), batch_format="pandas",
+                            batch_size=64)
+    # materialize: (a) downstream stages would otherwise FUSE with this
+    # chain and inherit their own larger batch_size as the bundling floor,
+    # collapsing the expansion to ~5 tasks; (b) a real run reads the corpus
+    # from parquet — materialized blocks are the honest equivalent
+    return ds.materialize()

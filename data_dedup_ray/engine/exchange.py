@@ -1,0 +1,147 @@
+"""Sortless coarse hash exchange — a raw-Ray custom operator.
+
+``Dataset.groupby(part).map_groups(fn)`` implements co-location via a
+sample-SORT shuffle: every row is ordered by the key before grouping.  The
+near-dup pipelines only need BUCKETING — all rows with ``_part == p`` in
+one place, in any order — so the sort is pure overhead (measured: it
+dominated the candidate/verify stages at 32 cpus).  Ray Data has no
+sortless keyed repartition, so per SURVEY.md §7 (custom-operator option c)
+this is one of the few places the engine drops to raw Ray tasks:
+
+- one ``_split_block`` task per input block → ``P`` bucket tables
+  (``num_returns=P``; a single stable argsort + slice per block);
+- one ``_apply_part`` task per bucket → concat its tables, run the user
+  fn, return an Arrow table;
+- results re-enter Ray Data via ``from_arrow_refs`` — nothing is
+  collected on the driver, and the object store moves each row exactly
+  once (vs twice + sort for the groupby path).
+
+Multi-input exchange (the verify join) co-partitions several datasets in
+the same round, replacing the union + tag-column trick a Dataset-only
+implementation needs.
+
+Fault tolerance: plain task retries + object lineage, same as map_batches
+(no actors, no shared state).  Skew: ``_part`` is a hash of the group key
+modulo P, so buckets are balanced unless one GROUP is huge — group-level
+skew guards (pair caps, salting) live in the per-partition fns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote
+def _split_block(t: pa.Table, col: str, P: int):
+    """One input block → P bucket tables (order within a bucket is the
+    block's row order — stable argsort keeps determinism)."""
+    if t.num_rows == 0:
+        # empty blocks can arrive with NO columns at all (Ray Data's
+        # pandas round-trip drops the schema of empty batches)
+        return tuple(t.slice(0, 0) for _ in range(P))
+    part = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    t = t.drop_columns([col])
+    order = np.argsort(part, kind="stable")
+    counts = np.bincount(part, minlength=P)
+    sorted_t = t.take(pa.array(order))
+    offs = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return tuple(
+        sorted_t.slice(offs[p], offs[p + 1] - offs[p]) for p in range(P)
+    )
+
+
+@ray.remote
+def _apply_part(fn: Callable, schema: pa.Schema, sizes: tuple[int, ...],
+                in_schemas: tuple, arrow: bool, *tables: pa.Table) -> pa.Table:
+    """Concat each input dataset's bucket tables, apply ``fn`` once.
+
+    ``arrow=True`` hands ``fn`` pyarrow Tables and expects one back —
+    for fns built on Acero joins/group_bys this avoids the
+    arrow→pandas→arrow round trip, whose per-value PyObject allocation
+    (especially for binary columns) anti-scales under concurrency."""
+    # one Acero thread per task: with N concurrent exchange tasks each
+    # spawning a cpu_count-sized arrow thread pool, joins/group_bys
+    # oversubscribe the node N× and anti-scale (measured 2× slowdown
+    # at 32 cpus); parallelism comes from the tasks, not from Acero
+    pa.set_cpu_count(1)
+    ins = []
+    i = 0
+    for n, in_schema in zip(sizes, in_schemas):
+        group = [t for t in tables[i: i + n] if t.num_rows]
+        if group:
+            t = pa.concat_tables(group, promote_options="default")
+        else:
+            t = in_schema.empty_table()
+        ins.append(t if arrow else t.to_pandas())
+        i += n
+    out = fn(*ins)
+    res = out if arrow else pa.Table.from_pandas(out, preserve_index=False)
+    if res.num_rows == 0 or res.schema != schema:
+        res = res.cast(schema) if res.num_rows else schema.empty_table()
+    return res
+
+
+def hash_exchange(
+    datasets: list[ray.data.Dataset],
+    fn: Callable[..., pd.DataFrame],
+    *,
+    part_col: str = "_part",
+    num_partitions: int = 64,
+    schema: pa.Schema,
+    in_schemas: list[pa.Schema] | None = None,
+    apply_format: str = "pandas",
+) -> ray.data.Dataset:
+    """Co-partition ``datasets`` on ``part_col`` (int in [0, P)) WITHOUT
+    sorting, then run ``fn(df_0, …, df_k)`` once per partition.
+
+    ``fn`` receives one pandas DataFrame per input dataset (that
+    partition's rows, ``part_col`` removed) and returns a DataFrame with
+    ``schema``'s columns; empty results are cast to ``schema`` so the
+    output Dataset's schema is stable.
+    """
+    P = num_partitions
+    splits = []  # per input dataset: list over blocks of P-tuples of refs
+    sizes = []
+    resolved: list[pa.Schema] = []
+    for k, ds in enumerate(datasets):
+        refs = ds.to_arrow_refs()
+        # the logical input schema, part col removed — the empty fallback
+        # for buckets/datasets with no rows (empty blocks may carry NO
+        # schema at all after Ray's pandas round-trip); callers pass
+        # ``in_schemas`` when blocks are pandas-backed (no arrow schema)
+        if in_schemas is not None:
+            base = in_schemas[k]
+        else:
+            base = ds.schema().base_schema
+            if not isinstance(base, pa.Schema):
+                raise TypeError(
+                    "hash_exchange needs in_schemas for pandas-backed "
+                    f"input #{k} (got {type(base).__name__})"
+                )
+        if part_col in base.names:
+            base = base.remove(base.get_field_index(part_col))
+        resolved.append(base)
+        if not refs:  # empty dataset: keep one typed empty block
+            refs = [ray.put(base.empty_table())]
+        sizes.append(len(refs))
+        splits.append([
+            _split_block.options(num_returns=P).remote(r, part_col, P)
+            for r in refs
+        ])
+    out = []
+    for p in range(P):
+        args = []
+        for dsi in range(len(datasets)):
+            args.extend(blocks[p] for blocks in splits[dsi])
+        out.append(
+            _apply_part.remote(fn, schema, tuple(sizes), tuple(resolved),
+                               apply_format == "pyarrow", *args)
+        )
+    return ray.data.from_arrow_refs(out)

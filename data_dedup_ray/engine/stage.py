@@ -60,12 +60,16 @@ def register(stage: DigestStage, *aliases: str) -> DigestStage:
 register(_stage("size", hashes.size, pa.int64()), "filesize")
 register(_stage("head_sample", hashes.head_sample, pa.binary()), "sample")
 register(_stage("tail_sample", hashes.tail_sample, pa.binary()), "end_sample")
+register(_stage("mid_sample", hashes.mid_sample, pa.binary()))
 register(_stage("head_1k", hashes.head_1k, pa.binary()), "file_head")
 register(_stage("tail_1k", hashes.tail_1k, pa.binary()), "file_tail")
 register(_stage("fast_prefix_hash", hashes.fast_prefix_hash, pa.int64()),
          "fast_initial_xxhash")
 register(_stage("prefix_hash", hashes.prefix_hash, pa.int64()), "initial_xxhash")
 register(_stage("suffix_hash", hashes.suffix_hash, pa.int64()), "final_xxhash")
+register(_stage("fast_prefix_sha", hashes.fast_prefix_sha, pa.string(),
+                expensive=True),
+         "fast_initial_sha")
 register(_stage("prefix_sha", hashes.prefix_sha, pa.string(), expensive=True),
          "initial_sha")
 register(_stage("suffix_sha", hashes.suffix_sha, pa.string(), expensive=True),

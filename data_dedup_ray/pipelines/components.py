@@ -88,7 +88,9 @@ def attach_clusters(ds: ray.data.Dataset, assignment: dict, *,
             vals = [self.m.get(i, i) for i in ids]
             return batch.append_column(out_col, pa.array(vals, type=pa.string()))
 
-    return ds.map_batches(_Attach, batch_format="pyarrow", concurrency=autoscale_pool())
+    # small fixed pool: the attach state is one ray.get of a broadcast
+    # dict — spawn cost outweighs extra parallelism for a map-only stage
+    return ds.map_batches(_Attach, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def label_propagation(nodes: ray.data.Dataset, edges: ray.data.Dataset, *,

@@ -32,11 +32,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from data_dedup_ray.util import autoscale_pool
+from data_dedup_ray.util import autoscale_pool, stage_task
 from ray.data.aggregate import Count, Min
 
+from data_dedup_ray.engine.exchange import hash_exchange
 from data_dedup_ray.pipelines.components import attach_clusters, dsu_components
-from data_dedup_ray.stages.minhash import MinHashLSH, shingle_sets
+from data_dedup_ray.stages.minhash import (MinHashLSH, ShingleMinHashLSH,
+                                           shingle_sets)
 
 
 def lsh_candidate_pairs(
@@ -51,28 +53,39 @@ def lsh_candidate_pairs(
     group_cap: int = 256,
     concurrency: int | tuple | None = None,
     num_partitions: int = 64,
+    distinct: bool = True,
+    sh: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """Distinct candidate pairs ``(url_a < url_b)`` from LSH band collisions."""
-    bands = ds.map_batches(
-        MinHashLSH,
-        fn_constructor_kwargs=dict(
-            n_perm=n_perm, band_r=band_r, shingle_k=shingle_k, seed=seed,
-            id_col=id_col, text_col=text_col,
-        ),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency or autoscale_pool(),
-    )
+    """Candidate pairs ``(url_a < url_b)`` from LSH band collisions.
 
-    def add_part(t: pa.Table) -> pa.Table:
-        with np.errstate(over="ignore"):
-            h = (
-                t["band_hash"].to_numpy().view(np.uint64)
-                * np.uint64(0x100000001B3)
-                + t["band_id"].to_numpy().astype(np.uint64)
-            )
-        return t.append_column(
-            "_part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+    ``distinct=False`` skips the cross-band dedup shuffle — callers that
+    feed the pairs into ``verify_pairs_partitioned`` get dedup for free
+    there (equal pairs co-locate in its url_a-keyed join step).
+
+    ``sh``: optional precomputed ``shingle_rows`` table; passing it skips
+    re-tokenizing the corpus (the dominant per-doc compute) and the band
+    stage reads the compact blobs instead of text."""
+    # task pool + per-worker cached stage: the permutation state builds in
+    # microseconds, so an actor pool would only add spawn latency (util.py
+    # stage_task docstring)
+    if sh is not None:
+        bands = sh.map_batches(
+            stage_task(
+                ShingleMinHashLSH, n_perm=n_perm, band_r=band_r, seed=seed,
+                id_col=id_col, num_partitions=num_partitions,
+            ),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+    else:
+        bands = ds.map_batches(
+            stage_task(
+                MinHashLSH, n_perm=n_perm, band_r=band_r, shingle_k=shingle_k,
+                seed=seed, id_col=id_col, text_col=text_col,
+                num_partitions=num_partitions,
+            ),
+            batch_format="pyarrow",
+            batch_size=1024,
         )
 
     def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -81,11 +94,15 @@ def lsh_candidate_pairs(
             group_cap=group_cap,
         )
 
-    pairs = (
-        bands.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(emit_partition, batch_format="pandas")
+    # sortless bucketing exchange (engine/exchange.py) — groupby would
+    # sample-sort every band row just to co-locate equal keys
+    pairs = hash_exchange(
+        [bands], emit_partition, num_partitions=num_partitions,
+        schema=pa.schema([(f"{id_col}_a", pa.string()),
+                          (f"{id_col}_b", pa.string())]),
     )
+    if not distinct:
+        return pairs
     # distinct across bands / partitions
     return _distinct_pairs(pairs, ["url_a", "url_b"],
                            num_partitions=num_partitions)
@@ -183,7 +200,12 @@ def shingle_rows(
 ) -> ray.data.Dataset:
     """``(id, sh:binary)`` — each row's distinct k-shingle hash set as a
     little-endian uint64 byte blob.  Bytes (not list/tensor columns) keep
-    the schema trivially stable across unions and shuffles."""
+    the schema trivially stable across unions and shuffles.
+
+    Docs with no shingles keep a row with an EMPTY blob: the table then
+    covers every corpus id, so downstream stages (cluster attach) can use
+    it as the id universe without re-reading the corpus.  Band/prefix
+    emission and the verify join all skip empty sets naturally."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -191,9 +213,8 @@ def shingle_rows(
         offs = np.zeros(len(sizes) + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
         blobs = [cat[offs[i]: offs[i + 1]].tobytes() for i in range(len(sizes))]
-        t = pa.table({id_col: batch[id_col].combine_chunks(),
-                      "sh": pa.array(blobs, type=pa.large_binary())})
-        return t.filter(pa.array(sizes > 0))
+        return pa.table({id_col: batch[id_col].combine_chunks(),
+                         "sh": pa.array(blobs, type=pa.large_binary())})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
@@ -207,80 +228,136 @@ def verify_pairs_partitioned(
     shingle_k: int = 5,
     threshold: float = 0.7,
     num_partitions: int = 64,
+    sh: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification as a partitioned join — the 100 TB path.
 
-    Nothing is collected to the driver: shingle rows are co-shuffled with
-    the candidate pairs on ``hash(endpoint) % P`` (step A keyed on url_a,
-    step B on url_b), each step doing ONE vectorized pandas merge per
-    partition; step B computes Jaccard in place.  Shingle payloads move
-    through the object store exactly twice, as binary columns.
+    Nothing is collected to the driver: two multi-input ``hash_exchange``
+    rounds co-partition the candidate pairs with the shingle table on
+    ``hash(endpoint) % P`` (round A keyed on url_a, round B on url_b),
+    each round doing ONE vectorized pandas merge per partition; round B
+    computes Jaccard in place.  Shingle payloads move through the object
+    store exactly twice, as binary columns, and nothing is sorted.
+
+    ``sh``: optional precomputed+materialized ``shingle_rows`` table.
     """
     P = num_partitions
-    sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
-                      shingle_k=shingle_k).materialize()
+    if sh is None:
+        sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                          shingle_k=shingle_k).materialize()
 
-    def _part_of(s: pd.Series) -> np.ndarray:
-        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
-        return (h % np.uint64(P)).astype(np.int64)
-
-    def _tag_sh(b: pd.DataFrame) -> pd.DataFrame:
-        n = len(b)
-        return pd.DataFrame({
-            "url_a": [""] * n, "url_b": [""] * n,
-            "key": b[id_col].astype(object), "sh": b["sh"],
-            "is_pair": np.zeros(n, dtype=bool), "_part": _part_of(b[id_col]),
-        })
-
-    def _tag_pairs(on: str):
+    def _with_part(col: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            n = len(b)
-            return pd.DataFrame({
-                "url_a": b["url_a"].astype(object),
-                "url_b": b["url_b"].astype(object),
-                "key": b[on].astype(object),
-                "sh": b["sh_a"] if "sh_a" in b else [b""] * n,
-                "is_pair": np.ones(n, dtype=bool), "_part": _part_of(b[on]),
-            })
+            h = pd.util.hash_pandas_object(b[col], index=False).to_numpy()
+            b = b.copy()
+            b["_part"] = (h % np.uint64(P)).astype(np.int64)
+            return b
         return fn
 
-    def _join_a(g: pd.DataFrame) -> pd.DataFrame:
-        shg = g.loc[~g["is_pair"], ["key", "sh"]]
-        pg = g.loc[g["is_pair"], ["url_a", "url_b"]]
-        m = pg.merge(shg, left_on="url_a", right_on="key", how="inner")
-        return m[["url_a", "url_b"]].assign(sh_a=m["sh"])
+    def _with_part_pa(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("_part",
+                                       pa.array([], type=pa.int64()))
+            vals = np.asarray(t[col].to_pylist(), dtype=object)
+            h = pd.util.hash_array(vals)
+            return t.append_column(
+                "_part", pa.array((h % np.uint64(P)).astype(np.int64))
+            )
+        return fn
 
-    def _join_b(g: pd.DataFrame) -> pd.DataFrame:
-        shg = g.loc[~g["is_pair"], ["key", "sh"]]
-        pg = g.loc[g["is_pair"], ["url_a", "url_b"]].assign(
-            sh_a=g.loc[g["is_pair"], "sh"]
+    sh_p = sh.map_batches(_with_part_pa(id_col), batch_format="pyarrow")
+    sh_schema = pa.schema([(id_col, pa.string()),
+                           ("sh", pa.large_binary())])
+    pair_schema = pa.schema([("url_a", pa.string()),
+                             ("url_b", pa.string())])
+
+    def _blob_views(col: pa.ChunkedArray):
+        """Zero-copy per-row uint64 views of a (large_)binary column."""
+        arr = col.combine_chunks()
+        if pa.types.is_binary(arr.type):
+            arr = arr.cast(pa.large_binary())
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=len(arr) + 1)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint64)
+        base = arr.offset  # slice offset into the offsets buffer
+        return data, off[base: base + len(arr) + 1] // 8
+
+    def _join_a(pt: pa.Table, sht: pa.Table) -> pa.Table:
+        # equal (url_a, url_b) pairs co-locate here (partition key is
+        # url_a), so cross-band candidate dedup is free in this round;
+        # both the distinct and the join are Acero (no Python objects)
+        pt = pt.group_by(["url_a", "url_b"]).aggregate([])
+        m = pt.join(sht, keys=["url_a"], right_keys=[id_col],
+                    join_type="inner")
+        return m.select(["url_a", "url_b", "sh"]).rename_columns(
+            ["url_a", "url_b", "sh_a"]
         )
-        m = pg.merge(shg, left_on="url_b", right_on="key", how="inner")
-        out_a, out_b, out_j = [], [], []
-        for ua, ub, ba, bb in zip(m["url_a"], m["url_b"], m["sh_a"], m["sh"]):
-            sa = np.frombuffer(ba, dtype=np.uint64)
-            sb = np.frombuffer(bb, dtype=np.uint64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                out_a.append(ua)
-                out_b.append(ub)
-                out_j.append(j)
-        return pd.DataFrame({"url_a": pd.Series(out_a, dtype=object),
-                             "url_b": pd.Series(out_b, dtype=object),
-                             "jaccard": pd.Series(out_j, dtype=np.float64)})
 
-    step_a = (
-        pairs.map_batches(_tag_pairs("url_a"), batch_format="pandas")
-        .union(sh.map_batches(_tag_sh, batch_format="pandas"))
-        .groupby("_part")
-        .map_groups(_join_a, batch_format="pandas")
+    step_a = hash_exchange(
+        [pairs.map_batches(_with_part_pa("url_a"), batch_format="pyarrow"),
+         sh_p],
+        _join_a,
+        num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("sh_a", pa.large_binary())]),
+        in_schemas=[pair_schema, sh_schema],
+        apply_format="pyarrow",
     )
-    return (
-        step_a.map_batches(_tag_pairs("url_b"), batch_format="pandas")
-        .union(sh.map_batches(_tag_sh, batch_format="pandas"))
-        .groupby("_part")
-        .map_groups(_join_b, batch_format="pandas")
+
+    # round B only needs shingles of urls that actually appear as url_b —
+    # a small set once candidates are deduped.  Broadcast it and prefilter
+    # the shingle table before the exchange (at 10^12-doc scale this set
+    # becomes a Bloom filter; the pipeline shape is unchanged).
+    endpoints = set()
+    for t in step_a.select_columns(["url_b"]).iter_batches(
+            batch_format="pyarrow"):
+        endpoints.update(t["url_b"].to_pylist())
+    ep_ref = ray.put(endpoints)
+
+    def _filter_sh(t: pa.Table) -> pa.Table:
+        keep = ray.get(ep_ref)
+        ids = t[id_col].to_pylist()
+        mask = np.fromiter((u in keep for u in ids), dtype=bool,
+                           count=len(ids))
+        return t.filter(pa.array(mask))
+
+    sh_b = sh.map_batches(_filter_sh, batch_format="pyarrow").map_batches(
+        _with_part_pa(id_col), batch_format="pyarrow"
+    )
+
+    def _join_b(pt: pa.Table, sht: pa.Table) -> pa.Table:
+        m = pt.join(sht, keys=["url_b"], right_keys=[id_col],
+                    join_type="inner")
+        da, oa = _blob_views(m["sh_a"])
+        db, ob = _blob_views(m["sh"])
+        n = m.num_rows
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa = da[oa[i]: oa[i + 1]]
+            sb = db[ob[i]: ob[i + 1]]
+            if not len(sa) or not len(sb):
+                jac[i] = 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        keep = pa.array(jac >= threshold)
+        return pa.table({
+            "url_a": m["url_a"].combine_chunks().filter(keep),
+            "url_b": m["url_b"].combine_chunks().filter(keep),
+            "jaccard": pa.array(jac[jac >= threshold]),
+        })
+
+    return hash_exchange(
+        [step_a.map_batches(_with_part_pa("url_b"), batch_format="pyarrow"),
+         sh_b],
+        _join_b,
+        num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("jaccard", pa.float64())]),
+        in_schemas=[pair_schema.append(pa.field("sh_a", pa.large_binary())),
+                    sh_schema],
+        apply_format="pyarrow",
     )
 
 
@@ -377,22 +454,32 @@ def verify_pairs(
 
 
 def minhash_dedup_pairs(
-    ds: ray.data.Dataset, *, threshold: float = 0.7, **lsh_kwargs
+    ds: ray.data.Dataset, *, threshold: float = 0.7,
+    sh: ray.data.Dataset | None = None, **lsh_kwargs
 ) -> pd.DataFrame:
     """LSH candidates → verified near-duplicate pairs (url_a < url_b).
 
     Fully pipeline-to-pipeline: candidates stay a Dataset and verification
     is the partitioned join — the driver only sees the (output-sized)
-    verified pair list."""
+    verified pair list.  The corpus is tokenized exactly ONCE: the
+    materialized shingle table feeds both the band stage and the verify
+    join (compact uint64 blobs, no text/html in any shuffle)."""
     shingle_k = lsh_kwargs.get("shingle_k", 5)
-    cand = lsh_candidate_pairs(ds, **lsh_kwargs)
+    id_col = lsh_kwargs.get("id_col", "url")
+    text_col = lsh_kwargs.get("text_col", "text")
+    lsh_kwargs.setdefault("distinct", False)  # verify dedups in its join
+    if sh is None:
+        sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                          shingle_k=shingle_k).materialize()
+    cand = lsh_candidate_pairs(ds, sh=sh, **lsh_kwargs)
     ver = verify_pairs_partitioned(
         ds,
         cand,
-        id_col=lsh_kwargs.get("id_col", "url"),
-        text_col=lsh_kwargs.get("text_col", "text"),
+        id_col=id_col,
+        text_col=text_col,
         shingle_k=shingle_k,
         threshold=threshold,
+        sh=sh,
     ).to_pandas()
     if not len(ver):
         return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
@@ -421,11 +508,9 @@ def simhash_pairs(
     from data_dedup_ray.stages.simhash import SimHashStage, popcount64
 
     chunks = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        stage_task(SimHashStage, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency or autoscale_pool(),
     )
 
     num_partitions = 64
@@ -564,11 +649,9 @@ def simhash_clusters(
     from data_dedup_ray.stages.simhash import SimHashFingerprints
 
     fp_rows = ds.map_batches(
-        SimHashFingerprints,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        stage_task(SimHashFingerprints, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency or autoscale_pool(),
     ).materialize()
 
     edges = simhash_fp_pairs(
@@ -604,12 +687,38 @@ def simhash_clusters(
         )
     ).to_pandas()
     root2min = dict(zip(min_urls["root"], min_urls[id_col]))
-    tg = tagged.to_pandas()
-    url2cluster = {
-        u: root2min[r] for u, r in zip(tg[id_col], tg["root"])
-    }
-    return attach_clusters(ds.select_columns([id_col]),
-                           url2cluster, id_col=id_col)
+    ref_min = ray.put(root2min)
+
+    # distributed attach: map each fingerprinted doc's root to the
+    # component's min url (broadcast dict is component-count-sized, NOT
+    # corpus-sized — no full-corpus driver collect on this path)
+    class _AttachMin:
+        def __init__(self):
+            self.m = ray.get(ref_min)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: b[id_col],
+                "cluster_id": [self.m[r] for r in b["root"]],
+            })
+
+    clustered = tagged.map_batches(_AttachMin, batch_format="pandas",
+                                   concurrency=(1, 8))
+
+    # docs the fingerprint stage dropped (zero tokens) are singletons;
+    # recompute the has-token mask per row instead of anti-joining
+    from data_dedup_ray.stages.minhash import tokenize_batch
+
+    def singletons(b: pd.DataFrame) -> pd.DataFrame:
+        _, counts = tokenize_batch(b[text_col].tolist())
+        keep = b.loc[counts == 0, [id_col]]
+        return pd.DataFrame({id_col: keep[id_col],
+                             "cluster_id": keep[id_col]})
+
+    empty = ds.select_columns([id_col, text_col]).map_batches(
+        singletons, batch_format="pandas"
+    )
+    return clustered.union(empty)
 
 
 def ngram_jaccard_pairs(
@@ -645,7 +754,7 @@ def ngram_jaccard_pairs(
     """
     t = threshold
     sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
-                      shingle_k=shingle_k)
+                      shingle_k=shingle_k).materialize()
 
     def emit_prefix(b: pa.Table) -> pa.Table:
         ids, blobs = b[id_col].to_pylist(), b["sh"].to_pylist()
@@ -678,11 +787,11 @@ def ngram_jaccard_pairs(
         .groupby("_part")
         .map_groups(emit_partition, batch_format="pandas")
     )
-    cand = _distinct_pairs(cand, ["url_a", "url_b"],
-                           num_partitions=num_partitions)
+    # no explicit distinct round: the verify join dedups equal pairs in
+    # its url_a-keyed step; tokenization happened exactly once (sh)
     return verify_pairs_partitioned(
         ds, cand, id_col=id_col, text_col=text_col,
-        shingle_k=shingle_k, threshold=threshold,
+        shingle_k=shingle_k, threshold=threshold, sh=sh,
     )
 
 
@@ -691,8 +800,15 @@ def minhash_dedup_clusters(
 ) -> ray.data.Dataset:
     """Every row labeled with its near-dup component's min-member url."""
     id_col = lsh_kwargs.get("id_col", "url")
-    edges = minhash_dedup_pairs(ds, threshold=threshold, **lsh_kwargs)
+    text_col = lsh_kwargs.get("text_col", "text")
+    shingle_k = lsh_kwargs.get("shingle_k", 5)
+    # tokenize once; the shingle table covers every corpus id (empty blobs
+    # included), so it doubles as the id universe for the final attach —
+    # the corpus itself is read exactly once end-to-end
+    sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                      shingle_k=shingle_k).materialize()
+    edges = minhash_dedup_pairs(ds, threshold=threshold, sh=sh, **lsh_kwargs)
     assignment = dsu_components(edges)
     return attach_clusters(
-        ds.select_columns([id_col]), assignment, id_col=id_col
+        sh.select_columns([id_col]), assignment, id_col=id_col
     )

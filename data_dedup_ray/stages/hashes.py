@@ -61,6 +61,23 @@ def tail_sample(batch: pa.Table, col: str = "text", n: int = SAMPLE) -> pa.Array
     return pc.binary_slice(_content(batch, col), -n, None)
 
 
+def mid_sample(batch: pa.Table, col: str = "text", n: int = SAMPLE) -> pa.Array:
+    """Middle-cluster sample analogue (DigestFactory.pm:90-102): ``n`` bytes
+    centered on the value's midpoint.  Offsets are per-row (they depend on
+    each value's length), so this slices via numpy over the batch rather
+    than a scalar-offset ``pc.binary_slice``."""
+    vals = _content(batch, col).to_pylist()
+    out = np.empty(len(vals), dtype=object)
+    for i, v in enumerate(vals):
+        if v is None:
+            out[i] = None
+            continue
+        b = bytes(v)
+        off = max(0, len(b) // 2 - n // 2)
+        out[i] = b[off: off + n]
+    return pa.array(out, type=pa.binary())
+
+
 def head_1k(batch: pa.Table, col: str = "text") -> pa.Array:
     """``file_head``: first min(size, 1024) raw bytes (DigestFactory.pm:105-116)."""
     return pc.binary_slice(_content(batch, col), 0, 1024)
@@ -106,6 +123,12 @@ def _sha_of_slices(vals, prefix: int | None = None, suffix: bool = False) -> pa.
             b = b[-prefix:] if suffix else b[:prefix]
         out[i] = hashlib.sha256(b).hexdigest()
     return pa.array(out, type=pa.string())
+
+
+def fast_prefix_sha(batch: pa.Table, col: str = "text") -> pa.Array:
+    """``fast_initial_sha`` analogue: SHA-256 hex of the first half-cluster
+    (DigestFactory.pm:177-186)."""
+    return _sha_of_slices(_content(batch, col).to_pylist(), prefix=CLUSTER // 2)
 
 
 def prefix_sha(batch: pa.Table, col: str = "text") -> pa.Array:

@@ -92,11 +92,16 @@ class MinHashLSH:
     """
 
     def __init__(self, *, n_perm: int = 126, band_r: int = 3, shingle_k: int = 5,
-                 seed: int = 42, id_col: str = "url", text_col: str = "text"):
+                 seed: int = 42, id_col: str = "url", text_col: str = "text",
+                 num_partitions: int | None = None):
         assert n_perm % band_r == 0
         self.n_perm, self.band_r, self.k = n_perm, band_r, shingle_k
         self.n_bands = n_perm // band_r
         self.id_col, self.text_col = id_col, text_col
+        # when set, emit the coarse shuffle key in-stage (saves one full
+        # object-store pass over the exploded band rows — an actor stage
+        # can't fuse with a downstream task stage)
+        self.num_partitions = num_partitions
         rng = np.random.default_rng(seed)
         self.A = _rng_odd(rng, n_perm)[:, None]
         self.B = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)[:, None]
@@ -109,29 +114,73 @@ class MinHashLSH:
         has = sizes > 0
         if not has.any():
             return np.empty((0, self.n_perm), dtype=np.uint64), has
-        starts = np.concatenate([[0], np.cumsum(sizes[has])])[:-1]
-        with np.errstate(over="ignore"):
-            vals = self.A * cat[None, :] + self.B  # (n_perm, total_shingles)
-        sig = np.minimum.reduceat(vals, starts, axis=1).T  # (docs, n_perm)
-        return sig, has
+        return self.signatures_from_sets(cat, sizes[has]), has
 
     def band_table(self, sig: np.ndarray, ids: np.ndarray) -> pa.Table:
         n = sig.shape[0]
         with np.errstate(over="ignore"):
             bands = sig.reshape(n, self.n_bands, self.band_r)
             bh = (bands * self.BC[None, None, :]).sum(axis=2, dtype=np.uint64)
-        return pa.table(
-            {
-                self.id_col: pa.array(np.repeat(ids, self.n_bands)),
-                "band_id": pa.array(
-                    np.tile(np.arange(self.n_bands, dtype=np.int32), n)
-                ),
-                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
-            }
-        )
+        band_id = np.tile(np.arange(self.n_bands, dtype=np.int32), n)
+        band_hash = bh.reshape(-1)
+        cols = {
+            self.id_col: pa.array(np.repeat(ids, self.n_bands)),
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash.view(np.int64)),
+        }
+        if self.num_partitions is not None:
+            with np.errstate(over="ignore"):
+                h = band_hash * np.uint64(0x100000001B3) + band_id.astype(np.uint64)
+            cols["_part"] = pa.array(
+                (h % np.uint64(self.num_partitions)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    def signatures_from_sets(self, cat: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+        """Signature matrix from precomputed concatenated shingle sets.
+
+        Loops over permutations with ONE reusable n-shingle buffer: the
+        one-shot broadcast ``A * cat + B`` builds a (n_perm × n_shingles)
+        matrix — hundreds of MB per batch — whose bandwidth demand made
+        concurrent map tasks slower at 32 cpus than at 8 (measured).  The
+        per-permutation working set fits in L2/L3, so tasks scale."""
+        starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        ndocs = len(sizes)
+        sig = np.empty((ndocs, self.n_perm), dtype=np.uint64)
+        tmp = np.empty_like(cat)
+        with np.errstate(over="ignore"):
+            for p in range(self.n_perm):
+                np.multiply(cat, self.A[p, 0], out=tmp)
+                tmp += self.B[p, 0]
+                sig[:, p] = np.minimum.reduceat(tmp, starts)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
         sig, has = self.signatures(texts)
+        return self.band_table(sig, ids[has])
+
+
+class ShingleMinHashLSH(MinHashLSH):
+    """MinHashLSH over PRECOMPUTED shingle rows ``(id, sh:binary)``.
+
+    Tokenization/shingling is the dominant per-doc compute; pipelines that
+    need both LSH bands AND exact-Jaccard verification (near.py) compute
+    the shingle sets ONCE (``shingle_rows``), materialize the compact
+    ``(id, uint64-blob)`` table, and feed both stages from it.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # input: (id, sh)
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
+        blobs = batch["sh"].to_pylist()
+        sizes = np.fromiter((len(b) // 8 for b in blobs), dtype=np.int64,
+                            count=len(blobs))
+        has = sizes > 0
+        if not has.any():
+            return self.band_table(
+                np.empty((0, self.n_perm), dtype=np.uint64), ids[:0]
+            )
+        cat = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        sig = self.signatures_from_sets(cat, sizes[has])
         return self.band_table(sig, ids[has])

@@ -33,14 +33,20 @@ def simhash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     has = counts > 0
     if not has.any():
         return np.empty(0, dtype=np.uint64), has
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = (((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
     starts = np.concatenate([[0], np.cumsum(counts[has])])[:-1]
-    sums = np.add.reduceat(bits, starts, axis=0)  # (docs_with_tokens, 64)
-    fp_bits = (sums > 0).astype(np.uint64)
-    fp = np.zeros(fp_bits.shape[0], dtype=np.uint64)
+    ndocs = int(has.sum())
+    n = len(hashes)
+    # per-bit loop with one reusable n-token buffer: the one-shot
+    # (n_tokens × 64) bit matrix costs ~64× the token array in bandwidth
+    # and made concurrent tasks anti-scale (see minhash.signatures_from_sets)
+    fp = np.zeros(ndocs, dtype=np.uint64)
+    bit = np.empty(n, dtype=np.int32)
+    ntok = counts[has].astype(np.int64)  # majority: 2·ones > n_tokens
     for j in range(64):
-        fp |= fp_bits[:, j] << np.uint64(j)
+        np.right_shift(hashes, np.uint64(j), out=bit, casting="unsafe")
+        bit &= 1
+        ones = np.add.reduceat(bit, starts)
+        fp |= (2 * ones > ntok).astype(np.uint64) << np.uint64(j)
     return fp, has
 
 

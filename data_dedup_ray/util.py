@@ -15,3 +15,33 @@ def autoscale_pool(lo: int = 1, cap: int = 64) -> tuple[int, int]:
 
     n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return (lo, max(4, min(cap, n)))
+
+
+#: per-worker-process stage instance cache (see ``stage_task``)
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def stage_task(cls, /, **kwargs):
+    """A task-pool UDF that builds ``cls(**kwargs)`` ONCE per worker process.
+
+    For stateful stages whose state is deterministic and cheap to build
+    (hash permutation tables, compiled regexes — microseconds), an actor
+    pool pays seconds of actor-spawn latency per stage for no benefit:
+    Ray reuses task worker processes across stages and sessions, so a
+    module-level cache gives the same build-once-per-worker behavior with
+    zero spawn cost and better streaming-executor pipelining.  Stages with
+    genuinely expensive state (model weights, codecs — see
+    stages/multimodal.py) should stay actor pools via
+    ``map_batches(Cls, concurrency=autoscale_pool())``.
+    """
+    key = (cls.__module__, cls.__qualname__,
+           tuple(sorted(kwargs.items(), key=lambda kv: kv[0])))
+
+    def fn(batch):
+        inst = _WORKER_STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _WORKER_STAGE_CACHE.setdefault(key, cls(**kwargs))
+        return inst(batch)
+
+    fn.__name__ = fn.__qualname__ = f"stage:{cls.__name__}"
+    return fn

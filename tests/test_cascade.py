@@ -116,3 +116,35 @@ def test_true_duplicates_cluster_together():
     stages = [LETTER, MOD2, _mod(3)]
     res = dedup_cascade(_ds(rows), stages, id_col="id").to_pandas()
     assert _clusters(res) == {frozenset({"A1", "A2"}): 3, frozenset({"B1"}): 1}
+
+
+def test_registry_covers_all_13_reference_digests():
+    """Every DigestFactory blocking function (DigestFactory.pm:41-228) is
+    resolvable by its reference name (SURVEY.md §2.2)."""
+    from data_dedup_ray.engine import resolve_chain
+
+    ref_names = [
+        "filesize", "sample", "end_sample", "mid_sample", "file_head",
+        "file_tail", "fast_initial_xxhash", "initial_xxhash", "final_xxhash",
+        "fast_initial_sha", "initial_sha", "final_sha", "sha",
+    ]
+    stages = resolve_chain(ref_names)
+    assert len(stages) == 13
+    assert len({s.id for s in stages}) == 13
+
+
+def test_mid_sample_and_fast_sha_kernels():
+    import pyarrow as pa
+
+    from data_dedup_ray.stages import hashes
+
+    t = pa.table({"text": ["", "ab", "x" * 10_000, None]})
+    mid = hashes.mid_sample(t).to_pylist()
+    assert mid[0] == b"" and mid[1] == b"ab" and mid[3] is None
+    assert len(mid[2]) == 128 and mid[2] == b"x" * 128
+
+    import hashlib
+
+    fast = hashes.fast_prefix_sha(t).to_pylist()
+    assert fast[2] == hashlib.sha256(b"x" * 2048).hexdigest()
+    assert fast[0] == hashlib.sha256(b"").hexdigest()

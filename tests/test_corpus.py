@@ -60,3 +60,42 @@ def test_extract_text_invariant(sf_dir):
     ds = web_pages(sf_dir).map_batches(extract_text, batch_format="pyarrow")
     df = ds.to_pandas()
     assert (df["extracted_text"] == df["text"]).all()
+
+
+def test_amplify_family_size_constant_across_factors():
+    """Near-dup family size must NOT grow with the amplification factor
+    (pair counts scale linearly — the scale-invariance of a real crawl)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_dedup_ray.corpus import _Amplify
+    from data_dedup_ray.stages.minhash import shingle_sets
+
+    base = pd.DataFrame({
+        "url": ["https://x.example/p/1"],
+        "text": [" ".join(f"word{i} token{i} fill{i}" for i in range(60))],
+    })
+    out = _Amplify(32)(base)
+    assert len(out) == 32
+
+    def jac(a, b):
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        return inter / (len(a) + len(b) - inter)
+
+    sets = {}
+    for _, row in out.iterrows():
+        cat, sizes = shingle_sets([row["text"]], 5)
+        sets[row["url"]] = cat
+    urls = list(sets)
+    near = [
+        (ua, ub) for i, ua in enumerate(urls) for ub in urls[i + 1:]
+        if jac(sets[ua], sets[ub]) >= 0.7
+    ]
+    fam = {}
+    for ua, ub in near:
+        fam.setdefault(ua, set()).update([ua, ub])
+        fam.setdefault(ub, set()).update([ua, ub])
+    sizes = {frozenset(v) for v in fam.values()}
+    # two disjoint 4-member families (blocks 0 and 1), nothing larger
+    assert all(len(s) == 4 for s in sizes), sizes
+    assert len(set().union(*sizes)) == 8 if sizes else True
