@@ -99,25 +99,47 @@ class _PartialCounts:
             levels.append(np.full(len(u), k, dtype=np.int32))
             keys.append(u.view(np.int64))
             cnts.append(c.astype(np.int64))
+        # sentinel row (level=-1) carries the batch's row count so the
+        # aggregation can report N without another corpus pass
+        levels.append(np.full(1, -1, dtype=np.int32))
+        keys.append(np.zeros(1, dtype=np.int64))
+        cnts.append(np.full(1, batch.num_rows, dtype=np.int64))
+        lv = np.concatenate(levels)
+        pf = np.concatenate(keys)
         return pa.table(
             {
-                "level": np.concatenate(levels),
-                "pfx": np.concatenate(keys),
+                "level": lv,
+                "pfx": pf,
                 "cnt": np.concatenate(cnts),
+                "_part": (pf.view(np.uint64) % np.uint64(64)).astype(np.int64),
             }
         )
 
 
 def _colliding_sets(ds: ray.data.Dataset, stages: list[DigestStage],
                     eager: list[DigestStage]) -> tuple[list[np.ndarray], int]:
-    """Aggregate pass-1 counts → (per-level sorted colliding-pfx arrays, N)."""
-    counts = (
-        ds.map_batches(_PartialCounts(eager), batch_format="pyarrow")
-        .groupby(["level", "pfx"])
-        .aggregate(Sum(on="cnt", alias_name="cnt"))
-        .to_pandas()
-    )
-    n_rows = int(counts.loc[counts["level"] == 0, "cnt"].sum())
+    """Aggregate pass-1 counts → (per-level sorted colliding-pfx arrays, N).
+
+    The merge is the sortless exchange keyed on ``pfx % P``; each bucket
+    sums its partial counts and keeps ONLY colliding prefixes (cnt > 1) —
+    the driver never sees the unique-content majority (at 10^12 docs the
+    full distinct-prefix table would itself be corpus-sized)."""
+    from data_dedup_ray.engine.exchange import hash_exchange
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["level", "pfx"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+        return agg[(agg["cnt"] > 1) | (agg["level"] == -1)]
+
+    counts = hash_exchange(
+        [ds.map_batches(_PartialCounts(eager), batch_format="pyarrow")],
+        merge,
+        num_partitions=64,
+        schema=pa.schema([("level", pa.int32()), ("pfx", pa.int64()),
+                          ("cnt", pa.int64())]),
+    ).to_pandas()
+    n_rows = int(counts.loc[counts["level"] == -1, "cnt"].sum())
     colliding = []
     for k in range(len(eager)):
         lv = counts[(counts["level"] == k) & (counts["cnt"] > 1)]
@@ -170,9 +192,11 @@ class _Assign:
 
 
 def _close_candidates(stages, eager_n, id_col):
-    """Per-eager-prefix local trie over the expensive digest levels —
-    exactly the reference's subtree semantics (Engine.pm:368-407)."""
-    lazy_cols = [st.column for st in stages[eager_n:]]
+    """Partition-local trie over ALL digest levels — the reference's
+    subtree semantics (Engine.pm:368-407), applied to one exchange bucket
+    holding many eager-prefix groups (equal prefixes co-locate, so the
+    level-0 grouping separates them exactly as the global trie would)."""
+    all_cols = [st.column for st in stages]
     n_levels = len(stages)
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
@@ -188,20 +212,23 @@ def _close_candidates(stages, eager_n, id_col):
                 cluster[idx] = ids[idx].min()
                 members[idx] = len(idx)
                 return
-            col = df[lazy_cols[level - eager_n]].to_numpy(dtype=object)[idx]
+            col = df[all_cols[level]].to_numpy(dtype=object)[idx]
             order = {}
             for i, v in zip(idx, col):
                 order.setdefault(v, []).append(i)
             for sub in order.values():
                 sub = np.asarray(sub)
                 if len(sub) == 1:
+                    # NOTE: a candidate singleton at an eager level can only
+                    # happen for cross-prefix hash aliasing inside a bucket;
+                    # closing it at level+1 matches the trie either way
                     n_keys[sub] = level + 1
                     cluster[sub] = ids[sub][0]
                     members[sub] = 1
                 else:
                     rec(sub, level + 1)
 
-        rec(np.arange(len(df)), eager_n)
+        rec(np.arange(len(df)), 0)
         out = df.drop(columns=["n_keys", "is_candidate"])
         out["n_keys"] = n_keys
         out["cluster_id"] = np.asarray([str(c) for c in cluster], dtype=object)
@@ -274,8 +301,33 @@ def dedup_cascade(
     candidates = assigned.map_batches(
         _mask(lambda t: t["is_candidate"]), batch_format="pyarrow"
     )
-    closed = candidates.groupby([st.column for st in eager]).map_groups(
-        _close_candidates(stages, eager_n, id_col), batch_format="pandas"
+    from data_dedup_ray.engine.exchange import hash_exchange
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for st in eager:
+            h = _mix(h, _hash64(t[st.column]))
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    cand_schema = pa.schema(
+        [(id_col, pa.string())]
+        + [(st.column, st.dtype) for st in stages]
+        + [("n_keys", pa.int64()), ("is_candidate", pa.bool_())]
+    )
+    out_schema = pa.schema(
+        [(id_col, pa.string())]
+        + [(st.column, st.dtype) for st in stages]
+        + [("n_keys", pa.int64()), ("cluster_id", pa.string()),
+           ("n_members", pa.int64())]
+    )
+    closed = hash_exchange(
+        [candidates.map_batches(add_part, batch_format="pyarrow")],
+        _close_candidates(stages, eager_n, id_col),
+        num_partitions=64,
+        schema=out_schema,
+        in_schemas=[cand_schema],
     ).select_columns(out_cols)
 
     return uniques.union(closed)

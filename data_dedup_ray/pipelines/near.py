@@ -115,14 +115,18 @@ def _distinct_pairs(
     num_partitions: int = 64,
     keep_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """Distinct rows by ``key_cols`` via coarse hash partitioning.
+    """Distinct rows by ``key_cols`` via the coarse sortless exchange.
 
     ``groupby(key_cols).aggregate`` pays per-group overhead on millions of
-    tiny groups; a shuffle on ``hash(key) % P`` followed by ONE vectorized
+    tiny groups; bucketing on ``hash(key) % P`` followed by ONE vectorized
     ``drop_duplicates`` per partition is semantically identical (equal keys
     co-locate) and orders of magnitude faster.
     """
     keep = keep_cols or key_cols
+    base = ds.schema().base_schema
+    if not isinstance(base, pa.Schema):
+        base = pa.schema([(n, pa.string()) for n in keep])
+    out_schema = pa.schema([base.field(n) for n in keep])
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(b[key_cols], index=False).to_numpy()
@@ -135,10 +139,12 @@ def _distinct_pairs(
             key_cols
         )[keep]
 
-    return (
-        ds.map_batches(add_part, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(dd, batch_format="pandas")
+    return hash_exchange(
+        [ds.map_batches(add_part, batch_format="pandas")],
+        dd,
+        num_partitions=num_partitions,
+        schema=out_schema,
+        in_schemas=[base],
     )
 
 
@@ -544,13 +550,17 @@ def simhash_pairs(
         )
         return out[out["hamming"] <= max_hamming]
 
-    pairs = (
-        chunks.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(emit_partition, batch_format="pandas")
-        .map_batches(hamming_filter, batch_format="pandas")
+    def emit_and_verify(g: pd.DataFrame) -> pd.DataFrame:
+        return hamming_filter(emit_partition(g))
+
+    pairs = hash_exchange(
+        [chunks.map_batches(add_part, batch_format="pyarrow")],
+        emit_and_verify,
+        num_partitions=num_partitions,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("hamming", pa.int64())]),
     )
-    # distinct across the 4 chunk tables (hamming identical per pair)
+    # distinct across the 16 key tables (hamming identical per pair)
     return _distinct_pairs(pairs, ["url_a", "url_b"],
                            keep_cols=["url_a", "url_b", "hamming"])
 
@@ -578,11 +588,12 @@ def simhash_fp_pairs(
         ).astype(np.int64)
         return b
 
-    distinct = (
-        fp_rows.map_batches(dedupe_part, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(lambda g: g.drop_duplicates("fp")[["fp"]],
-                    batch_format="pandas")
+    distinct = hash_exchange(
+        [fp_rows.map_batches(dedupe_part, batch_format="pandas")],
+        lambda g: g.drop_duplicates("fp")[["fp"]],
+        num_partitions=num_partitions,
+        schema=pa.schema([("fp", pa.int64())]),
+        in_schemas=[pa.schema([("fp", pa.int64())])],
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -624,11 +635,11 @@ def simhash_fp_pairs(
         keep = popcount64(fa ^ fb) <= max_hamming
         return b.loc[keep, ["fp_a", "fp_b"]]
 
-    pairs = (
-        distinct.map_batches(explode, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(emit_partition, batch_format="pandas")
-        .map_batches(hamming_filter, batch_format="pandas")
+    pairs = hash_exchange(
+        [distinct.map_batches(explode, batch_format="pyarrow")],
+        lambda g: hamming_filter(emit_partition(g)),
+        num_partitions=num_partitions,
+        schema=pa.schema([("fp_a", pa.int64()), ("fp_b", pa.int64())]),
     )
     return _distinct_pairs(pairs, ["fp_a", "fp_b"],
                            num_partitions=num_partitions)
@@ -677,14 +688,14 @@ def simhash_clusters(
         ).astype(np.int64)
         return b
 
-    min_urls = (
-        tagged.map_batches(min_part, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(
-            lambda g: g.groupby("root", sort=False, as_index=False)[id_col]
-            .min(),
-            batch_format="pandas",
-        )
+    min_urls = hash_exchange(
+        [tagged.map_batches(min_part, batch_format="pandas")],
+        lambda g: g.groupby("root", sort=False, as_index=False)[id_col]
+        .min(),
+        num_partitions=64,
+        schema=pa.schema([("root", pa.int64()), (id_col, pa.string())]),
+        in_schemas=[pa.schema([(id_col, pa.string()),
+                               ("root", pa.int64())])],
     ).to_pandas()
     root2min = dict(zip(min_urls["root"], min_urls[id_col]))
     ref_min = ray.put(root2min)
@@ -782,10 +793,12 @@ def ngram_jaccard_pairs(
             g, key_cols=["shingle"], id_col=id_col, group_cap=group_cap,
         )
 
-    cand = (
-        sh.map_batches(emit_prefix, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(emit_partition, batch_format="pandas")
+    cand = hash_exchange(
+        [sh.map_batches(emit_prefix, batch_format="pyarrow")],
+        emit_partition,
+        num_partitions=num_partitions,
+        schema=pa.schema([(f"{id_col}_a", pa.string()),
+                          (f"{id_col}_b", pa.string())]),
     )
     # no explicit distinct round: the verify join dedups equal pairs in
     # its url_a-keyed step; tokenization happened exactly once (sh)

@@ -23,14 +23,27 @@ import ray.data
 from data_dedup_ray.stages.substring import window_md5_rows, winnowed_rows
 
 
-def _coarse(ds: ray.data.Dataset, col: str, num_partitions: int) -> ray.data.Dataset:
+def _coarse_apply(ds: ray.data.Dataset, col: str, num_partitions: int,
+                  fn, schema: pa.Schema,
+                  in_schema: pa.Schema) -> ray.data.Dataset:
+    """Bucket rows on ``hash(col) % P`` and apply ``fn`` per bucket —
+    the sortless exchange (engine/exchange.py): equal keys co-locate
+    without ordering anything."""
+    from data_dedup_ray.engine.exchange import hash_exchange
+
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(b[col], index=False).to_numpy()
         b = b.copy()
         b["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return b
 
-    return ds.map_batches(add_part, batch_format="pandas").groupby("_part")
+    return hash_exchange(
+        [ds.map_batches(add_part, batch_format="pandas")],
+        fn,
+        num_partitions=num_partitions,
+        schema=schema,
+        in_schemas=[in_schema],
+    )
 
 
 def _dup_hits(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
@@ -59,19 +72,22 @@ def substring_dup_docs(
         batch_format="pyarrow",
         batch_size=512,
     )
-    hits = _coarse(rows, "whash", num_partitions).map_groups(
+    row_schema = pa.schema([(id_col, pa.string()), ("whash", pa.string())])
+    hits = _coarse_apply(
+        rows, "whash", num_partitions,
         lambda g: _dup_hits(g, id_col)[[id_col]],
-        batch_format="pandas",
+        schema=pa.schema([(id_col, pa.string())]),
+        in_schema=row_schema,
     )
-    return (
-        _coarse(hits, id_col, num_partitions)
-        .map_groups(
-            lambda g: g.groupby(id_col, sort=False)
-            .size()
-            .rename("n_dup_windows")
-            .reset_index(),
-            batch_format="pandas",
-        )
+    return _coarse_apply(
+        hits, id_col, num_partitions,
+        lambda g: g.groupby(id_col, sort=False)
+        .size()
+        .rename("n_dup_windows")
+        .reset_index(),
+        schema=pa.schema([(id_col, pa.string()),
+                          ("n_dup_windows", pa.int64())]),
+        in_schema=pa.schema([(id_col, pa.string())]),
     )
 
 
@@ -103,8 +119,12 @@ def dup_span_fingerprints(
         out["n_docs"] = nun[nun > 1].astype(np.int64)
         return out[[id_col, "pos", "whash", "n_docs"]]
 
-    return _coarse(rows, "whash", num_partitions).map_groups(
-        hits, batch_format="pandas"
+    return _coarse_apply(
+        rows, "whash", num_partitions, hits,
+        schema=pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                          ("whash", pa.int64()), ("n_docs", pa.int64())]),
+        in_schema=pa.schema([(id_col, pa.string()), ("whash", pa.int64()),
+                             ("pos", pa.int32())]),
     )
 
 
@@ -138,8 +158,11 @@ def substring_clusters(
              "url_b": rest[id_col].to_numpy(dtype=object)}
         )
 
-    edges = _coarse(fp, "whash", 64).map_groups(
-        star, batch_format="pandas"
+    edges = _coarse_apply(
+        fp, "whash", 64, star,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
+        in_schema=pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                             ("whash", pa.int64()), ("n_docs", pa.int64())]),
     ).to_pandas()
     assignment = dsu_components(edges)
     return attach_clusters(ds.select_columns([id_col]), assignment,
