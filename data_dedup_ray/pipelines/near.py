@@ -2,25 +2,28 @@
 connected components (north_rule; not present in the reference, SURVEY.md
 §2.6 / §7 M2-M4).
 
-Shuffle plan
+Shuffle plan (all exchanges are the sortless ``hash_exchange`` of
+engine/exchange.py — co-location without ordering)
 ------------
-1. ``MinHashLSH`` actor stage emits ``(url, band_id, band_hash)`` — tiny
-   fixed-width rows; the html/text columns never enter the shuffle.
-2. Rows are shuffled by a COARSE partition key ``_part =
-   hash(band_id, band_hash) % P`` rather than by the raw band key: the
-   per-group Python overhead of ``map_groups`` over millions of tiny band
-   groups dominates wall-time, while P≈cpu-count partitions give the same
-   co-location guarantee (equal band keys land in one partition) and let
-   pair emission run as ONE vectorized pandas self-merge per partition.
-   Skew guard: a band group larger than ``group_cap`` (boilerplate bands)
-   emits a star (min-member ↔ others) instead of all O(g²) pairs —
-   connectivity for clustering is preserved.
-3. Pair dedup across bands: ``groupby(url_a, url_b).count``.
-4. Verify: exact hashed-shingle Jaccard, distributed — candidate pairs
-   become a Dataset, the (small) url→shingle-set map is broadcast once via
-   ``ray.put``, and Jaccard is computed in an actor-pool ``map_batches``.
-   At extreme scale the broadcast becomes a hash-partitioned join keyed on
-   url — same semantics.
+0. The corpus is tokenized EXACTLY ONCE: ``shingle_rows`` materializes a
+   compact ``(url, uint64-blob)`` table feeding band generation, the
+   Jaccard verify join, and the final cluster attach.  html/text never
+   enter any shuffle.
+1. ``ShingleMinHashLSH`` (task pool + per-worker cached permutations,
+   util.stage_task) emits ``(url, band_id, band_hash, _part)`` rows,
+   ``_part = hash(band_id, band_hash) % P``: P≈cpu-count coarse buckets
+   give the same co-location guarantee as exact band keys with none of
+   the per-group overhead; pair emission is ONE vectorized self-merge per
+   bucket.  Skew guard: a band group larger than ``group_cap``
+   (boilerplate bands) emits a star (min-member ↔ others) instead of all
+   O(g²) pairs — connectivity for clustering is preserved.
+2. Verify: exact hashed-shingle Jaccard as TWO multi-input exchange
+   rounds co-partitioning pairs with the shingle table (round A on url_a
+   — where equal pairs co-locate, so cross-band dedup is free — round B
+   on url_b, prefiltered to candidate endpoints).  Joins are Acero
+   (apply_format="pyarrow"), pinned to one thread per task.
+3. Components: driver DSU over the verified (output-sized) edge list, or
+   ``components.label_propagation`` when even edges are too large.
 """
 
 from __future__ import annotations
