@@ -233,6 +233,17 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(emb, k=5, n_queries=10)
 
 
+def _q_ann_ivf(sf_dir: str):
+    import ray.data
+
+    from data_dedup_ray.pipelines.search import ann_ivf_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_ivf_topk(emb, k=5, n_queries=10, nlist=16, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_dedup_ray.pipelines import text
 
@@ -246,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": _q_knn,
         "embedding_dup_pairs": _q_embedding_dup,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_clusters,

@@ -263,3 +263,113 @@ def ann_lsh_topk(
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+def _kmeans(X: np.ndarray, nlist: int, seed: int = 42,
+            n_iter: int = 8) -> np.ndarray:
+    """Deterministic mini k-means on unit vectors (spherical): seeded
+    farthest-point init, Lloyd iterations, centroids re-normalized.
+    numpy-only — the training sample is driver-sized by construction."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    nlist = min(nlist, n)
+    # farthest-point init from a seeded start for spread, deterministic
+    first = int(rng.integers(0, n))
+    cent = [X[first]]
+    d = 1.0 - X @ cent[0]
+    for _ in range(nlist - 1):
+        nxt = int(np.argmax(d))
+        cent.append(X[nxt])
+        d = np.minimum(d, 1.0 - X @ cent[-1])
+    C = np.stack(cent)
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ann_ivf_topk(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 5,
+    n_queries: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int | tuple | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: vectors partition
+    into ``nlist`` centroid cells; each query probes its ``nprobe``
+    nearest cells and ranks exactly within them.
+
+    The complementary scale path to ``ann_lsh_topk``: centroids are
+    trained ONCE on a driver-sized sample (deterministic mini k-means),
+    broadcast via ``ray.put``, and cell assignment is one matmul-argmax
+    per batch — candidates per query are bounded by cell occupancy
+    (≈ nprobe/nlist of the corpus) instead of the corpus size."""
+    qdf = emb.filter(lambda r: r[id_col] < n_queries).to_pandas()
+    if len(qdf) == 0:
+        return _empty_topk()
+    qdf = qdf.sort_values(id_col)
+    train = emb.limit(train_size).to_pandas()
+    C = _kmeans(
+        _normalize(np.array(train[emb_col].tolist(), dtype=np.float64)),
+        nlist, seed=seed,
+    )
+    Q = _normalize(np.array(qdf[emb_col].tolist(), dtype=np.float64))
+    qids = qdf[id_col].to_numpy()
+    nprobe = min(nprobe, len(C))
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qids, Q, C, qcells))
+
+    class _Candidates:
+        def __init__(self):
+            self.qids, self.Q, self.C, self.qcells = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            X = _normalize(_matrix(batch, emb_col))
+            cell = np.argmax(X @ self.C.T, axis=1)  # (batch,)
+            cand = (cell[:, None, None] == self.qcells[None, :, :]).any(
+                axis=2
+            )  # (batch, nq)
+            sims = X @ self.Q.T
+            bi, bj = np.nonzero(cand)
+            keep = ids[bi] != self.qids[bj]
+            return pa.table(
+                {
+                    "query_id": self.qids[bj][keep],
+                    "neighbor_id": ids[bi][keep],
+                    "cos": sims[bi, bj][keep],
+                }
+            )
+
+    cands = emb.map_batches(_Candidates, batch_format="pyarrow",
+                            concurrency=concurrency or autoscale_pool())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cos_bp": np.floor(g["cos"].to_numpy() * 10000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return (
+        cands.groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )

@@ -92,3 +92,22 @@ def test_ann_recall_vs_exact(sf_dir):
     # of plausible neighbors
     assert recall >= 0.2, recall
     assert len(approx) > 0
+
+
+def test_ann_ivf_recall_vs_exact(ray_session, sf_dir):
+    import ray.data
+
+    from data_dedup_ray.pipelines.search import ann_ivf_topk, knn_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = knn_topk(emb, k=5, n_queries=10)
+    approx = ann_ivf_topk(emb, k=5, n_queries=10, nlist=16, nprobe=8)
+    ex = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ap = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, recall
+    # determinism
+    again = ann_ivf_topk(emb, k=5, n_queries=10, nlist=16, nprobe=8)
+    assert approx.equals(again)
