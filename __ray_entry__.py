@@ -106,6 +106,12 @@ def _q_span_fingerprints(sf_dir: str):
     return substring.dup_span_fingerprints(web_pages(sf_dir))
 
 
+def _q_longest_dup_spans(sf_dir: str):
+    from data_dedup_ray.pipelines import substring
+
+    return substring.longest_dup_spans(web_pages(sf_dir))
+
+
 def _q_substring_clusters(sf_dir: str):
     from data_dedup_ray.pipelines import substring
 
@@ -266,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_docs": _q_substring_dup,
         "dup_span_fingerprints": _q_span_fingerprints,
         "substring_clusters": _q_substring_clusters,
+        "longest_dup_spans": _q_longest_dup_spans,
         "cascade_counters": _q_cascade_counters,
         "image_meta": _q_image_meta,
         "image_features": _q_image_features,

@@ -167,3 +167,127 @@ def substring_clusters(
     assignment = dsu_components(edges)
     return attach_clusters(ds.select_columns([id_col]), assignment,
                            id_col=id_col)
+
+
+def _token_rows(ds: ray.data.Dataset, *, id_col: str, text_col: str
+                ) -> ray.data.Dataset:
+    """``(url, tok:binary)`` — the doc's token-hash stream as an int64
+    blob (order-preserving, unlike shingle SETS; 64-bit ids make token
+    equality exact up to hash collisions, the standard trade)."""
+    from data_dedup_ray.stages.minhash import tokenize_batch
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        hashes, counts = tokenize_batch(texts)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        blobs = [hashes[offs[i]: offs[i + 1]].astype(np.int64).tobytes()
+                 for i in range(len(counts))]
+        return pa.table({id_col: b[id_col].combine_chunks(),
+                         "tok": pa.array(blobs, type=pa.large_binary())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+
+
+def longest_dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 50,
+    winnow_w: int = 8,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``(url_a, url_b, span_tokens, start_a, start_b)`` — the EXACT
+    longest common token span per candidate pair, via a generalized
+    suffix array (stages/suffixarray.py).
+
+    Discovery stays hash-based (winnowed fingerprints → star edges);
+    the suffix array runs only per candidate pair, distributed through
+    the same two-round co-partitioned join as the Jaccard verify."""
+    from data_dedup_ray.engine.exchange import hash_exchange
+    from data_dedup_ray.pipelines.components import dsu_components  # noqa: F401
+    from data_dedup_ray.stages.suffixarray import longest_common_span
+
+    fp = dup_span_fingerprints(
+        ds, min_tokens=min_tokens, winnow_w=winnow_w,
+        id_col=id_col, text_col=text_col,
+    )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["whash", id_col]).sort_values(
+            ["whash", id_col], kind="stable"
+        )
+        first = g.groupby("whash", sort=False)[id_col].transform("first")
+        rest = g[g[id_col] != first]
+        out = pd.DataFrame(
+            {"url_a": first[g[id_col] != first].to_numpy(dtype=object),
+             "url_b": rest[id_col].to_numpy(dtype=object)}
+        )
+        return out.drop_duplicates(["url_a", "url_b"])
+
+    edges = _coarse_apply(
+        fp, "whash", num_partitions, star,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
+        in_schema=pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                             ("whash", pa.int64()), ("n_docs", pa.int64())]),
+    )
+    tok = _token_rows(ds, id_col=id_col, text_col=text_col).materialize()
+
+    def tag(col):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(b[col], index=False).to_numpy()
+            b = b.copy()
+            b["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+            return b
+        return fn
+
+    tok_schema = pa.schema([(id_col, pa.string()),
+                            ("tok", pa.large_binary())])
+    pair_schema = pa.schema([("url_a", pa.string()), ("url_b", pa.string())])
+
+    def join_a(pg: pd.DataFrame, tg: pd.DataFrame) -> pd.DataFrame:
+        pg = pg.drop_duplicates(["url_a", "url_b"])
+        m = pg.merge(tg, left_on="url_a", right_on=id_col, how="inner")
+        return pd.DataFrame({"url_a": m["url_a"], "url_b": m["url_b"],
+                             "tok_a": m["tok"]})
+
+    step_a = hash_exchange(
+        [edges.map_batches(tag("url_a"), batch_format="pandas"),
+         tok.map_batches(tag(id_col), batch_format="pandas")],
+        join_a,
+        num_partitions=num_partitions,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("tok_a", pa.large_binary())]),
+        in_schemas=[pair_schema, tok_schema],
+    )
+
+    def join_b(pg: pd.DataFrame, tg: pd.DataFrame) -> pd.DataFrame:
+        m = pg.merge(tg, left_on="url_b", right_on=id_col, how="inner")
+        ln, sa_, sb_ = [], [], []
+        for ba, bb in zip(m["tok_a"], m["tok"]):
+            ta = np.frombuffer(ba, dtype=np.int64)
+            tb = np.frombuffer(bb, dtype=np.int64)
+            L, a0, b0 = longest_common_span(ta, tb)
+            ln.append(L)
+            sa_.append(a0)
+            sb_.append(b0)
+        return pd.DataFrame({
+            "url_a": m["url_a"], "url_b": m["url_b"],
+            "span_tokens": pd.Series(ln, dtype=np.int64),
+            "start_a": pd.Series(sa_, dtype=np.int64),
+            "start_b": pd.Series(sb_, dtype=np.int64),
+        })
+
+    return hash_exchange(
+        [step_a.map_batches(tag("url_b"), batch_format="pandas"),
+         tok.map_batches(tag(id_col), batch_format="pandas")],
+        join_b,
+        num_partitions=num_partitions,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("span_tokens", pa.int64()),
+                          ("start_a", pa.int64()), ("start_b", pa.int64())]),
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("tok_a", pa.large_binary())]), tok_schema],
+    )

@@ -70,3 +70,57 @@ def test_substring_clusters_group_quotes(ray_session, corpus):
     cl = dict(zip(res["url"], res["cluster_id"]))
     quotes = sorted(u for u in corpus["url"] if u.startswith("https://quote."))
     assert len({cl[u] for u in quotes}) == 1  # all quote pages together
+
+
+def test_suffix_array_kernels():
+    import numpy as np
+
+    from data_dedup_ray.stages.suffixarray import (lcp_array,
+                                                   longest_common_span,
+                                                   suffix_array)
+
+    t = np.array([1, 2, 1, 2, 3], dtype=np.int64)  # suffixes sorted manually
+    sa = suffix_array(t)
+    # brute-force check
+    suf = sorted(range(len(t)), key=lambda i: list(t[i:]))
+    assert sa.tolist() == suf
+    lcp = lcp_array(t, sa)
+    for i in range(1, len(t)):
+        a, b = t[sa[i - 1]:], t[sa[i]:]
+        k = 0
+        while k < len(a) and k < len(b) and a[k] == b[k]:
+            k += 1
+        assert lcp[i] == k
+
+    ta = np.array([5, 6, 7, 8, 9, 1], dtype=np.int64)
+    tb = np.array([2, 6, 7, 8, 9, 3], dtype=np.int64)
+    L, a0, b0 = longest_common_span(ta, tb)
+    assert (L, a0, b0) == (4, 1, 1)
+    assert longest_common_span(ta, np.array([99], dtype=np.int64))[0] == 0
+
+
+def test_longest_dup_spans_matches_bruteforce(ray_session, corpus):
+    from data_dedup_ray.corpus import web_pages
+    pages = web_pages(SF)
+    import numpy as np
+
+    from data_dedup_ray.pipelines.substring import longest_dup_spans
+    from data_dedup_ray.stages.minhash import tokenize_batch
+    from data_dedup_ray.stages.suffixarray import longest_common_span
+
+    res = longest_dup_spans(pages, min_tokens=20).to_pandas()
+    assert len(res) > 0
+    # every reported span must be >= the discovery guarantee... the star
+    # edges guarantee a shared winnowed fingerprint => shared window, so
+    # span >= min_tokens
+    assert (res["span_tokens"] >= 20).all()
+
+    # spot-check 5 pairs against a direct per-pair suffix-array run
+    df = corpus
+    toks = {}
+    for u, t in zip(df["url"], df["text"]):
+        h, _ = tokenize_batch([t])
+        toks[u] = h.astype(np.int64)
+    for _, row in res.head(5).iterrows():
+        L, a0, b0 = longest_common_span(toks[row["url_a"]], toks[row["url_b"]])
+        assert L == row["span_tokens"]
