@@ -824,7 +824,18 @@ def minhash_dedup_clusters(
     sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
                       shingle_k=shingle_k).materialize()
     edges = minhash_dedup_pairs(ds, threshold=threshold, sh=sh, **lsh_kwargs)
-    assignment = dsu_components(edges)
+    try:
+        assignment = dsu_components(edges)
+    except ValueError:
+        # edge list beyond the driver DSU guard: distributed min-label
+        # propagation (components.py) — same deterministic min-member ids
+        from data_dedup_ray.pipelines.components import label_propagation
+
+        return label_propagation(
+            sh.select_columns([id_col]),
+            ray.data.from_pandas(edges[["url_a", "url_b"]]),
+            node_col=id_col,
+        )
     return attach_clusters(
         sh.select_columns([id_col]), assignment, id_col=id_col
     )

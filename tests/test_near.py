@@ -120,3 +120,47 @@ def test_ngram_jaccard_exact_pairs(pages, con):
         ["url_a", "url_b"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pairs_in_partition_skew_star_fallback():
+    """A hot key beyond group_cap must emit a linear star (min-member hub),
+    preserving component connectivity without O(g^2) pairs."""
+    from data_dedup_ray.pipelines.near import _pairs_in_partition
+
+    g = pd.DataFrame({
+        "band_id": np.zeros(500, dtype=np.int32),
+        "band_hash": np.zeros(500, dtype=np.int64),
+        "url": [f"u{i:03d}" for i in range(500)],
+    })
+    out = _pairs_in_partition(g, key_cols=["band_id", "band_hash"],
+                              id_col="url", group_cap=100)
+    # star: exactly n-1 edges, all touching the min member
+    assert len(out) == 499
+    assert (out["url_a"] == "u000").all() or (out["url_b"] == "u000").all()
+    d = dsu_components(out)
+    assert all(v == "u000" for v in d.values())
+
+
+def test_cluster_fallback_label_propagation(pages, monkeypatch):
+    """Forcing the DSU guard to trip must route through distributed label
+    propagation and produce the identical clustering."""
+    import data_dedup_ray.pipelines.components as comp
+
+    want = (
+        near.minhash_dedup_clusters(pages, threshold=0.7)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    orig = comp.dsu_components
+
+    def tiny_guard(edges, a="url_a", b="url_b", max_edges=20_000_000):
+        return orig(edges, a=a, b=b, max_edges=0 if len(edges) else 1)
+
+    monkeypatch.setattr("data_dedup_ray.pipelines.near.dsu_components",
+                        tiny_guard)
+    got = (
+        near.minhash_dedup_clusters(pages, threshold=0.7)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["url", "cluster_id"]], want[["url", "cluster_id"]]
+    )
