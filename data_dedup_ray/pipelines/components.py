@@ -76,21 +76,19 @@ def dsu_components(edges: pd.DataFrame, a: str = "url_a", b: str = "url_b",
 def attach_clusters(ds: ray.data.Dataset, assignment: dict, *,
                     id_col: str = "url", out_col: str = "cluster_id") -> ray.data.Dataset:
     """Broadcast the (small) assignment and map every row to its cluster;
-    rows absent from the assignment are their own singleton cluster."""
+    rows absent from the assignment are their own singleton cluster.
+
+    Plain task map: the state is one zero-copy ``ray.get`` of the
+    broadcast dict per task — actor pools only added spawn latency."""
     ref = ray.put(assignment)
 
-    class _Attach:
-        def __init__(self):
-            self.m = ray.get(ref)
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch[id_col].to_pylist()
+        vals = [m.get(i, i) for i in ids]
+        return batch.append_column(out_col, pa.array(vals, type=pa.string()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            vals = [self.m.get(i, i) for i in ids]
-            return batch.append_column(out_col, pa.array(vals, type=pa.string()))
-
-    # small fixed pool: the attach state is one ray.get of a broadcast
-    # dict — spawn cost outweighs extra parallelism for a map-only stage
-    return ds.map_batches(_Attach, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 def label_propagation(nodes: ray.data.Dataset, edges: ray.data.Dataset, *,

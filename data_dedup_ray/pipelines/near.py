@@ -315,21 +315,30 @@ def verify_pairs_partitioned(
     )
 
     # round B only needs shingles of urls that actually appear as url_b —
-    # a small set once candidates are deduped.  Broadcast it and prefilter
-    # the shingle table before the exchange (at 10^12-doc scale this set
-    # becomes a Bloom filter; the pipeline shape is unchanged).
-    endpoints = set()
-    for t in step_a.select_columns(["url_b"]).iter_batches(
-            batch_format="pyarrow"):
-        endpoints.update(t["url_b"].to_pylist())
-    ep_ref = ray.put(endpoints)
+    # a small set once candidates are deduped.  Hash the endpoints
+    # DISTRIBUTED (the driver only ever sees uint64s, never strings),
+    # broadcast the sorted hash array, and prefilter the shingle table
+    # with one vectorized np.isin per batch.  A 2^-64 hash false positive
+    # merely ships one extra shingle row — the round-B join stays exact
+    # on url_b.  (At 10^12-doc scale the sorted array becomes a Bloom
+    # filter; the pipeline shape is unchanged.)
+    def _hash_urls(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["url_b"].to_pylist(), dtype=object)
+        )
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    eph = step_a.select_columns(["url_b"]).map_batches(
+        _hash_urls, batch_format="pyarrow"
+    ).to_pandas()["h"].to_numpy()
+    ep_ref = ray.put(np.unique(eph))
 
     def _filter_sh(t: pa.Table) -> pa.Table:
         keep = ray.get(ep_ref)
-        ids = t[id_col].to_pylist()
-        mask = np.fromiter((u in keep for u in ids), dtype=bool,
-                           count=len(ids))
-        return t.filter(pa.array(mask))
+        h = pd.util.hash_array(
+            np.asarray(t[id_col].to_pylist(), dtype=object)
+        ).view(np.int64)
+        return t.filter(pa.array(np.isin(h, keep, assume_unique=False)))
 
     sh_b = sh.map_batches(_filter_sh, batch_format="pyarrow").map_batches(
         _with_part_pa(id_col), batch_format="pyarrow"
