@@ -278,16 +278,17 @@ def dedup_cascade(
         return out
     ref = ray.put(colliding)
 
+    from data_dedup_ray.util import stage_task
+
+    # task pool + per-worker cached stage (util.stage_task): the state is
+    # one ray.get of the broadcast collision sets — actor spawn latency
+    # was the dominant cost of this stage
     assigned = ds.map_batches(
-        _Assign,
-        fn_constructor_kwargs={
-            "stages": stages,
-            "eager_n": eager_n,
-            "id_col": id_col,
-            "colliding_ref": ref,
-        },
+        stage_task(
+            _Assign, stages=stages, eager_n=eager_n, id_col=id_col,
+            colliding_ref=ref,
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency or autoscale_pool(),
     )
 
     out_cols = [id_col] + [st.column for st in stages] + [

@@ -95,17 +95,16 @@ def knn_topk(
     Q = _normalize(np.array(qdf[emb_col].tolist(), dtype=np.float64))
     ref = ray.put((qids, Q))
 
-    class _PartialTopK:
-        def __init__(self):
-            self.qids, self.Q = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+            # plain task: ray.get of the broadcast matrix is a zero-copy
+            # local plasma read — no actor state needed
+            qids_, Q_ = ray.get(ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             X = _normalize(_matrix(batch, emb_col))
-            sims = X @ self.Q.T  # (batch, nq)
+            sims = X @ Q_.T  # (batch, nq)
             out_q, out_n, out_s = [], [], []
             kk = min(k, len(ids))
-            for j, q in enumerate(self.qids):
+            for j, q in enumerate(qids_):
                 s = sims[:, j]
                 keep = ids != q
                 order = np.lexsort((ids[keep], -s[keep]))[:kk]
@@ -121,8 +120,7 @@ def knn_topk(
                 }
             )
 
-    partial = emb.map_batches(_PartialTopK, batch_format="pyarrow",
-                              concurrency=concurrency or autoscale_pool())
+    partial = emb.map_batches(_partial_topk, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],
@@ -163,16 +161,13 @@ def embedding_dup_pairs(
     M = _normalize(np.array(all_df[emb_col].tolist(), dtype=np.float64))
     ref = ray.put((ids_all, M))
 
-    class _Pairs:
-        def __init__(self):
-            self.ids, self.M = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _pairs(batch: pa.Table) -> pa.Table:
+            ids_all_, M_ = ray.get(ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             X = _normalize(_matrix(batch, emb_col))
-            sims = X @ self.M.T
+            sims = X @ M_.T
             bi, bj = np.nonzero(sims >= threshold)
-            a, b = ids[bi], self.ids[bj]
+            a, b = ids[bi], ids_all_[bj]
             keep = a < b  # dedupe orientation + drop self
             return pa.table(
                 {
@@ -183,7 +178,7 @@ def embedding_dup_pairs(
             )
 
     return (
-        emb.map_batches(_Pairs, batch_format="pyarrow", concurrency=concurrency or autoscale_pool())
+        emb.map_batches(_pairs, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["vec_id_a", "vec_id_b"])
         .reset_index(drop=True)
@@ -219,30 +214,26 @@ def ann_lsh_topk(
     qbuckets = (qsig * pow2).sum(axis=2)  # (T, nq)
     ref = ray.put((qids, Q, planes, qbuckets))
 
-    class _Candidates:
-        def __init__(self):
-            self.qids, self.Q, self.planes, self.qb = ray.get(ref)
+    def _candidates(batch: pa.Table) -> pa.Table:
+        qids_, Q_, planes_, qb_ = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        X = _normalize(_matrix(batch, emb_col))
+        cand = np.zeros((len(ids), len(qids_)), dtype=bool)
+        for t in range(len(planes_)):
+            xb = ((X @ planes_[t].T > 0) * pow2).sum(axis=1)
+            cand |= xb[:, None] == qb_[t][None, :]
+        sims = X @ Q_.T
+        bi, bj = np.nonzero(cand)
+        keep = ids[bi] != qids_[bj]
+        return pa.table(
+            {
+                "query_id": qids_[bj][keep],
+                "neighbor_id": ids[bi][keep],
+                "cos": sims[bi, bj][keep],
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            X = _normalize(_matrix(batch, emb_col))
-            cand = np.zeros((len(ids), len(self.qids)), dtype=bool)
-            for t in range(len(self.planes)):
-                xb = ((X @ self.planes[t].T > 0) * pow2).sum(axis=1)
-                cand |= xb[:, None] == self.qb[t][None, :]
-            sims = X @ self.Q.T
-            bi, bj = np.nonzero(cand)
-            keep = ids[bi] != self.qids[bj]
-            return pa.table(
-                {
-                    "query_id": self.qids[bj][keep],
-                    "neighbor_id": ids[bi][keep],
-                    "cos": sims[bi, bj][keep],
-                }
-            )
-
-    cands = emb.map_batches(_Candidates, batch_format="pyarrow",
-                            concurrency=concurrency or autoscale_pool())
+    cands = emb.map_batches(_candidates, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],
@@ -329,30 +320,26 @@ def ann_ivf_topk(
     qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     ref = ray.put((qids, Q, C, qcells))
 
-    class _Candidates:
-        def __init__(self):
-            self.qids, self.Q, self.C, self.qcells = ray.get(ref)
+    def _candidates(batch: pa.Table) -> pa.Table:
+        qids_, Q_, C_, qcells_ = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        X = _normalize(_matrix(batch, emb_col))
+        cell = np.argmax(X @ C_.T, axis=1)  # (batch,)
+        cand = (cell[:, None, None] == qcells_[None, :, :]).any(
+            axis=2
+        )  # (batch, nq)
+        sims = X @ Q_.T
+        bi, bj = np.nonzero(cand)
+        keep = ids[bi] != qids_[bj]
+        return pa.table(
+            {
+                "query_id": qids_[bj][keep],
+                "neighbor_id": ids[bi][keep],
+                "cos": sims[bi, bj][keep],
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            X = _normalize(_matrix(batch, emb_col))
-            cell = np.argmax(X @ self.C.T, axis=1)  # (batch,)
-            cand = (cell[:, None, None] == self.qcells[None, :, :]).any(
-                axis=2
-            )  # (batch, nq)
-            sims = X @ self.Q.T
-            bi, bj = np.nonzero(cand)
-            keep = ids[bi] != self.qids[bj]
-            return pa.table(
-                {
-                    "query_id": self.qids[bj][keep],
-                    "neighbor_id": ids[bi][keep],
-                    "cos": sims[bi, bj][keep],
-                }
-            )
-
-    cands = emb.map_batches(_Candidates, batch_format="pyarrow",
-                            concurrency=concurrency or autoscale_pool())
+    cands = emb.map_batches(_candidates, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],

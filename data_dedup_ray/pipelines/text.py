@@ -40,8 +40,10 @@ def lang_id(sf_dir: str, *, concurrency: int | tuple | None = None) -> ray.data.
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    from data_dedup_ray.util import stage_task
+
     return docs.map_batches(
-        textstats.LangId, batch_format="pyarrow", concurrency=concurrency or autoscale_pool()
+        stage_task(textstats.LangId), batch_format="pyarrow"
     ).select_columns(["doc_id", "lang_pred"])
 
 

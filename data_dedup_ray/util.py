@@ -34,8 +34,11 @@ def stage_task(cls, /, **kwargs):
     stages/multimodal.py) should stay actor pools via
     ``map_batches(Cls, concurrency=autoscale_pool())``.
     """
+    # repr-based key: process-local cache, so repr stability within one
+    # worker process is all that's needed (covers unhashable kwargs like
+    # stage lists / ObjectRefs)
     key = (cls.__module__, cls.__qualname__,
-           tuple(sorted(kwargs.items(), key=lambda kv: kv[0])))
+           repr(sorted(kwargs.items(), key=lambda kv: kv[0])))
 
     def fn(batch):
         inst = _WORKER_STAGE_CACHE.get(key)
