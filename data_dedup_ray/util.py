@@ -43,6 +43,10 @@ def stage_task(cls, /, **kwargs):
     def fn(batch):
         inst = _WORKER_STAGE_CACHE.get(key)
         if inst is None:
+            if len(_WORKER_STAGE_CACHE) >= 64:
+                # long-lived workers see many runs (each with fresh
+                # broadcast refs in the key) — drop stale instances
+                _WORKER_STAGE_CACHE.clear()
             inst = _WORKER_STAGE_CACHE.setdefault(key, cls(**kwargs))
         return inst(batch)
 
