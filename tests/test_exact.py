@@ -85,3 +85,19 @@ def test_stats(result):
     stats = exact.dedup_stats(result)
     assert stats["total"] == stats["unique"] + stats["distinct_with_duplicates"] + stats["duplicates"]
     assert stats["distinct_with_duplicates"] > 0
+
+
+def test_report_bytes_identical_across_partitioning(sf_dir):
+    """The TSV report is byte-identical at any physical partitioning —
+    the input_hint run-order invariant, reference report determinism
+    (CLI.pm:302-306)."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import exact
+
+    r1 = exact.report_text(
+        exact.dedup_pages(web_pages(sf_dir, override_num_blocks=2),
+                          collapse=False))
+    r2 = exact.report_text(
+        exact.dedup_pages(web_pages(sf_dir, override_num_blocks=11),
+                          collapse=False))
+    assert r1 == r2 and len(r1) > 0

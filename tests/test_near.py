@@ -164,3 +164,24 @@ def test_cluster_fallback_label_propagation(pages, monkeypatch):
     pd.testing.assert_frame_equal(
         got[["url", "cluster_id"]], want[["url", "cluster_id"]]
     )
+
+
+def test_determinism_across_partitioning(sf_dir):
+    """Cluster assignments and verified pairs must be independent of the
+    physical partitioning (north_rule: run-order / parallelism invariant)."""
+    a = web_pages(sf_dir, override_num_blocks=2)
+    b = web_pages(sf_dir, override_num_blocks=13)
+
+    pa_ = near.minhash_dedup_pairs(a, threshold=0.7).sort_values(
+        ["url_a", "url_b"]).reset_index(drop=True)
+    pb_ = near.minhash_dedup_pairs(b, threshold=0.7, num_partitions=17
+                                   ).sort_values(
+        ["url_a", "url_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb_)
+
+    ca = near.minhash_dedup_clusters(a, threshold=0.7).to_pandas(
+    ).sort_values("url").reset_index(drop=True)
+    cb = near.minhash_dedup_clusters(b, threshold=0.7, num_partitions=17
+                                     ).to_pandas(
+    ).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ca, cb)
