@@ -379,98 +379,6 @@ def verify_pairs_partitioned(
     )
 
 
-def _shingle_map(ds: ray.data.Dataset, urls, *, id_col, text_col, shingle_k,
-                 concurrency=autoscale_pool()) -> dict:
-    """url → distinct shingle-hash set, for the (small) candidate url set.
-
-    Broadcast-filters the corpus: only candidate rows are tokenized."""
-    ref = ray.put(frozenset(urls))
-
-    class _Collect:
-        def __init__(self):
-            self.keep = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
-            mask = np.fromiter((i in self.keep for i in ids), dtype=bool,
-                               count=len(ids))
-            sub_ids = ids[mask]
-            texts = [t for t, m in zip(batch[text_col].to_pylist(), mask) if m]
-            cat, sizes = shingle_sets(texts, shingle_k)
-            offs = np.concatenate([[0], np.cumsum(sizes)])
-            has = sizes > 0
-            # one row per kept doc: (url, shingles list)
-            shl = [cat[offs[i]: offs[i + 1]].tolist() for i in range(len(sub_ids))]
-            return pa.table(
-                {
-                    id_col: pa.array(sub_ids, type=pa.string()),
-                    "shingles": pa.array(shl, type=pa.list_(pa.uint64())),
-                    "has": pa.array(has),
-                }
-            )
-
-    rows = ds.map_batches(_Collect, batch_format="pyarrow",
-                          concurrency=concurrency or autoscale_pool()).to_pandas()
-    return {
-        r[0]: np.asarray(r[1], dtype=np.uint64)
-        for r in rows[rows["has"]][[ "url", "shingles"]].itertuples(index=False)
-    }
-
-
-def verify_pairs(
-    ds: ray.data.Dataset,
-    pairs: pd.DataFrame,
-    *,
-    id_col: str = "url",
-    text_col: str = "text",
-    shingle_k: int = 5,
-    threshold: float = 0.7,
-) -> pd.DataFrame:
-    """Exact Jaccard over hashed-shingle sets for each candidate pair;
-    keeps pairs with J ≥ threshold.  Returns (url_a, url_b, jaccard).
-
-    Distributed: the url→shingle-set map covers only candidate urls and is
-    broadcast ONCE via ``ray.put``; Jaccard runs in an actor-pool
-    ``map_batches`` over the pair Dataset (at extreme scale the broadcast
-    becomes a hash join on url — the verification math is unchanged)."""
-    if len(pairs) == 0:
-        return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
-    urls = set(pairs["url_a"]) | set(pairs["url_b"])
-    sh = _shingle_map(ds, urls, id_col=id_col, text_col=text_col,
-                      shingle_k=shingle_k)
-    ref = ray.put(sh)
-
-    class _Verify:
-        def __init__(self):
-            self.sh = ray.get(ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            out_a, out_b, out_j = [], [], []
-            for ua, ub in zip(b["url_a"], b["url_b"]):
-                sa, sb = self.sh.get(ua), self.sh.get(ub)
-                if sa is None or sb is None:
-                    continue
-                # sets are np.unique output → already sorted
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-                if j >= threshold:
-                    out_a.append(ua)
-                    out_b.append(ub)
-                    out_j.append(j)
-            return pd.DataFrame({"url_a": out_a, "url_b": out_b,
-                                 "jaccard": out_j})
-
-    pds = ray.data.from_pandas(
-        pairs[["url_a", "url_b"]].reset_index(drop=True)
-    ).repartition(min(32, max(1, len(pairs) // 2048)))
-    out = pds.map_batches(
-        _Verify, batch_format="pandas", batch_size=4096, concurrency=autoscale_pool()
-    ).to_pandas()
-    if len(out) == 0:
-        return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
-    return out.reset_index(drop=True)
-
-
 def minhash_dedup_pairs(
     ds: ray.data.Dataset, *, threshold: float = 0.7,
     sh: ray.data.Dataset | None = None, **lsh_kwargs
