@@ -144,4 +144,15 @@ def hash_exchange(
             _apply_part.remote(fn, schema, tuple(sizes), tuple(resolved),
                                apply_format == "pyarrow", *args)
         )
+    # Hold the local refs (``refs``/``splits``) until every _apply_part has
+    # finished resolving its dependencies: small bucket tables are INLINED
+    # asynchronously after ``.remote()``, and letting the driver release
+    # its local references concurrently races ray-core's borrowed-ref
+    # accounting (observed crash: ``Check failed:
+    # it->second.submitted_task_ref_count > 0`` in
+    # ReferenceCounter::RemoveSubmittedTaskReferences).  The exchange is an
+    # all-to-all barrier anyway — to_arrow_refs() above already ran the
+    # upstream pipeline — so waiting here costs no pipelining that the
+    # shuffle hadn't already given up.
+    ray.wait(out, num_returns=len(out), fetch_local=False)
     return ray.data.from_arrow_refs(out)
