@@ -8,8 +8,16 @@ dominated the candidate/verify stages at 32 cpus).  Ray Data has no
 sortless keyed repartition, so per SURVEY.md §7 (custom-operator option c)
 this is one of the few places the engine drops to raw Ray tasks:
 
-- one ``_split_block`` task per input block → ``P`` bucket tables
-  (``num_returns=P``; a single stable argsort + slice per block);
+- one ``_split_block`` task per GROUP of input blocks → ``P`` bucket
+  tables (``num_returns=P``; a single stable argsort + slice per group).
+  Grouping matters: per-block splitting creates ``blocks × P`` tiny
+  objects, and at small block sizes the fixed per-object/per-arg cost
+  dominates wall time (measured 10-14 s of pure overhead vs 25 ms of
+  compute per partition on a 1.3M-row exchange).  Groups are sized to
+  ``≈ cluster-CPU`` count for split parallelism but capped by BYTES
+  (``_TARGET_GROUP_BYTES``) so a group's concat stays bounded when
+  blocks are full-size (128 MB+) — at scale a group degenerates to a
+  single block and the scheme is identical to per-block splitting;
 - one ``_apply_part`` task per bucket → concat its tables, run the user
   fn, return an Arrow table;
 - results re-enter Ray Data via ``from_arrow_refs`` — nothing is
@@ -37,14 +45,26 @@ import ray
 import ray.data
 
 
+#: cap on the bytes one split group concatenates in memory; blocks larger
+#: than this run one-per-group, reproducing plain per-block splitting
+_TARGET_GROUP_BYTES = 256 << 20
+
+
 @ray.remote
-def _split_block(t: pa.Table, col: str, P: int):
-    """One input block → P bucket tables (order within a bucket is the
-    block's row order — stable argsort keeps determinism)."""
-    if t.num_rows == 0:
+def _split_block(col: str, P: int, *tables: pa.Table):
+    """One GROUP of input blocks → P bucket tables (order within a bucket
+    is the group's concatenated row order — group order is the dataset's
+    block order and the argsort is stable, so determinism holds)."""
+    ts = [t for t in tables if t.num_rows]
+    if not ts:
         # empty blocks can arrive with NO columns at all (Ray Data's
-        # pandas round-trip drops the schema of empty batches)
-        return tuple(t.slice(0, 0) for _ in range(P))
+        # pandas round-trip drops the schema of empty batches);
+        # _apply_part ignores zero-row tables, so the schema is moot
+        e = tables[0].slice(0, 0)
+        return tuple(e for _ in range(P))
+    t = ts[0] if len(ts) == 1 else pa.concat_tables(
+        ts, promote_options="default"
+    )
     part = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.int64)
     t = t.drop_columns([col])
     order = np.argsort(part, kind="stable")
@@ -55,6 +75,45 @@ def _split_block(t: pa.Table, col: str, P: int):
     return tuple(
         sorted_t.slice(offs[p], offs[p + 1] - offs[p]) for p in range(P)
     )
+
+
+def _split_groups(refs: list) -> list[list]:
+    """Partition a block-ref list into split-task groups.
+
+    Group count targets the cluster CPU count (split parallelism); group
+    bytes are capped at ``_TARGET_GROUP_BYTES`` using object-store sizes
+    (``get_object_locations`` — metadata only, nothing is fetched), so a
+    group never concatenates more than a bounded working set no matter
+    how small or large the blocks are."""
+    try:
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # pragma: no cover - resources unavailable
+        cpus = 8
+    n = len(refs)
+    per_group = max(1, -(-n // cpus))
+    if per_group == 1:
+        return [[r] for r in refs]
+    try:
+        locs = ray.experimental.get_object_locations(refs, timeout_ms=2000)
+        sizes = [
+            (locs.get(r) or {}).get("object_size") or 0 for r in refs
+        ]
+    except Exception:  # pragma: no cover - location API unavailable
+        sizes = [0] * n
+    groups: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for r, s in zip(refs, sizes):
+        if cur and (
+            len(cur) >= per_group or cur_bytes + s > _TARGET_GROUP_BYTES
+        ):
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(r)
+        cur_bytes += s
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 @ray.remote
@@ -130,10 +189,11 @@ def hash_exchange(
         resolved.append(base)
         if not refs:  # empty dataset: keep one typed empty block
             refs = [ray.put(base.empty_table())]
-        sizes.append(len(refs))
+        groups = _split_groups(refs)
+        sizes.append(len(groups))
         splits.append([
-            _split_block.options(num_returns=P).remote(r, part_col, P)
-            for r in refs
+            _split_block.options(num_returns=P).remote(part_col, P, *g)
+            for g in groups
         ])
     out = []
     for p in range(P):
