@@ -51,10 +51,16 @@ _TARGET_GROUP_BYTES = 256 << 20
 
 
 @ray.remote
-def _split_block(col: str, P: int, *tables: pa.Table):
+def _split_block(col: str, P: int, pre, *tables: pa.Table):
     """One GROUP of input blocks → P bucket tables (order within a bucket
     is the group's concatenated row order — group order is the dataset's
-    block order and the argsort is stable, so determinism holds)."""
+    block order and the argsort is stable, so determinism holds).
+
+    ``pre`` is an optional map-side COMBINER run on the concatenated group
+    before bucketing (MapReduce combine): for exchanges whose per-partition
+    fn is idempotent over duplicates (pair dedup, distinct), collapsing
+    repeats here shrinks the shuffle by the group's duplication factor.
+    It must preserve the ``col`` partition column."""
     ts = [t for t in tables if t.num_rows]
     if not ts:
         # empty blocks can arrive with NO columns at all (Ray Data's
@@ -65,6 +71,12 @@ def _split_block(col: str, P: int, *tables: pa.Table):
     t = ts[0] if len(ts) == 1 else pa.concat_tables(
         ts, promote_options="default"
     )
+    if pre is not None:
+        pa.set_cpu_count(1)  # same oversubscription guard as _apply_part
+        t = pre(t)
+        if t.num_rows == 0:
+            e = t.slice(0, 0)
+            return tuple(e for _ in range(P))
     part = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.int64)
     t = t.drop_columns([col])
     order = np.argsort(part, kind="stable")
@@ -147,8 +159,57 @@ def _apply_part(fn: Callable, schema: pa.Schema, sizes: tuple[int, ...],
     return res
 
 
+class Bucketed:
+    """A dataset already split into ``P`` hash buckets — the reusable form
+    of an exchange input.
+
+    Produced by ``bucketize``; pass it to ``hash_exchange`` in place of a
+    Dataset to skip the split step.  Lets several exchange rounds keyed on
+    the SAME hash share one split of a large table (e.g. the shingle table
+    is read by both verify-join rounds), halving its object-store traffic.
+    The instance holds the bucket refs alive; keep it in scope until the
+    last exchange that uses it has run."""
+
+    def __init__(self, splits: list, base_schema: pa.Schema, P: int):
+        self.splits = splits  # list over split groups of P-tuples of refs
+        self.base_schema = base_schema
+        self.P = P
+
+
+def bucketize(
+    ds: ray.data.Dataset,
+    *,
+    part_col: str = "_part",
+    num_partitions: int = 64,
+    in_schema: pa.Schema | None = None,
+    pre=None,
+) -> Bucketed:
+    """Split ``ds`` on ``part_col`` into ``num_partitions`` hash buckets
+    without applying a partition fn — the reusable half of an exchange."""
+    P = num_partitions
+    refs = ds.to_arrow_refs()
+    if in_schema is not None:
+        base = in_schema
+    else:
+        base = ds.schema().base_schema
+        if not isinstance(base, pa.Schema):
+            raise TypeError(
+                "bucketize needs in_schema for pandas-backed input "
+                f"(got {type(base).__name__})"
+            )
+    if part_col in base.names:
+        base = base.remove(base.get_field_index(part_col))
+    if not refs:
+        refs = [ray.put(base.empty_table())]
+    splits = [
+        _split_block.options(num_returns=P).remote(part_col, P, pre, *g)
+        for g in _split_groups(refs)
+    ]
+    return Bucketed(splits, base, P)
+
+
 def hash_exchange(
-    datasets: list[ray.data.Dataset],
+    datasets: list,
     fn: Callable[..., pd.DataFrame],
     *,
     part_col: str = "_part",
@@ -156,6 +217,7 @@ def hash_exchange(
     schema: pa.Schema,
     in_schemas: list[pa.Schema] | None = None,
     apply_format: str = "pandas",
+    pre: list | None = None,
 ) -> ray.data.Dataset:
     """Co-partition ``datasets`` on ``part_col`` (int in [0, P)) WITHOUT
     sorting, then run ``fn(df_0, …, df_k)`` once per partition.
@@ -164,12 +226,26 @@ def hash_exchange(
     partition's rows, ``part_col`` removed) and returns a DataFrame with
     ``schema``'s columns; empty results are cast to ``schema`` so the
     output Dataset's schema is stable.
+
+    ``pre``: optional per-input map-side combiners (``pre[k]`` is an
+    Arrow-table fn or None), run on each split group before bucketing —
+    only valid when ``fn`` is idempotent over the collapse (dedup /
+    distinct / partial aggregation).
     """
     P = num_partitions
     splits = []  # per input dataset: list over blocks of P-tuples of refs
     sizes = []
     resolved: list[pa.Schema] = []
     for k, ds in enumerate(datasets):
+        if isinstance(ds, Bucketed):  # pre-split input: reuse its buckets
+            if ds.P != P:
+                raise ValueError(
+                    f"Bucketed input #{k} has P={ds.P}, exchange needs {P}"
+                )
+            resolved.append(ds.base_schema)
+            sizes.append(len(ds.splits))
+            splits.append(ds.splits)
+            continue
         refs = ds.to_arrow_refs()
         # the logical input schema, part col removed — the empty fallback
         # for buckets/datasets with no rows (empty blocks may carry NO
@@ -191,8 +267,9 @@ def hash_exchange(
             refs = [ray.put(base.empty_table())]
         groups = _split_groups(refs)
         sizes.append(len(groups))
+        pre_k = pre[k] if pre else None
         splits.append([
-            _split_block.options(num_returns=P).remote(part_col, P, *g)
+            _split_block.options(num_returns=P).remote(part_col, P, pre_k, *g)
             for g in groups
         ])
     out = []

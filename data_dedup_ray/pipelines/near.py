@@ -303,6 +303,13 @@ def verify_pairs_partitioned(
             ["url_a", "url_b", "sh_a"]
         )
 
+    def _dedup_pairs_pre(t: pa.Table) -> pa.Table:
+        # map-side combiner: the same pair arrives once per colliding band
+        # (up to n_bands copies for true near-dups); collapsing inside the
+        # split group shrinks the round-A shuffle by that factor.  _part is
+        # a function of url_a, so group_by carries it through unchanged.
+        return t.group_by(["url_a", "url_b", "_part"]).aggregate([])
+
     step_a = hash_exchange(
         [pairs.map_batches(_with_part_pa("url_a"), batch_format="pyarrow"),
          sh_p],
@@ -312,6 +319,7 @@ def verify_pairs_partitioned(
                           ("sh_a", pa.large_binary())]),
         in_schemas=[pair_schema, sh_schema],
         apply_format="pyarrow",
+        pre=[_dedup_pairs_pre, None],
     )
 
     # round B only needs shingles of urls that actually appear as url_b —
@@ -345,24 +353,47 @@ def verify_pairs_partitioned(
     )
 
     def _join_b(pt: pa.Table, sht: pa.Table) -> pa.Table:
-        m = pt.join(sht, keys=["url_b"], right_keys=[id_col],
-                    join_type="inner")
-        da, oa = _blob_views(m["sh_a"])
-        db, ob = _blob_views(m["sh"])
-        n = m.num_rows
+        # hash-indexer lookup instead of an Acero join: the join would
+        # materialize a per-pair COPY of every url_b blob (≈ the whole
+        # partition's shingle payload again), and that write+read of
+        # redundant bytes is what stopped round B from scaling with cpus.
+        # The indexer resolves each pair to an offset into the UNIQUE
+        # blob buffer and the intersect reads zero-copy views.
+        if pt.num_rows == 0 or sht.num_rows == 0:
+            return pa.table({"url_a": pa.array([], type=pa.string()),
+                             "url_b": pa.array([], type=pa.string()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        idx = pd.Index(sht[id_col].to_pandas()).get_indexer(
+            pd.Series(pt["url_b"].to_pandas())
+        )
+        found = idx >= 0  # inner-join semantics
+        if not found.all():
+            pt = pt.filter(pa.array(found))
+            idx = idx[found]
+        da, oa = _blob_views(pt["sh_a"])
+        db, ob = _blob_views(sht["sh"])
+        n = pt.num_rows
         jac = np.empty(n, dtype=np.float64)
         for i in range(n):
             sa = da[oa[i]: oa[i + 1]]
-            sb = db[ob[i]: ob[i + 1]]
-            if not len(sa) or not len(sb):
+            j = idx[i]
+            sb = db[ob[j]: ob[j + 1]]
+            na, nb = len(sa), len(sb)
+            if not na or not nb:
                 jac[i] = 0.0
                 continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+            # merge intersect on the sorted unique arrays (np.unique
+            # output): searchsorted avoids intersect1d's concat+sort
+            if na > nb:
+                sa, sb, na, nb = sb, sa, nb, na
+            pos = np.searchsorted(sb, sa)
+            pos[pos == nb] = nb - 1
+            inter = int(np.count_nonzero(sb[pos] == sa))
+            jac[i] = inter / (na + nb - inter)
         keep = pa.array(jac >= threshold)
         return pa.table({
-            "url_a": m["url_a"].combine_chunks().filter(keep),
-            "url_b": m["url_b"].combine_chunks().filter(keep),
+            "url_a": pt["url_a"].combine_chunks().filter(keep),
+            "url_b": pt["url_b"].combine_chunks().filter(keep),
             "jaccard": pa.array(jac[jac >= threshold]),
         })
 
@@ -579,11 +610,19 @@ def simhash_clusters(
     as a singleton cluster id."""
     from data_dedup_ray.stages.simhash import SimHashFingerprints
 
-    fp_rows = ds.map_batches(
-        stage_task(SimHashFingerprints, id_col=id_col, text_col=text_col),
+    # one corpus scan: fingerprints for tokenful docs AND the empty-doc
+    # mask ride in the same materialized table (keep_empty), so singleton
+    # handling needs no second tokenize pass
+    fp_all = ds.map_batches(
+        stage_task(SimHashFingerprints, id_col=id_col, text_col=text_col,
+                   keep_empty=True),
         batch_format="pyarrow",
         batch_size=1024,
     ).materialize()
+    fp_rows = fp_all.map_batches(
+        lambda t: t.filter(t["has"]).drop_columns(["has"]),
+        batch_format="pyarrow",
+    )
 
     edges = simhash_fp_pairs(
         fp_rows, max_hamming=max_hamming, group_cap=group_cap
@@ -593,11 +632,8 @@ def simhash_clusters(
 
     def attach_root(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
-        fps = b["fp"].tolist()
-        return pd.DataFrame(
-            {id_col: b[id_col],
-             "root": pd.Series([m.get(f, f) for f in fps], dtype=np.int64)}
-        )
+        root = b["fp"].map(m).fillna(b["fp"]).astype(np.int64)
+        return pd.DataFrame({id_col: b[id_col], "root": root})
 
     tagged = fp_rows.map_batches(attach_root, batch_format="pandas")
 
@@ -622,33 +658,22 @@ def simhash_clusters(
 
     # distributed attach: map each fingerprinted doc's root to the
     # component's min url (broadcast dict is component-count-sized, NOT
-    # corpus-sized — no full-corpus driver collect on this path)
-    class _AttachMin:
-        def __init__(self):
-            self.m = ray.get(ref_min)
+    # corpus-sized — no full-corpus driver collect on this path); plain
+    # task map — the state is one zero-copy ray.get per task
+    def attach_min(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref_min)
+        return pd.DataFrame({id_col: b[id_col],
+                             "cluster_id": b["root"].map(m)})
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                id_col: b[id_col],
-                "cluster_id": [self.m[r] for r in b["root"]],
-            })
+    clustered = tagged.map_batches(attach_min, batch_format="pandas")
 
-    clustered = tagged.map_batches(_AttachMin, batch_format="pandas",
-                                   concurrency=(1, 8))
+    # docs with zero tokens are singletons — read straight off the
+    # materialized fingerprint table's mask (no second corpus scan)
+    def singletons(t: pa.Table) -> pa.Table:
+        ids = t.filter(pc.invert(t["has"]))[id_col].combine_chunks()
+        return pa.table({id_col: ids, "cluster_id": ids})
 
-    # docs the fingerprint stage dropped (zero tokens) are singletons;
-    # recompute the has-token mask per row instead of anti-joining
-    from data_dedup_ray.stages.minhash import tokenize_batch
-
-    def singletons(b: pd.DataFrame) -> pd.DataFrame:
-        _, counts = tokenize_batch(b[text_col].tolist())
-        keep = b.loc[counts == 0, [id_col]]
-        return pd.DataFrame({id_col: keep[id_col],
-                             "cluster_id": keep[id_col]})
-
-    empty = ds.select_columns([id_col, text_col]).map_batches(
-        singletons, batch_format="pandas"
-    )
+    empty = fp_all.map_batches(singletons, batch_format="pyarrow")
     return clustered.union(empty)
 
 

@@ -101,19 +101,36 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 
 
 class SimHashFingerprints:
-    """Actor stage: text → one ``(url, fp)`` row per doc with ≥1 token."""
+    """Actor stage: text → one ``(url, fp)`` row per doc with ≥1 token.
 
-    def __init__(self, *, id_col: str = "url", text_col: str = "text"):
+    ``keep_empty=True`` instead emits EVERY doc plus a ``has`` bool column
+    (``fp=0`` for token-less docs) — one corpus scan then serves both the
+    candidate graph (``has``) and the singleton handling (``!has``),
+    instead of a second full tokenize pass just to find empty docs."""
+
+    def __init__(self, *, id_col: str = "url", text_col: str = "text",
+                 keep_empty: bool = False):
         self.id_col, self.text_col = id_col, text_col
+        self.keep_empty = keep_empty
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
         fp, has = simhash_batch(texts)
+        if not self.keep_empty:
+            return pa.table(
+                {
+                    self.id_col: pa.array(ids[has], type=pa.string()),
+                    "fp": pa.array(fp.view(np.int64)),
+                }
+            )
+        full = np.zeros(len(ids), dtype=np.uint64)
+        full[has] = fp
         return pa.table(
             {
-                self.id_col: pa.array(ids[has], type=pa.string()),
-                "fp": pa.array(fp.view(np.int64)),
+                self.id_col: pa.array(ids, type=pa.string()),
+                "fp": pa.array(full.view(np.int64)),
+                "has": pa.array(has),
             }
         )
 
