@@ -38,7 +38,7 @@ import ray.data
 from data_dedup_ray.util import autoscale_pool, stage_task
 from ray.data.aggregate import Count, Min
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import bucketize, hash_exchange
 from data_dedup_ray.pipelines.components import attach_clusters, dsu_components
 from data_dedup_ray.stages.minhash import (MinHashLSH, ShingleMinHashLSH,
                                            shingle_sets)
@@ -280,6 +280,12 @@ def verify_pairs_partitioned(
                            ("sh", pa.large_binary())])
     pair_schema = pa.schema([("url_a", pa.string()),
                              ("url_b", pa.string())])
+    # split the shingle table ONCE; both verify rounds key on
+    # hash(url) % P, so the same buckets serve round A (url_a side) and
+    # round B (url_b side).  The payload crosses the object store a single
+    # time and the round-B re-shuffle (plus its driver-side endpoint
+    # collect) disappears.
+    sh_buckets = bucketize(sh_p, num_partitions=P, in_schema=sh_schema)
 
     def _blob_views(col: pa.ChunkedArray):
         """Zero-copy per-row uint64 views of a (large_)binary column."""
@@ -312,7 +318,7 @@ def verify_pairs_partitioned(
 
     step_a = hash_exchange(
         [pairs.map_batches(_with_part_pa("url_a"), batch_format="pyarrow"),
-         sh_p],
+         sh_buckets],
         _join_a,
         num_partitions=P,
         schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
@@ -322,36 +328,13 @@ def verify_pairs_partitioned(
         pre=[_dedup_pairs_pre, None],
     )
 
-    # round B only needs shingles of urls that actually appear as url_b —
-    # a small set once candidates are deduped.  Hash the endpoints
-    # DISTRIBUTED (the driver only ever sees uint64s, never strings),
-    # broadcast the sorted hash array, and prefilter the shingle table
-    # with one vectorized np.isin per batch.  A 2^-64 hash false positive
-    # merely ships one extra shingle row — the round-B join stays exact
-    # on url_b.  (At 10^12-doc scale the sorted array becomes a Bloom
-    # filter; the pipeline shape is unchanged.)
-    def _hash_urls(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            np.asarray(t["url_b"].to_pylist(), dtype=object)
-        )
-        return pa.table({"h": pa.array(h.view(np.int64))})
-
-    eph = step_a.select_columns(["url_b"]).map_batches(
-        _hash_urls, batch_format="pyarrow"
-    ).to_pandas()["h"].to_numpy()
-    ep_ref = ray.put(np.unique(eph))
-
-    def _filter_sh(t: pa.Table) -> pa.Table:
-        keep = ray.get(ep_ref)
-        h = pd.util.hash_array(
-            np.asarray(t[id_col].to_pylist(), dtype=object)
-        ).view(np.int64)
-        return t.filter(pa.array(np.isin(h, keep, assume_unique=False)))
-
-    sh_b = sh.map_batches(_filter_sh, batch_format="pyarrow").map_batches(
-        _with_part_pa(id_col), batch_format="pyarrow"
-    )
-
+    # round B reads the SAME shingle buckets (keyed on hash(url) % P, the
+    # identical partition fn) — no second shuffle of the shingle payload
+    # and no driver-side endpoint collect.  The per-partition lookup
+    # (pandas indexer into the full bucket) handles "only some urls appear
+    # as url_b" naturally; the cost is one in-memory concat of the bucket
+    # (combine_chunks) instead of re-shipping a filtered copy through the
+    # object store.
     def _join_b(pt: pa.Table, sht: pa.Table) -> pa.Table:
         # hash-indexer lookup instead of an Acero join: the join would
         # materialize a per-pair COPY of every url_b blob (≈ the whole
@@ -399,7 +382,7 @@ def verify_pairs_partitioned(
 
     return hash_exchange(
         [step_a.map_batches(_with_part_pa("url_b"), batch_format="pyarrow"),
-         sh_b],
+         sh_buckets],
         _join_b,
         num_partitions=P,
         schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
