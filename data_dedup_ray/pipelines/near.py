@@ -20,8 +20,10 @@ engine/exchange.py — co-location without ordering)
 2. Verify: exact hashed-shingle Jaccard as TWO multi-input exchange
    rounds co-partitioning pairs with the shingle table (round A on url_a
    — where equal pairs co-locate, so cross-band dedup is free — round B
-   on url_b, prefiltered to candidate endpoints).  Joins are Acero
-   (apply_format="pyarrow"), pinned to one thread per task.
+   on url_b).  Both rounds key on ``hash(url) % P``, so ONE bucketized
+   split of the shingle table serves both; the payload crosses the object
+   store once.  Joins/lookups run on Arrow (apply_format="pyarrow"),
+   pinned to one thread per task.
 3. Components: driver DSU over the verified (output-sized) edge list, or
    ``components.label_propagation`` when even edges are too large.
 """
@@ -243,10 +245,13 @@ def verify_pairs_partitioned(
 
     Nothing is collected to the driver: two multi-input ``hash_exchange``
     rounds co-partition the candidate pairs with the shingle table on
-    ``hash(endpoint) % P`` (round A keyed on url_a, round B on url_b),
-    each round doing ONE vectorized pandas merge per partition; round B
-    computes Jaccard in place.  Shingle payloads move through the object
-    store exactly twice, as binary columns, and nothing is sorted.
+    ``hash(endpoint) % P`` (round A keyed on url_a, round B on url_b).
+    Both rounds share ONE bucketized split of the shingle table (the
+    partition fn is identical), so the shingle payload moves through the
+    object store exactly once, as binary columns, and nothing is sorted;
+    round A joins via Acero, round B resolves pairs through a hash
+    indexer into the bucket's unique blob buffer and computes Jaccard in
+    place.
 
     ``sh``: optional precomputed+materialized ``shingle_rows`` table.
     """

@@ -6,7 +6,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import bucketize, hash_exchange
 
 
 def _tagged(df: pd.DataFrame, P: int, key: str) -> ray.data.Dataset:
@@ -100,6 +100,73 @@ def test_exchange_arrow_apply_format(ray_session):
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert out["k"].tolist() == ["a", "b"]
     assert out["v"].tolist() == [3, 3]
+
+
+def test_bucketed_reuse_across_rounds(ray_session):
+    """One bucketize split serves two exchanges keyed on the same hash
+    (the verify-join pattern: shingle table read by rounds A and B)."""
+    P = 4
+    right = pd.DataFrame({"k": ["a", "b", "c", "d"],
+                          "y": np.array([10, 20, 30, 40], dtype=np.int64)})
+    right_schema = pa.schema([("k", pa.string()), ("y", pa.int64())])
+    buckets = bucketize(
+        _tagged(right, P, "k"), num_partitions=P, in_schema=right_schema
+    )
+    assert buckets.P == P
+
+    def run(left: pd.DataFrame) -> pd.DataFrame:
+        return hash_exchange(
+            [_tagged(left, P, "k"), buckets],
+            lambda lg, rg: lg.merge(rg, on="k", how="inner"),
+            num_partitions=P,
+            schema=pa.schema([("k", pa.string()), ("x", pa.int64()),
+                              ("y", pa.int64())]),
+            in_schemas=[pa.schema([("k", pa.string()), ("x", pa.int64())]),
+                        right_schema],
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+
+    out1 = run(pd.DataFrame({"k": ["a", "c"], "x": [1, 3]}))
+    out2 = run(pd.DataFrame({"k": ["b", "d", "e"], "x": [2, 4, 5]}))
+    assert out1["k"].tolist() == ["a", "c"] and out1["y"].tolist() == [10, 30]
+    assert out2["k"].tolist() == ["b", "d"] and out2["y"].tolist() == [20, 40]
+
+
+def test_bucketize_partition_count_mismatch(ray_session):
+    P = 4
+    right = pd.DataFrame({"k": ["a"], "y": [np.int64(1)]})
+    right_schema = pa.schema([("k", pa.string()), ("y", pa.int64())])
+    buckets = bucketize(
+        _tagged(right, P, "k"), num_partitions=P, in_schema=right_schema
+    )
+    with pytest.raises(ValueError, match="P=4"):
+        hash_exchange(
+            [buckets],
+            lambda g: g,
+            num_partitions=8,
+            schema=right_schema,
+            in_schemas=[right_schema],
+        )
+
+
+def test_exchange_map_side_combiner(ray_session):
+    """``pre`` collapses duplicate rows inside the split task; the result
+    matches a plain distinct over the raw input."""
+    P = 4
+    df = pd.DataFrame({"k": ["a", "a", "a", "b", "b", "c"] * 10})
+    df = df.reset_index(drop=True)
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.group_by(["k", "_part"]).aggregate([])
+
+    out = hash_exchange(
+        [_tagged(df, P, "k")],
+        lambda g: g.drop_duplicates("k"),
+        num_partitions=P,
+        schema=pa.schema([("k", pa.string())]),
+        in_schemas=[pa.schema([("k", pa.string())])],
+        pre=[pre],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == ["a", "b", "c"]
 
 
 def test_exchange_determinism(ray_session):
