@@ -207,6 +207,41 @@ def _q_simhash_clusters(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Temporal operators over the events table (pipelines/events.py)
+# --------------------------------------------------------------------------
+
+
+def _q_windowed_agg(sf_dir: str):
+    from data_dedup_ray.pipelines import events
+
+    return events.windowed_agg(events.read_events(sf_dir))
+
+
+def _q_sessions(sf_dir: str):
+    from data_dedup_ray.pipelines import events
+
+    return events.sessionize(events.read_events(sf_dir))
+
+
+def _q_asof_join(sf_dir: str):
+    from data_dedup_ray.pipelines import events
+
+    return events.asof_join(events.read_events(sf_dir))
+
+
+def _q_range_counts(sf_dir: str):
+    from data_dedup_ray.pipelines import events
+
+    return events.range_counts(events.read_events(sf_dir))
+
+
+def _q_top_k_per_user(sf_dir: str):
+    from data_dedup_ray.pipelines import events
+
+    return events.top_k_per_user(events.read_events(sf_dir))
+
+
+# --------------------------------------------------------------------------
 # Text analysis + embedding similarity (training-data-pipeline operators)
 # --------------------------------------------------------------------------
 
@@ -285,6 +320,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_ignore_empty": _q_ignore_empty,
         "identity_collapse": _q_identity_collapse,
         "hardlink_groups": _q_hardlinks,
+        "events_windowed_agg": _q_windowed_agg,
+        "event_sessions": _q_sessions,
+        "events_asof_join": _q_asof_join,
+        "events_range_counts": _q_range_counts,
+        "events_top_k_per_user": _q_top_k_per_user,
     }
 
 
@@ -353,4 +393,9 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(url, chr(9) ORDER BY url) AS members"
             " FROM web_pages GROUP BY inode_id HAVING count(*) > 1"
         ),
+        "events_windowed_agg": oracles.windowed_agg_sql(3600),
+        "event_sessions": oracles.sessionize_sql(1800),
+        "events_asof_join": oracles.asof_join_sql("click", "view"),
+        "events_range_counts": oracles.range_counts_sql(3600),
+        "events_top_k_per_user": oracles.top_k_per_user_sql(3),
     }

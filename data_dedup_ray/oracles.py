@@ -181,6 +181,75 @@ def substring_dup_sql(min_tokens: int = 50) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Temporal operators over the events table (pipelines/events.py)
+# --------------------------------------------------------------------------
+
+#: exact int money, matching events.py _cents (np.rint(value*100))
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def windowed_agg_sql(window_s: int = 3600) -> str:
+    return (
+        f"SELECT user_id,"
+        f" CAST(floor(epoch(ts) / {window_s}) * {window_s} AS BIGINT)"
+        f" AS window_start,"
+        f" count(*) AS n_events,"
+        f" CAST(sum({_CENTS}) AS BIGINT) AS sum_value_cents"
+        f" FROM events GROUP BY 1, 2"
+    )
+
+
+def sessionize_sql(gap_s: int = 1800) -> str:
+    gap_us = gap_s * 1_000_000
+    return f"""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microseconds', lag(ts) OVER w, ts) > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM d)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       date_diff('microseconds', min(ts), max(ts)) AS duration_us
+FROM s GROUP BY user_id, session_idx"""
+
+
+def asof_join_sql(left_type: str = "click", right_type: str = "view") -> str:
+    return f"""
+SELECT c.event_id, v.event_id AS matched_event_id,
+       date_diff('microseconds', v.ts, c.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = '{left_type}') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = '{right_type}') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+
+def range_counts_sql(window_s: int = 3600) -> str:
+    return f"""
+SELECT e.event_id,
+       (SELECT count(*) FROM events e2
+        WHERE e2.user_id = e.user_id
+          AND e2.ts >= e.ts - INTERVAL {window_s} SECONDS
+          AND e2.ts < e.ts) AS n_prev
+FROM events e"""
+
+
+def top_k_per_user_sql(k: int = 3) -> str:
+    return f"""
+SELECT user_id, event_id, rnk, value_cents FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY {_CENTS} DESC, event_id) AS rnk,
+         {_CENTS} AS value_cents
+  FROM events)
+WHERE rnk <= {k}"""
+
+
 def cascade_counters_sql() -> str:
     """Reference counter semantics (Engine.pm:500-578) for the DEFAULT chain
     [size, prefix_hash(first 4096B), sha(full)] expressed via content
