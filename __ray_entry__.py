@@ -242,6 +242,37 @@ def _q_top_k_per_user(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Cross-snapshot corpus management (pipelines/snapshots.py)
+# --------------------------------------------------------------------------
+
+
+def _q_latest_by_url(sf_dir: str):
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.latest_by_url(
+        [web_pages(sf_dir), snapshots.snapshot2(sf_dir)]
+    )
+
+
+def _q_new_content(sf_dir: str):
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.new_content(snapshots.snapshot2(sf_dir), web_pages(sf_dir))
+
+
+def _q_sample_pages(sf_dir: str):
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.sample_pages(web_pages(sf_dir))
+
+
+def _q_domain_stats(sf_dir: str):
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.domain_stats(web_pages(sf_dir))
+
+
+# --------------------------------------------------------------------------
 # Text analysis + embedding similarity (training-data-pipeline operators)
 # --------------------------------------------------------------------------
 
@@ -320,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_ignore_empty": _q_ignore_empty,
         "identity_collapse": _q_identity_collapse,
         "hardlink_groups": _q_hardlinks,
+        "latest_by_url": _q_latest_by_url,
+        "new_content": _q_new_content,
+        "sample_pages": _q_sample_pages,
+        "domain_stats": _q_domain_stats,
         "events_windowed_agg": _q_windowed_agg,
         "event_sessions": _q_sessions,
         "events_asof_join": _q_asof_join,
@@ -330,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
+    from data_dedup_ray.pipelines import snapshots as _snap
 
     return {
         # doc_fingerprints / ann_lsh_topk intentionally omitted (64-bit
@@ -393,6 +429,10 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(url, chr(9) ORDER BY url) AS members"
             " FROM web_pages GROUP BY inode_id HAVING count(*) > 1"
         ),
+        "latest_by_url": _snap.latest_by_url_sql(),
+        "new_content": _snap.new_content_sql(),
+        "sample_pages": _snap.sample_pages_sql(),
+        "domain_stats": _snap.domain_stats_sql(),
         "events_windowed_agg": oracles.windowed_agg_sql(3600),
         "event_sessions": oracles.sessionize_sql(1800),
         "events_asof_join": oracles.asof_join_sql("click", "view"),

@@ -1,0 +1,383 @@
+"""Cross-snapshot corpus management — the operations a recurring crawl needs.
+
+The reference deduplicates one static directory tree per run
+(/root/reference/lib/Data/Dedup/Files.pm:215-240, multi-scan accumulation
+Files.pm:24-44).  A web-scale corpus is instead a SEQUENCE of snapshots:
+each re-crawl revisits urls, most pages are unchanged, and the pipeline
+must (a) collapse revisits to the latest capture, (b) find which new
+pages carry genuinely new content vs the existing index, (c) sample
+deterministically for eval sets, and (d) roll quality stats up by
+domain.  These four operators fill that gap (SURVEY.md §2.6 lists
+joins/set-ops/sampling as absent from the reference).
+
+Scale notes
+-----------
+- ``latest_by_url`` / ``new_content`` each do ONE ``hash_exchange``
+  (sortless bucketing, engine/exchange.py) keyed on hash(url) /
+  content-sha respectively; both carry only (key, small ints) through
+  the shuffle — never ``text``/``html`` (SURVEY.md §7.4: project wide
+  binary away before any shuffle).
+- ``latest_by_url`` is algebraic: the map-side ``pre`` combiner keeps
+  one row per url per split group, so shuffle volume is O(distinct
+  urls in the group), not O(captures).
+- ``new_content`` co-partitions BOTH sides by content hash — at 100 TB
+  the "existing index" side is itself huge, so a broadcast build is
+  impossible; co-partitioning keeps each anti-join probe local.  The
+  sha prefix is uniform, so bucket skew cannot occur even when one
+  text value repeats (dup keys still land together but the per-bucket
+  fn is a set lookup, O(rows)).
+- ``sample_pages`` and ``domain_stats`` are embarrassingly parallel
+  map-side ops; domain rollup pre-aggregates per batch so the final
+  exchange moves one row per (domain, lang) per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import (
+    BASE_TS,
+    HTML_PRE_A,
+    HTML_PRE_B,
+    HTML_POST,
+    WEB_PAGES_CTE,
+    web_pages,
+)
+from data_dedup_ray.engine.exchange import hash_exchange
+
+RECRAWL_SUFFIX = " updated rev2"
+
+
+# --------------------------------------------------------------------------
+# Snapshot 2: a deterministic re-crawl of part of the corpus
+# --------------------------------------------------------------------------
+
+
+def _derive2(batch: pd.DataFrame) -> pd.DataFrame:
+    doc_id = batch["doc_id"]
+    sub = batch.loc[(doc_id % 3) == 0]
+    ids = sub["doc_id"]
+    changed = (ids % 6) != 0
+    text = sub["text"].where(~changed, sub["text"] + RECRAWL_SUFFIX)
+    url = (
+        "https://site" + (ids % 20).astype(str) + ".example/p/" + ids.astype(str)
+    )
+    ts = (
+        pd.Timestamp(BASE_TS)
+        + pd.to_timedelta(ids, unit="m")
+        + pd.Timedelta(days=30)
+    ).astype("datetime64[us]")
+    html = (
+        (HTML_PRE_A + ids.astype(str) + HTML_PRE_B + text + HTML_POST)
+        .str.encode("utf-8")
+    )
+    return pd.DataFrame(
+        {
+            "url": url,
+            "warc_ts": ts,
+            "html": html,
+            "text": text,
+            "lang": sub["lang"],
+            "inode_id": ids.astype("int64"),
+        }
+    )
+
+
+def snapshot2(sf_dir: str) -> ray.data.Dataset:
+    """The month-later re-crawl: every ``doc_id % 3 == 0`` base url is
+    revisited; captures with ``doc_id % 6 == 0`` are byte-identical to
+    snapshot 1, the rest gained a trailing edit."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(_derive2, batch_format="pandas")
+
+
+#: DuckDB twin of ``snapshot2`` (same shape as corpus.WEB_PAGES_CTE).
+SNAPSHOT2_CTE = (
+    "snapshot2 AS (\n"
+    "  SELECT 'https://site' || (doc_id % 20) || '.example/p/' || doc_id AS url,\n"
+    f"         TIMESTAMP '{BASE_TS}' + doc_id * INTERVAL 1 MINUTE"
+    " + INTERVAL 30 DAY AS warc_ts,\n"
+    f"         encode('{HTML_PRE_A}' || doc_id || '{HTML_PRE_B}' || "
+    "CASE WHEN doc_id % 6 = 0 THEN text ELSE text || "
+    f"'{RECRAWL_SUFFIX}' END || '{HTML_POST}') AS html,\n"
+    "         CASE WHEN doc_id % 6 = 0 THEN text ELSE text || "
+    f"'{RECRAWL_SUFFIX}' END AS text,\n"
+    "         lang, CAST(doc_id AS BIGINT) AS inode_id\n"
+    "  FROM documents WHERE doc_id % 3 = 0\n"
+    ")"
+)
+
+
+def snapshots_sql(select: str) -> str:
+    """Wrap a SELECT over ``web_pages`` + ``snapshot2`` with both CTEs."""
+    return f"WITH {WEB_PAGES_CTE},\n{SNAPSHOT2_CTE}\n{select}"
+
+
+# --------------------------------------------------------------------------
+# Latest capture per url across snapshots
+# --------------------------------------------------------------------------
+
+
+def _url_part(urls: np.ndarray, P: int) -> np.ndarray:
+    return (pd.util.hash_array(urls) % np.uint64(P)).astype(np.int64)
+
+
+def latest_by_url(
+    snapshots: list[ray.data.Dataset],
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Collapse all captures of a url to the newest one.
+
+    ``(url, warc_ts_us, text_len)`` — arg-max by capture time (ties →
+    longer text; fully deterministic under any partitioning).  The union
+    of snapshots never co-locates by url on its own, so this is one
+    exchange keyed on hash(url); the ``pre`` combiner already keeps only
+    one row per url per split group.
+    """
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "warc_ts_us": t["warc_ts"].combine_chunks().cast(pa.int64()),
+            "text_len": pa.compute.utf8_length(t["text"]).cast(pa.int64()),
+            "_part": pa.array(_url_part(urls, P)),
+        })
+
+    def _keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["url", "warc_ts_us", "text_len"],
+            ascending=[True, False, False], kind="stable",
+        )
+        return df.groupby("url", sort=False).head(1)
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            _keep_latest(t.to_pandas()), preserve_index=False
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _keep_latest(df)[["url", "warc_ts_us", "text_len"]]
+
+    part_schema = pa.schema([
+        ("url", pa.string()), ("warc_ts_us", pa.int64()),
+        ("text_len", pa.int64()),
+    ])
+    prepped = [
+        ds.map_batches(prep, batch_format="pyarrow") for ds in snapshots
+    ]
+    return hash_exchange(
+        prepped,
+        lambda *dfs: final(pd.concat(dfs, ignore_index=True)),
+        num_partitions=P,
+        schema=part_schema,
+        in_schemas=[part_schema] * len(prepped),
+        pre=[combine] * len(prepped),
+    )
+
+
+def latest_by_url_sql() -> str:
+    return snapshots_sql(
+        "SELECT url, epoch_us(warc_ts) AS warc_ts_us,"
+        " CAST(length(text) AS BIGINT) AS text_len FROM ("
+        "  SELECT url, warc_ts, text, row_number() OVER ("
+        "    PARTITION BY url ORDER BY warc_ts DESC, length(text) DESC"
+        "  ) AS rn FROM ("
+        "    SELECT url, warc_ts, text FROM web_pages"
+        "    UNION ALL SELECT url, warc_ts, text FROM snapshot2))"
+        " WHERE rn = 1"
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: which re-crawled pages carry NEW content?
+# --------------------------------------------------------------------------
+
+
+def _sha_prep(P: int, keep_url: bool):
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        shas = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in texts]
+        part = [int(s[:8], 16) % P for s in shas]
+        cols = {"sha": pa.array(shas, pa.string())}
+        if keep_url:
+            cols["url"] = t["url"].combine_chunks()
+            cols["text_len"] = pa.compute.utf8_length(t["text"]).cast(pa.int64())
+        cols["_part"] = pa.array(part, pa.int64())
+        return pa.table(cols)
+    return fn
+
+
+def _distinct_sha(t: pa.Table) -> pa.Table:
+    return t.group_by(["sha", "_part"]).aggregate([])
+
+
+def new_content(
+    new_ds: ray.data.Dataset,
+    index_ds: ray.data.Dataset,
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Anti-join by full-content SHA-256: pages of ``new_ds`` whose exact
+    content does NOT already exist anywhere in ``index_ds``.
+
+    ``(url, text_len)``.  Both sides co-partition on the sha prefix in
+    one two-input exchange; the index side ships only distinct hashes
+    (``pre`` combiner), never content.  This is the "dedup the new crawl
+    against the existing corpus" primitive — the incremental counterpart
+    of the reference's whole-directory rescan (Files.pm:24-44 accumulates
+    scans but re-hashes everything; here the index side is hashes only).
+    """
+    P = num_partitions
+
+    def anti(new_df: pd.DataFrame, idx_df: pd.DataFrame) -> pd.DataFrame:
+        keep = ~new_df["sha"].isin(set(idx_df["sha"]))
+        out = new_df.loc[keep, ["url", "text_len"]]
+        return out.reset_index(drop=True)
+
+    new_schema = pa.schema([
+        ("sha", pa.string()), ("url", pa.string()), ("text_len", pa.int64()),
+    ])
+    idx_schema = pa.schema([("sha", pa.string())])
+    return hash_exchange(
+        [
+            new_ds.map_batches(_sha_prep(P, True), batch_format="pyarrow"),
+            index_ds.map_batches(_sha_prep(P, False), batch_format="pyarrow"),
+        ],
+        anti,
+        num_partitions=P,
+        schema=pa.schema([("url", pa.string()), ("text_len", pa.int64())]),
+        in_schemas=[new_schema, idx_schema],
+        pre=[None, _distinct_sha],
+    )
+
+
+def new_content_sql() -> str:
+    return snapshots_sql(
+        "SELECT s2.url, CAST(length(s2.text) AS BIGINT) AS text_len"
+        " FROM snapshot2 s2 WHERE NOT EXISTS ("
+        "  SELECT 1 FROM web_pages w WHERE w.text = s2.text)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling
+# --------------------------------------------------------------------------
+
+
+def sample_pages(
+    ds: ray.data.Dataset,
+    *,
+    threshold: str = "4",
+) -> ray.data.Dataset:
+    """Keep pages whose ``md5(url)`` hex digest sorts below ``threshold``
+    — a content-independent, seed-free sample that is STABLE across runs,
+    partitionings, and snapshot versions (the same url is always in or
+    always out; ``threshold='4'`` ≈ 25%).  ``ds.random_sample`` cannot
+    give that stability.  ``(url, lang, text_len)``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        keep = pa.array(
+            [hashlib.md5(u.encode("utf-8")).hexdigest() < threshold
+             for u in urls],
+            pa.bool_(),
+        )
+        t = t.filter(keep)
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "lang": t["lang"].combine_chunks(),
+            "text_len": pa.compute.utf8_length(t["text"]).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_pages_sql(threshold: str = "4") -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(
+        "SELECT url, lang, CAST(length(text) AS BIGINT) AS text_len"
+        f" FROM web_pages WHERE md5(url) < '{threshold}'"
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-domain rollup
+# --------------------------------------------------------------------------
+
+
+def domain_stats(
+    ds: ray.data.Dataset,
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Crawl health by site: ``(domain, n_pages, total_text_chars,
+    n_langs)``.  Partial-aggregates per batch to (domain, lang) rows, so
+    the exchange moves O(domains × langs), not O(pages) — the
+    pre-aggregate-before-groupby rule (SURVEY.md §4)."""
+    P = num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        dom = pa.array([u.split("//", 1)[1].split("/", 1)[0] for u in urls])
+        tl = pa.compute.utf8_length(t["text"]).cast(pa.int64())
+        g = pa.table({
+            "domain": dom, "lang": t["lang"].combine_chunks(), "chars": tl,
+        }).group_by(["domain", "lang"]).aggregate(
+            [("chars", "sum"), ("chars", "count")]
+        ).rename_columns(["domain", "lang", "chars", "n"])
+        part = pa.array(
+            (pd.util.hash_array(np.asarray(g["domain"].to_pylist(),
+                                           dtype=object))
+             % np.uint64(P)).astype(np.int64)
+        )
+        return g.append_column("_part", part)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("domain", sort=False)
+            .agg(
+                n_pages=("n", "sum"),
+                total_text_chars=("chars", "sum"),
+                n_langs=("lang", "nunique"),
+            )
+            .reset_index()
+        )
+        return out[["domain", "n_pages", "total_text_chars", "n_langs"]]
+
+    prepped = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(
+        [prepped],
+        final,
+        num_partitions=P,
+        schema=pa.schema([
+            ("domain", pa.string()), ("n_pages", pa.int64()),
+            ("total_text_chars", pa.int64()), ("n_langs", pa.int64()),
+        ]),
+        in_schemas=[pa.schema([
+            ("domain", pa.string()), ("lang", pa.string()),
+            ("chars", pa.int64()), ("n", pa.int64()),
+        ])],
+    )
+
+
+def domain_stats_sql() -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(
+        "SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,"
+        " count(*) AS n_pages,"
+        " CAST(sum(length(text)) AS BIGINT) AS total_text_chars,"
+        " count(DISTINCT lang) AS n_langs"
+        " FROM web_pages GROUP BY 1"
+    )
