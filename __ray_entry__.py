@@ -272,6 +272,18 @@ def _q_domain_stats(sf_dir: str):
     return snapshots.domain_stats(web_pages(sf_dir))
 
 
+def _q_filter_blocked(sf_dir: str):
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.filter_blocked_domains(web_pages(sf_dir))
+
+
+def _q_top_terms(sf_dir: str):
+    from data_dedup_ray.pipelines import text
+
+    return text.top_terms(sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Text analysis + embedding similarity (training-data-pipeline operators)
 # --------------------------------------------------------------------------
@@ -355,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_content": _q_new_content,
         "sample_pages": _q_sample_pages,
         "domain_stats": _q_domain_stats,
+        "filter_blocked_domains": _q_filter_blocked,
+        "top_terms": _q_top_terms,
         "events_windowed_agg": _q_windowed_agg,
         "event_sessions": _q_sessions,
         "events_asof_join": _q_asof_join,
@@ -366,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
     from data_dedup_ray.pipelines import snapshots as _snap
+    from data_dedup_ray.pipelines import text as _text
 
     return {
         # doc_fingerprints / ann_lsh_topk intentionally omitted (64-bit
@@ -433,6 +448,8 @@ def oracle_sql() -> dict[str, str]:
         "new_content": _snap.new_content_sql(),
         "sample_pages": _snap.sample_pages_sql(),
         "domain_stats": _snap.domain_stats_sql(),
+        "filter_blocked_domains": _snap.filter_blocked_domains_sql(),
+        "top_terms": _text.top_terms_sql(),
         "events_windowed_agg": oracles.windowed_agg_sql(3600),
         "event_sessions": oracles.sessionize_sql(1800),
         "events_asof_join": oracles.asof_join_sql("click", "view"),

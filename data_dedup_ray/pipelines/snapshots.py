@@ -312,6 +312,71 @@ def sample_pages_sql(threshold: str = "4") -> str:
 
 
 # --------------------------------------------------------------------------
+# Broadcast blocklist filter
+# --------------------------------------------------------------------------
+
+#: demo blocklist for the driver query (oracle pins the same values)
+DEFAULT_BLOCKED = ("mirror.example", "site3.example", "site7.example")
+
+
+class _DomainFilter:
+    """Blocklist held once per worker via a broadcast ``ObjectRef`` —
+    the small-side-lookup pattern (``ray.put`` once, ``ray.get`` in the
+    per-worker constructor), NOT a shuffle join and NOT a per-batch
+    closure re-ship: a real crawl blocklist is millions of domains."""
+
+    def __init__(self, blocked_ref):
+        import ray
+
+        blocked = (
+            ray.get(blocked_ref)
+            if isinstance(blocked_ref, ray.ObjectRef) else blocked_ref
+        )
+        self.blocked = frozenset(blocked)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        keep = pa.array(
+            [u.split("//", 1)[1].split("/", 1)[0] not in self.blocked
+             for u in urls],
+            pa.bool_(),
+        )
+        t = t.filter(keep)
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "lang": t["lang"].combine_chunks(),
+            "text_len": pa.compute.utf8_length(t["text"]).cast(pa.int64()),
+        })
+
+
+def filter_blocked_domains(
+    ds: ray.data.Dataset,
+    blocked=DEFAULT_BLOCKED,
+) -> ray.data.Dataset:
+    """Drop pages whose url host is on the blocklist.
+    ``(url, lang, text_len)`` of the surviving pages."""
+    import ray
+
+    ref = ray.put(sorted(set(blocked)))
+    from data_dedup_ray.util import stage_task
+
+    return ds.map_batches(
+        stage_task(_DomainFilter, blocked_ref=ref), batch_format="pyarrow"
+    )
+
+
+def filter_blocked_domains_sql(blocked=DEFAULT_BLOCKED) -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+
+    quoted = ", ".join(f"'{d}'" for d in sorted(set(blocked)))
+    return web_pages_sql(
+        "SELECT url, lang, CAST(length(text) AS BIGINT) AS text_len"
+        " FROM web_pages"
+        f" WHERE split_part(split_part(url, '//', 2), '/', 1) NOT IN ({quoted})"
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-domain rollup
 # --------------------------------------------------------------------------
 

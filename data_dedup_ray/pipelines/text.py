@@ -88,3 +88,84 @@ def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
             Sum(on="total_tokens", alias_name="total_tokens"),
         )
     )
+
+
+def top_terms(sf_dir: str, *, k: int = 100,
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """Vocabulary building: the ``k`` terms with highest document
+    frequency.  ``(term, df)``, ties → lexicographically-first term.
+
+    Scale shape: per-batch partial DF counts (one row per distinct term
+    per batch — the combiner bounds shuffle volume by vocabulary size,
+    not token count), a hash exchange on the term so each term's total
+    lands whole in one partition, then a global sort+limit over the
+    already-tiny (≤ vocab) aggregate.  Stop-word-like heavy hitters are
+    exactly the terms the per-batch combiner compresses hardest, so the
+    classic word-count skew never reaches the shuffle.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from data_dedup_ray.engine.exchange import hash_exchange
+
+    P = num_partitions
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(textstats.TOKEN_RE.findall(s.lower())))
+        if not c:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64()),
+            })
+        terms = np.asarray(list(c.keys()), dtype=object)
+        part = (pd.util.hash_array(terms) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(np.fromiter(c.values(), np.int64, len(c))),
+            "_part": pa.array(part),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["term", "_part"]).aggregate([("df", "sum")])
+            .rename_columns(["term", "_part", "df"])
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("term", sort=False, as_index=False)["df"].sum()
+            .sort_values(["df", "term"], ascending=[False, True],
+                         kind="stable")
+            .head(k)  # exact: each term's full count is in this partition
+        )
+        return out[["term", "df"]]
+
+    part_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    cands = hash_exchange(
+        [docs.map_batches(partial, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=part_schema,
+        in_schemas=[part_schema],
+        pre=[combine],
+    )
+    return cands.sort(["df", "term"], descending=[True, False]).limit(k)
+
+
+def top_terms_sql(k: int = 100) -> str:
+    return (
+        "SELECT term, count(*) AS df FROM ("
+        "  SELECT DISTINCT doc_id, term FROM ("
+        "    SELECT doc_id,"
+        "     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term"
+        "    FROM documents))"
+        " GROUP BY term ORDER BY df DESC, term LIMIT " + str(k)
+    )

@@ -128,3 +128,23 @@ def test_latest_by_url_tiebreak():
     )
     assert out["u1"] == len("the longer capture")
     assert out["u2"] == 2
+
+
+def test_filter_blocked_domains_oracle(sf_dir, con):
+    got = snapshots.filter_blocked_domains(web_pages(sf_dir))
+    _cmp(got, con.execute(snapshots.filter_blocked_domains_sql()).fetchdf(),
+         ["url"])
+
+
+def test_filter_blocked_domains_drops_only_blocked(sf_dir):
+    kept = snapshots.filter_blocked_domains(
+        web_pages(sf_dir), blocked=("mirror.example",)
+    ).to_pandas()
+    hosts = kept["url"].str.split("//").str[1].str.split("/").str[0]
+    assert "mirror.example" not in set(hosts)
+    n_all = web_pages(sf_dir).count()
+    n_mirror = int(
+        web_pages(sf_dir).to_pandas()["url"]
+        .str.startswith("https://mirror.example/").sum()
+    )
+    assert len(kept) == n_all - n_mirror

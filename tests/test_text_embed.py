@@ -111,3 +111,21 @@ def test_ann_ivf_recall_vs_exact(ray_session, sf_dir):
     # determinism
     again = ann_ivf_topk(emb, k=5, n_queries=10, nlist=16, nprobe=8)
     assert approx.equals(again)
+
+
+def test_top_terms_oracle(sf_dir, con):
+    from data_dedup_ray.pipelines import text as text_pipe
+
+    got = text_pipe.top_terms(sf_dir, k=50).to_pandas()
+    want = con.execute(text_pipe.top_terms_sql(50)).fetchdf()
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["df"]) == list(want["df"])
+
+
+def test_top_terms_partition_invariance(sf_dir, con):
+    from data_dedup_ray.pipelines import text as text_pipe
+
+    got = text_pipe.top_terms(sf_dir, k=20, num_partitions=3).to_pandas()
+    want = con.execute(text_pipe.top_terms_sql(20)).fetchdf()
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["df"]) == list(want["df"])
