@@ -285,6 +285,47 @@ def _q_top_terms(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Corpus-cleaning operators (pipelines/clean.py)
+# --------------------------------------------------------------------------
+
+
+def _q_pii_scrub(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.pii_scrub(sf_dir)
+
+
+def _q_repetition_stats(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.repetition_stats(sf_dir)
+
+
+def _q_boilerplate_terms(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.boilerplate_terms(sf_dir)
+
+
+def _q_remove_boilerplate(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.remove_boilerplate(sf_dir)
+
+
+def _q_decontaminate(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.decontaminate(sf_dir)
+
+
+def _q_near_dup_keep_first(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.near_dup_keep_first(sf_dir)
+
+
+# --------------------------------------------------------------------------
 # Text analysis + embedding similarity (training-data-pipeline operators)
 # --------------------------------------------------------------------------
 
@@ -374,11 +415,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_asof_join,
         "events_range_counts": _q_range_counts,
         "events_top_k_per_user": _q_top_k_per_user,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "boilerplate_terms": _q_boilerplate_terms,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "decontaminate": _q_decontaminate,
+        "near_dup_keep_first": _q_near_dup_keep_first,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
+    from data_dedup_ray.pipelines import clean as _clean
     from data_dedup_ray.pipelines import snapshots as _snap
     from data_dedup_ray.pipelines import text as _text
 
@@ -450,6 +498,12 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _snap.domain_stats_sql(),
         "filter_blocked_domains": _snap.filter_blocked_domains_sql(),
         "top_terms": _text.top_terms_sql(),
+        "pii_scrub": _clean.pii_scrub_sql(),
+        "repetition_stats": _clean.repetition_stats_sql(),
+        "boilerplate_terms": _clean.boilerplate_terms_sql(),
+        "remove_boilerplate": _clean.remove_boilerplate_sql(),
+        "decontaminate": _clean.decontaminate_sql(),
+        "near_dup_keep_first": _clean.near_dup_keep_first_sql(),
         "events_windowed_agg": oracles.windowed_agg_sql(3600),
         "event_sessions": oracles.sessionize_sql(1800),
         "events_asof_join": oracles.asof_join_sql("click", "view"),

@@ -1,0 +1,459 @@
+"""Corpus-cleaning operators — the filters a training-data pipeline runs
+between crawling and training.
+
+The reference deduplicates opaque bytes and never inspects content
+(/root/reference/lib/Data/Dedup/Engine.pm:133-136; SURVEY.md §2.6 lists
+string functions as absent).  A 100 TB web corpus additionally needs the
+standard cleaning passes (C4 / Gopher style): PII redaction, repetition
+filters, corpus-frequency boilerplate removal, eval-benchmark
+decontamination, and the final keep-one-per-near-dup-cluster projection.
+Each operator here has a DuckDB SQL twin so the driver value-hash-checks
+it end to end.
+
+Scale shapes
+------------
+- ``pii_scrub`` / ``repetition_stats``: embarrassingly parallel
+  ``map_batches`` kernels; regexes compiled once per worker
+  (util.stage_task — build-once-per-process without actor-spawn cost).
+- ``boilerplate_terms``: per-batch partial document-frequency counts (one
+  row per distinct term per batch — shuffle volume is bounded by
+  vocabulary, not token count) through one sortless ``hash_exchange``;
+  the ≥-half-the-corpus threshold is applied INSIDE the owning partition
+  (each term's total lands whole there), so only boilerplate terms leave
+  the exchange.
+- ``remove_boilerplate`` / ``decontaminate``: broadcast small-side
+  lookup — ``ray.put`` the term set / benchmark n-gram set once, fetch
+  once per worker in the stage constructor; never a shuffle join, never
+  a per-batch closure re-ship.  At real scale the benchmark side is an
+  eval suite (thousands of docs → millions of n-grams): ship 64-bit
+  gram hashes or a Bloom filter instead of strings; exact strings here
+  keep the oracle airtight at test scale.
+- ``near_dup_keep_first``: a filter over the already-computed near-dup
+  cluster assignment (pipelines/near.py) — no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.stages.textstats import TOKEN_RE
+from data_dedup_ray.util import stage_task
+
+# --------------------------------------------------------------------------
+# PII scrub (planted deterministically — the synthetic docs carry no PII)
+# --------------------------------------------------------------------------
+
+PII_EVERY = 5
+
+#: RE2-compatible (no backrefs/lookaround) so Python ``re`` and DuckDB
+#: agree match-for-match.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IP_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _plant_pii(batch: pd.DataFrame) -> pd.DataFrame:
+    """Append a deterministic contact line (email + IPv4) to every
+    ``doc_id % PII_EVERY == 0`` document."""
+    d = batch["doc_id"]
+    suffix = (
+        " contact user" + d.astype(str) + "@mail.example from host 10."
+        + (d % 250).astype(str) + "." + (d % 199).astype(str)
+        + "." + (d % 97).astype(str)
+    )
+    out = batch.copy()
+    out["text"] = out["text"].where((d % PII_EVERY) != 0, out["text"] + suffix)
+    return out
+
+
+#: SQL twin of ``_plant_pii`` over the ``documents`` view.
+PII_PAGES_CTE = (
+    "pii_pages AS (SELECT doc_id, CASE WHEN doc_id % " + str(PII_EVERY)
+    + " = 0 THEN text || ' contact user' || doc_id ||"
+    " '@mail.example from host 10.' || (doc_id % 250) || '.' ||"
+    " (doc_id % 199) || '.' || (doc_id % 97) ELSE text END AS text"
+    " FROM documents)"
+)
+
+
+class _PiiScrub:
+    """Redact emails then IPv4s; patterns compiled once per worker."""
+
+    def __init__(self):
+        self.email = re.compile(EMAIL_PATTERN)
+        self.ip = re.compile(IP_PATTERN)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        clean = []
+        nred = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            s1, n1 = self.email.subn("<EMAIL>", s)
+            s2, n2 = self.ip.subn("<IP>", s1)
+            clean.append(s2)
+            nred[i] = n1 + n2
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_redactions": pa.array(nred),
+        })
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """Redacted corpus: ``(doc_id, clean_text, n_redactions)``."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    planted = docs.map_batches(_plant_pii, batch_format="pandas")
+    return planted.map_batches(stage_task(_PiiScrub), batch_format="pyarrow")
+
+
+def pii_scrub_sql() -> str:
+    email = EMAIL_PATTERN.replace("'", "''")
+    ip = IP_PATTERN.replace("'", "''")
+    return f"""
+WITH {PII_PAGES_CTE},
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{email}')) AS n_email,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM pii_pages)
+SELECT doc_id, regexp_replace(t1, '{ip}', '<IP>', 'g') AS clean_text,
+       CAST(n_email + len(regexp_extract_all(t1, '{ip}')) AS BIGINT)
+         AS n_redactions
+FROM s1"""
+
+
+# --------------------------------------------------------------------------
+# Repetition / diversity quality signals (Gopher-style filters)
+# --------------------------------------------------------------------------
+
+#: keep docs whose most frequent token is < 15% of all tokens
+TOP_TOKEN_KEEP_BP = 1500
+
+
+def _repetition_kernel(t: pa.Table) -> pa.Table:
+    from collections import Counter
+
+    texts = t["text"].to_pylist()
+    n = len(texts)
+    n_tok = np.zeros(n, np.int64)
+    n_dis = np.zeros(n, np.int64)
+    top = np.zeros(n, np.int64)
+    n_bg = np.zeros(n, np.int64)
+    n_dbg = np.zeros(n, np.int64)
+    for i, s in enumerate(texts):
+        toks = TOKEN_RE.findall(s.lower())
+        c = Counter(toks)
+        n_tok[i] = len(toks)
+        n_dis[i] = len(c)
+        top[i] = max(c.values()) if c else 0
+        if len(toks) >= 2:
+            bgs = [toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)]
+            n_bg[i] = len(bgs)
+            n_dbg[i] = len(set(bgs))
+    dt = np.maximum(n_tok, 1)
+    db = np.maximum(n_bg, 1)
+    ttr = n_dis * 10000 // dt
+    topf = top * 10000 // dt
+    dupb = (n_bg - n_dbg) * 10000 // db
+    return pa.table({
+        "doc_id": t["doc_id"].combine_chunks(),
+        "n_tokens": pa.array(n_tok),
+        "n_distinct_tokens": pa.array(n_dis),
+        "top_token_count": pa.array(top),
+        "ttr_bp": pa.array(ttr),
+        "top_token_frac_bp": pa.array(topf),
+        "dup_bigram_frac_bp": pa.array(dupb),
+        "keep": pa.array(topf < TOP_TOKEN_KEEP_BP),
+    })
+
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc repetition signals: type-token ratio, most-frequent-token
+    fraction, duplicate-bigram fraction (integer basis points) + ``keep``."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(_repetition_kernel, batch_format="pyarrow")
+
+
+def repetition_stats_sql() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM s) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_count, count(*) AS n_distinct
+        FROM c GROUP BY doc_id),
+bg AS (SELECT doc_id, count(*) AS n_bigrams,
+              count(DISTINCT t[i] || ' ' || t[i+1]) AS n_distinct_bigrams
+       FROM s, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+       GROUP BY doc_id)
+SELECT s.doc_id, len(t) AS n_tokens,
+       coalesce(top.n_distinct, 0) AS n_distinct_tokens,
+       coalesce(top.top_count, 0) AS top_token_count,
+       coalesce(top.n_distinct, 0) * 10000 // greatest(len(t), 1) AS ttr_bp,
+       coalesce(top.top_count, 0) * 10000 // greatest(len(t), 1)
+         AS top_token_frac_bp,
+       (coalesce(bg.n_bigrams, 0) - coalesce(bg.n_distinct_bigrams, 0))
+         * 10000 // greatest(coalesce(bg.n_bigrams, 0), 1)
+         AS dup_bigram_frac_bp,
+       coalesce(top.top_count, 0) * 10000 // greatest(len(t), 1)
+         < {TOP_TOKEN_KEEP_BP} AS keep
+FROM s LEFT JOIN top USING (doc_id) LEFT JOIN bg USING (doc_id)"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-frequency boilerplate: terms in ≥ half of all docs, and their
+# removal from every document
+# --------------------------------------------------------------------------
+
+
+def boilerplate_terms(sf_dir: str, *,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Terms whose document frequency is ≥ half the corpus: ``(term, df)``.
+
+    Same DF-combiner shape as text.top_terms; the threshold filter runs
+    inside the term's owning partition (exact — the full count is local),
+    so the exchange emits only the boilerplate rows.
+    """
+    P = num_partitions
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    n_docs = docs.count()  # parquet metadata read — no scan
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(TOKEN_RE.findall(s.lower())))
+        terms = np.asarray(list(c.keys()), dtype=object)
+        part = (
+            (pd.util.hash_array(terms) % np.uint64(P)).astype(np.int64)
+            if len(terms) else np.zeros(0, np.int64)
+        )
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(np.fromiter(c.values(), np.int64, len(c))),
+            "_part": pa.array(part),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["term", "_part"]).aggregate([("df", "sum")])
+            .rename_columns(["term", "_part", "df"])
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", sort=False, as_index=False)["df"].sum()
+        return out.loc[2 * out["df"] >= n_docs, ["term", "df"]]
+
+    part_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    return hash_exchange(
+        [docs.map_batches(partial, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=part_schema,
+        in_schemas=[part_schema],
+        pre=[combine],
+    )
+
+
+def boilerplate_terms_sql() -> str:
+    return """
+WITH u AS (SELECT DISTINCT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents)
+SELECT term, count(*) AS df FROM u GROUP BY term
+HAVING 2 * count(*) >= (SELECT count(*) FROM documents)"""
+
+
+class _TokenBlocklist:
+    """Drop blocklisted tokens from each doc's token stream; the set is a
+    broadcast ObjectRef fetched once per worker."""
+
+    def __init__(self, blocked_ref):
+        import ray
+
+        blocked = (
+            ray.get(blocked_ref)
+            if isinstance(blocked_ref, ray.ObjectRef) else blocked_ref
+        )
+        self.blocked = frozenset(blocked)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        clean = []
+        nrem = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            toks = TOKEN_RE.findall(s.lower())
+            kept = [w for w in toks if w not in self.blocked]
+            clean.append(" ".join(kept))
+            nrem[i] = len(toks) - len(kept)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_removed": pa.array(nrem),
+        })
+
+
+def remove_boilerplate(sf_dir: str, *,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """Each doc's token stream minus the corpus-boilerplate terms:
+    ``(doc_id, clean_text, n_removed)``.
+
+    Two phases: the DF exchange above (small output — bounded by
+    vocabulary), driver-collected and re-broadcast via ``ray.put``; then
+    one embarrassingly-parallel filter pass over the corpus.
+    """
+    import ray
+
+    bl = boilerplate_terms(sf_dir, num_partitions=num_partitions)
+    terms = sorted(r["term"] for r in bl.take_all())  # ≤ vocabulary size
+    ref = ray.put(terms)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        stage_task(_TokenBlocklist, blocked_ref=ref), batch_format="pyarrow"
+    )
+
+
+def remove_boilerplate_sql() -> str:
+    return """
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+u AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM s),
+dfreq AS (SELECT tok, count(*) AS df FROM u GROUP BY tok),
+bl AS (SELECT tok FROM dfreq
+       WHERE 2 * df >= (SELECT count(*) FROM documents)),
+ex AS (SELECT doc_id, i, t[i] AS tok
+       FROM s, UNNEST(generate_series(1, len(t))) AS g(i)),
+k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             count(*) AS n
+      FROM ex WHERE tok NOT IN (SELECT tok FROM bl) GROUP BY doc_id)
+SELECT s.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       CAST(len(s.t) - coalesce(k.n, 0) AS BIGINT) AS n_removed
+FROM s LEFT JOIN k USING (doc_id)"""
+
+
+# --------------------------------------------------------------------------
+# Eval-benchmark decontamination (n-gram overlap vs a broadcast set)
+# --------------------------------------------------------------------------
+
+DECON_NGRAM = 8
+BENCH_MOD = 50  # docs with doc_id % BENCH_MOD == 0 form the "benchmark"
+
+
+def _gram_set(s: str, n: int) -> set[str]:
+    toks = TOKEN_RE.findall(s.lower())
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+class _ContaminationProbe:
+    def __init__(self, bench_ref, n: int):
+        import ray
+
+        bench = (
+            ray.get(bench_ref)
+            if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        )
+        self.bench = frozenset(bench)
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        hits = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            hits[i] = len(_gram_set(s, self.n) & self.bench)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+
+def decontaminate(sf_dir: str, *, n: int = DECON_NGRAM,
+                  bench_mod: int = BENCH_MOD) -> ray.data.Dataset:
+    """Flag corpus docs sharing any ``n``-gram with the benchmark set
+    (docs with ``doc_id % bench_mod == 0``): ``(doc_id, n_hits,
+    contaminated)``.  ``n_hits`` counts the doc's DISTINCT contaminated
+    n-grams; benchmark members flag themselves — exactly the docs a
+    training run must drop.
+    """
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out: set[str] = set()
+        for s, d in zip(t["text"].to_pylist(), ids):
+            if d % bench_mod == 0:
+                out |= _gram_set(s, n)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    grams = docs.map_batches(bench_grams, batch_format="pyarrow")
+    bench = frozenset(r["gram"] for r in grams.take_all())
+    ref = ray.put(sorted(bench))
+    return docs.map_batches(
+        stage_task(_ContaminationProbe, bench_ref=ref, n=n),
+        batch_format="pyarrow",
+    )
+
+
+def decontaminate_sql(n: int = DECON_NGRAM,
+                      bench_mod: int = BENCH_MOD) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+      FROM s, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+      WHERE len(t) >= {n}),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN bg USING (gram)
+         GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Keep-one-per-near-dup-cluster (the cleaned corpus after near dedup)
+# --------------------------------------------------------------------------
+
+
+def near_dup_keep_first(sf_dir: str, *,
+                        threshold: float = 0.7) -> ray.data.Dataset:
+    """The surviving page urls after near-dup removal: the deterministic
+    representative (min url) of each MinHash/LSH cluster."""
+    import pyarrow.compute as pc
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    clusters = near.minhash_dedup_clusters(web_pages(sf_dir),
+                                           threshold=threshold)
+    return clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["url"], t["cluster_id"])),
+        batch_format="pyarrow",
+    ).select_columns(["url"])
+
+
+def near_dup_keep_first_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+
+    return (
+        "SELECT url FROM (" + near_dup_clusters_sql(threshold)
+        + ") q WHERE url = cluster_id"
+    )

