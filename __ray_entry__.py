@@ -284,6 +284,26 @@ def _q_top_terms(sf_dir: str):
     return text.top_terms(sf_dir)
 
 
+def _q_new_content_bloom(sf_dir: str):
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.new_content_bloom(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir)
+    )
+
+
+def _q_length_quantiles(sf_dir: str):
+    from data_dedup_ray.pipelines import stats
+
+    return stats.length_quantiles(sf_dir)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from data_dedup_ray.pipelines import stats
+
+    return stats.stratified_sample(sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Corpus-cleaning operators (pipelines/clean.py)
 # --------------------------------------------------------------------------
@@ -415,6 +435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_asof_join,
         "events_range_counts": _q_range_counts,
         "events_top_k_per_user": _q_top_k_per_user,
+        "new_content_bloom": _q_new_content_bloom,
+        "length_quantiles": _q_length_quantiles,
+        "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "boilerplate_terms": _q_boilerplate_terms,
@@ -428,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
     from data_dedup_ray.pipelines import clean as _clean
     from data_dedup_ray.pipelines import snapshots as _snap
+    from data_dedup_ray.pipelines import stats as _stats
     from data_dedup_ray.pipelines import text as _text
 
     return {
@@ -498,6 +522,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _snap.domain_stats_sql(),
         "filter_blocked_domains": _snap.filter_blocked_domains_sql(),
         "top_terms": _text.top_terms_sql(),
+        "new_content_bloom": _snap.new_content_bloom_sql(),
+        "length_quantiles": _stats.length_quantiles_sql(),
+        "stratified_sample": _stats.stratified_sample_sql(),
         "pii_scrub": _clean.pii_scrub_sql(),
         "repetition_stats": _clean.repetition_stats_sql(),
         "boilerplate_terms": _clean.boilerplate_terms_sql(),

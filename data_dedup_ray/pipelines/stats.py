@@ -1,0 +1,177 @@
+"""Corpus-statistics operators — distribution summaries and stratified
+sampling over the ``documents`` table.
+
+The reference's only aggregates are its dedup counters
+(/root/reference/lib/Data/Dedup/Engine.pm:535-578; SURVEY.md §2.6 lists
+general aggregations as absent).  A training-data pipeline additionally
+needs corpus distribution summaries (length percentiles per language —
+the numbers that drive batch-size / filter-threshold choices) and
+stratified sampling (per-language rates to rebalance a crawl).
+
+Scale shapes
+------------
+- ``length_quantiles``: EXACT distributed percentiles without a
+  distributed sort.  Per-batch ``(lang, n_chars) -> count`` rollup (the
+  combiner bounds shuffle volume by the number of DISTINCT lengths per
+  language — thousands — independent of corpus size), one sortless
+  ``hash_exchange`` on lang so each language's full histogram lands in
+  one partition, then a cumulative-count walk picks the order statistic.
+  At 10^12 docs the histogram per language is still tiny: lengths are
+  bounded (~2^20 distinct values), so this stays exact where a
+  sort-based percentile would be an all-to-all shuffle of every row.
+- ``stratified_sample``: embarrassingly parallel; the per-language rate
+  table is a plain dict captured in the task closure (bytes, not a
+  shuffle).  Like snapshots.sample_pages, membership is decided by
+  ``md5(url)`` so the sample is stable across runs, partitionings and
+  snapshots.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.engine.exchange import hash_exchange
+
+# --------------------------------------------------------------------------
+# Exact length percentiles per language (histogram rollup, not a sort)
+# --------------------------------------------------------------------------
+
+#: driver-query quantiles (basis points).  The order statistic follows
+#: DuckDB's quantile_disc rule — 1-based index ``ceil(q * n)`` computed in
+#: IEEE double — so the oracle matches bit-for-bit.
+DEFAULT_QS_BP = (2500, 5000, 7500, 9000, 9900)
+
+
+def length_quantiles(
+    sf_dir: str,
+    *,
+    qs_bp: tuple[int, ...] = DEFAULT_QS_BP,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exact per-language character-length percentiles:
+    ``(lang, q_bp, n_chars_q)`` — one row per (language, quantile)."""
+    P = num_partitions
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        g = g.rename_columns(["lang", "n_chars", "cnt"])
+        langs = np.asarray(g["lang"].to_pylist(), dtype=object)
+        part = (
+            (pd.util.hash_array(langs) % np.uint64(P)).astype(np.int64)
+            if len(langs) else np.zeros(0, np.int64)
+        )
+        return g.append_column("_part", pa.array(part))
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["lang", "n_chars", "_part"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["lang", "n_chars", "_part", "cnt"])
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple[str, int, int]] = []
+        hist = df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum()
+        for lang, h in hist.groupby(level=0):
+            h = h.droplevel(0).sort_index()
+            cum = h.cumsum()
+            n = int(cum.iloc[-1])
+            for q_bp in qs_bp:
+                # DuckDB quantile_disc: 1-based index ceil(q*n), float math
+                idx = max(math.ceil((q_bp / 10000) * n), 1)
+                val = int(cum.index[int(np.searchsorted(cum.values, idx))])
+                rows.append((lang, q_bp, val))
+        return pd.DataFrame(rows, columns=["lang", "q_bp", "n_chars_q"])
+
+    part_schema = pa.schema([
+        ("lang", pa.string()), ("n_chars", pa.int64()), ("cnt", pa.int64()),
+    ])
+    return hash_exchange(
+        [docs.map_batches(partial, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=pa.schema([
+            ("lang", pa.string()), ("q_bp", pa.int64()),
+            ("n_chars_q", pa.int64()),
+        ]),
+        in_schemas=[part_schema],
+        pre=[combine],
+    )
+
+
+def length_quantiles_sql(qs_bp: tuple[int, ...] = DEFAULT_QS_BP) -> str:
+    qlist = ", ".join(str(q / 10000) for q in qs_bp)
+    bplist = ", ".join(str(q) for q in qs_bp)
+    return f"""
+WITH agg AS (
+  SELECT lang, quantile_disc(n_chars, [{qlist}]) AS vs
+  FROM documents GROUP BY lang)
+SELECT lang, [{bplist}][i] AS q_bp, vs[i] AS n_chars_q
+FROM agg, UNNEST(generate_series(1, len(vs))) AS g(i)"""
+
+
+# --------------------------------------------------------------------------
+# Stratified per-language hash sampling
+# --------------------------------------------------------------------------
+
+#: demo rate table for the driver query (hex-threshold on md5(doc_id):
+#: '8' ≈ 50%, '4' ≈ 25%, '1' ≈ 6.25%) — downsample the dominant language
+DEFAULT_RATES: dict[str, str] = {"en": "4", "zh": "8"}
+DEFAULT_RATE = "c"  # ≈ 75% for everything else
+
+
+def stratified_sample(
+    sf_dir: str,
+    *,
+    rates: dict[str, str] | None = None,
+    default: str = DEFAULT_RATE,
+) -> ray.data.Dataset:
+    """Deterministic per-language sample: keep a doc iff
+    ``md5(doc_id)`` sorts below its language's hex threshold.
+    ``(doc_id, lang)``; stable across runs and partitionings."""
+    rates = DEFAULT_RATES if rates is None else rates
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        keep = pa.array(
+            [
+                hashlib.md5(str(d).encode()).hexdigest()
+                < rates.get(lang, default)
+                for d, lang in zip(ids, langs)
+            ],
+            pa.bool_(),
+        )
+        t = t.filter(keep)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "lang": t["lang"].combine_chunks(),
+        })
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_sql(
+    rates: dict[str, str] | None = None, default: str = DEFAULT_RATE
+) -> str:
+    rates = DEFAULT_RATES if rates is None else rates
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in sorted(rates.items())
+    )
+    return (
+        "SELECT doc_id, lang FROM documents"
+        f" WHERE md5(CAST(doc_id AS VARCHAR)) <"
+        f" (CASE {cases} ELSE '{default}' END)"
+    )

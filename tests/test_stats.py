@@ -1,0 +1,97 @@
+"""Corpus statistics (pipelines/stats.py) + Bloom-prefiltered incremental
+dedup vs DuckDB oracles, plus invariance checks."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.pipelines import snapshots, stats
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return c
+
+
+def _cmp(got, want, keys):
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    g = got.sort_index(axis=1).sort_values(keys).reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values(keys).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_length_quantiles_oracle(sf_dir, con):
+    got = stats.length_quantiles(sf_dir)
+    _cmp(got, con.execute(stats.length_quantiles_sql()).fetchdf(),
+         ["lang", "q_bp"])
+
+
+def test_length_quantiles_partition_invariance(sf_dir, con):
+    want = con.execute(stats.length_quantiles_sql()).fetchdf()
+    got = stats.length_quantiles(sf_dir, num_partitions=3)
+    _cmp(got, want, ["lang", "q_bp"])
+
+
+def test_length_quantiles_monotone(sf_dir):
+    got = stats.length_quantiles(sf_dir).to_pandas()
+    for _, g in got.groupby("lang"):
+        vals = g.sort_values("q_bp")["n_chars_q"].tolist()
+        assert vals == sorted(vals)  # higher quantile, higher length
+
+
+def test_stratified_sample_oracle(sf_dir, con):
+    got = stats.stratified_sample(sf_dir)
+    _cmp(got, con.execute(stats.stratified_sample_sql()).fetchdf(),
+         ["doc_id"])
+
+
+def test_stratified_sample_rates(sf_dir):
+    got = stats.stratified_sample(sf_dir).to_pandas()
+    all_docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    n_en = (all_docs["lang"] == "en").sum()
+    got_en = (got["lang"] == "en").sum()
+    # 'en' threshold '4' ≈ 25%; default 'c' ≈ 75%
+    assert 0.10 < got_en / n_en < 0.45
+    rest = all_docs[~all_docs["lang"].isin(["en", "zh"])]
+    got_rest = got[~got["lang"].isin(["en", "zh"])]
+    assert 0.60 < len(got_rest) / len(rest) < 0.90
+
+
+def test_stratified_sample_stability(sf_dir):
+    a = stats.stratified_sample(sf_dir).to_pandas()
+    b = stats.stratified_sample(sf_dir).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_new_content_bloom_equals_exact(sf_dir, con):
+    got = snapshots.new_content_bloom(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir)
+    )
+    want = con.execute(snapshots.new_content_sql()).fetchdf()
+    _cmp(got, want, ["url"])
+
+
+def test_new_content_bloom_partition_invariance(sf_dir, con):
+    want = con.execute(snapshots.new_content_sql()).fetchdf()
+    got = snapshots.new_content_bloom(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), num_partitions=5
+    )
+    _cmp(got, want, ["url"])
+
+
+def test_bloom_no_false_negatives_tiny_filter(sf_dir, con):
+    # with a deliberately tiny, collision-heavy bitmap the verify join
+    # must still remove every false positive — result unchanged
+    want = con.execute(snapshots.new_content_sql()).fetchdf()
+    got = snapshots.new_content_bloom(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), bloom_bits=1 << 10
+    )
+    _cmp(got, want, ["url"])
