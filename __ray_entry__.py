@@ -284,6 +284,30 @@ def _q_top_terms(sf_dir: str):
     return text.top_terms(sf_dir)
 
 
+def _q_pricing_summary(sf_dir: str):
+    from data_dedup_ray.pipelines import relational
+
+    return relational.pricing_summary(sf_dir)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from data_dedup_ray.pipelines import relational
+
+    return relational.revenue_by_nation(sf_dir)
+
+
+def _q_late_order_counts(sf_dir: str):
+    from data_dedup_ray.pipelines import relational
+
+    return relational.late_order_counts(sf_dir)
+
+
+def _q_top_revenue_orders(sf_dir: str):
+    from data_dedup_ray.pipelines import relational
+
+    return relational.top_revenue_orders(sf_dir)
+
+
 def _q_new_content_bloom(sf_dir: str):
     from data_dedup_ray.pipelines import snapshots
 
@@ -435,6 +459,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_asof_join,
         "events_range_counts": _q_range_counts,
         "events_top_k_per_user": _q_top_k_per_user,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "late_order_counts": _q_late_order_counts,
+        "top_revenue_orders": _q_top_revenue_orders,
         "new_content_bloom": _q_new_content_bloom,
         "length_quantiles": _q_length_quantiles,
         "stratified_sample": _q_stratified_sample,
@@ -450,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
     from data_dedup_ray.pipelines import clean as _clean
+    from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import snapshots as _snap
     from data_dedup_ray.pipelines import stats as _stats
     from data_dedup_ray.pipelines import text as _text
@@ -522,6 +551,10 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _snap.domain_stats_sql(),
         "filter_blocked_domains": _snap.filter_blocked_domains_sql(),
         "top_terms": _text.top_terms_sql(),
+        "pricing_summary": _rel.pricing_summary_sql(),
+        "revenue_by_nation": _rel.revenue_by_nation_sql(),
+        "late_order_counts": _rel.late_order_counts_sql(),
+        "top_revenue_orders": _rel.top_revenue_orders_sql(),
         "new_content_bloom": _snap.new_content_bloom_sql(),
         "length_quantiles": _stats.length_quantiles_sql(),
         "stratified_sample": _stats.stratified_sample_sql(),
