@@ -88,6 +88,22 @@ def _q_minhash_pairs(sf_dir: str):
     )
 
 
+def _q_cross_corpus_near(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    from data_dedup_ray.pipelines import near, snapshots
+
+    pairs = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7
+    )
+    return pd.DataFrame({
+        "new_url": pairs["new_url"],
+        "index_url": pairs["index_url"],
+        "jaccard_bp": np.floor(pairs["jaccard"] * 10000).astype(np.int64),
+    })
+
+
 def _q_near_clusters(sf_dir: str):
     from data_dedup_ray.pipelines import near
 
@@ -428,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "minhash_near_dup_pairs": _q_minhash_pairs,
+        "cross_corpus_near_pairs": _q_cross_corpus_near,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_clusters,
         "simhash_pairs": _q_simhash_pairs,
@@ -478,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
     from data_dedup_ray.pipelines import clean as _clean
+    from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import snapshots as _snap
     from data_dedup_ray.pipelines import stats as _stats
@@ -509,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_docs": oracles.substring_dup_sql(50),
         "cascade_counters": oracles.cascade_counters_sql(),
         "minhash_near_dup_pairs": oracles.minhash_pairs_sql(0.7),
+        "cross_corpus_near_pairs": _near.cross_corpus_near_pairs_sql(0.7),
         # exact prefix-filtered all-pairs — same ground truth CTE, t=0.8;
         # (image_features / image_resized / audio_features mfcc are
         # stub-decoder-derived → rows-only checks; the audio stage's

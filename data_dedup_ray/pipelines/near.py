@@ -769,3 +769,118 @@ def minhash_dedup_clusters(
     return attach_clusters(
         sh.select_columns([id_col]), assignment, id_col=id_col
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus near-dup: new crawl vs existing index
+# --------------------------------------------------------------------------
+
+
+def cross_corpus_near_pairs(
+    new_ds: ray.data.Dataset,
+    index_ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> pd.DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora: ``(new_url, index_url,
+    jaccard)`` for every new-crawl page whose k-shingle Jaccard with some
+    existing-index page is ≥ ``threshold``.
+
+    This is the near-dup counterpart of snapshots.new_content — "which
+    newly crawled pages are (close to) something we already have" — run
+    as ONE LSH job over the tagged union: each side's ids get a 1-byte
+    side prefix (the same url can legitimately appear in both corpora),
+    bands/shingles are computed once per page exactly as in the
+    single-corpus pipeline, and same-side candidate pairs are dropped
+    before the Jaccard verify join, so the verify exchange only carries
+    cross-corpus candidates.  (A production variant would also suppress
+    same-side pairs at band-emission; the emission is vectorized and
+    same-side candidates are bounded by the single-corpus pair count, so
+    the saving is second-order next to the verify join it already
+    skips.)
+    """
+    id_col = lsh_kwargs.get("id_col", "url")
+    text_col = lsh_kwargs.get("text_col", "text")
+    shingle_k = lsh_kwargs.get("shingle_k", 5)
+
+    def _tag(prefix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            tagged = pc.binary_join_element_wise(
+                pa.scalar(prefix), t[id_col].combine_chunks().cast(pa.string()),
+                "",
+            )
+            return pa.table({id_col: tagged,
+                             text_col: t[text_col].combine_chunks()})
+        return fn
+
+    union = (
+        index_ds.map_batches(_tag("i|"), batch_format="pyarrow")
+        .union(new_ds.map_batches(_tag("n|"), batch_format="pyarrow"))
+    )
+    sh = shingle_rows(union, id_col=id_col, text_col=text_col,
+                      shingle_k=shingle_k).materialize()
+    lsh_kwargs.setdefault("distinct", False)
+    cand = lsh_candidate_pairs(union, sh=sh, **lsh_kwargs)
+    # cross-side only: 'i|' < 'n|', so url_a is always the index side
+    cross = cand.map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.utf8_slice_codeunits(t[f"{id_col}_a"], 0, 1),
+            pc.utf8_slice_codeunits(t[f"{id_col}_b"], 0, 1),
+        )),
+        batch_format="pyarrow",
+    )
+    ver = verify_pairs_partitioned(
+        union, cross, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, threshold=threshold, sh=sh,
+    ).to_pandas()
+    if not len(ver):
+        return pd.DataFrame({"new_url": [], "index_url": [], "jaccard": []})
+    out = pd.DataFrame({
+        "new_url": ver["url_b"].str[2:],
+        "index_url": ver["url_a"].str[2:],
+        "jaccard": ver["jaccard"],
+    })
+    return out.sort_values(["new_url", "index_url"]).reset_index(drop=True)
+
+
+def cross_corpus_near_pairs_sql(threshold: float = 0.7) -> str:
+    """Exact all-cross-pairs shingle-Jaccard ground truth over
+    web_pages (index) × snapshot2 (new)."""
+    from data_dedup_ray.pipelines.snapshots import snapshots_sql
+
+    return snapshots_sql(f"""
+SELECT new_url, index_url, CAST(floor(j * 10000) AS BIGINT) AS jaccard_bp
+FROM (
+  SELECT inter.new_url, inter.index_url,
+         inter.i * 1.0 / (ci.n + cn.n - inter.i) AS j
+  FROM (
+    SELECT a.url AS index_url, b.url AS new_url, count(*) AS i
+    FROM (
+      SELECT DISTINCT url, array_to_string(t[i:i+4], ' ') AS s
+      FROM (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+            FROM web_pages) toks,
+           UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+      WHERE len(t) >= 5) a
+    JOIN (
+      SELECT DISTINCT url, array_to_string(t[i:i+4], ' ') AS s
+      FROM (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+            FROM snapshot2) toks,
+           UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+      WHERE len(t) >= 5) b
+    ON a.s = b.s GROUP BY 1, 2) inter
+  JOIN (SELECT url, count(*) AS n FROM (
+          SELECT DISTINCT url, array_to_string(t[i:i+4], ' ') AS s
+          FROM (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+                FROM web_pages) toks,
+               UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+          WHERE len(t) >= 5) GROUP BY url) ci
+    ON ci.url = inter.index_url
+  JOIN (SELECT url, count(*) AS n FROM (
+          SELECT DISTINCT url, array_to_string(t[i:i+4], ' ') AS s
+          FROM (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+                FROM snapshot2) toks,
+               UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+          WHERE len(t) >= 5) GROUP BY url) cn
+    ON cn.url = inter.new_url)
+WHERE j >= {threshold}""")

@@ -185,3 +185,39 @@ def test_determinism_across_partitioning(sf_dir):
                                      ).to_pandas(
     ).sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(ca, cb)
+
+
+def test_cross_corpus_near_pairs_oracle(sf_dir, con):
+    import numpy as np
+
+    from data_dedup_ray.pipelines import snapshots
+
+    pairs = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7
+    )
+    got = pd.DataFrame({
+        "new_url": pairs["new_url"], "index_url": pairs["index_url"],
+        "jaccard_bp": np.floor(pairs["jaccard"] * 10000).astype(np.int64),
+    })
+    want = con.execute(near.cross_corpus_near_pairs_sql(0.7)).fetchdf()
+    g = got.sort_index(axis=1).sort_values(
+        ["new_url", "index_url"]).reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values(
+        ["new_url", "index_url"]).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_cross_corpus_includes_unchanged_recrawls(sf_dir):
+    from data_dedup_ray.pipelines import snapshots
+
+    pairs = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7
+    )
+    # byte-identical re-crawls (doc_id % 6 == 0) must match themselves at
+    # jaccard 1.0; changed re-crawls (same url, trailing edit) score < 1.0
+    self_pairs = pairs[pairs["new_url"] == pairs["index_url"]].copy()
+    ids = self_pairs["new_url"].str.rsplit("/", n=1).str[1].astype(int)
+    unchanged = self_pairs[ids % 6 == 0]
+    assert len(unchanged) > 0
+    assert (unchanged["jaccard"] == 1.0).all()
