@@ -300,6 +300,18 @@ def _q_top_terms(sf_dir: str):
     return text.top_terms(sf_dir)
 
 
+def _q_canonical_urls(sf_dir: str):
+    from data_dedup_ray.pipelines import urls
+
+    return urls.canonical_urls(sf_dir)
+
+
+def _q_canonical_collapse(sf_dir: str):
+    from data_dedup_ray.pipelines import urls
+
+    return urls.canonical_collapse(sf_dir)
+
+
 def _q_pricing_summary(sf_dir: str):
     from data_dedup_ray.pipelines import relational
 
@@ -476,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_asof_join,
         "events_range_counts": _q_range_counts,
         "events_top_k_per_user": _q_top_k_per_user,
+        "canonical_urls": _q_canonical_urls,
+        "canonical_collapse": _q_canonical_collapse,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "late_order_counts": _q_late_order_counts,
@@ -500,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import snapshots as _snap
     from data_dedup_ray.pipelines import stats as _stats
     from data_dedup_ray.pipelines import text as _text
+    from data_dedup_ray.pipelines import urls as _urls
 
     return {
         # doc_fingerprints / ann_lsh_topk intentionally omitted (64-bit
@@ -570,6 +585,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _snap.domain_stats_sql(),
         "filter_blocked_domains": _snap.filter_blocked_domains_sql(),
         "top_terms": _text.top_terms_sql(),
+        "canonical_urls": _urls.canonical_urls_sql(),
+        "canonical_collapse": _urls.canonical_collapse_sql(),
         "pricing_summary": _rel.pricing_summary_sql(),
         "revenue_by_nation": _rel.revenue_by_nation_sql(),
         "late_order_counts": _rel.late_order_counts_sql(),
