@@ -397,6 +397,12 @@ def _q_near_dup_keep_first(sf_dir: str):
     return clean.near_dup_keep_first(sf_dir)
 
 
+def _q_near_dup_keep_best(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.near_dup_keep_best(sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Text analysis + embedding similarity (training-data-pipeline operators)
 # --------------------------------------------------------------------------
@@ -503,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate": _q_remove_boilerplate,
         "decontaminate": _q_decontaminate,
         "near_dup_keep_first": _q_near_dup_keep_first,
+        "near_dup_keep_best": _q_near_dup_keep_best,
     }
 
 
@@ -600,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate": _clean.remove_boilerplate_sql(),
         "decontaminate": _clean.decontaminate_sql(),
         "near_dup_keep_first": _clean.near_dup_keep_first_sql(),
+        "near_dup_keep_best": _clean.near_dup_keep_best_sql(),
         "events_windowed_agg": oracles.windowed_agg_sql(3600),
         "event_sessions": oracles.sessionize_sql(1800),
         "events_asof_join": oracles.asof_join_sql("click", "view"),

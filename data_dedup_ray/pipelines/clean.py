@@ -457,3 +457,137 @@ def near_dup_keep_first_sql(threshold: float = 0.7) -> str:
         "SELECT url FROM (" + near_dup_clusters_sql(threshold)
         + ") q WHERE url = cluster_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware representative selection per near-dup cluster
+# --------------------------------------------------------------------------
+
+
+def near_dup_keep_best(
+    sf_dir: str, *, threshold: float = 0.7, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """The highest-quality member of each near-dup cluster:
+    ``(cluster_id, url, n_tokens)`` — best = most tokens, ties broken by
+    min url.  ``near_dup_keep_first`` keeps a deterministic-but-arbitrary
+    representative; a training corpus wants the best one (longest /
+    cleanest capture of the page family).
+
+    Shape: cluster assignment (url-keyed) and the per-page quality signal
+    (url-keyed, computed in the same pass shape as text.token_stats)
+    co-partition on hash(url) in one exchange; the argmax then
+    co-partitions on hash(cluster_id) with a per-split-group combiner
+    that already collapses to one candidate row per cluster, so the
+    second shuffle carries one row per (cluster, split group).
+    """
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+    from data_dedup_ray.stages.textstats import TOKEN_RE
+
+    P = num_partitions
+    pages = web_pages(sf_dir)
+    clusters = near.minhash_dedup_clusters(pages, threshold=threshold)
+
+    def _upart(t: pa.Table, col: str) -> pa.Array:
+        keys = np.asarray(t[col].to_pylist(), dtype=object)
+        part = (
+            (pd.util.hash_array(keys) % np.uint64(P)).astype(np.int64)
+            if len(keys) else np.zeros(0, np.int64)
+        )
+        return pa.array(part)
+
+    def prep_clusters(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "cluster_id": t["cluster_id"].combine_chunks(),
+            "_part": _upart(t, "url"),
+        })
+
+    def prep_quality(t: pa.Table) -> pa.Table:
+        n_tok = np.fromiter(
+            (len(TOKEN_RE.findall(s.lower())) for s in t["text"].to_pylist()),
+            np.int64, len(t),
+        )
+        out = pa.table({
+            "url": t["url"].combine_chunks(),
+            "n_tokens": pa.array(n_tok),
+        })
+        return out.append_column("_part", _upart(out, "url"))
+
+    def join_q(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        return cdf.merge(qdf, on="url", how="inner")
+
+    joined_schema = pa.schema([
+        ("url", pa.string()), ("cluster_id", pa.string()),
+        ("n_tokens", pa.int64()),
+    ])
+    joined = hash_exchange(
+        [
+            clusters.map_batches(prep_clusters, batch_format="pyarrow"),
+            pages.map_batches(prep_quality, batch_format="pyarrow"),
+        ],
+        join_q,
+        num_partitions=P,
+        schema=joined_schema,
+        in_schemas=[
+            pa.schema([("url", pa.string()), ("cluster_id", pa.string())]),
+            pa.schema([("url", pa.string()), ("n_tokens", pa.int64())]),
+        ],
+    )
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_id", "n_tokens", "url"],
+            ascending=[True, False, True], kind="stable",
+        )
+        return df.groupby("cluster_id", sort=False).head(1)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _upart(t, "cluster_id"))
+
+    def combine_best(t: pa.Table) -> pa.Table:
+        out = _best(t.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out_schema = pa.schema([
+        ("cluster_id", pa.string()), ("url", pa.string()),
+        ("n_tokens", pa.int64()),
+    ])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return _best(df)[["cluster_id", "url", "n_tokens"]]
+
+    rekeyed_schema = pa.schema([
+        ("url", pa.string()), ("cluster_id", pa.string()),
+        ("n_tokens", pa.int64()),
+    ])
+    return hash_exchange(
+        [joined.map_batches(rekey, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=out_schema,
+        in_schemas=[rekeyed_schema],
+        pre=[combine_best],
+    )
+
+
+def near_dup_keep_best_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+
+    # the clusters oracle is a full WITH-RECURSIVE statement; it nests as
+    # a CTE body (its inner web_pages shadows the outer one harmlessly)
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+clusters AS (
+{near_dup_clusters_sql(threshold)}
+),
+q AS (SELECT url, len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS n_tokens
+      FROM web_pages)
+SELECT cluster_id, url, n_tokens FROM (
+  SELECT c.cluster_id, c.url, q.n_tokens,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.n_tokens DESC, c.url) AS rn
+  FROM clusters c JOIN q ON q.url = c.url)
+WHERE rn = 1"""

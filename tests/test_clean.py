@@ -111,3 +111,30 @@ def test_near_dup_keep_first_one_per_cluster(sf_dir):
     # exactly one survivor per cluster, and it is the min-url representative
     reps = clusters.groupby("cluster_id")["url"].min()
     assert kept == set(reps)
+
+
+def test_near_dup_keep_best_oracle(sf_dir, con):
+    got = clean.near_dup_keep_best(sf_dir)
+    _cmp(got, con.execute(clean.near_dup_keep_best_sql()).fetchdf(),
+         ["cluster_id"])
+
+
+def test_near_dup_keep_best_is_argmax(sf_dir):
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+    from data_dedup_ray.stages.textstats import TOKEN_RE
+
+    best = clean.near_dup_keep_best(sf_dir).to_pandas()
+    clusters = near.minhash_dedup_clusters(
+        web_pages(sf_dir), threshold=0.7
+    ).to_pandas()
+    pages = web_pages(sf_dir).to_pandas()
+    pages["n_tokens"] = [
+        len(TOKEN_RE.findall(t.lower())) for t in pages["text"]
+    ]
+    joined = clusters.merge(pages[["url", "n_tokens"]], on="url")
+    # one representative per cluster, and its token count is the max
+    assert len(best) == clusters["cluster_id"].nunique()
+    want_max = joined.groupby("cluster_id")["n_tokens"].max()
+    got_by_cluster = best.set_index("cluster_id")["n_tokens"]
+    assert (got_by_cluster == want_max.loc[got_by_cluster.index]).all()
