@@ -403,6 +403,12 @@ def _q_near_dup_keep_best(sf_dir: str):
     return clean.near_dup_keep_best(sf_dir)
 
 
+def _q_build_clean_corpus(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.build_clean_corpus(sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Text analysis + embedding similarity (training-data-pipeline operators)
 # --------------------------------------------------------------------------
@@ -510,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "near_dup_keep_first": _q_near_dup_keep_first,
         "near_dup_keep_best": _q_near_dup_keep_best,
+        "build_clean_corpus": _q_build_clean_corpus,
     }
 
 
@@ -608,6 +615,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _clean.decontaminate_sql(),
         "near_dup_keep_first": _clean.near_dup_keep_first_sql(),
         "near_dup_keep_best": _clean.near_dup_keep_best_sql(),
+        "build_clean_corpus": _clean.build_clean_corpus_sql(),
         "events_windowed_agg": oracles.windowed_agg_sql(3600),
         "event_sessions": oracles.sessionize_sql(1800),
         "events_asof_join": oracles.asof_join_sql("click", "view"),

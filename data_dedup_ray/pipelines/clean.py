@@ -591,3 +591,111 @@ SELECT cluster_id, url, n_tokens FROM (
                             ORDER BY q.n_tokens DESC, c.url) AS rn
   FROM clusters c JOIN q ON q.url = c.url)
 WHERE rn = 1"""
+
+
+# --------------------------------------------------------------------------
+# Flagship composition: the cleaned training corpus end-to-end
+# --------------------------------------------------------------------------
+
+MIN_TOKENS = 10
+
+
+def build_clean_corpus(
+    sf_dir: str, *, threshold: float = 0.7, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """The corpus a training run would actually consume: one best-quality
+    representative per near-dup cluster, minus repetition-degenerate and
+    too-short pages.  ``(url, n_tokens)``.
+
+    Composition (each stage is an operator already oracle-checked on its
+    own): MinHash/LSH clustering → keep-best representative (argmax
+    tokens) → Gopher-style repetition gate (most-frequent-token fraction
+    < 15%) → minimum-length gate.  One extra exchange co-partitions the
+    representatives with the per-page repetition signal on hash(url);
+    everything upstream reuses the shared shingle table, so the corpus
+    text is still tokenized exactly once per signal pass.
+    """
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.stages.textstats import TOKEN_RE
+
+    P = num_partitions
+    best = near_dup_keep_best(
+        sf_dir, threshold=threshold, num_partitions=P
+    )
+    pages = web_pages(sf_dir)
+
+    def _upart(t: pa.Table, col: str) -> pa.Array:
+        keys = np.asarray(t[col].to_pylist(), dtype=object)
+        part = (
+            (pd.util.hash_array(keys) % np.uint64(P)).astype(np.int64)
+            if len(keys) else np.zeros(0, np.int64)
+        )
+        return pa.array(part)
+
+    def prep_best(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "url": t["url"].combine_chunks(),
+            "n_tokens": t["n_tokens"].combine_chunks(),
+        })
+        return out.append_column("_part", _upart(out, "url"))
+
+    def prep_rep(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = t["text"].to_pylist()
+        top = np.zeros(len(texts), np.int64)
+        n_tok = np.zeros(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            toks = TOKEN_RE.findall(s.lower())
+            n_tok[i] = len(toks)
+            top[i] = max(Counter(toks).values()) if toks else 0
+        topf = top * 10000 // np.maximum(n_tok, 1)
+        out = pa.table({
+            "url": t["url"].combine_chunks(),
+            "top_frac_bp": pa.array(topf),
+        })
+        return out.append_column("_part", _upart(out, "url"))
+
+    def keep(bdf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = bdf.merge(rdf, on="url", how="inner")
+        out = m[(m["top_frac_bp"] < TOP_TOKEN_KEEP_BP)
+                & (m["n_tokens"] >= MIN_TOKENS)]
+        return out[["url", "n_tokens"]].reset_index(drop=True)
+
+    return hash_exchange(
+        [
+            best.map_batches(prep_best, batch_format="pyarrow"),
+            pages.map_batches(prep_rep, batch_format="pyarrow"),
+        ],
+        keep,
+        num_partitions=P,
+        schema=pa.schema([("url", pa.string()), ("n_tokens", pa.int64())]),
+        in_schemas=[
+            pa.schema([("url", pa.string()), ("n_tokens", pa.int64())]),
+            pa.schema([("url", pa.string()), ("top_frac_bp", pa.int64())]),
+        ],
+    )
+
+
+def build_clean_corpus_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.pipelines.clean import near_dup_keep_best_sql
+
+    best = near_dup_keep_best_sql(threshold)
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+best AS (
+{best}
+),
+s AS (SELECT url, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM web_pages),
+c AS (SELECT url, tok, count(*) AS c
+      FROM (SELECT url, unnest(t) AS tok FROM s) GROUP BY 1, 2),
+top AS (SELECT url, max(c) AS top FROM c GROUP BY url),
+rep AS (SELECT s.url,
+               coalesce(top.top, 0) * 10000 // greatest(len(s.t), 1)
+                 AS top_frac_bp
+        FROM s LEFT JOIN top USING (url))
+SELECT b.url, b.n_tokens
+FROM best b JOIN rep r ON r.url = b.url
+WHERE r.top_frac_bp < {TOP_TOKEN_KEEP_BP} AND b.n_tokens >= {MIN_TOKENS}"""

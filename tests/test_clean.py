@@ -138,3 +138,15 @@ def test_near_dup_keep_best_is_argmax(sf_dir):
     want_max = joined.groupby("cluster_id")["n_tokens"].max()
     got_by_cluster = best.set_index("cluster_id")["n_tokens"]
     assert (got_by_cluster == want_max.loc[got_by_cluster.index]).all()
+
+
+def test_build_clean_corpus_oracle(sf_dir, con):
+    got = clean.build_clean_corpus(sf_dir)
+    _cmp(got, con.execute(clean.build_clean_corpus_sql()).fetchdf(), ["url"])
+
+
+def test_build_clean_corpus_subset_of_keep_best(sf_dir):
+    corpus = clean.build_clean_corpus(sf_dir).to_pandas()
+    best = clean.near_dup_keep_best(sf_dir).to_pandas()
+    assert set(corpus["url"]) <= set(best["url"])
+    assert (corpus["n_tokens"] >= clean.MIN_TOKENS).all()
