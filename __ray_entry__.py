@@ -356,6 +356,18 @@ def _q_stratified_sample(sf_dir: str):
     return stats.stratified_sample(sf_dir)
 
 
+def _q_train_val_test_split(sf_dir: str):
+    from data_dedup_ray.pipelines import stats
+
+    return stats.train_val_test_split(sf_dir)
+
+
+def _q_cluster_size_histogram(sf_dir: str):
+    from data_dedup_ray.pipelines import stats
+
+    return stats.cluster_size_histogram(sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Corpus-cleaning operators (pipelines/clean.py)
 # --------------------------------------------------------------------------
@@ -509,6 +521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_content_bloom": _q_new_content_bloom,
         "length_quantiles": _q_length_quantiles,
         "stratified_sample": _q_stratified_sample,
+        "train_val_test_split": _q_train_val_test_split,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "boilerplate_terms": _q_boilerplate_terms,
@@ -608,6 +622,8 @@ def oracle_sql() -> dict[str, str]:
         "new_content_bloom": _snap.new_content_bloom_sql(),
         "length_quantiles": _stats.length_quantiles_sql(),
         "stratified_sample": _stats.stratified_sample_sql(),
+        "train_val_test_split": _stats.train_val_test_split_sql(),
+        "cluster_size_histogram": _stats.cluster_size_histogram_sql(),
         "pii_scrub": _clean.pii_scrub_sql(),
         "repetition_stats": _clean.repetition_stats_sql(),
         "boilerplate_terms": _clean.boilerplate_terms_sql(),

@@ -175,3 +175,100 @@ def stratified_sample_sql(
         f" WHERE md5(CAST(doc_id AS VARCHAR)) <"
         f" (CASE {cases} ELSE '{default}' END)"
     )
+
+
+# --------------------------------------------------------------------------
+# Disjoint train/val/test split (hash-partitioned, leak-free, stable)
+# --------------------------------------------------------------------------
+
+#: md5 hex thresholds: [0, VAL) -> val, [VAL, TEST) -> test, rest -> train
+SPLIT_VAL_BELOW = "1"     # ≈ 6.25%
+SPLIT_TEST_BELOW = "2"    # ≈ 6.25%
+
+
+def train_val_test_split(sf_dir: str) -> ray.data.Dataset:
+    """Assign every doc to exactly one of train/val/test by ``md5(doc_id)``
+    range — ``(doc_id, split)``.  Disjoint by construction, stable across
+    runs/partitionings (re-running a grown corpus never moves an existing
+    doc between splits — the property a training pipeline needs to avoid
+    test-set leakage between corpus versions)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        split = []
+        for d in ids:
+            h = hashlib.md5(str(d).encode()).hexdigest()
+            split.append(
+                "val" if h < SPLIT_VAL_BELOW
+                else "test" if h < SPLIT_TEST_BELOW else "train"
+            )
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "split": pa.array(split, pa.string()),
+        })
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def train_val_test_split_sql() -> str:
+    return (
+        "SELECT doc_id, CASE"
+        f" WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_VAL_BELOW}' THEN 'val'"
+        f" WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_TEST_BELOW}' THEN 'test'"
+        " ELSE 'train' END AS split FROM documents"
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster-size histogram (dedup analytics)
+# --------------------------------------------------------------------------
+
+
+def cluster_size_histogram(
+    sf_dir: str, *, threshold: float = 0.7
+) -> ray.data.Dataset:
+    """Distribution of near-dup family sizes: ``(cluster_size,
+    n_clusters)`` — the near-dup analog of the reference CLI's statistics
+    report (unique / distinct-with-dups tallies, CLI.pm:313-321).
+
+    Two tiny aggregations over the cluster assignment: size per cluster
+    (combiner: per-batch counts per cluster_id), then clusters per size —
+    both shuffle O(#clusters) and O(#distinct sizes) rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    clusters = near.minhash_dedup_clusters(
+        web_pages(sf_dir), threshold=threshold
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cluster_id"]).aggregate([("cluster_id", "count")])
+        return g.rename_columns(["cluster_id", "n"])
+
+    sizes = (
+        clusters.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Sum(on="n", alias_name="cluster_size"))
+    )
+    return (
+        sizes.groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+
+def cluster_size_histogram_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+
+    return f"""
+WITH assign AS (
+{near_dup_clusters_sql(threshold)}
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM assign GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size"""

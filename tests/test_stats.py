@@ -95,3 +95,32 @@ def test_bloom_no_false_negatives_tiny_filter(sf_dir, con):
         snapshots.snapshot2(sf_dir), web_pages(sf_dir), bloom_bits=1 << 10
     )
     _cmp(got, want, ["url"])
+
+
+def test_train_val_test_split_oracle(sf_dir, con):
+    got = stats.train_val_test_split(sf_dir)
+    _cmp(got, con.execute(stats.train_val_test_split_sql()).fetchdf(),
+         ["doc_id"])
+
+
+def test_train_val_test_split_disjoint_and_total(sf_dir):
+    got = stats.train_val_test_split(sf_dir).to_pandas()
+    n_docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).shape[0]
+    assert len(got) == n_docs  # every doc assigned exactly once
+    assert set(got["split"]) <= {"train", "val", "test"}
+    frac_train = (got["split"] == "train").mean()
+    assert 0.80 < frac_train < 0.95  # ~87.5% at the default thresholds
+
+
+def test_cluster_size_histogram_oracle(sf_dir, con):
+    got = stats.cluster_size_histogram(sf_dir)
+    _cmp(got, con.execute(stats.cluster_size_histogram_sql()).fetchdf(),
+         ["cluster_size"])
+
+
+def test_cluster_size_histogram_mass_conserved(sf_dir):
+    got = stats.cluster_size_histogram(sf_dir).to_pandas()
+    total = (got["cluster_size"] * got["n_clusters"]).sum()
+    assert total == web_pages(sf_dir).count()  # every page in one cluster
