@@ -884,3 +884,154 @@ FROM (
           WHERE len(t) >= 5) GROUP BY url) cn
     ON cn.url = inter.new_url)
 WHERE j >= {threshold}""")
+
+
+# --------------------------------------------------------------------------
+# Skew-split candidate generation: hot bands never enter the shuffle
+# --------------------------------------------------------------------------
+
+
+def lsh_candidate_pairs_skew_split(
+    ds: ray.data.Dataset | None,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_perm: int = 126,
+    band_r: int = 3,
+    shingle_k: int = 5,
+    seed: int = 42,
+    group_cap: int = 256,
+    num_partitions: int = 64,
+    distinct: bool = True,
+    sh: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """``lsh_candidate_pairs`` with EXPLICIT heavy-hitter splitting
+    (north_rule: "salted groupby … with explicit skew splitting for hot
+    bands"), for corpora where boilerplate bands are so hot that even
+    co-locating one band's rows in one partition is a straggler.
+
+    The plain path salts only the pair-generation cost (star fallback
+    inside the owning partition) — the hot band's rows still all land on
+    one reducer.  Here the band table takes one extra tiny aggregation:
+
+    1. pre-count per ``(band_id, band_hash)`` with a per-batch combiner
+       (shuffle volume = distinct bands per batch, not rows) and keep
+       groups ``> group_cap`` — the hot set, with each band's global
+       min member (the star center).  Output is heavy-hitters only, so
+       it is broadcast-sized by construction.
+    2. hot-band rows SKIP the exchange entirely: each row pairs with its
+       band's broadcast star center map-side — perfectly parallel, no
+       reducer sees the whole band (stronger than salting the key, which
+       still ships every row somewhere).
+    3. the remaining (cold) rows flow through the normal exchange and
+       vectorized all-pairs emission.
+
+    The emitted pair set is IDENTICAL to the plain path's (both produce
+    star(min, others) for over-cap groups — the plain path's groups are
+    whole within one partition, so its per-partition decision is already
+    global), hence the same verified pairs and clusters.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    if sh is not None:
+        bands = sh.map_batches(
+            stage_task(
+                ShingleMinHashLSH, n_perm=n_perm, band_r=band_r, seed=seed,
+                id_col=id_col, num_partitions=num_partitions,
+            ),
+            batch_format="pyarrow", batch_size=1024,
+        )
+    else:
+        bands = ds.map_batches(
+            stage_task(
+                MinHashLSH, n_perm=n_perm, band_r=band_r, shingle_k=shingle_k,
+                seed=seed, id_col=id_col, text_col=text_col,
+                num_partitions=num_partitions,
+            ),
+            batch_format="pyarrow", batch_size=1024,
+        )
+    bands = bands.materialize()  # two passes: pre-count + emission
+
+    def pcount(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band_id", "band_hash"]).aggregate(
+            [(id_col, "count"), (id_col, "min")]
+        )
+        return g.rename_columns(["band_id", "band_hash", "n", "min_id"])
+
+    heavy = (
+        bands.map_batches(pcount, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .aggregate(Sum(on="n", alias_name="n"),
+                   Min(on="min_id", alias_name="min_id"))
+        .filter(expr=f"n > {int(group_cap)}")
+        .to_pandas()  # heavy hitters only — broadcast-sized by definition
+    )
+    heavy_map = (
+        {
+            (int(b), int(h)): m
+            for b, h, m in zip(heavy["band_id"], heavy["band_hash"],
+                               heavy["min_id"])
+        }
+        if len(heavy) and "band_id" in heavy.columns else {}
+    )
+    heavy_ref = ray.put(heavy_map)
+
+    class _SplitEmit:
+        """Map-side star pairs for hot bands; pass-through for cold rows."""
+
+        def __init__(self, ref, emit_stars: bool):
+            self.heavy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.emit_stars = emit_stars
+
+        def _is_heavy(self, t: pa.Table) -> np.ndarray:
+            bids = t["band_id"].to_numpy(zero_copy_only=False)
+            bhs = t["band_hash"].to_numpy(zero_copy_only=False)
+            return np.fromiter(
+                ((int(b), int(h)) in self.heavy for b, h in zip(bids, bhs)),
+                bool, len(t),
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hot = self._is_heavy(t)
+            if self.emit_stars:
+                sub = t.filter(pa.array(hot))
+                ids = sub[id_col].to_pylist()
+                bids = sub["band_id"].to_numpy(zero_copy_only=False)
+                bhs = sub["band_hash"].to_numpy(zero_copy_only=False)
+                a, b = [], []
+                for i, m in enumerate(ids):
+                    center = self.heavy[(int(bids[i]), int(bhs[i]))]
+                    if m != center:
+                        a.append(center)
+                        b.append(m)
+                return pa.table({
+                    f"{id_col}_a": pa.array(a, pa.string()),
+                    f"{id_col}_b": pa.array(b, pa.string()),
+                })
+            return t.filter(pa.array(~hot))
+
+    stars = bands.map_batches(
+        stage_task(_SplitEmit, ref=heavy_ref, emit_stars=True),
+        batch_format="pyarrow",
+    )
+    cold = bands.map_batches(
+        stage_task(_SplitEmit, ref=heavy_ref, emit_stars=False),
+        batch_format="pyarrow",
+    )
+
+    def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_partition(
+            g, key_cols=["band_id", "band_hash"], id_col=id_col,
+            group_cap=group_cap,
+        )
+
+    cold_pairs = hash_exchange(
+        [cold], emit_partition, num_partitions=num_partitions,
+        schema=pa.schema([(f"{id_col}_a", pa.string()),
+                          (f"{id_col}_b", pa.string())]),
+    )
+    pairs = cold_pairs.union(stars)
+    if not distinct:
+        return pairs
+    return _distinct_pairs(pairs, [f"{id_col}_a", f"{id_col}_b"],
+                           num_partitions=num_partitions)

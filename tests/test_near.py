@@ -221,3 +221,42 @@ def test_cross_corpus_includes_unchanged_recrawls(sf_dir):
     unchanged = self_pairs[ids % 6 == 0]
     assert len(unchanged) > 0
     assert (unchanged["jaccard"] == 1.0).all()
+
+
+@pytest.mark.parametrize("cap", [2, 8, 256])
+def test_skew_split_pairs_equal_plain(sf_dir, pages, cap):
+    sh = near.shingle_rows(pages).materialize()
+    plain = near.lsh_candidate_pairs(
+        pages, sh=sh, group_cap=cap, distinct=True
+    ).to_pandas()
+    split = near.lsh_candidate_pairs_skew_split(
+        pages, sh=sh, group_cap=cap, distinct=True
+    ).to_pandas()
+    p = set(map(tuple, plain[["url_a", "url_b"]].values))
+    s = set(map(tuple, split[["url_a", "url_b"]].values))
+    assert p == s and len(p) > 0
+
+
+def test_skew_split_verified_pipeline_unchanged(sf_dir, pages, con):
+    """End to end at a forcing cap: the skew-split candidates verify to
+    exactly what the plain path's candidates verify to (the star design
+    trades pair completeness for cluster connectivity identically in
+    both paths), and at the default cap — where no group is over cap —
+    verified pairs equal the SQL ground truth (covered by
+    test_minhash_pairs_match_exact_jaccard)."""
+    sh = near.shingle_rows(pages).materialize()
+    cand_split = near.lsh_candidate_pairs_skew_split(
+        pages, sh=sh, group_cap=4, distinct=False
+    )
+    cand_plain = near.lsh_candidate_pairs(
+        pages, sh=sh, group_cap=4, distinct=False
+    )
+    ver_split = near.verify_pairs_partitioned(
+        pages, cand_split, threshold=0.7, sh=sh
+    ).to_pandas()
+    ver_plain = near.verify_pairs_partitioned(
+        pages, cand_plain, threshold=0.7, sh=sh
+    ).to_pandas()
+    got = set(map(tuple, ver_split[["url_a", "url_b"]].values))
+    want = set(map(tuple, ver_plain[["url_a", "url_b"]].values))
+    assert got == want and len(got) > 0
