@@ -50,6 +50,21 @@ import ray.data
 _TARGET_GROUP_BYTES = 256 << 20
 
 
+
+def key_partition(values, P: int) -> np.ndarray:
+    """``hash(value) % P`` as int64 — THE partition function every
+    exchange keys on (string or integer key arrays; empty-safe).  One
+    definition so co-partitioned pipelines can never drift apart."""
+    arr = np.asarray(values)
+    if arr.dtype.kind not in ("i", "u"):
+        arr = np.asarray(values, dtype=object)
+    if not len(arr):
+        return np.zeros(0, np.int64)
+    return (
+        pd.util.hash_array(np.ascontiguousarray(arr)) % np.uint64(P)
+    ).astype(np.int64)
+
+
 @ray.remote
 def _split_block(col: str, P: int, pre, *tables: pa.Table):
     """One GROUP of input blocks → P bucket tables (order within a bucket

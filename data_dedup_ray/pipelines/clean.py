@@ -41,7 +41,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 from data_dedup_ray.stages.textstats import TOKEN_RE
 from data_dedup_ray.util import stage_task
 
@@ -137,22 +137,33 @@ FROM s1"""
 TOP_TOKEN_KEEP_BP = 1500
 
 
-def _repetition_kernel(t: pa.Table) -> pa.Table:
+def _token_top_counts(texts: list[str]):
+    """Per-text (n_tokens, n_distinct_tokens, top_token_count) — THE
+    repetition signal both ``repetition_stats`` and ``build_clean_corpus``
+    gate on; one definition so the two can never drift."""
     from collections import Counter
 
-    texts = t["text"].to_pylist()
     n = len(texts)
     n_tok = np.zeros(n, np.int64)
     n_dis = np.zeros(n, np.int64)
     top = np.zeros(n, np.int64)
+    for i, s in enumerate(texts):
+        c = Counter(TOKEN_RE.findall(s.lower()))
+        n_tok[i] = sum(c.values())
+        n_dis[i] = len(c)
+        if c:
+            top[i] = max(c.values())
+    return n_tok, n_dis, top
+
+
+def _repetition_kernel(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    n = len(texts)
+    n_tok, n_dis, top = _token_top_counts(texts)
     n_bg = np.zeros(n, np.int64)
     n_dbg = np.zeros(n, np.int64)
     for i, s in enumerate(texts):
         toks = TOKEN_RE.findall(s.lower())
-        c = Counter(toks)
-        n_tok[i] = len(toks)
-        n_dis[i] = len(c)
-        top[i] = max(c.values()) if c else 0
         if len(toks) >= 2:
             bgs = [toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)]
             n_bg[i] = len(bgs)
@@ -236,10 +247,7 @@ def boilerplate_terms(sf_dir: str, *,
         for s in t["text"].to_pylist():
             c.update(set(TOKEN_RE.findall(s.lower())))
         terms = np.asarray(list(c.keys()), dtype=object)
-        part = (
-            (pd.util.hash_array(terms) % np.uint64(P)).astype(np.int64)
-            if len(terms) else np.zeros(0, np.int64)
-        )
+        part = key_partition(terms, P)
         return pa.table({
             "term": pa.array(terms, pa.string()),
             "df": pa.array(np.fromiter(c.values(), np.int64, len(c))),
@@ -401,11 +409,11 @@ def decontaminate(sf_dir: str, *, n: int = DECON_NGRAM,
         for s, d in zip(t["text"].to_pylist(), ids):
             if d % bench_mod == 0:
                 out |= _gram_set(s, n)
-        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+        return pa.table({"gram": pa.array(list(out), pa.string())})
 
     grams = docs.map_batches(bench_grams, batch_format="pyarrow")
     bench = frozenset(r["gram"] for r in grams.take_all())
-    ref = ray.put(sorted(bench))
+    ref = ray.put(list(bench))
     return docs.map_batches(
         stage_task(_ContaminationProbe, bench_ref=ref, n=n),
         batch_format="pyarrow",
@@ -489,12 +497,7 @@ def near_dup_keep_best(
     clusters = near.minhash_dedup_clusters(pages, threshold=threshold)
 
     def _upart(t: pa.Table, col: str) -> pa.Array:
-        keys = np.asarray(t[col].to_pylist(), dtype=object)
-        part = (
-            (pd.util.hash_array(keys) % np.uint64(P)).astype(np.int64)
-            if len(keys) else np.zeros(0, np.int64)
-        )
-        return pa.array(part)
+        return pa.array(key_partition(t[col].to_pylist(), P))
 
     def prep_clusters(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -625,12 +628,7 @@ def build_clean_corpus(
     pages = web_pages(sf_dir)
 
     def _upart(t: pa.Table, col: str) -> pa.Array:
-        keys = np.asarray(t[col].to_pylist(), dtype=object)
-        part = (
-            (pd.util.hash_array(keys) % np.uint64(P)).astype(np.int64)
-            if len(keys) else np.zeros(0, np.int64)
-        )
-        return pa.array(part)
+        return pa.array(key_partition(t[col].to_pylist(), P))
 
     def prep_best(t: pa.Table) -> pa.Table:
         out = pa.table({
@@ -640,15 +638,7 @@ def build_clean_corpus(
         return out.append_column("_part", _upart(out, "url"))
 
     def prep_rep(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        texts = t["text"].to_pylist()
-        top = np.zeros(len(texts), np.int64)
-        n_tok = np.zeros(len(texts), np.int64)
-        for i, s in enumerate(texts):
-            toks = TOKEN_RE.findall(s.lower())
-            n_tok[i] = len(toks)
-            top[i] = max(Counter(toks).values()) if toks else 0
+        n_tok, _, top = _token_top_counts(t["text"].to_pylist())
         topf = top * 10000 // np.maximum(n_tok, 1)
         out = pa.table({
             "url": t["url"].combine_chunks(),

@@ -837,8 +837,8 @@ def cross_corpus_near_pairs(
     if not len(ver):
         return pd.DataFrame({"new_url": [], "index_url": [], "jaccard": []})
     out = pd.DataFrame({
-        "new_url": ver["url_b"].str[2:],
-        "index_url": ver["url_a"].str[2:],
+        "new_url": ver[f"{id_col}_b"].str[2:],
+        "index_url": ver[f"{id_col}_a"].str[2:],
         "jaccard": ver["jaccard"],
     })
     return out.sort_values(["new_url", "index_url"]).reset_index(drop=True)

@@ -40,7 +40,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 
 #: Q1-style as-of cutoff and Q3-style order-date cutoff (driver queries)
 SHIP_CUTOFF = "2000-12-01"
@@ -48,13 +48,16 @@ ORDER_CUTOFF = "1998-01-01"
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
-    return pc.round(pc.multiply(col, 100.0)).cast(pa.int64())
+    # half_towards_infinity == DuckDB round()'s half-away-from-zero for
+    # the non-negative money/discount columns; pyarrow's default
+    # half_to_even would diverge on exact .5 products
+    return pc.round(
+        pc.multiply(col, 100.0), round_mode="half_towards_infinity"
+    ).cast(pa.int64())
 
 
 def _key_part(vals: np.ndarray, P: int) -> np.ndarray:
-    return (
-        pd.util.hash_array(np.ascontiguousarray(vals)) % np.uint64(P)
-    ).astype(np.int64)
+    return key_partition(vals, P)
 
 
 # --------------------------------------------------------------------------

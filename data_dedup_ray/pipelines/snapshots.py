@@ -48,7 +48,7 @@ from data_dedup_ray.corpus import (
     WEB_PAGES_CTE,
     web_pages,
 )
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 
 RECRAWL_SUFFIX = " updated rev2"
 
@@ -126,7 +126,7 @@ def snapshots_sql(select: str) -> str:
 
 
 def _url_part(urls: np.ndarray, P: int) -> np.ndarray:
-    return (pd.util.hash_array(urls) % np.uint64(P)).astype(np.int64)
+    return key_partition(urls, P)
 
 
 def latest_by_url(

@@ -36,7 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 
 # --------------------------------------------------------------------------
 # Exact length percentiles per language (histogram rollup, not a sort)
@@ -64,11 +64,7 @@ def length_quantiles(
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
         g = g.rename_columns(["lang", "n_chars", "cnt"])
-        langs = np.asarray(g["lang"].to_pylist(), dtype=object)
-        part = (
-            (pd.util.hash_array(langs) % np.uint64(P)).astype(np.int64)
-            if len(langs) else np.zeros(0, np.int64)
-        )
+        part = key_partition(g["lang"].to_pylist(), P)
         return g.append_column("_part", pa.array(part))
 
     def combine(t: pa.Table) -> pa.Table:

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 
 # --------------------------------------------------------------------------
 # Deterministic messy-url derivation (+ SQL twin)
@@ -196,11 +196,7 @@ def canonical_collapse(
     canon = canonical_urls(sf_dir)
 
     def prep(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t["canonical_url"].to_pylist(), dtype=object)
-        part = (
-            (pd.util.hash_array(keys) % np.uint64(P)).astype(np.int64)
-            if len(keys) else np.zeros(0, np.int64)
-        )
+        part = key_partition(t["canonical_url"].to_pylist(), P)
         return pa.table({
             "canonical_url": t["canonical_url"].combine_chunks(),
             "url": t["url"].combine_chunks(),

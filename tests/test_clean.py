@@ -87,11 +87,20 @@ def test_decontaminate_oracle(sf_dir, con):
 
 
 def test_decontaminate_flags_benchmark_members(sf_dir):
+    from data_dedup_ray.stages.textstats import TOKEN_RE
+
     got = clean.decontaminate(sf_dir).to_pandas().set_index("doc_id")
-    bench = got[got.index % clean.BENCH_MOD == 0]
-    # every benchmark doc long enough to have one n-gram flags itself
-    flagged = bench[bench["n_hits"] > 0]
-    assert len(flagged) == len(bench) or (bench["n_hits"] >= 0).all()
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+    n_tok = docs["text"].map(lambda s: len(TOKEN_RE.findall(s.lower())))
+    # every benchmark doc long enough to carry one n-gram flags itself
+    bench_ids = [
+        d for d in got.index
+        if d % clean.BENCH_MOD == 0 and n_tok[d] >= clean.DECON_NGRAM
+    ]
+    assert len(bench_ids) > 0
+    assert (got.loc[bench_ids, "n_hits"] > 0).all()
     assert (got["contaminated"] == (got["n_hits"] > 0)).all()
 
 

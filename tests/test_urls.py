@@ -78,6 +78,8 @@ def test_collapse_groups_aliases(sf_dir):
     assert merged == sum(
         1 for i in range(n_docs) if i % 5 in (1, 2, 3)
     )
-    # representative is the lexicographic min alias
-    two = got[got["n_aliases"] == 2].head(20)
-    assert (two["url"] <= two["canonical_url"]).any() or len(two) > 0
+    # representative is the lexicographic min alias per canonical form
+    aliases = urls.canonical_urls(sf_dir).to_pandas()
+    want_min = aliases.groupby("canonical_url")["url"].min()
+    by_canon = got.set_index("canonical_url")["url"]
+    assert (by_canon == want_min.loc[by_canon.index]).all()
