@@ -257,6 +257,12 @@ def _q_top_k_per_user(sf_dir: str):
     return events.top_k_per_user(events.read_events(sf_dir))
 
 
+def _q_dedup_events_windowed(sf_dir: str):
+    from data_dedup_ray.pipelines import events
+
+    return events.dedup_events_windowed(events.read_events(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Cross-snapshot corpus management (pipelines/snapshots.py)
 # --------------------------------------------------------------------------
@@ -512,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_asof_join,
         "events_range_counts": _q_range_counts,
         "events_top_k_per_user": _q_top_k_per_user,
+        "dedup_events_windowed": _q_dedup_events_windowed,
         "canonical_urls": _q_canonical_urls,
         "canonical_collapse": _q_canonical_collapse,
         "pricing_summary": _q_pricing_summary,
@@ -537,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
     from data_dedup_ray.pipelines import clean as _clean
+    from data_dedup_ray.pipelines import events as _events
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import snapshots as _snap
@@ -637,4 +645,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": oracles.asof_join_sql("click", "view"),
         "events_range_counts": oracles.range_counts_sql(3600),
         "events_top_k_per_user": oracles.top_k_per_user_sql(3),
+        "dedup_events_windowed": _events.dedup_events_windowed_sql(),
     }

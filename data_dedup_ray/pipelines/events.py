@@ -417,3 +417,82 @@ def top_k_per_user(
         ])],
         pre=[combine],
     )
+
+
+def dedup_events_windowed(
+    events: ray.data.Dataset,
+    *,
+    window_s: int = 3600,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Streaming-style event dedup: ONE surviving event per ``(user_id,
+    event_type, tumbling window)`` — the earliest, ties broken by
+    ``event_id``.  ``(event_id, user_id, event_type, window_start)``.
+
+    This is the dedup engine's semantics applied to an event stream
+    (retries / double-fires collapse to the first occurrence), the
+    windowed analogue of exact.collapse_identity.  Keep-first is
+    algebraic, so the map-side ``pre`` combiner keeps one row per key per
+    split group and the shuffle moves survivors, not events."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = _ts_us(t)
+        win = (ts // (window_s * _US_PER_S)) * window_s
+        return pa.table({
+            "event_id": t["event_id"].combine_chunks(),
+            "user_id": pa.array(user),
+            "event_type": t["event_type"].combine_chunks(),
+            "window_start": pa.array(win),
+            "ts_us": pa.array(ts),
+            "_part": pa.array(_user_part(user, P)),
+        })
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "event_type", "window_start", "ts_us", "event_id"],
+            kind="stable",
+        )
+        return df.groupby(
+            ["user_id", "event_type", "window_start"], sort=False
+        ).head(1)
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_first(t.to_pandas()),
+                                    preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = _first(df)
+        return out[["event_id", "user_id", "event_type", "window_start"]]
+
+    part_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("event_type", pa.string()), ("window_start", pa.int64()),
+        ("ts_us", pa.int64()),
+    ])
+    return hash_exchange(
+        [events.map_batches(prep, batch_format="pyarrow")],
+        final,
+        num_partitions=P,
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("event_type", pa.string()), ("window_start", pa.int64()),
+        ]),
+        in_schemas=[part_schema],
+        pre=[combine],
+    )
+
+
+def dedup_events_windowed_sql(window_s: int = 3600) -> str:
+    return f"""
+SELECT event_id, user_id, event_type, window_start FROM (
+  SELECT event_id, user_id, event_type,
+         (epoch_us(ts) // ({window_s} * CAST(1000000 AS BIGINT))) * {window_s}
+           AS window_start,
+         row_number() OVER (
+           PARTITION BY user_id, event_type,
+                        epoch_us(ts) // ({window_s} * CAST(1000000 AS BIGINT))
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1"""

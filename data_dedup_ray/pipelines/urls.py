@@ -105,12 +105,15 @@ def canonicalize_url(u: str) -> str:
         host = host[: -len(default)]
     if "?" in tail:
         path, q = tail.split("?", 1)
+        # lowercase BEFORE filtering + sorting: the canonical form is
+        # lowercase, so sorting any other case breaks idempotence (and
+        # 'UTM_X=' must not escape the tracking filter)
         params = [
-            p for p in q.split("&")
+            p for p in q.lower().split("&")
             if p and not any(p.startswith(t) for t in _TRACKING_PREFIXES)
         ]
         tail = path + ("?" + "&".join(sorted(params)) if params else "")
-    if tail.endswith("/") and len(tail) > 1:
+    while tail.endswith("/") and len(tail) > 1:
         tail = tail[:-1]
     return scheme + "://" + host + tail.lower()
 
@@ -143,8 +146,7 @@ def _canon_sql(url_expr: str) -> str:
          WHEN lower(scheme) = 'http' AND host2 LIKE '%:80'
          THEN host2[1:len(host2)-3]
          ELSE host2 END ||
-    CASE WHEN tail2 LIKE '%/' AND len(tail2) > 1
-         THEN tail2[1:len(tail2)-1] ELSE tail2 END AS canonical_url
+    regexp_replace(tail2, '(.)/+$', '\\1') AS canonical_url
   FROM (
     SELECT doc_id, url, scheme, host2,
       lower(CASE WHEN tail LIKE '%?%' THEN
@@ -157,7 +159,8 @@ def _canon_sql(url_expr: str) -> str:
              ELSE lower(host) END AS host2,
         array_to_string(list_sort(list_filter(
           str_split(CASE WHEN tail LIKE '%?%'
-                         THEN split_part(tail, '?', 2) ELSE '' END, '&'),
+                         THEN lower(split_part(tail, '?', 2)) ELSE '' END,
+                    '&'),
           p -> p <> '' AND NOT starts_with(p, 'utm_')
                AND NOT starts_with(p, 'fbclid')
                AND NOT starts_with(p, 'gclid'))), '&') AS kept

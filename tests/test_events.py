@@ -159,3 +159,28 @@ def test_partition_count_invariance(sf_dir):
         a = a.sort_values(cols).reset_index(drop=True)
         b = b.sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_events_windowed_oracle(sf_dir, con):
+    got = events.dedup_events_windowed(events.read_events(sf_dir)).to_pandas()
+    want = con.execute(events.dedup_events_windowed_sql()).fetchdf()
+    g = got.sort_index(axis=1).sort_values("event_id").reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values("event_id").reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_dedup_events_windowed_one_per_key(sf_dir):
+    got = events.dedup_events_windowed(events.read_events(sf_dir)).to_pandas()
+    assert not got.duplicated(
+        ["user_id", "event_type", "window_start"]
+    ).any()
+    # survivors are a subset of the events and every key is covered
+    all_ev = events.read_events(sf_dir).to_pandas()
+    all_ev["window_start"] = (
+        all_ev["ts"].astype("int64") // 10**6 // 3600 * 3600
+    )
+    n_keys = all_ev.groupby(
+        ["user_id", "event_type", "window_start"]
+    ).ngroups
+    assert len(got) == n_keys

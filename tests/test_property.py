@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis) for the pure kernels — coverage the
+reference's example-based suite never had (SURVEY.md §5: no property
+framework in the reference).  All tests here are Ray-free."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_dedup_ray.engine.exchange import key_partition
+from data_dedup_ray.pipelines.near import _pairs_in_partition
+from data_dedup_ray.pipelines.urls import canonicalize_url
+from data_dedup_ray.stages.minhash import shingle_sets
+from data_dedup_ray.stages.simhash import popcount64
+
+# ---------------------------------------------------------------- urls
+
+_host = st.from_regex(r"[A-Za-z0-9][A-Za-z0-9.-]{0,20}", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9_.~-]{0,8}){0,4}/?", fullmatch=True)
+_query = st.lists(
+    st.from_regex(r"[A-Za-z0-9_]{1,8}=[A-Za-z0-9_]{0,8}", fullmatch=True),
+    max_size=4,
+).map("&".join)
+_frag = st.from_regex(r"(#[A-Za-z0-9_-]{0,8})?", fullmatch=True)
+_url = st.builds(
+    lambda s, h, p, q, f: f"{s}://{h}{p}" + (f"?{q}" if q else "") + f,
+    st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    _host, _path, _query, _frag,
+)
+
+
+@given(_url)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(u):
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
+
+
+@given(_url)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_invariants(u):
+    c = canonicalize_url(u)
+    assert "#" not in c
+    scheme, rest = c.split("://", 1)
+    assert scheme == scheme.lower()
+    host = rest.split("/", 1)[0].split("?", 1)[0]
+    assert host == host.lower()
+    assert not host.startswith("www.")
+    assert not host.endswith(":443") if scheme == "https" else True
+    # no tracking params survive
+    if "?" in c:
+        for p in c.split("?", 1)[1].split("&"):
+            assert not p.startswith(("utm_", "fbclid", "gclid"))
+
+
+@given(st.sampled_from(["http", "https"]), _host, _path, _query)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_alias_invariance(scheme, host, path, q):
+    """Known alias transforms must map to the same canonical form."""
+    base = f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+    c = canonicalize_url(base)
+    default = "443" if scheme == "https" else "80"
+    aliases = [
+        base + "#frag",
+        f"{scheme.upper()}://{host.upper()}{path}" + (f"?{q}" if q else ""),
+        f"{scheme}://www.{host}{path}" + (f"?{q}" if q else ""),
+        f"{scheme}://{host}:{default}{path}" + (f"?{q}" if q else ""),
+    ]
+    for a in aliases:
+        assert canonicalize_url(a) == c, a
+
+
+# ------------------------------------------------------------- exchange
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=12), min_size=0, max_size=50),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_key_partition_range_and_determinism(keys, P):
+    a = key_partition(keys, P)
+    b = key_partition(keys, P)
+    assert (a == b).all()
+    assert ((a >= 0) & (a < P)).all()
+    # equal keys get equal partitions regardless of position
+    m = {}
+    for k, p in zip(keys, a):
+        assert m.setdefault(k, p) == p
+
+
+# ---------------------------------------------------------- pair kernel
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=2, max_size=120),
+    st.integers(min_value=2, max_value=30),
+)
+@settings(max_examples=100, deadline=None)
+def test_pairs_in_partition_connectivity(groups, cap):
+    """Every multi-member group must come out connected (all-pairs below
+    the cap, star above it) with url_a < url_b and no duplicates."""
+    g = pd.DataFrame({
+        "band_id": np.zeros(len(groups), np.int32),
+        "band_hash": np.asarray(groups, np.int64),
+        "url": [f"u{i:03d}" for i in range(len(groups))],
+    })
+    out = _pairs_in_partition(
+        g, key_cols=["band_id", "band_hash"], id_col="url", group_cap=cap
+    )
+    assert (out["url_a"] < out["url_b"]).all()
+    assert not out.duplicated(["url_a", "url_b"]).any()
+    # connectivity per group
+    from data_dedup_ray.pipelines.components import dsu_components
+
+    comp = dsu_components(out) if len(out) else {}
+    for gv in set(groups):
+        members = sorted(g.loc[g["band_hash"] == gv, "url"])
+        if len(members) > 1:
+            roots = {comp.get(m, m) for m in members}
+            assert len(roots) == 1
+    # edge-count law: all-pairs below cap, star above
+    sizes = g.groupby("band_hash").size()
+    want = sum(
+        (s * (s - 1) // 2 if s <= cap else s - 1) for s in sizes if s > 1
+    )
+    assert len(out) == want
+
+
+# ------------------------------------------------------------- kernels
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60),
+                min_size=0, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_shingle_sets_counts(texts):
+    cat, sizes = shingle_sets(texts, 3)
+    assert len(sizes) == len(texts)
+    assert sizes.sum() == len(cat)
+    for s, t in zip(sizes, texts):
+        toks = [w for w in t.split() if w]
+        n_windows = max(len(toks) - 2, 0)
+        assert s <= n_windows  # distinct shingles ≤ windows
+        assert (s == 0) == (n_windows == 0)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=0, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_popcount64_matches_python(vals):
+    arr = np.asarray(vals, dtype=np.uint64)
+    got = popcount64(arr)
+    assert [int(x) for x in got] == [bin(v).count("1") for v in vals]
