@@ -460,6 +460,12 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(emb, k=5, n_queries=10)
 
 
+def _q_embedding_centroids(sf_dir: str):
+    from data_dedup_ray.pipelines.search import embedding_centroids
+
+    return embedding_centroids(sf_dir)
+
+
 def _q_ann_ivf(sf_dir: str):
     import ray.data
 
@@ -485,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "embedding_centroids": _q_embedding_centroids,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "cross_corpus_near_pairs": _q_cross_corpus_near,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -547,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import events as _events
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
+    from data_dedup_ray.pipelines import search as _search
     from data_dedup_ray.pipelines import snapshots as _snap
     from data_dedup_ray.pipelines import stats as _stats
     from data_dedup_ray.pipelines import text as _text
@@ -562,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": oracles.doc_stats_sql(),
         "knn_topk": oracles.knn_topk_sql(5, 10),
         "embedding_dup_pairs": oracles.embedding_dup_sql(0.99),
+        "embedding_centroids": _search.embedding_centroids_sql(),
         # simhash_pairs / simhash_clusters intentionally omitted: the
         # fingerprint function is not SQL-expressible → rows-only check;
         # exactness is covered by tests/test_near.py's brute-force oracle.

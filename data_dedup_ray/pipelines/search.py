@@ -360,3 +360,64 @@ def ann_ivf_topk(
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+def embedding_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label centroid accumulators over the embedding column:
+    ``(label, dim, sum_e6, n_vecs)`` — the vector-aggregation primitive
+    behind IVF training / class prototypes / dedup-cluster centroids.
+
+    Exactness: each float32 component is scaled to an int64 (×1e6,
+    half-away rounding of its exact double value) BEFORE summation, so
+    the distributed partial sums are order-independent and match the
+    SQL oracle bit-for-bit (float accumulation would drift in the last
+    ulp under re-partitioning).  The caller divides ``sum_e6 / n_vecs``
+    for the mean.  Scale shape: each batch collapses to one partial row
+    per (label, dim) — shuffle volume is O(labels × dims × batches),
+    independent of vector count.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n, d = len(t), len(flat) // max(len(t), 1)
+        mat = flat.reshape(n, d)
+        scaled = np.where(
+            mat >= 0, np.floor(mat * 1e6 + 0.5), np.ceil(mat * 1e6 - 0.5)
+        ).astype(np.int64)  # half away from zero == DuckDB round()
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        out_lab, out_dim, out_sum, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            rows = scaled[labels == lab]
+            out_lab.extend([int(lab)] * d)
+            out_dim.extend(range(1, d + 1))
+            out_sum.extend(rows.sum(axis=0).tolist())
+            out_n.extend([rows.shape[0]] * d)
+        return pa.table({
+            "label": pa.array(out_lab, pa.int64()),
+            "dim": pa.array(out_dim, pa.int64()),
+            "sum_e6": pa.array(out_sum, pa.int64()),
+            "n_vecs": pa.array(out_n, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum(on="sum_e6", alias_name="sum_e6"),
+                   Sum(on="n_vecs", alias_name="n_vecs"))
+    )
+
+
+def embedding_centroids_sql() -> str:
+    return """
+SELECT CAST(label AS BIGINT) AS label, CAST(g.i AS BIGINT) AS dim,
+       CAST(sum(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_e6,
+       count(*) AS n_vecs
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+GROUP BY label, g.i"""

@@ -129,3 +129,31 @@ def test_top_terms_partition_invariance(sf_dir, con):
     want = con.execute(text_pipe.top_terms_sql(20)).fetchdf()
     assert list(got["term"]) == list(want["term"])
     assert list(got["df"]) == list(want["df"])
+
+
+def test_embedding_centroids_oracle(sf_dir, con):
+    from data_dedup_ray.pipelines.search import (embedding_centroids,
+                                                 embedding_centroids_sql)
+
+    got = embedding_centroids(sf_dir).to_pandas()
+    want = con.execute(embedding_centroids_sql()).fetchdf()
+    g = got.sort_index(axis=1).sort_values(["label", "dim"]).reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values(["label", "dim"]).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_embedding_centroids_mean_close_to_numpy(sf_dir):
+    import numpy as np
+
+    from data_dedup_ray.pipelines.search import embedding_centroids
+
+    got = embedding_centroids(sf_dir).to_pandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    mat = np.stack(emb["embedding"].to_numpy())
+    for lab in sorted(emb["label"].unique())[:3]:
+        want = mat[emb["label"].to_numpy() == lab].mean(axis=0)
+        sub = got[got["label"] == lab].sort_values("dim")
+        mean = sub["sum_e6"].to_numpy() / sub["n_vecs"].to_numpy() / 1e6
+        assert np.abs(mean - want).max() < 1e-5
