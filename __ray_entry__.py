@@ -104,6 +104,21 @@ def _q_cross_corpus_near(sf_dir: str):
     })
 
 
+def _q_containment_pairs(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    from data_dedup_ray.pipelines import near
+
+    res = near.containment_pairs(web_pages(sf_dir), threshold=0.8).to_pandas()
+    return pd.DataFrame({
+        "url_a": res["url_a"],
+        "url_b": res["url_b"],
+        "containment_bp": np.floor(res["containment"] * 10000)
+        .astype(np.int64),
+    })
+
+
 def _q_near_clusters(sf_dir: str):
     from data_dedup_ray.pipelines import near
 
@@ -494,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "cross_corpus_near_pairs": _q_cross_corpus_near,
+        "containment_pairs": _q_containment_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "near_dup_clusters": _q_near_clusters,
         "simhash_pairs": _q_simhash_pairs,
@@ -588,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "cascade_counters": oracles.cascade_counters_sql(),
         "minhash_near_dup_pairs": oracles.minhash_pairs_sql(0.7),
         "cross_corpus_near_pairs": _near.cross_corpus_near_pairs_sql(0.7),
+        "containment_pairs": _near.containment_pairs_sql(0.8),
         # exact prefix-filtered all-pairs — same ground truth CTE, t=0.8;
         # (image_features / image_resized / audio_features mfcc are
         # stub-decoder-derived → rows-only checks; the audio stage's

@@ -240,8 +240,14 @@ def verify_pairs_partitioned(
     threshold: float = 0.7,
     num_partitions: int = 64,
     sh: ray.data.Dataset | None = None,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification as a partitioned join — the 100 TB path.
+
+    ``metric="containment"`` scores DIRECTIONAL pairs by
+    ``|A∩B| / |A|`` (A = url_a side) instead of symmetric Jaccard —
+    the asymmetric measure that catches a short document quoted inside
+    a long one, where Jaccard stays small.
 
     Nothing is collected to the driver: two multi-input ``hash_exchange``
     rounds co-partition the candidate pairs with the shingle table on
@@ -362,6 +368,7 @@ def verify_pairs_partitioned(
         db, ob = _blob_views(sht["sh"])
         n = pt.num_rows
         jac = np.empty(n, dtype=np.float64)
+        containment = metric == "containment"
         for i in range(n):
             sa = da[oa[i]: oa[i + 1]]
             j = idx[i]
@@ -370,6 +377,7 @@ def verify_pairs_partitioned(
             if not na or not nb:
                 jac[i] = 0.0
                 continue
+            denom_a = na  # |A| before any size swap
             # merge intersect on the sorted unique arrays (np.unique
             # output): searchsorted avoids intersect1d's concat+sort
             if na > nb:
@@ -377,21 +385,24 @@ def verify_pairs_partitioned(
             pos = np.searchsorted(sb, sa)
             pos[pos == nb] = nb - 1
             inter = int(np.count_nonzero(sb[pos] == sa))
-            jac[i] = inter / (na + nb - inter)
+            jac[i] = (inter / denom_a if containment
+                      else inter / (na + nb - inter))
         keep = pa.array(jac >= threshold)
+        score_col = "containment" if containment else "jaccard"
         return pa.table({
             "url_a": pt["url_a"].combine_chunks().filter(keep),
             "url_b": pt["url_b"].combine_chunks().filter(keep),
-            "jaccard": pa.array(jac[jac >= threshold]),
+            score_col: pa.array(jac[jac >= threshold]),
         })
 
+    out_score = "containment" if metric == "containment" else "jaccard"
     return hash_exchange(
         [step_a.map_batches(_with_part_pa("url_b"), batch_format="pyarrow"),
          sh_buckets],
         _join_b,
         num_partitions=P,
         schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
-                          ("jaccard", pa.float64())]),
+                          (out_score, pa.float64())]),
         in_schemas=[pair_schema.append(pa.field("sh_a", pa.large_binary())),
                     sh_schema],
         apply_format="pyarrow",
@@ -1035,3 +1046,112 @@ def lsh_candidate_pairs_skew_split(
         return pairs
     return _distinct_pairs(pairs, [f"{id_col}_a", f"{id_col}_b"],
                            num_partitions=num_partitions)
+
+
+# --------------------------------------------------------------------------
+# Directional containment join (quote / subset detection)
+# --------------------------------------------------------------------------
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """EXACT directional containment join: pairs ``(url_a, url_b)`` with
+    ``|A∩B| / |A| ≥ threshold`` (A = url_a's shingle set, a ≠ b) — the
+    asymmetric near-dup measure that catches a short page quoted inside a
+    long one, where symmetric Jaccard stays below any useful threshold.
+
+    Candidate generation is the asymmetric prefix filter: a probe set A
+    with containment ≥ t must share an element within its FIRST
+    ``n_A − ceil(t·n_A) + 1`` sorted elements with B — but B may match A
+    anywhere, so the probe side ships prefixes while the index side ships
+    full sets.  At 100 TB the index side is the big stream: reorder
+    elements by ascending document frequency (cheap pre-count) and cap
+    per-shingle index postings — the classic AllPairs refinement; at test
+    scale the unfiltered form keeps the oracle exact.  The verify join is
+    the shared partitioned machinery with ``metric="containment"``.
+    """
+    t = threshold
+    P = num_partitions
+    sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                      shingle_k=shingle_k).materialize()
+
+    def emit(role_probe: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids, blobs = b[id_col].to_pylist(), b["sh"].to_pylist()
+            out_sh, out_id = [], []
+            for uid, blob in zip(ids, blobs):
+                arr = np.frombuffer(blob, dtype=np.uint64)
+                n = len(arr)
+                if n == 0:
+                    continue
+                if role_probe:
+                    arr = arr[: n - int(np.ceil(t * n)) + 1]
+                out_sh.append(arr)
+                out_id.extend([uid] * len(arr))
+            cat = (np.concatenate(out_sh) if out_sh
+                   else np.empty(0, dtype=np.uint64))
+            return pa.table({
+                "shingle": pa.array(cat),
+                id_col: pa.array(out_id, type=pa.string()),
+                "_part": pa.array((cat % np.uint64(P)).astype(np.int64)),
+            })
+        return fn
+
+    def cands(probe: pd.DataFrame, index: pd.DataFrame) -> pd.DataFrame:
+        m = probe.merge(index, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] != m[f"{id_col}_b"]]
+        return (
+            m[[f"{id_col}_a", f"{id_col}_b"]]
+            .drop_duplicates().reset_index(drop=True)
+        )
+
+    side_schema = pa.schema([
+        ("shingle", pa.uint64()), (id_col, pa.string()),
+    ])
+    cand = hash_exchange(
+        [
+            sh.map_batches(emit(True), batch_format="pyarrow"),
+            sh.map_batches(emit(False), batch_format="pyarrow"),
+        ],
+        cands,
+        num_partitions=P,
+        schema=pa.schema([(f"{id_col}_a", pa.string()),
+                          (f"{id_col}_b", pa.string())]),
+        in_schemas=[side_schema, side_schema],
+    )
+    return verify_pairs_partitioned(
+        ds, cand, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        threshold=threshold, sh=sh, metric="containment",
+    )
+
+
+def containment_pairs_sql(threshold: float = 0.8) -> str:
+    """Exact all-directional-pairs shingle containment ground truth."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    return f"""
+WITH {WEB_PAGES_CTE},
+toks AS (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+         FROM web_pages),
+sh AS (
+  SELECT DISTINCT url, array_to_string(t[i:i+4], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+  WHERE len(t) >= 5
+),
+cnt AS (SELECT url, count(*) AS n FROM sh GROUP BY url),
+inter AS (
+  SELECT a.url AS url_a, b.url AS url_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.url <> b.url
+  GROUP BY 1, 2
+)
+SELECT url_a, url_b,
+       CAST(floor(i * 10000.0 / ca.n) AS BIGINT) AS containment_bp
+FROM inter JOIN cnt ca ON ca.url = inter.url_a
+WHERE i * 1.0 / ca.n >= {threshold}"""

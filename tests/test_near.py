@@ -260,3 +260,30 @@ def test_skew_split_verified_pipeline_unchanged(sf_dir, pages, con):
     got = set(map(tuple, ver_split[["url_a", "url_b"]].values))
     want = set(map(tuple, ver_plain[["url_a", "url_b"]].values))
     assert got == want and len(got) > 0
+
+
+def test_containment_pairs_oracle(sf_dir, pages, con):
+    res = near.containment_pairs(pages, threshold=0.8).to_pandas()
+    got = pd.DataFrame({
+        "url_a": res["url_a"], "url_b": res["url_b"],
+        "containment_bp": np.floor(res["containment"] * 10000)
+        .astype(np.int64),
+    }).sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    want = con.execute(near.containment_pairs_sql(0.8)).fetchdf(
+    ).sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_containment_is_directional(sf_dir, pages):
+    res = near.containment_pairs(pages, threshold=0.8).to_pandas()
+    # exact duplicates appear in BOTH directions at containment 1.0
+    fwd = set(map(tuple, res[["url_a", "url_b"]].values))
+    ones = res[res["containment"] == 1.0]
+    both = [
+        (a, b) for a, b in zip(ones["url_a"], ones["url_b"])
+        if (b, a) in fwd
+    ]
+    assert len(both) > 0
+    # and containment of A in B never requires B in A
+    asym = [(a, b) for a, b in fwd if (b, a) not in fwd]
+    assert len(asym) > 0
