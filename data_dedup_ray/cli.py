@@ -100,7 +100,22 @@ def main(argv: list[str] | None = None) -> int:
         def build():
             return near.minhash_dedup_clusters(ds, threshold=args.threshold)
 
-        result = ck.run("near_clusters", build) if ck else build()
+        def _near_counters(d):
+            import pyarrow.compute as pc
+
+            sizes = d.groupby("cluster_id").count().to_pandas()
+            return {
+                "n_pages": int(sizes["count()"].sum()),
+                "n_clusters": int(len(sizes)),
+                "n_dup_pages": int(
+                    sizes.loc[sizes["count()"] > 1, "count()"].sum()
+                ),
+            }
+
+        result = (
+            ck.run("near_clusters", build, counters=_near_counters)
+            if ck else build()
+        )
         if args.format == "parquet":
             result.write_parquet(args.output)
         else:
@@ -117,7 +132,10 @@ def main(argv: list[str] | None = None) -> int:
                 ds, chain=args.alg, ignore_empty=args.ignore_empty
             )
 
-        result = ck.run("exact_dedup", build) if ck else build()
+        result = (
+            ck.run("exact_dedup", build, counters=exact.dedup_stats)
+            if ck else build()
+        )
         if args.format == "parquet":
             result.write_parquet(args.output)
         else:

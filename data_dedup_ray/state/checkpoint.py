@@ -80,20 +80,27 @@ class Checkpointer:
         build: Callable[[], ray.data.Dataset],
         *,
         parents: list[str] | None = None,
-        counters: dict[str, Any] | None = None,
+        counters: dict[str, Any] | Callable[[ray.data.Dataset], dict] | None = None,
     ) -> ray.data.Dataset:
         """Return the stage's Dataset, building + persisting it if needed.
 
         ``build`` is only called when no ``_SUCCESS`` marker exists; its
         result streams straight to partitioned Parquet.  The returned
         Dataset always reads from the checkpoint directory, so downstream
-        stages re-execute nothing upstream of a completed checkpoint."""
+        stages re-execute nothing upstream of a completed checkpoint.
+
+        ``counters`` may be a callable: it runs on the just-checkpointed
+        Dataset (reading back the Parquet, so the metric pass never
+        re-executes the pipeline) and its dict lands in ``_META.json`` —
+        the per-stage hash/signature counter record."""
         d = self.stage_dir(stage)
         if not self.has(stage):
             self.invalidate(stage)  # drop any half-written attempt
             os.makedirs(d, exist_ok=True)
             ds = build()
             ds.write_parquet(d)
+            if callable(counters):
+                counters = counters(ray.data.read_parquet(d))
             files = sorted(
                 f for f in os.listdir(d) if f.endswith(".parquet")
             )
@@ -106,7 +113,8 @@ class Checkpointer:
                     f: pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
                     for f in files
                 },
-                "counters": counters or {},
+                "counters": (counters if isinstance(counters, dict)
+                             else {}),
             }
             with open(self._meta(stage), "w") as f:
                 json.dump(lineage, f, indent=1, sort_keys=True, default=str)

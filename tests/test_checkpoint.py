@@ -80,3 +80,20 @@ def test_half_written_stage_is_rebuilt(ray_session, tmp_path):
     assert sorted(out.to_pandas()["x"]) == [1, 2]
     assert ck.has("s")
     assert "junk.parquet" not in os.listdir(d)
+
+
+def test_counters_callable_lands_in_meta(tmp_path, sf_dir):
+    import ray.data
+
+    from data_dedup_ray.state.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path), {"k": 1})
+
+    def build():
+        return ray.data.range(10)
+
+    res = ck.run("stage_x", build,
+                 counters=lambda d: {"rows_seen": d.count()})
+    assert res.count() == 10
+    meta = ck.meta("stage_x")
+    assert meta["counters"] == {"rows_seen": 10}

@@ -73,3 +73,20 @@ def test_checkpoint_resume_cli(ray_session, pages_parquet, tmp_path):
                "--checkpoint-dir", str(ck), "--num-cpus", "4"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert out1.read_text() == out2.read_text()
+
+
+def test_checkpoint_meta_records_counters(ray_session, pages_parquet, tmp_path):
+    import json
+
+    out = tmp_path / "r.tsv"
+    ck = tmp_path / "ck"
+    r = _run(["--input", pages_parquet, "--output", str(out),
+              "--checkpoint-dir", str(ck), "--quiet"])
+    assert r.returncode == 0, r.stderr
+    stage_dirs = [d for d in os.listdir(ck) if d.startswith("exact_dedup")]
+    assert stage_dirs
+    with open(os.path.join(ck, stage_dirs[0], "_META.json")) as f:
+        meta = json.load(f)
+    # the --verbose tallies land in lineage (hash/signature counters)
+    assert meta["counters"], meta
+    assert all(isinstance(v, int) for v in meta["counters"].values())
