@@ -170,6 +170,27 @@ def run_suite(sf_dir: str, num_cpus: int, factor: int) -> dict:
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int, factor: int) -> dict:
+    """Run the headline pipeline once and dump per-operator ds.stats()
+    to stderr — the instrumentation pass used to keep stage wall time
+    dominated by useful compute (exchange internals are raw tasks and
+    report only their Dataset-visible stages)."""
+    from data_dedup_ray.pipelines import near
+
+    _init_ray(num_cpus)
+    t0 = time.perf_counter()
+    res = near.minhash_dedup_clusters(_pages(sf_dir, factor), threshold=0.7)
+    n = res.count()
+    sec = time.perf_counter() - t0
+    print(res.stats(), file=sys.stderr)
+    return {
+        "metric": "near_dup_clusters wall (stats run)",
+        "value": round(sec, 3), "unit": "sec", "rows": int(n),
+        "sf": _sf_of(sf_dir), "num_cpus": num_cpus,
+        "amplify_factor": factor,
+    }
+
+
 # --------------------------------------------------------------------------
 # Scaling: same job, fresh processes, num_cpus=N vs 4N
 # --------------------------------------------------------------------------
@@ -247,13 +268,18 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--factor", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the headline pipeline's ds.stats() to stderr")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child:
         child_main(args.num_cpus, args.sf_dir, args.factor or DEFAULT_FACTOR)
         return
-    if args.scaling:
+    if args.stats:
+        result = run_stats(args.sf_dir, args.num_cpus,
+                           args.factor or DEFAULT_FACTOR)
+    elif args.scaling:
         result = run_scaling(args.sf_dir, args.factor or DEFAULT_SCALING_FACTOR)
     else:
         result = run_suite(args.sf_dir, args.num_cpus,
