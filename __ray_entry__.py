@@ -475,6 +475,12 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(emb, k=5, n_queries=10)
 
 
+def _q_embedding_dup_clusters(sf_dir: str):
+    from data_dedup_ray.pipelines.search import embedding_dup_clusters
+
+    return embedding_dup_clusters(sf_dir, threshold=0.99)
+
+
 def _q_embedding_centroids(sf_dir: str):
     from data_dedup_ray.pipelines.search import embedding_centroids
 
@@ -507,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_centroids": _q_embedding_centroids,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "cross_corpus_near_pairs": _q_cross_corpus_near,
         "containment_pairs": _q_containment_pairs,
@@ -587,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": oracles.knn_topk_sql(5, 10),
         "embedding_dup_pairs": oracles.embedding_dup_sql(0.99),
         "embedding_centroids": _search.embedding_centroids_sql(),
+        "embedding_dup_clusters": _search.embedding_dup_clusters_sql(0.99),
         # simhash_pairs / simhash_clusters intentionally omitted: the
         # fingerprint function is not SQL-expressible → rows-only check;
         # exactness is covered by tests/test_near.py's brute-force oracle.

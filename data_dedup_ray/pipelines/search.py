@@ -421,3 +421,57 @@ SELECT CAST(label AS BIGINT) AS label, CAST(g.i AS BIGINT) AS dim,
        count(*) AS n_vecs
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
 GROUP BY label, g.i"""
+
+
+def embedding_dup_clusters(
+    sf_dir: str, *, threshold: float = 0.99
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup clusters: connected components of the
+    cosine-≥-threshold pair graph over the augmented embedding table,
+    labeled by min vec_id (singletons self-labeled): ``(vec_id,
+    cluster_id)``.  Same component machinery as the MinHash clusters
+    (driver DSU below the edge guard, distributed label propagation past
+    it); the edge list is output-sized by construction."""
+    from data_dedup_ray.pipelines.components import dsu_components
+
+    emb = augmented_embeddings(sf_dir)
+    edges = embedding_dup_pairs(emb, threshold=threshold)
+    assignment = dsu_components(edges, a="vec_id_a", b="vec_id_b")
+    ref = ray.put({int(k): int(v) for k, v in assignment.items()})
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        vals = np.fromiter(
+            (m.get(int(i), int(i)) for i in ids), np.int64, len(ids)
+        )
+        return pa.table({
+            "vec_id": t["vec_id"].combine_chunks(),
+            "cluster_id": pa.array(vals),
+        })
+
+    return emb.map_batches(attach, batch_format="pyarrow")
+
+
+def embedding_dup_clusters_sql(threshold: float = 0.99) -> str:
+    cos = (
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))"
+    )
+    return f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+dup AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}),
+edges AS (SELECT va AS a, vb AS b FROM dup
+          UNION SELECT vb, va FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id
+FROM emb e LEFT JOIN comp c ON c.vec_id = e.vec_id"""

@@ -157,3 +157,26 @@ def test_embedding_centroids_mean_close_to_numpy(sf_dir):
         sub = got[got["label"] == lab].sort_values("dim")
         mean = sub["sum_e6"].to_numpy() / sub["n_vecs"].to_numpy() / 1e6
         assert np.abs(mean - want).max() < 1e-5
+
+
+def test_embedding_dup_clusters_oracle(sf_dir, con):
+    from data_dedup_ray.pipelines.search import (embedding_dup_clusters,
+                                                 embedding_dup_clusters_sql)
+
+    got = embedding_dup_clusters(sf_dir).to_pandas()
+    want = con.execute(embedding_dup_clusters_sql()).fetchdf()
+    g = got.sort_index(axis=1).sort_values("vec_id").reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values("vec_id").reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_embedding_dup_clusters_planted_copies(sf_dir):
+    from data_dedup_ray.pipelines.search import embedding_dup_clusters
+
+    got = embedding_dup_clusters(sf_dir).to_pandas().set_index("vec_id")
+    # each planted exact copy (vec_id+100000) clusters with its original
+    originals = [i for i in got.index if i < 100000 and i % 10 == 0]
+    assert originals
+    for i in originals[:20]:
+        assert got.loc[i + 100000, "cluster_id"] == got.loc[i, "cluster_id"]
