@@ -321,6 +321,24 @@ def _q_top_terms(sf_dir: str):
     return text.top_terms(sf_dir)
 
 
+def _q_normalize_text(sf_dir: str):
+    from data_dedup_ray.pipelines import text
+
+    return text.normalize_text(sf_dir)
+
+
+def _q_lang_confusion(sf_dir: str):
+    from data_dedup_ray.pipelines import text
+
+    return text.lang_confusion(sf_dir)
+
+
+def _q_domain_dup_stats(sf_dir: str):
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.domain_dup_stats(web_pages(sf_dir))
+
+
 def _q_canonical_urls(sf_dir: str):
     from data_dedup_ray.pipelines import urls
 
@@ -543,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "filter_blocked_domains": _q_filter_blocked,
         "top_terms": _q_top_terms,
+        "normalize_text": _q_normalize_text,
+        "lang_confusion": _q_lang_confusion,
+        "domain_dup_stats": _q_domain_dup_stats,
         "events_windowed_agg": _q_windowed_agg,
         "event_sessions": _q_sessions,
         "events_asof_join": _q_asof_join,
@@ -655,6 +676,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _snap.domain_stats_sql(),
         "filter_blocked_domains": _snap.filter_blocked_domains_sql(),
         "top_terms": _text.top_terms_sql(),
+        "normalize_text": _text.normalize_text_sql(),
+        "lang_confusion": _text.lang_confusion_sql(),
+        "domain_dup_stats": _snap.domain_dup_stats_sql(),
         "canonical_urls": _urls.canonical_urls_sql(),
         "canonical_collapse": _urls.canonical_collapse_sql(),
         "pricing_summary": _rel.pricing_summary_sql(),

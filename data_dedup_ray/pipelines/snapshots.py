@@ -587,3 +587,74 @@ def new_content_bloom(
 
 def new_content_bloom_sql() -> str:
     return new_content_sql()  # identical result by construction
+
+
+def domain_dup_stats(
+    ds: ray.data.Dataset, *, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Per-domain duplication report: ``(domain, n_pages, n_distinct,
+    dup_rate_bp)`` — which sites are mirror farms.  Per-batch partials
+    carry (domain, sha) pairs already deduped within the batch, the
+    domain-keyed exchange counts distinct content per domain, and the
+    rate is integer basis points.  The reference's global dup tallies
+    (CLI.pm:313-321) become a keyed rollup."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        domains = [u.split("//", 1)[1].split("/", 1)[0] for u in urls]
+        shas = [
+            hashlib.sha256(s.encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        out = pa.table({
+            "domain": pa.array(domains, pa.string()),
+            "sha": pa.array(shas, pa.string()),
+            "n": pa.array(np.ones(len(urls), np.int64)),
+        })
+        g = out.group_by(["domain", "sha"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["domain", "sha", "n"])
+        part = key_partition(g["domain"].to_pylist(), P)
+        return g.append_column("_part", pa.array(part))
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["domain", "sha", "_part"]).aggregate([("n", "sum")])
+            .rename_columns(["domain", "sha", "_part", "n"])
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("domain", sort=False).agg(
+            n_pages=("n", "sum"), n_distinct=("sha", "nunique")
+        ).reset_index()
+        out["dup_rate_bp"] = (
+            (out["n_pages"] - out["n_distinct"]) * 10000 // out["n_pages"]
+        )
+        return out
+
+    part_schema = pa.schema([
+        ("domain", pa.string()), ("sha", pa.string()), ("n", pa.int64()),
+    ])
+    return hash_exchange(
+        [ds.map_batches(prep, batch_format="pyarrow")],
+        final,
+        num_partitions=P,
+        schema=pa.schema([
+            ("domain", pa.string()), ("n_pages", pa.int64()),
+            ("n_distinct", pa.int64()), ("dup_rate_bp", pa.int64()),
+        ]),
+        in_schemas=[part_schema],
+        pre=[combine],
+    )
+
+
+def domain_dup_stats_sql() -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(
+        "SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,"
+        " count(*) AS n_pages, count(DISTINCT text) AS n_distinct,"
+        " (count(*) - count(DISTINCT text)) * 10000 // count(*)"
+        "   AS dup_rate_bp"
+        " FROM web_pages GROUP BY 1"
+    )

@@ -169,3 +169,84 @@ def top_terms_sql(k: int = 100) -> str:
         "    FROM documents))"
         " GROUP BY term ORDER BY df DESC, term LIMIT " + str(k)
     )
+
+
+def normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Canonical text normalization — the pass run before any hashing so
+    trivially-different captures dedup together: unicode NFC, lowercase,
+    collapse whitespace runs, strip.  ``(doc_id, norm_text, changed)``.
+    Embarrassingly parallel; rule-for-rule identical to the SQL twin."""
+    import re
+    import unicodedata
+
+    import numpy as np
+    import pyarrow as pa
+
+    ws = re.compile(r"\s+")
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = [
+            ws.sub(" ", unicodedata.normalize("NFC", s).lower()).strip()
+            for s in texts
+        ]
+        changed = np.fromiter(
+            (a != b for a, b in zip(out, texts)), bool, len(texts)
+        )
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "norm_text": pa.array(out, pa.string()),
+            "changed": pa.array(changed),
+        })
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text_sql() -> str:
+    return r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm_text,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         <> text AS changed
+FROM documents"""
+
+
+def lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic-language-ID evaluation: confusion counts of predicted vs
+    labeled language — ``(lang, lang_pred, n)``.  Per-batch partial counts
+    (combiner) → one tiny groupby over ≤ |langs|² rows."""
+    import pyarrow as pa
+
+    from data_dedup_ray.util import stage_task
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pred = docs.map_batches(
+        stage_task(textstats.LangId), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "lang_pred"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    return (
+        pred.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+
+def lang_confusion_sql() -> str:
+    from data_dedup_ray.oracles import lang_id_sql
+
+    return f"""
+WITH pred AS ({lang_id_sql()})
+SELECT d.lang, p.lang_pred, count(*) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.lang_pred"""

@@ -148,3 +148,24 @@ def test_filter_blocked_domains_drops_only_blocked(sf_dir):
         .str.startswith("https://mirror.example/").sum()
     )
     assert len(kept) == n_all - n_mirror
+
+
+def test_domain_dup_stats_oracle(sf_dir, con):
+    got = snapshots.domain_dup_stats(web_pages(sf_dir))
+    _cmp(got, con.execute(snapshots.domain_dup_stats_sql()).fetchdf(),
+         ["domain"])
+
+
+def test_domain_dup_stats_partition_invariance(sf_dir, con):
+    want = con.execute(snapshots.domain_dup_stats_sql()).fetchdf()
+    got = snapshots.domain_dup_stats(web_pages(sf_dir), num_partitions=3)
+    _cmp(got, want, ["domain"])
+
+
+def test_domain_dup_stats_mirror_is_all_dup(sf_dir):
+    got = snapshots.domain_dup_stats(web_pages(sf_dir)).to_pandas()
+    got = got.set_index("domain")
+    # the planted mirror domain duplicates existing content wholesale
+    assert got.loc["mirror.example", "dup_rate_bp"] >= 0
+    assert (got["n_distinct"] <= got["n_pages"]).all()
+    assert ((got["dup_rate_bp"] >= 0) & (got["dup_rate_bp"] < 10000)).all()

@@ -180,3 +180,37 @@ def test_embedding_dup_clusters_planted_copies(sf_dir):
     assert originals
     for i in originals[:20]:
         assert got.loc[i + 100000, "cluster_id"] == got.loc[i, "cluster_id"]
+
+
+def test_normalize_text_oracle(sf_dir, con):
+    got = text.normalize_text(sf_dir).to_pandas()
+    want = con.execute(text.normalize_text_sql()).fetchdf()
+    g = got.sort_index(axis=1).sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values("doc_id").reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_normalize_text_idempotent_and_clean(sf_dir):
+    got = text.normalize_text(sf_dir).to_pandas()
+    for s in got["norm_text"].head(50):
+        assert s == s.lower() and s == s.strip()
+        assert "  " not in s
+
+
+def test_lang_confusion_oracle(sf_dir, con):
+    got = text.lang_confusion(sf_dir).to_pandas()
+    want = con.execute(text.lang_confusion_sql()).fetchdf()
+    g = got.sort_index(axis=1).sort_values(
+        ["lang", "lang_pred"]).reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values(
+        ["lang", "lang_pred"]).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_lang_confusion_mass(sf_dir):
+    got = text.lang_confusion(sf_dir).to_pandas()
+    n_docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).shape[0]
+    assert got["n"].sum() == n_docs
