@@ -52,6 +52,10 @@ def _q_keep_first(sf_dir: str):
     ).select_columns(["url", "n_members"])
 
 
+def _q_exact_dedup_normalized(sf_dir: str):
+    return exact.dedup_pages_normalized(sf_dir)
+
+
 def _q_identity_collapse(sf_dir: str):
     return exact.collapse_identity(web_pages(sf_dir)).select_columns(
         ["inode_id", "url"]
@@ -553,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_report": _q_exact_report,
         "exact_dedup_keep_first": _q_keep_first,
         "exact_dedup_ignore_empty": _q_ignore_empty,
+        "exact_dedup_normalized": _q_exact_dedup_normalized,
         "identity_collapse": _q_identity_collapse,
         "hardlink_groups": _q_hardlinks,
         "latest_by_url": _q_latest_by_url,
@@ -662,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
             " count(*) OVER (PARTITION BY text) AS n_members FROM web_pages"
             " WHERE strlen(text) > 0"
         ),
+        "exact_dedup_normalized": exact.dedup_pages_normalized_sql(),
         "identity_collapse": web_pages_sql(
             "SELECT inode_id, min(url) AS url FROM web_pages GROUP BY inode_id"
         ),

@@ -138,3 +138,72 @@ def dedup_stats(result: ray.data.Dataset) -> dict[str, int]:
         "duplicates": dup_rows - int(clusters),
         "total": unique + dup_rows,
     }
+
+
+# --------------------------------------------------------------------------
+# Exact dedup over NORMALIZED text (composition with text.normalize rules)
+# --------------------------------------------------------------------------
+
+
+def _plant_case_ws_noise(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic capture noise: every ``inode_id % 3 == 1`` page is
+    upper-cased, every ``% 3 == 2`` page gets doubled spaces — the
+    trivially-different re-captures normalization exists to collapse."""
+    r = batch["inode_id"] % 3
+    text = batch["text"].where(r != 1, batch["text"].str.upper())
+    text = text.where(r != 2, batch["text"].str.replace(" ", "  ", regex=False))
+    out = batch.copy()
+    out["text"] = text
+    return out
+
+
+NOISY_PAGES_SELECT = (
+    "SELECT url, inode_id, CASE inode_id % 3"
+    " WHEN 1 THEN upper(text)"
+    " WHEN 2 THEN replace(text, ' ', '  ')"
+    " ELSE text END AS text FROM web_pages"
+)
+
+
+def dedup_pages_normalized(sf_dir: str) -> ray.data.Dataset:
+    """The full reason text normalization exists in a dedup engine: the
+    exact cascade over NFC/lower/whitespace-normalized text groups
+    trivially-different re-captures that byte-exact dedup would miss.
+    ``(url, cluster_id, n_members)`` over the noise-planted corpus."""
+    import re
+    import unicodedata
+
+    from data_dedup_ray.corpus import web_pages
+
+    ws = re.compile(r"\s+")
+
+    def norm(t: pa.Table) -> pa.Table:
+        texts = [
+            ws.sub(" ", unicodedata.normalize("NFC", s).lower()).strip()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    noisy = web_pages(sf_dir).map_batches(
+        _plant_case_ws_noise, batch_format="pandas"
+    )
+    res = dedup_pages(noisy.map_batches(norm, batch_format="pyarrow"),
+                      collapse=False)
+    return res.select_columns(["url", "cluster_id", "n_members"])
+
+
+def dedup_pages_normalized_sql() -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(
+        "SELECT url,"
+        " min(url) OVER (PARTITION BY nt) AS cluster_id,"
+        " count(*) OVER (PARTITION BY nt) AS n_members FROM ("
+        "  SELECT url,"
+        r"  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))"
+        "    AS nt"
+        f"  FROM ({NOISY_PAGES_SELECT}))"
+    )

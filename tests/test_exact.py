@@ -1,6 +1,7 @@
 """Exact-dedup pipeline vs a DuckDB oracle on the same derived corpus."""
 
 import duckdb
+import pandas as pd
 import pytest
 
 from data_dedup_ray.corpus import web_pages, web_pages_sql
@@ -101,3 +102,28 @@ def test_report_bytes_identical_across_partitioning(sf_dir):
         exact.dedup_pages(web_pages(sf_dir, override_num_blocks=11),
                           collapse=False))
     assert r1 == r2 and len(r1) > 0
+
+
+def test_dedup_pages_normalized_oracle(sf_dir, con):
+    got = exact.dedup_pages_normalized(sf_dir).to_pandas()
+    want = con.execute(exact.dedup_pages_normalized_sql()).fetchdf()
+    g = got.sort_index(axis=1).sort_values("url").reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values("url").reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_dedup_pages_normalized_undoes_noise(sf_dir):
+    # normalization must recover exactly the clean corpus's exact clusters
+    noisy = exact.dedup_pages_normalized(sf_dir).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    clean = exact.dedup_pages(
+        web_pages(sf_dir), collapse=False
+    ).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    assert (noisy["cluster_id"].values == clean["cluster_id"].values).all()
+    # while byte-exact dedup on the noisy corpus finds FEWER duplicates
+    raw_noisy = web_pages(sf_dir).map_batches(
+        exact._plant_case_ws_noise, batch_format="pandas")
+    raw = exact.dedup_pages(raw_noisy, collapse=False).to_pandas()
+    assert (raw["n_members"] > 1).sum() < (noisy["n_members"] > 1).sum()
