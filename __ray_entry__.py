@@ -56,6 +56,16 @@ def _q_exact_dedup_normalized(sf_dir: str):
     return exact.dedup_pages_normalized(sf_dir)
 
 
+def _q_exact_dedup_size_only(sf_dir: str):
+    """--alg-style chain config changes SEMANTICS, not just cost: a
+    ["size"]-only cascade groups by content length alone (the reference's
+    configurable blocking, CLI.pm:89-97)."""
+    res = exact.dedup_pages(
+        web_pages(sf_dir), collapse=False, chain=["size"]
+    )
+    return res.select_columns(["url", "cluster_id", "n_members"])
+
+
 def _q_identity_collapse(sf_dir: str):
     return exact.collapse_identity(web_pages(sf_dir)).select_columns(
         ["inode_id", "url"]
@@ -558,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_keep_first": _q_keep_first,
         "exact_dedup_ignore_empty": _q_ignore_empty,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
+        "exact_dedup_size_only": _q_exact_dedup_size_only,
         "identity_collapse": _q_identity_collapse,
         "hardlink_groups": _q_hardlinks,
         "latest_by_url": _q_latest_by_url,
@@ -668,6 +679,12 @@ def oracle_sql() -> dict[str, str]:
             " WHERE strlen(text) > 0"
         ),
         "exact_dedup_normalized": exact.dedup_pages_normalized_sql(),
+        "exact_dedup_size_only": web_pages_sql(
+            "SELECT url,"
+            " min(url) OVER (PARTITION BY strlen(text)) AS cluster_id,"
+            " count(*) OVER (PARTITION BY strlen(text)) AS n_members"
+            " FROM web_pages"
+        ),
         "identity_collapse": web_pages_sql(
             "SELECT inode_id, min(url) AS url FROM web_pages GROUP BY inode_id"
         ),

@@ -127,3 +127,21 @@ def test_dedup_pages_normalized_undoes_noise(sf_dir):
         exact._plant_case_ws_noise, batch_format="pandas")
     raw = exact.dedup_pages(raw_noisy, collapse=False).to_pandas()
     assert (raw["n_members"] > 1).sum() < (noisy["n_members"] > 1).sum()
+
+
+def test_dedup_size_only_chain(sf_dir, con):
+    got = exact.dedup_pages(
+        web_pages(sf_dir), collapse=False, chain=["size"]
+    ).to_pandas()[["url", "cluster_id", "n_members"]]
+    want = con.execute(web_pages_sql(
+        "SELECT url,"
+        " min(url) OVER (PARTITION BY strlen(text)) AS cluster_id,"
+        " count(*) OVER (PARTITION BY strlen(text)) AS n_members"
+        " FROM web_pages"
+    )).fetchdf()
+    g = got.sort_index(axis=1).sort_values("url").reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # a single-stage weak chain merges MORE than the full cascade
+    full = exact.dedup_pages(web_pages(sf_dir), collapse=False).to_pandas()
+    assert got["cluster_id"].nunique() <= full["cluster_id"].nunique()
