@@ -101,8 +101,6 @@ def main(argv: list[str] | None = None) -> int:
             return near.minhash_dedup_clusters(ds, threshold=args.threshold)
 
         def _near_counters(d):
-            import pyarrow.compute as pc
-
             sizes = d.groupby("cluster_id").count().to_pandas()
             return {
                 "n_pages": int(sizes["count()"].sum()),
@@ -141,7 +139,9 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _emit(exact.report_text(result), args.output)
         if args.verbose:
-            stats = exact.dedup_stats(result)
+            # a checkpointed run already computed the tallies into _META
+            stats = (ck.meta("exact_dedup")["counters"]
+                     if ck else exact.dedup_stats(result))
             for k, v in stats.items():
                 print(f"{k}: {v}", file=sys.stderr)
 

@@ -169,19 +169,13 @@ def dedup_pages_normalized(sf_dir: str) -> ray.data.Dataset:
     """The full reason text normalization exists in a dedup engine: the
     exact cascade over NFC/lower/whitespace-normalized text groups
     trivially-different re-captures that byte-exact dedup would miss.
-    ``(url, cluster_id, n_members)`` over the noise-planted corpus."""
-    import re
-    import unicodedata
-
+    ``(url, cluster_id, n_members)`` over the noise-planted corpus.
+    Normalization rule shared with text.norm_text_py (one definition)."""
     from data_dedup_ray.corpus import web_pages
-
-    ws = re.compile(r"\s+")
+    from data_dedup_ray.pipelines.text import norm_text_py
 
     def norm(t: pa.Table) -> pa.Table:
-        texts = [
-            ws.sub(" ", unicodedata.normalize("NFC", s).lower()).strip()
-            for s in t["text"].to_pylist()
-        ]
+        texts = [norm_text_py(s) for s in t["text"].to_pylist()]
         return pa.table({
             "url": t["url"].combine_chunks(),
             "text": pa.array(texts, pa.string()),
@@ -197,13 +191,12 @@ def dedup_pages_normalized(sf_dir: str) -> ray.data.Dataset:
 
 def dedup_pages_normalized_sql() -> str:
     from data_dedup_ray.corpus import web_pages_sql
+    from data_dedup_ray.pipelines.text import norm_sql_expr
 
     return web_pages_sql(
         "SELECT url,"
         " min(url) OVER (PARTITION BY nt) AS cluster_id,"
         " count(*) OVER (PARTITION BY nt) AS n_members FROM ("
-        "  SELECT url,"
-        r"  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))"
-        "    AS nt"
+        f"  SELECT url, {norm_sql_expr('text')} AS nt"
         f"  FROM ({NOISY_PAGES_SELECT}))"
     )

@@ -354,9 +354,10 @@ def verify_pairs_partitioned(
         # The indexer resolves each pair to an offset into the UNIQUE
         # blob buffer and the intersect reads zero-copy views.
         if pt.num_rows == 0 or sht.num_rows == 0:
+            score = "containment" if metric == "containment" else "jaccard"
             return pa.table({"url_a": pa.array([], type=pa.string()),
                              "url_b": pa.array([], type=pa.string()),
-                             "jaccard": pa.array([], type=pa.float64())})
+                             score: pa.array([], type=pa.float64())})
         idx = pd.Index(sht[id_col].to_pandas()).get_indexer(
             pd.Series(pt["url_b"].to_pandas())
         )
@@ -1152,6 +1153,8 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT url_a, url_b,
-       CAST(floor(i * 10000.0 / ca.n) AS BIGINT) AS containment_bp
+       -- two-step (ratio, then x10000) to mirror the pipeline's rounding
+       -- order exactly: double(i/n) first, floor(c*10000) second
+       CAST(floor((i * 1.0 / ca.n) * 10000) AS BIGINT) AS containment_bp
 FROM inter JOIN cnt ca ON ca.url = inter.url_a
 WHERE i * 1.0 / ca.n >= {threshold}"""

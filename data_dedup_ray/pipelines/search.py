@@ -387,9 +387,13 @@ def embedding_centroids(sf_dir: str) -> ray.data.Dataset:
         flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         n, d = len(t), len(flat) // max(len(t), 1)
         mat = flat.reshape(n, d)
-        scaled = np.where(
-            mat >= 0, np.floor(mat * 1e6 + 0.5), np.ceil(mat * 1e6 - 0.5)
-        ).astype(np.int64)  # half away from zero == DuckDB round()
+        # exact half-away-from-zero on the double values (DuckDB round()):
+        # ax - floor(ax) is computed exactly, so the >= 0.5 test never
+        # suffers the classic +0.5 last-ulp misround
+        ax = np.abs(mat * 1e6)
+        base = np.floor(ax)
+        scaled = (np.sign(mat * 1e6) * (base + (ax - base >= 0.5))
+                  ).astype(np.int64)
         labels = t["label"].to_numpy(zero_copy_only=False)
         out_lab, out_dim, out_sum, out_n = [], [], [], []
         for lab in np.unique(labels):
@@ -436,7 +440,28 @@ def embedding_dup_clusters(
 
     emb = augmented_embeddings(sf_dir)
     edges = embedding_dup_pairs(emb, threshold=threshold)
-    assignment = dsu_components(edges, a="vec_id_a", b="vec_id_b")
+    try:
+        assignment = dsu_components(edges, a="vec_id_a", b="vec_id_b")
+    except ValueError:
+        # past the driver DSU edge guard: distributed min-label
+        # propagation over width-stable string ids (order-preserving for
+        # the non-negative vec_ids, so min-label semantics carry over)
+        import ray.data as rd
+
+        from data_dedup_ray.pipelines.components import label_propagation
+
+        sedges = pd.DataFrame({
+            "url_a": [f"{v:012d}" for v in edges["vec_id_a"]],
+            "url_b": [f"{v:012d}" for v in edges["vec_id_b"]],
+        })
+        nodes = emb.map_batches(
+            lambda t: pa.table({"url": pa.array(
+                [f"{int(v):012d}" for v in
+                 t["vec_id"].to_numpy(zero_copy_only=False)], pa.string())}),
+            batch_format="pyarrow",
+        )
+        lp = label_propagation(nodes, rd.from_pandas(sedges)).to_pandas()
+        assignment = dict(zip(lp["url"].astype(int), lp["cluster_id"].astype(int)))
     ref = ray.put({int(k): int(v) for k, v in assignment.items()})
 
     def attach(t: pa.Table) -> pa.Table:

@@ -125,6 +125,15 @@ def snapshots_sql(select: str) -> str:
 # --------------------------------------------------------------------------
 
 
+
+def domain_of(url: str) -> str:
+    """Host part of a url — SQL-twin semantics (split_part(url,'//',2)
+    then up to the first '/'): scheme-less urls yield '' instead of
+    raising, exactly like the oracle side."""
+    parts = url.split("//", 1)
+    return "" if len(parts) < 2 else parts[1].split("/", 1)[0]
+
+
 def _url_part(urls: np.ndarray, P: int) -> np.ndarray:
     return key_partition(urls, P)
 
@@ -337,7 +346,7 @@ class _DomainFilter:
     def __call__(self, t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
         keep = pa.array(
-            [u.split("//", 1)[1].split("/", 1)[0] not in self.blocked
+            [domain_of(u) not in self.blocked
              for u in urls],
             pa.bool_(),
         )
@@ -394,7 +403,7 @@ def domain_stats(
 
     def partial(t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
-        dom = pa.array([u.split("//", 1)[1].split("/", 1)[0] for u in urls])
+        dom = pa.array([domain_of(u) for u in urls])
         tl = pa.compute.utf8_length(t["text"]).cast(pa.int64())
         g = pa.table({
             "domain": dom, "lang": t["lang"].combine_chunks(), "chars": tl,
@@ -602,7 +611,7 @@ def domain_dup_stats(
 
     def prep(t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
-        domains = [u.split("//", 1)[1].split("/", 1)[0] for u in urls]
+        domains = [domain_of(u) for u in urls]
         shas = [
             hashlib.sha256(s.encode("utf-8")).hexdigest()
             for s in t["text"].to_pylist()

@@ -171,25 +171,45 @@ def top_terms_sql(k: int = 100) -> str:
     )
 
 
+#: RE2's \s is exactly [\t\n\f\r ] (ASCII, no \v, no Unicode spaces);
+#: Python re's \s is Unicode-aware — the explicit class keeps the Python
+#: kernel and the DuckDB (RE2) oracle matching byte-for-byte.
+_WS_CLASS = "[\t\n\f\r ]"
+
+
+def norm_text_py(s: str) -> str:
+    """THE normalization rule (NFC → lower → collapse RE2-\s runs →
+    strip) — single definition shared by normalize_text and
+    exact.dedup_pages_normalized."""
+    import re
+    import unicodedata
+
+    ws = re.compile(_WS_CLASS + "+")
+    out = ws.sub(" ", unicodedata.normalize("NFC", s).lower())
+    return out.strip(" \t\n\f\r")
+
+
+def norm_sql_expr(col: str) -> str:
+    """SQL twin of ``norm_text_py`` over column ``col``."""
+    ws = _WS_CLASS.replace("\t", "\\t").replace("\n", "\\n") \
+                  .replace("\f", "\\f").replace("\r", "\\r")
+    return (
+        f"trim(regexp_replace(lower(nfc_normalize({col})),"
+        f" '{ws}+', ' ', 'g'), E'\\t\\n\\f\\r ')"
+    )
+
+
 def normalize_text(sf_dir: str) -> ray.data.Dataset:
     """Canonical text normalization — the pass run before any hashing so
     trivially-different captures dedup together: unicode NFC, lowercase,
     collapse whitespace runs, strip.  ``(doc_id, norm_text, changed)``.
     Embarrassingly parallel; rule-for-rule identical to the SQL twin."""
-    import re
-    import unicodedata
-
     import numpy as np
     import pyarrow as pa
 
-    ws = re.compile(r"\s+")
-
     def fn(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        out = [
-            ws.sub(" ", unicodedata.normalize("NFC", s).lower()).strip()
-            for s in texts
-        ]
+        out = [norm_text_py(s) for s in texts]
         changed = np.fromiter(
             (a != b for a, b in zip(out, texts)), bool, len(texts)
         )
@@ -206,12 +226,9 @@ def normalize_text(sf_dir: str) -> ray.data.Dataset:
 
 
 def normalize_text_sql() -> str:
-    return r"""
-SELECT doc_id,
-       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
-         AS norm_text,
-       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
-         <> text AS changed
+    e = norm_sql_expr("text")
+    return f"""
+SELECT doc_id, {e} AS norm_text, {e} <> text AS changed
 FROM documents"""
 
 

@@ -214,3 +214,24 @@ def test_lang_confusion_mass(sf_dir):
     n_docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                              columns=["doc_id"]).shape[0]
     assert got["n"].sum() == n_docs
+
+
+def test_embedding_dup_clusters_fallback_matches_dsu(sf_dir, monkeypatch):
+    """Forcing the DSU edge guard must route through distributed label
+    propagation and yield the identical clustering."""
+    from data_dedup_ray.pipelines import components as comp
+    from data_dedup_ray.pipelines.search import embedding_dup_clusters
+
+    want = embedding_dup_clusters(sf_dir).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    orig = comp.dsu_components
+
+    def tiny_guard(edges, a="url_a", b="url_b", max_edges=20_000_000):
+        return orig(edges, a=a, b=b, max_edges=0 if len(edges) else 1)
+
+    # embedding_dup_clusters imports dsu_components inside its body, so
+    # patching the components module attribute is what it resolves
+    monkeypatch.setattr(comp, "dsu_components", tiny_guard)
+    got = embedding_dup_clusters(sf_dir).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
