@@ -90,3 +90,31 @@ def test_checkpoint_meta_records_counters(ray_session, pages_parquet, tmp_path):
     # the --verbose tallies land in lineage (hash/signature counters)
     assert meta["counters"], meta
     assert all(isinstance(v, int) for v in meta["counters"].values())
+
+
+def test_near_mode_tsv_and_checkpoint_resume(ray_session, pages_parquet,
+                                             tmp_path):
+    """--near produces the near-dup cluster TSV; a second run with the same
+    --checkpoint-dir resumes from the checkpoint (byte-identical output)
+    and records counters in _META."""
+    import json
+
+    out1, out2 = tmp_path / "n1.tsv", tmp_path / "n2.tsv"
+    ck = tmp_path / "ck"
+    r1 = _run(["--input", pages_parquet, "--near", "--threshold", "0.7",
+               "--output", str(out1), "--checkpoint-dir", str(ck),
+               "--quiet"])
+    assert r1.returncode == 0, r1.stderr
+    r2 = _run(["--input", pages_parquet, "--near", "--threshold", "0.7",
+               "--output", str(out2), "--checkpoint-dir", str(ck),
+               "--quiet"])
+    assert r2.returncode == 0, r2.stderr
+    assert out1.read_bytes() == out2.read_bytes()
+    text = out1.read_text()
+    assert text and all("\t" in line for line in text.splitlines())
+    stage = [d for d in os.listdir(ck) if d.startswith("near_clusters")]
+    assert stage
+    with open(os.path.join(ck, stage[0], "_META.json")) as f:
+        meta = json.load(f)
+    assert meta["counters"]["n_pages"] > 0
+    assert meta["counters"]["n_clusters"] <= meta["counters"]["n_pages"]
