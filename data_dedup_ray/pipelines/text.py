@@ -267,3 +267,63 @@ WITH pred AS ({lang_id_sql()})
 SELECT d.lang, p.lang_pred, count(*) AS n
 FROM documents d JOIN pred p ON p.doc_id = d.doc_id
 GROUP BY d.lang, p.lang_pred"""
+
+
+#: GPT-2-style pretokenizer, simplified to the subset that means the same
+#: thing in Python re and DuckDB's RE2: contractions, letter runs, digit
+#: runs, symbol runs, whitespace runs (explicit ASCII classes — no \p or
+#: Unicode-dependent shorthands).
+BPE_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[a-zA-Z]+"
+    "| ?[0-9]+"
+    "| ?[^a-zA-Z0-9 \t\n\f\r]+"
+    "|[ \t\n\f\r]+"
+)
+_WS_TOKEN_PATTERN = "[^ \t\n\f\r]+"
+
+
+def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Token counting two ways — whitespace tokens and a BPE-ish
+    pretokenizer split (the GPT-2 pattern family): ``(doc_id,
+    n_ws_tokens, n_bpe_tokens)``.  The BPE count is what a training-cost
+    estimate runs over 100 TB; one compiled-regex pass per doc."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    bpe = re.compile(BPE_PATTERN)
+    ws = re.compile(_WS_TOKEN_PATTERN)
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_ws = np.fromiter((len(ws.findall(s)) for s in texts),
+                           np.int64, len(texts))
+        n_bpe = np.fromiter((len(bpe.findall(s)) for s in texts),
+                            np.int64, len(texts))
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "n_ws_tokens": pa.array(n_ws),
+            "n_bpe_tokens": pa.array(n_bpe),
+        })
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_token_counts_sql() -> str:
+    def esc(p: str) -> str:
+        return (p.replace("\\", "\\\\").replace("'", "''")
+                 .replace("\t", "\\t").replace("\n", "\\n")
+                 .replace("\f", "\\f").replace("\r", "\\r"))
+
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{esc(_WS_TOKEN_PATTERN)}'))
+         AS n_ws_tokens,
+       len(regexp_extract_all(text, '{esc(BPE_PATTERN)}'))
+         AS n_bpe_tokens
+FROM documents"""
