@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from data_dedup_ray.engine.exchange import hash_exchange
@@ -56,8 +57,15 @@ def _ts_us(t: pa.Table, col: str = "ts") -> np.ndarray:
 
 def _cents(t: pa.Table, col: str = "value") -> np.ndarray:
     # exact int money: avoids order-dependent float-sum drift AND matches
-    # the SQL oracle's round(value*100) bit-for-bit
-    return np.rint(t[col].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    # the SQL oracle's round(value*100) bit-for-bit.  DuckDB round() is
+    # half-AWAY-from-zero, so np.rint (half-to-even) would diverge on any
+    # exact-.5 product — use pyarrow's half_towards_infinity mode.
+    return (
+        pc.round(pc.multiply(t[col], 100.0),
+                 round_mode="half_towards_infinity")
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -322,19 +330,32 @@ def range_counts(
         starts = np.maximum.accumulate(
             np.where(new_user, np.arange(n), 0)
         )
-        rank = np.arange(n) - starts  # #(same-user events with ts' < ts)
+        rank_pos = np.arange(n) - starts  # positional rank within user
+        # strictly-before count must NOT count equal-timestamp events
+        # that happen to sort earlier (SQL: e2.ts < e.ts excludes ties):
+        # a run of equal (user, ts) rows all share the run-start's rank
+        new_run = new_user.copy()
+        new_run[1:] |= ts[1:] != ts[:-1]
+        run_starts = np.maximum.accumulate(
+            np.where(new_run, np.arange(n), 0)
+        )
+        rank_lt = run_starts - starts  # #(same-user events with ts' < ts)
         # merge_asof needs BOTH frames globally sorted on the `on` key
         # (the per-user split comes from `by=`, not from the sort)
-        base = pd.DataFrame({"user_id": user, "ts_us": ts, "rank": rank}) \
+        base = pd.DataFrame({"user_id": user, "ts_us": ts,
+                             "rank": rank_pos}) \
             .sort_values("ts_us", kind="stable")
         q = pd.DataFrame({
-            "user_id": user, "t": ts - win_us, "event_id": eid, "rank": rank,
+            "user_id": user, "t": ts - win_us, "event_id": eid,
+            "rank": rank_lt,
         }).sort_values("t", kind="stable")
         m = pd.merge_asof(
             q, base, left_on="t", right_on="ts_us", by="user_id",
             direction="backward", allow_exact_matches=False,
             suffixes=("", "_lo"),
         )
+        # last base row with ts' < ts - w is positional, so its rank_pos
+        # + 1 == #(ts' < ts - w) even when that ts' value is duplicated
         lower = m["rank_lo"].fillna(-1).to_numpy(dtype=np.int64) + 1
         return pd.DataFrame({
             "event_id": m["event_id"].to_numpy(),

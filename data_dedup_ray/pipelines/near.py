@@ -41,7 +41,8 @@ from data_dedup_ray.util import autoscale_pool, stage_task
 from ray.data.aggregate import Count, Min
 
 from data_dedup_ray.engine.exchange import bucketize, hash_exchange
-from data_dedup_ray.pipelines.components import attach_clusters, dsu_components
+from data_dedup_ray.pipelines.components import (
+    attach_clusters, dsu_components, map_roots_int64)
 from data_dedup_ray.stages.minhash import (MinHashLSH, ShingleMinHashLSH,
                                            shingle_sets)
 
@@ -632,7 +633,10 @@ def simhash_clusters(
 
     def attach_root(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
-        root = b["fp"].map(m).fillna(b["fp"]).astype(np.int64)
+        # int-domain map (components.map_roots_int64): fps absent from
+        # the DSU dict — docs with no candidate edges, the common case —
+        # must NOT round-trip through float64, which corrupts |fp| > 2^53
+        root = map_roots_int64(b["fp"].to_numpy(), m)
         return pd.DataFrame({id_col: b[id_col], "root": root})
 
     tagged = fp_rows.map_batches(attach_root, batch_format="pandas")
@@ -709,6 +713,11 @@ def ngram_jaccard_pairs(
     (a star fallback beyond it preserves connectivity, not pair recall).
     """
     t = threshold
+    # exact-rational threshold for the prefix bound: float ceil(t*n) can
+    # overshoot (t=0.8, n=5 → ceil(4.0000000000001)=5) and under-size the
+    # prefix, dropping pairs sitting exactly at the threshold
+    _T_DENOM = 10**6
+    t_scaled = round(t * _T_DENOM)
     sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
                       shingle_k=shingle_k).materialize()
 
@@ -720,7 +729,7 @@ def ngram_jaccard_pairs(
             n = len(arr)
             if n == 0:
                 continue
-            p = n - int(np.ceil(t * n)) + 1
+            p = n - int(-((-t_scaled * n) // _T_DENOM)) + 1
             out_sh.append(arr[:p])
             out_id.extend([uid] * min(p, n))
         cat = (np.concatenate(out_sh) if out_sh
@@ -1079,6 +1088,10 @@ def containment_pairs(
     the shared partitioned machinery with ``metric="containment"``.
     """
     t = threshold
+    # threshold as an exact rational t_scaled/_T_DENOM (thresholds are
+    # human-written decimals, exact to 6 places)
+    _T_DENOM = 10**6
+    t_scaled = round(t * _T_DENOM)
     P = num_partitions
     sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
                       shingle_k=shingle_k).materialize()
@@ -1093,7 +1106,12 @@ def containment_pairs(
                 if n == 0:
                     continue
                 if role_probe:
-                    arr = arr[: n - int(np.ceil(t * n)) + 1]
+                    # ceil(t*n) in EXACT integer arithmetic: float ceil
+                    # can overshoot (t=0.8, n=5 → ceil(4.0000000000001)=5)
+                    # and under-size the probe prefix, dropping pairs that
+                    # sit exactly at the threshold
+                    need = -((-t_scaled * n) // _T_DENOM)
+                    arr = arr[: n - int(need) + 1]
                 out_sh.append(arr)
                 out_id.extend([uid] * len(arr))
             cat = (np.concatenate(out_sh) if out_sh

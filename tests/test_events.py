@@ -184,3 +184,46 @@ def test_dedup_events_windowed_one_per_key(sf_dir):
         ["user_id", "event_type", "window_start"]
     ).ngroups
     assert len(got) == n_keys
+
+
+def test_range_counts_equal_timestamp_ties(ray_session):
+    # SQL counts e2.ts < e.ts STRICTLY: equal-ts same-user events must not
+    # count each other, regardless of their arbitrary sort order
+    t0 = "2024-01-01 00:10:00"
+    ds = _mk([
+        (1, t0, 7, "view", 1.0),
+        (2, t0, 7, "view", 1.0),
+        (3, t0, 7, "view", 1.0),
+        (4, "2024-01-01 00:40:00", 7, "view", 1.0),
+        (5, "2024-01-01 00:00:00", 7, "view", 1.0),  # 10 min before ties
+    ])
+    out = events.range_counts(ds, window_s=3600).to_pandas() \
+        .set_index("event_id")["n_prev"]
+    assert out.loc[1] == 1 and out.loc[2] == 1 and out.loc[3] == 1
+    assert out.loc[4] == 4
+    assert out.loc[5] == 0
+
+
+def test_range_counts_boundary_ties(ray_session):
+    # two events exactly window_s before: both at the CLOSED lower bound
+    ds = _mk([
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0),
+        (2, "2024-01-01 00:00:00", 7, "view", 1.0),
+        (3, "2024-01-01 01:00:00", 7, "view", 1.0),
+        (4, "2023-12-31 23:59:59", 7, "view", 1.0),  # 1s outside for ev3
+    ])
+    out = events.range_counts(ds, window_s=3600).to_pandas() \
+        .set_index("event_id")["n_prev"]
+    assert out.loc[3] == 2  # evs 1,2 included at ts-w, ev4 excluded
+
+
+def test_cents_half_away_from_zero(ray_session):
+    # 0.125*100 == 12.5 exactly in binary; DuckDB round() is half-away
+    # (→ ±13) while np.rint is half-to-even (→ ±12)
+    ds = _mk([
+        (1, "2024-01-01 00:00:00", 7, "view", 0.125),
+        (2, "2024-01-01 00:00:00", 8, "view", -0.125),
+    ])
+    out = events.windowed_agg(ds, window_s=3600).to_pandas() \
+        .set_index("user_id")["sum_value_cents"]
+    assert out.loc[7] == 13 and out.loc[8] == -13

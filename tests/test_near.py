@@ -287,3 +287,72 @@ def test_containment_is_directional(sf_dir, pages):
     # and containment of A in B never requires B in A
     asym = [(a, b) for a, b in fwd if (b, a) not in fwd]
     assert len(asym) > 0
+
+
+# --------------------------------------------------------------------------
+# Threshold-boundary regressions: the prefix bound must use exact integer
+# ceil(t*n) — float ceil overshoots (t=0.8, n=5 → ceil(4.0000000000000001)=5)
+# and under-sizes the probe prefix, silently dropping pairs whose score sits
+# EXACTLY at the threshold when the absent shingle is the set's minimum.
+# --------------------------------------------------------------------------
+
+
+def _plant_boundary_pair(k=5, seed=0):
+    """Texts (a, b) where b's shingle set is exactly a's minus a's MINIMUM
+    hash: containment(a in b) = jaccard(a, b) = 4/5 = threshold 0.8, and a
+    1-element probe prefix of `a` (the float-ceil bug) misses the pair."""
+    import random
+
+    rnd = random.Random(seed)
+    words = [f"w{i}" for i in range(997)]
+    for _ in range(10_000):
+        toks = [rnd.choice(words) for _ in range(9)]
+        a_text, b_text = " ".join(toks), " ".join(toks[:8])
+        cat_a, size_a = shingle_sets([a_text], k)
+        cat_b, size_b = shingle_sets([b_text], k)
+        if size_a[0] != 5 or size_b[0] != 4:
+            continue
+        set_a, set_b = set(cat_a.tolist()), set(cat_b.tolist())
+        if not set_b < set_a:
+            continue
+        if (set_a - set_b).pop() == min(set_a):
+            return a_text, b_text
+    raise AssertionError("planting failed")
+
+
+def test_containment_exact_threshold_pair(ray_session):
+    import ray.data
+
+    a_text, b_text = _plant_boundary_pair()
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"url": ["a", "b"], "text": [a_text, b_text]}))
+    out = near.containment_pairs(
+        ds, threshold=0.8, shingle_k=5, num_partitions=4).to_pandas()
+    got = {(r.url_a, r.url_b): r.containment for r in out.itertuples()}
+    assert got.get(("a", "b")) == pytest.approx(0.8)   # 4/5, at threshold
+    assert got.get(("b", "a")) == pytest.approx(1.0)   # b ⊂ a
+
+
+def test_ngram_jaccard_exact_threshold_pair(ray_session):
+    import ray.data
+
+    a_text, b_text = _plant_boundary_pair()
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"url": ["a", "b"], "text": [a_text, b_text]}))
+    out = near.ngram_jaccard_pairs(
+        ds, threshold=0.8, shingle_k=5, num_partitions=4).to_pandas()
+    got = {tuple(sorted((r.url_a, r.url_b))): r.jaccard
+           for r in out.itertuples()}
+    assert got.get(("a", "b")) == pytest.approx(0.8)
+
+
+def test_map_roots_int64_no_float_corruption():
+    from data_dedup_ray.pipelines.components import map_roots_int64
+
+    # values near ±2^63 are NOT representable in float64: a pandas
+    # map+fillna fallback would collapse/overflow them
+    vals = np.array([2**63 - 7, 2**63 - 9, -(2**63) + 5, 42],
+                    dtype=np.int64)
+    out = map_roots_int64(vals, {42: 7})
+    assert out.tolist() == [2**63 - 7, 2**63 - 9, -(2**63) + 5, 7]
+    assert out.dtype == np.int64
