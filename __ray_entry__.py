@@ -92,7 +92,7 @@ def _q_minhash_pairs(sf_dir: str):
 
     from data_dedup_ray.pipelines import near
 
-    pairs = near.minhash_dedup_pairs(web_pages(sf_dir), threshold=0.7)
+    pairs = near.minhash_dedup_pairs(web_pages(sf_dir), threshold=0.7).to_pandas()
     return pd.DataFrame(
         {
             "url_a": pairs["url_a"],

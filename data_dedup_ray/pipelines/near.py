@@ -203,6 +203,33 @@ def _pairs_in_partition(
     return res[keep].drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
 
 
+def _blob_views(col: pa.ChunkedArray):
+    """Zero-copy per-row uint64 views of a (large_)binary column:
+    ``(values, offsets)`` where row i's array is
+    ``values[offsets[i]:offsets[i+1]]`` — no per-row Python objects."""
+    arr = col.combine_chunks()
+    if pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                        count=len(arr) + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint64)
+    base = arr.offset  # slice offset into the offsets buffer
+    return data, off[base: base + len(arr) + 1] // 8
+
+
+def _seg_gather(starts: np.ndarray, lens: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-range gather indices: for segment i at
+    ``starts[i]`` with ``lens[i]`` elements, returns ``(seg_of, idx)``
+    where ``idx`` concatenates every segment's index range and
+    ``seg_of`` labels each position with its segment number."""
+    tot = int(lens.sum())
+    seg_of = np.repeat(np.arange(len(lens)), lens)
+    idx = (np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+           + starts[seg_of])
+    return seg_of, idx
+
+
 def shingle_rows(
     ds: ray.data.Dataset,
     *,
@@ -299,17 +326,6 @@ def verify_pairs_partitioned(
     # collect) disappears.
     sh_buckets = bucketize(sh_p, num_partitions=P, in_schema=sh_schema)
 
-    def _blob_views(col: pa.ChunkedArray):
-        """Zero-copy per-row uint64 views of a (large_)binary column."""
-        arr = col.combine_chunks()
-        if pa.types.is_binary(arr.type):
-            arr = arr.cast(pa.large_binary())
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
-                            count=len(arr) + 1)
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint64)
-        base = arr.offset  # slice offset into the offsets buffer
-        return data, off[base: base + len(arr) + 1] // 8
-
     def _join_a(pt: pa.Table, sht: pa.Table) -> pa.Table:
         # equal (url_a, url_b) pairs co-locate here (partition key is
         # url_a), so cross-band candidate dedup is free in this round;
@@ -369,26 +385,59 @@ def verify_pairs_partitioned(
         da, oa = _blob_views(pt["sh_a"])
         db, ob = _blob_views(sht["sh"])
         n = pt.num_rows
-        jac = np.empty(n, dtype=np.float64)
         containment = metric == "containment"
-        for i in range(n):
-            sa = da[oa[i]: oa[i + 1]]
-            j = idx[i]
-            sb = db[ob[j]: ob[j + 1]]
-            na, nb = len(sa), len(sb)
-            if not na or not nb:
-                jac[i] = 0.0
+        # fully vectorized set intersection over ALL pairs at once
+        # (this is the inner loop of the most expensive pipeline):
+        # gather each pair's smaller side as the probe stream and its
+        # larger side as the target stream, remap values to dense ranks,
+        # pack (pair_id << 32 | rank) — both streams stay sorted because
+        # each segment is a sorted np.unique output and pair ids are
+        # nondecreasing — then ONE searchsorted membership test + ONE
+        # bincount yields every pair's |A∩B|.  Pairs are processed in
+        # slices so the gathered buffers stay bounded.
+        starts_a = oa[:-1]
+        na_all = np.diff(oa)
+        starts_b = ob[idx]
+        nb_all = ob[idx + 1] - starts_b
+        inter = np.zeros(n, dtype=np.int64)
+        PAIR_CHUNK = 1 << 16
+        for s in range(0, n, PAIR_CHUNK):
+            e = min(s + PAIR_CHUNK, n)
+            na, nb = na_all[s:e], nb_all[s:e]
+            sa, sb = starts_a[s:e], starts_b[s:e]
+            swap = na > nb
+            plen = np.where(swap, nb, na)
+            tlen = np.where(swap, na, nb)
+            pstart = np.where(swap, sb, sa)
+            tstart = np.where(swap, sa, sb)
+            p_from_b = swap  # probe gathers from db where swapped
+            t_from_b = ~swap
+
+            def _gather(starts, lens, from_b):
+                pair_of, gidx = _seg_gather(starts, lens)
+                fb = from_b[pair_of]
+                vals = np.empty(len(gidx), dtype=np.uint64)
+                vals[~fb] = da[gidx[~fb]]
+                vals[fb] = db[gidx[fb]]
+                return pair_of, vals
+
+            pair_p, val_p = _gather(pstart, plen, p_from_b)
+            pair_t, val_t = _gather(tstart, tlen, t_from_b)
+            if len(val_p) == 0 or len(val_t) == 0:
                 continue
-            denom_a = na  # |A| before any size swap
-            # merge intersect on the sorted unique arrays (np.unique
-            # output): searchsorted avoids intersect1d's concat+sort
-            if na > nb:
-                sa, sb, na, nb = sb, sa, nb, na
-            pos = np.searchsorted(sb, sa)
-            pos[pos == nb] = nb - 1
-            inter = int(np.count_nonzero(sb[pos] == sa))
-            jac[i] = (inter / denom_a if containment
-                      else inter / (na + nb - inter))
+            u = np.unique(np.concatenate([val_p, val_t]))
+            kp = (pair_p.astype(np.uint64) << np.uint64(32)) \
+                | np.searchsorted(u, val_p).astype(np.uint64)
+            kt = (pair_t.astype(np.uint64) << np.uint64(32)) \
+                | np.searchsorted(u, val_t).astype(np.uint64)
+            pos = np.searchsorted(kt, kp)
+            pos[pos == len(kt)] = len(kt) - 1
+            member = kt[pos] == kp
+            inter[s:e] = np.bincount(pair_p[member], minlength=e - s)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = (na_all if containment
+                     else na_all + nb_all - inter).astype(np.float64)
+            jac = np.where(denom > 0, inter / denom, 0.0)
         keep = pa.array(jac >= threshold)
         score_col = "containment" if containment else "jaccard"
         return pa.table({
@@ -414,14 +463,16 @@ def verify_pairs_partitioned(
 def minhash_dedup_pairs(
     ds: ray.data.Dataset, *, threshold: float = 0.7,
     sh: ray.data.Dataset | None = None, **lsh_kwargs
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """LSH candidates → verified near-duplicate pairs (url_a < url_b).
 
-    Fully pipeline-to-pipeline: candidates stay a Dataset and verification
-    is the partitioned join — the driver only sees the (output-sized)
-    verified pair list.  The corpus is tokenized exactly ONCE: the
-    materialized shingle table feeds both the band stage and the verify
-    join (compact uint64 blobs, no text/html in any shuffle)."""
+    Fully pipeline-to-pipeline: candidates stay a Dataset, verification
+    is the partitioned join, and the RESULT stays a Dataset too — nothing
+    is ever collected on the driver (callers that need a DataFrame call
+    ``.to_pandas()`` on the output-sized pair list themselves).  The
+    corpus is tokenized exactly ONCE: the materialized shingle table
+    feeds both the band stage and the verify join (compact uint64 blobs,
+    no text/html in any shuffle)."""
     shingle_k = lsh_kwargs.get("shingle_k", 5)
     id_col = lsh_kwargs.get("id_col", "url")
     text_col = lsh_kwargs.get("text_col", "text")
@@ -430,7 +481,7 @@ def minhash_dedup_pairs(
         sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
                           shingle_k=shingle_k).materialize()
     cand = lsh_candidate_pairs(ds, sh=sh, **lsh_kwargs)
-    ver = verify_pairs_partitioned(
+    return verify_pairs_partitioned(
         ds,
         cand,
         id_col=id_col,
@@ -438,10 +489,7 @@ def minhash_dedup_pairs(
         shingle_k=shingle_k,
         threshold=threshold,
         sh=sh,
-    ).to_pandas()
-    if not len(ver):
-        return pd.DataFrame({"url_a": [], "url_b": [], "jaccard": []})
-    return ver.reset_index(drop=True)
+    )
 
 
 def simhash_pairs(
@@ -722,21 +770,17 @@ def ngram_jaccard_pairs(
                       shingle_k=shingle_k).materialize()
 
     def emit_prefix(b: pa.Table) -> pa.Table:
-        ids, blobs = b[id_col].to_pylist(), b["sh"].to_pylist()
-        out_sh, out_id = [], []
-        for uid, blob in zip(ids, blobs):
-            arr = np.frombuffer(blob, dtype=np.uint64)
-            n = len(arr)
-            if n == 0:
-                continue
-            p = n - int(-((-t_scaled * n) // _T_DENOM)) + 1
-            out_sh.append(arr[:p])
-            out_id.extend([uid] * min(p, n))
-        cat = (np.concatenate(out_sh) if out_sh
-               else np.empty(0, dtype=np.uint64))
+        # vectorized prefix emission: zero-copy blob views + one
+        # multi-range gather (no per-doc Python loop)
+        data, off = _blob_views(b["sh"])
+        n = np.diff(off)
+        need = -((-t_scaled * n) // _T_DENOM)
+        p = np.where(n > 0, n - need + 1, 0)
+        doc_of, gidx = _seg_gather(off[:-1], p)
+        cat = data[gidx]
         return pa.table({
             "shingle": pa.array(cat),
-            id_col: pa.array(out_id, type=pa.string()),
+            id_col: b[id_col].combine_chunks().take(pa.array(doc_of)),
             "_part": pa.array(
                 (cat % np.uint64(num_partitions)).astype(np.int64)
             ),
@@ -763,9 +807,15 @@ def ngram_jaccard_pairs(
 
 
 def minhash_dedup_clusters(
-    ds: ray.data.Dataset, *, threshold: float = 0.7, **lsh_kwargs
+    ds: ray.data.Dataset, *, threshold: float = 0.7,
+    dsu_max_edges: int = 20_000_000, **lsh_kwargs
 ) -> ray.data.Dataset:
-    """Every row labeled with its near-dup component's min-member url."""
+    """Every row labeled with its near-dup component's min-member url.
+
+    The DSU-vs-label-propagation decision is made from a cheap
+    ``count()`` aggregate over the verified-pair Dataset — when the edge
+    list is past the driver guard it is handed to the distributed
+    ``label_propagation`` as a Dataset and NEVER collected."""
     id_col = lsh_kwargs.get("id_col", "url")
     text_col = lsh_kwargs.get("text_col", "text")
     shingle_k = lsh_kwargs.get("shingle_k", 5)
@@ -774,19 +824,22 @@ def minhash_dedup_clusters(
     # the corpus itself is read exactly once end-to-end
     sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
                       shingle_k=shingle_k).materialize()
-    edges = minhash_dedup_pairs(ds, threshold=threshold, sh=sh, **lsh_kwargs)
-    try:
-        assignment = dsu_components(edges)
-    except ValueError:
+    # materialize once: count() reads block metadata and the DSU collect
+    # (or the label-propagation input) reuses the same blocks — the verify
+    # exchange never re-executes
+    edges = minhash_dedup_pairs(ds, threshold=threshold, sh=sh,
+                                **lsh_kwargs).materialize()
+    if edges.count() > dsu_max_edges:
         # edge list beyond the driver DSU guard: distributed min-label
         # propagation (components.py) — same deterministic min-member ids
         from data_dedup_ray.pipelines.components import label_propagation
 
         return label_propagation(
             sh.select_columns([id_col]),
-            ray.data.from_pandas(edges[["url_a", "url_b"]]),
+            edges.select_columns(["url_a", "url_b"]),
             node_col=id_col,
         )
+    assignment = dsu_components(edges.to_pandas())
     return attach_clusters(
         sh.select_columns([id_col]), assignment, id_col=id_col
     )
@@ -1098,27 +1151,24 @@ def containment_pairs(
 
     def emit(role_probe: bool):
         def fn(b: pa.Table) -> pa.Table:
-            ids, blobs = b[id_col].to_pylist(), b["sh"].to_pylist()
-            out_sh, out_id = [], []
-            for uid, blob in zip(ids, blobs):
-                arr = np.frombuffer(blob, dtype=np.uint64)
-                n = len(arr)
-                if n == 0:
-                    continue
-                if role_probe:
-                    # ceil(t*n) in EXACT integer arithmetic: float ceil
-                    # can overshoot (t=0.8, n=5 → ceil(4.0000000000001)=5)
-                    # and under-size the probe prefix, dropping pairs that
-                    # sit exactly at the threshold
-                    need = -((-t_scaled * n) // _T_DENOM)
-                    arr = arr[: n - int(need) + 1]
-                out_sh.append(arr)
-                out_id.extend([uid] * len(arr))
-            cat = (np.concatenate(out_sh) if out_sh
-                   else np.empty(0, dtype=np.uint64))
+            # vectorized: zero-copy blob views + one multi-range gather.
+            # Probe side ships only its first n − ceil(t·n) + 1 sorted
+            # elements; ceil(t·n) is EXACT integer arithmetic (float
+            # ceil can overshoot — t=0.8, n=5 → ceil(4.0000000000001)=5
+            # — under-sizing the prefix and dropping pairs that sit
+            # exactly at the threshold)
+            data, off = _blob_views(b["sh"])
+            n = np.diff(off)
+            if role_probe:
+                need = -((-t_scaled * n) // _T_DENOM)
+                lens = np.where(n > 0, n - need + 1, 0)
+            else:
+                lens = n
+            doc_of, gidx = _seg_gather(off[:-1], lens)
+            cat = data[gidx]
             return pa.table({
                 "shingle": pa.array(cat),
-                id_col: pa.array(out_id, type=pa.string()),
+                id_col: b[id_col].combine_chunks().take(pa.array(doc_of)),
                 "_part": pa.array((cat % np.uint64(P)).astype(np.int64)),
             })
         return fn

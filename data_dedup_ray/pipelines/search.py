@@ -9,9 +9,10 @@ Training-data-pipeline operators (task brief "similarity search"):
 - ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets
   restrict candidates to colliding buckets across ``n_tables`` tables;
   approximate (recall measured in tests, no SQL oracle).
-- ``embedding_dup_pairs``: pairs with cosine ≥ threshold via the same
-  broadcast-matmul pattern (small side = the corpus itself at test scale;
-  at real scale the LSH bucket grouping replaces the broadcast).
+- ``embedding_dup_pairs``: EXACT cosine-≥-threshold pairs via a
+  distributed block-pair join (triangular bucket partitioning, chunked
+  matmuls, nothing on the driver); ``embedding_dup_pairs_lsh`` is the
+  sub-quadratic scale path (signature buckets + exact verify).
 
 Cosine values are emitted as basis points (floor(cos·10000), float64
 math) for driver-hash-stable comparison with DuckDB's
@@ -23,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -30,8 +32,16 @@ from data_dedup_ray.util import autoscale_pool
 
 
 def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    x = np.array(batch[col].to_pylist(), dtype=np.float64)
-    return x
+    """Fixed-width list column → (n, d) float64 matrix without the
+    to_pylist() per-value PyObject round trip: flatten() slices the
+    values buffer (zero-copy for the common no-null case)."""
+    arr = batch[col].combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(flat) // n
+    return flat.reshape(n, d)
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
@@ -143,45 +153,218 @@ def knn_topk(
     )
 
 
+_PAIR_SCHEMA = pa.schema([
+    ("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()),
+    ("cos_bp", pa.int64()),
+])
+
+
+def _emit_pairs(ids: np.ndarray, X: np.ndarray, jds: np.ndarray,
+                Y: np.ndarray, threshold: float, *,
+                diagonal: bool, chunk: int = 4096) -> pa.Table:
+    """Exact cosine-≥-threshold pairs between two unit-row matrices,
+    matmul'd in row chunks so partition memory stays bounded.
+    ``diagonal=True`` means X is Y (emit each unordered pair once)."""
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, len(ids), chunk):
+        e = min(s + chunk, len(ids))
+        sims = X[s:e] @ Y.T
+        ii, jj = np.nonzero(sims >= threshold)
+        if diagonal:
+            keep = (s + ii) < jj  # upper triangle: each pair once, no self
+            ii, jj = ii[keep], jj[keep]
+        a, b = ids[s + ii], jds[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out_a.append(lo)
+        out_b.append(hi)
+        out_c.append(np.floor(sims[ii, jj] * 10000 + 0.5).astype(np.int64))
+    if not out_a:
+        return _PAIR_SCHEMA.empty_table()
+    return pa.table({
+        "vec_id_a": np.concatenate(out_a),
+        "vec_id_b": np.concatenate(out_b),
+        "cos_bp": np.concatenate(out_c),
+    })
+
+
 def embedding_dup_pairs(
     emb: ray.data.Dataset,
     *,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_blocks: int = 8,
     concurrency: int | tuple | None = None,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """All pairs with cosine ≥ threshold → (vec_id_a < vec_id_b, cos_bp).
 
-    Pattern: broadcast the (normalized) full matrix once, stream batches
-    against it.  At 100 TB the broadcast side becomes LSH buckets
-    (``ann_lsh_topk``'s table layout) — same output contract."""
-    all_df = emb.to_pandas().sort_values(id_col)
-    ids_all = all_df[id_col].to_numpy()
-    M = _normalize(np.array(all_df[emb_col].tolist(), dtype=np.float64))
-    ref = ray.put((ids_all, M))
+    EXACT distributed block-pair join — nothing touches the driver:
+    rows hash into ``num_blocks`` blocks by id; each row is emitted to
+    the ``num_blocks`` bucket-pairs its block belongs to (triangular
+    partition index), and each of the B(B+1)/2 partitions matmuls its
+    two block sides (upper triangle on the diagonal) in bounded row
+    chunks.  Every unordered pair lands in exactly ONE partition, so no
+    dedup pass is needed.  Memory per task is O((N/B)·d); shuffle volume
+    is N·B rows — size ``num_blocks`` so a block side fits a worker
+    (B ≈ N·d·8 / target_task_bytes).  Total flops stay O(N²) — inherent
+    to an exact all-pairs join; ``embedding_dup_pairs_lsh`` is the
+    sub-quadratic scale path (signature-bucketed, exact-verify,
+    recall <1 only for non-identical near-pairs)."""
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-            ids_all_, M_ = ray.get(ref)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            X = _normalize(_matrix(batch, emb_col))
-            sims = X @ M_.T
-            bi, bj = np.nonzero(sims >= threshold)
-            a, b = ids[bi], ids_all_[bj]
-            keep = a < b  # dedupe orientation + drop self
-            return pa.table(
-                {
-                    "vec_id_a": a[keep],
-                    "vec_id_b": b[keep],
-                    "cos_bp": np.floor(sims[bi, bj][keep] * 10000 + 0.5).astype(np.int64),
-                }
-            )
+    B = num_blocks
+    P = B * (B + 1) // 2
 
-    return (
-        emb.map_batches(_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["vec_id_a", "vec_id_b"])
-        .reset_index(drop=True)
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return t.append_column("_blk", pa.array([], pa.int64())) \
+                    .append_column("_part", pa.array([], pa.int64()))
+        blk = key_partition(ids, B)
+        rep = np.repeat(np.arange(n), B)
+        peer = np.tile(np.arange(B, dtype=np.int64), n)
+        myb = blk[rep]
+        lo = np.minimum(myb, peer)
+        hi = np.maximum(myb, peer)
+        part = lo * B - lo * (lo - 1) // 2 + (hi - lo)
+        sub = t.select([id_col, emb_col]).take(pa.array(rep))
+        return sub.append_column("_blk", pa.array(myb)) \
+                  .append_column("_part", pa.array(part))
+
+    emitted = emb.map_batches(emit, batch_format="pyarrow")
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        blk = t["_blk"].to_numpy(zero_copy_only=False)
+        X = _normalize(_matrix(t, emb_col))
+        ub = np.unique(blk)
+        if len(ub) == 1:
+            return _emit_pairs(ids, X, ids, X, threshold, diagonal=True)
+        mi, mj = blk == ub[0], blk == ub[1]
+        return _emit_pairs(ids[mi], X[mi], ids[mj], X[mj], threshold,
+                           diagonal=False)
+
+    return hash_exchange(
+        [emitted], pair_part, num_partitions=P,
+        schema=_PAIR_SCHEMA, apply_format="pyarrow",
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: ray.data.Dataset,
+    *,
+    threshold: float = 0.99,
+    n_tables: int = 8,
+    n_bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 64,
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Sub-quadratic scale path for semantic dedup: random-hyperplane
+    signature buckets → exact cosine verify within buckets → cross-table
+    pair dedup.  Same output contract as ``embedding_dup_pairs``.
+
+    Recall: IDENTICAL vectors share every signature, so exact-duplicate
+    recall is 1.0 by construction; a non-identical pair at angle θ
+    collides in one table with (1-θ/π)^n_bits and is missed with
+    (1-(1-θ/π)^n_bits)^n_tables — at cos ≥ 0.99 (θ ≤ 8.1°),
+    16 bits / 8 tables ⇒ miss ≈ 2.6e-4.  Candidates are verified with
+    exact cosine, so precision is always 1 vs the SQL oracle."""
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+    P = num_partitions
+    if dim is None:
+        first = emb.limit(1).to_pandas()
+        if not len(first):
+            return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+        dim = len(first[emb_col].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    pref = ray.put(planes)
+    pow2 = 1 << np.arange(n_bits, dtype=np.uint64)
+
+    def emit(t: pa.Table) -> pa.Table:
+        planes_ = ray.get(pref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                emb_col: t[emb_col].combine_chunks(),
+                "_bkt": pa.array([], pa.uint64()),
+                "_part": pa.array([], pa.int64()),
+            })
+        X = _normalize(_matrix(t, emb_col))
+        tabs, bkts = [], []
+        for ti in range(n_tables):
+            sig = ((X @ planes_[ti].T > 0) * pow2).sum(axis=1,
+                                                       dtype=np.uint64)
+            # fold the table id into the bucket key so buckets from
+            # different tables never merge
+            bkts.append(sig * np.uint64(0x9E3779B97F4A7C15)
+                        + np.uint64(ti))
+        bkt = np.concatenate(bkts)
+        rep = np.tile(np.arange(n), n_tables)
+        sub = t.select([id_col, emb_col]).take(pa.array(rep))
+        return sub.append_column("_bkt", pa.array(bkt)) \
+                  .append_column(
+                      "_part",
+                      pa.array((bkt % np.uint64(P)).astype(np.int64)))
+
+    emitted = emb.map_batches(emit, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        bkt = t["_bkt"].to_numpy(zero_copy_only=False)
+        X = _normalize(_matrix(t, emb_col))
+        order = np.argsort(bkt, kind="stable")
+        bs, Xs, ids_s = bkt[order], X[order], ids[order]
+        cuts = np.flatnonzero(np.concatenate(
+            [[True], bs[1:] != bs[:-1], [True]]))
+        outs = []
+        for gi in range(len(cuts) - 1):
+            s, e = cuts[gi], cuts[gi + 1]
+            if e - s < 2:
+                continue
+            outs.append(_emit_pairs(ids_s[s:e], Xs[s:e], ids_s[s:e],
+                                    Xs[s:e], threshold, diagonal=True))
+        if not outs:
+            return _PAIR_SCHEMA.empty_table()
+        cat = pa.concat_tables(outs)
+        # map-side pair dedup (a pair can fire in several buckets of
+        # THIS partition); cross-partition dedup happens in round 2
+        df = cat.to_pandas().drop_duplicates(["vec_id_a", "vec_id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = hash_exchange(
+        [emitted], bucket_pairs, num_partitions=P,
+        schema=_PAIR_SCHEMA, apply_format="pyarrow",
+    )
+
+    # round 2: global pair dedup — key on the pair, keep first (cos is
+    # deterministic per pair, so "first" is well-defined output-wise)
+    def rekey(t: pa.Table) -> pa.Table:
+        a = t["vec_id_a"].to_numpy(zero_copy_only=False)
+        b = t["vec_id_b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + b.astype(np.uint64))
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["vec_id_a", "vec_id_b"])
+
+    return hash_exchange(
+        [cand.map_batches(rekey, batch_format="pyarrow")], distinct,
+        num_partitions=P, schema=_PAIR_SCHEMA,
     )
 
 
@@ -428,40 +611,54 @@ GROUP BY label, g.i"""
 
 
 def embedding_dup_clusters(
-    sf_dir: str, *, threshold: float = 0.99
+    sf_dir: str, *, threshold: float = 0.99,
+    dsu_max_edges: int = 20_000_000,
 ) -> ray.data.Dataset:
     """SemDeDup-style semantic dedup clusters: connected components of the
     cosine-≥-threshold pair graph over the augmented embedding table,
     labeled by min vec_id (singletons self-labeled): ``(vec_id,
-    cluster_id)``.  Same component machinery as the MinHash clusters
-    (driver DSU below the edge guard, distributed label propagation past
-    it); the edge list is output-sized by construction."""
+    cluster_id)``.
+
+    The edge list stays a Dataset; a ``count()`` aggregate decides the
+    component strategy — driver DSU below the guard, fully distributed
+    label propagation past it (edges are handed over as a Dataset of
+    width-stable zero-padded string ids — order-preserving for the
+    non-negative vec_ids, so min-label semantics carry over — and the
+    result maps back without any driver collection)."""
     from data_dedup_ray.pipelines.components import dsu_components
 
     emb = augmented_embeddings(sf_dir)
-    edges = embedding_dup_pairs(emb, threshold=threshold)
-    try:
-        assignment = dsu_components(edges, a="vec_id_a", b="vec_id_b")
-    except ValueError:
-        # past the driver DSU edge guard: distributed min-label
-        # propagation over width-stable string ids (order-preserving for
-        # the non-negative vec_ids, so min-label semantics carry over)
-        import ray.data as rd
-
+    # materialize once: count() then reads metadata; the collect (or the
+    # label-propagation input) reuses the same blocks
+    edges = embedding_dup_pairs(emb, threshold=threshold).materialize()
+    if edges.count() > dsu_max_edges:
         from data_dedup_ray.pipelines.components import label_propagation
 
-        sedges = pd.DataFrame({
-            "url_a": [f"{v:012d}" for v in edges["vec_id_a"]],
-            "url_b": [f"{v:012d}" for v in edges["vec_id_b"]],
-        })
-        nodes = emb.map_batches(
-            lambda t: pa.table({"url": pa.array(
+        def _pad(col: pa.ChunkedArray) -> pa.Array:
+            return pa.array(
                 [f"{int(v):012d}" for v in
-                 t["vec_id"].to_numpy(zero_copy_only=False)], pa.string())}),
+                 col.to_numpy(zero_copy_only=False)], pa.string())
+
+        sedges = edges.map_batches(
+            lambda t: pa.table({"url_a": _pad(t["vec_id_a"]),
+                                "url_b": _pad(t["vec_id_b"])}),
             batch_format="pyarrow",
         )
-        lp = label_propagation(nodes, rd.from_pandas(sedges)).to_pandas()
-        assignment = dict(zip(lp["url"].astype(int), lp["cluster_id"].astype(int)))
+        nodes = emb.map_batches(
+            lambda t: pa.table({"url": _pad(t["vec_id"])}),
+            batch_format="pyarrow",
+        )
+        lp = label_propagation(nodes, sedges)
+        return lp.map_batches(
+            lambda t: pa.table({
+                "vec_id": pc.cast(t["url"].combine_chunks(), pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"].combine_chunks(),
+                                      pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    assignment = dsu_components(edges.to_pandas(), a="vec_id_a",
+                                b="vec_id_b")
     ref = ray.put({int(k): int(v) for k, v in assignment.items()})
 
     def attach(t: pa.Table) -> pa.Table:

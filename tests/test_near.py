@@ -33,7 +33,7 @@ def test_shingle_sets_deterministic():
 
 
 def test_minhash_pairs_match_exact_jaccard(pages, con, sf_dir):
-    pairs = near.minhash_dedup_pairs(pages, threshold=0.7)
+    pairs = near.minhash_dedup_pairs(pages, threshold=0.7).to_pandas()
     got = pd.DataFrame(
         {
             "url_a": pairs["url_a"],
@@ -92,7 +92,8 @@ def test_dsu_components_deterministic():
 def test_label_propagation_matches_dsu(pages):
     import ray.data
 
-    edges_df = near.minhash_dedup_pairs(pages, threshold=0.7)[["url_a", "url_b"]]
+    edges_df = near.minhash_dedup_pairs(pages, threshold=0.7) \
+        .to_pandas()[["url_a", "url_b"]]
     dsu = dsu_components(edges_df)
     nodes = pages.select_columns(["url"])
     lp = label_propagation(nodes, ray.data.from_pandas(edges_df)).to_pandas()
@@ -141,24 +142,16 @@ def test_pairs_in_partition_skew_star_fallback():
     assert all(v == "u000" for v in d.values())
 
 
-def test_cluster_fallback_label_propagation(pages, monkeypatch):
+def test_cluster_fallback_label_propagation(pages):
     """Forcing the DSU guard to trip must route through distributed label
-    propagation and produce the identical clustering."""
-    import data_dedup_ray.pipelines.components as comp
-
+    propagation — edges handed over as a Dataset, never collected — and
+    produce the identical clustering."""
     want = (
         near.minhash_dedup_clusters(pages, threshold=0.7)
         .to_pandas().sort_values("url").reset_index(drop=True)
     )
-    orig = comp.dsu_components
-
-    def tiny_guard(edges, a="url_a", b="url_b", max_edges=20_000_000):
-        return orig(edges, a=a, b=b, max_edges=0 if len(edges) else 1)
-
-    monkeypatch.setattr("data_dedup_ray.pipelines.near.dsu_components",
-                        tiny_guard)
     got = (
-        near.minhash_dedup_clusters(pages, threshold=0.7)
+        near.minhash_dedup_clusters(pages, threshold=0.7, dsu_max_edges=0)
         .to_pandas().sort_values("url").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(
@@ -172,10 +165,10 @@ def test_determinism_across_partitioning(sf_dir):
     a = web_pages(sf_dir, override_num_blocks=2)
     b = web_pages(sf_dir, override_num_blocks=13)
 
-    pa_ = near.minhash_dedup_pairs(a, threshold=0.7).sort_values(
+    pa_ = near.minhash_dedup_pairs(a, threshold=0.7).to_pandas().sort_values(
         ["url_a", "url_b"]).reset_index(drop=True)
     pb_ = near.minhash_dedup_pairs(b, threshold=0.7, num_partitions=17
-                                   ).sort_values(
+                                   ).to_pandas().sort_values(
         ["url_a", "url_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa_, pb_)
 

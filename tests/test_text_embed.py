@@ -69,12 +69,43 @@ def test_knn_topk(sf_dir, con):
 
 
 def test_embedding_dup_pairs(sf_dir, con):
-    got = embedding_dup_pairs(augmented_embeddings(sf_dir), threshold=0.99)
+    got = embedding_dup_pairs(
+        augmented_embeddings(sf_dir), threshold=0.99).to_pandas()
     want = con.execute(oracles.embedding_dup_sql(0.99)).fetchdf()
     _cmp(got, want, ["vec_id_a", "vec_id_b"])
     # every planted copy pair is found at cos_bp == 10000
     assert (got["cos_bp"] == 10000).all()
     assert len(got) == 50  # sf0.001: 500 vectors → 50 planted copies
+
+
+def test_embedding_dup_pairs_block_invariance(sf_dir):
+    # the exact block-pair join must be independent of num_blocks
+    a = embedding_dup_pairs(augmented_embeddings(sf_dir), threshold=0.99,
+                            num_blocks=3).to_pandas() \
+        .sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    b = embedding_dup_pairs(augmented_embeddings(sf_dir), threshold=0.99,
+                            num_blocks=11).to_pandas() \
+        .sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_dup_pairs_lsh_vs_exact(sf_dir):
+    from data_dedup_ray.pipelines.search import embedding_dup_pairs_lsh
+
+    exact = embedding_dup_pairs(
+        augmented_embeddings(sf_dir), threshold=0.99).to_pandas()
+    lsh = embedding_dup_pairs_lsh(
+        augmented_embeddings(sf_dir), threshold=0.99).to_pandas()
+    e = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    l = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    # exact-verified candidates: always a subset of the exact join …
+    assert l <= e
+    # … and identical vectors share every signature: planted copies
+    # (cos_bp == 10000) can NEVER be missed
+    planted = set(zip(exact.loc[exact["cos_bp"] == 10000, "vec_id_a"],
+                      exact.loc[exact["cos_bp"] == 10000, "vec_id_b"]))
+    assert planted <= l
+    assert len(lsh) == len(l)  # cross-table dedup leaves one row per pair
 
 
 def test_ann_recall_vs_exact(sf_dir):
@@ -216,22 +247,14 @@ def test_lang_confusion_mass(sf_dir):
     assert got["n"].sum() == n_docs
 
 
-def test_embedding_dup_clusters_fallback_matches_dsu(sf_dir, monkeypatch):
-    """Forcing the DSU edge guard must route through distributed label
-    propagation and yield the identical clustering."""
-    from data_dedup_ray.pipelines import components as comp
+def test_embedding_dup_clusters_fallback_matches_dsu(sf_dir):
+    """Forcing the edge-count guard must route through distributed label
+    propagation — edges handed over as a Dataset, never collected — and
+    yield the identical clustering."""
     from data_dedup_ray.pipelines.search import embedding_dup_clusters
 
     want = embedding_dup_clusters(sf_dir).to_pandas().sort_values(
         "vec_id").reset_index(drop=True)
-    orig = comp.dsu_components
-
-    def tiny_guard(edges, a="url_a", b="url_b", max_edges=20_000_000):
-        return orig(edges, a=a, b=b, max_edges=0 if len(edges) else 1)
-
-    # embedding_dup_clusters imports dsu_components inside its body, so
-    # patching the components module attribute is what it resolves
-    monkeypatch.setattr(comp, "dsu_components", tiny_guard)
-    got = embedding_dup_clusters(sf_dir).to_pandas().sort_values(
-        "vec_id").reset_index(drop=True)
+    got = embedding_dup_clusters(sf_dir, dsu_max_edges=0).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
