@@ -142,7 +142,9 @@ def _q_near_clusters(sf_dir: str):
 def _q_substring_dup(sf_dir: str):
     from data_dedup_ray.pipelines import substring
 
-    return substring.substring_dup_docs(web_pages(sf_dir))
+    # explicit oracle-parity flag; the library default is the winnowed
+    # scale path (pipelines/substring.substring_dup_docs docstring)
+    return substring.substring_dup_docs(web_pages(sf_dir), mode="exact")
 
 
 def _q_span_fingerprints(sf_dir: str):
@@ -530,60 +532,46 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(emb, k=5, n_queries=10, nlist=16, nprobe=8)
 
 
+def _q_simhash_sha_pairs(sf_dir: str):
+    from data_dedup_ray.pipelines import near
+
+    return near.simhash_pairs(web_pages(sf_dir), hash_fn="sha")
+
+
+def _q_image_meta_bmp(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.image_meta_bmp(sf_dir)
+
+
+def _q_audio_windows_wav(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.audio_windows_wav(sf_dir)
+
+
+def _q_embedding_dup_pairs_lsh(sf_dir: str):
+    from data_dedup_ray.pipelines.search import (augmented_embeddings,
+                                                 embedding_dup_pairs_lsh)
+
+    return embedding_dup_pairs_lsh(augmented_embeddings(sf_dir),
+                                   threshold=0.99)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_dedup_ray.pipelines import text
 
+    # ORDER MATTERS: the driver records CORRECTNESS rows for the FIRST 50
+    # keys only.  Slots 1-50 hold (a) the 21 queries that had no driver
+    # row in round 1 (clean/stats/relational/urls/events-tail), (b) the
+    # round-2 additions with fresh SQL oracles (sha-simhash, real BMP/WAV
+    # decoders), and (c) re-proof of every pipeline whose implementation
+    # materially changed this round (exact-collapse, events rounding/ties,
+    # near-dup verify, embedding dedup).  Everything rotated past slot 50
+    # was driver-proven in CORRECTNESS_r01.json and stays pinned by the
+    # pytest suite.
     return {
-        "exact_dedup_clusters": _q_exact_clusters,
-        "token_stats": text.token_stats,
-        "quality_scores": text.quality_scores,
-        "lang_id": text.lang_id,
-        "doc_fingerprints": text.fingerprints,
-        "doc_stats_by_lang": text.doc_stats_by_lang,
-        "knn_topk": _q_knn,
-        "embedding_dup_pairs": _q_embedding_dup,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "embedding_centroids": _q_embedding_centroids,
-        "embedding_dup_clusters": _q_embedding_dup_clusters,
-        "minhash_near_dup_pairs": _q_minhash_pairs,
-        "cross_corpus_near_pairs": _q_cross_corpus_near,
-        "containment_pairs": _q_containment_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "near_dup_clusters": _q_near_clusters,
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash_clusters": _q_simhash_clusters,
-        "substring_dup_docs": _q_substring_dup,
-        "dup_span_fingerprints": _q_span_fingerprints,
-        "substring_clusters": _q_substring_clusters,
-        "longest_dup_spans": _q_longest_dup_spans,
-        "cascade_counters": _q_cascade_counters,
-        "image_meta": _q_image_meta,
-        "image_features": _q_image_features,
-        "image_resized": _q_image_resized,
-        "audio_features": _q_audio_features,
-        "audio_window_counts": _q_audio_windows,
-        "frame_samples": _q_frame_samples,
-        "exact_dedup_report": _q_exact_report,
-        "exact_dedup_keep_first": _q_keep_first,
-        "exact_dedup_ignore_empty": _q_ignore_empty,
-        "exact_dedup_normalized": _q_exact_dedup_normalized,
-        "exact_dedup_size_only": _q_exact_dedup_size_only,
-        "identity_collapse": _q_identity_collapse,
-        "hardlink_groups": _q_hardlinks,
-        "latest_by_url": _q_latest_by_url,
-        "new_content": _q_new_content,
-        "sample_pages": _q_sample_pages,
-        "domain_stats": _q_domain_stats,
-        "filter_blocked_domains": _q_filter_blocked,
-        "top_terms": _q_top_terms,
-        "normalize_text": _q_normalize_text,
-        "lang_confusion": _q_lang_confusion,
-        "domain_dup_stats": _q_domain_dup_stats,
-        "events_windowed_agg": _q_windowed_agg,
-        "event_sessions": _q_sessions,
-        "events_asof_join": _q_asof_join,
-        "events_range_counts": _q_range_counts,
+        # (a) round-1 driver-unchecked — clean/stats/relational/urls/events
         "events_top_k_per_user": _q_top_k_per_user,
         "dedup_events_windowed": _q_dedup_events_windowed,
         "canonical_urls": _q_canonical_urls,
@@ -605,6 +593,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_first": _q_near_dup_keep_first,
         "near_dup_keep_best": _q_near_dup_keep_best,
         "build_clean_corpus": _q_build_clean_corpus,
+        # (b) round-2 additions with SQL oracles
+        "simhash_sha_pairs": _q_simhash_sha_pairs,
+        "image_meta_bmp": _q_image_meta_bmp,
+        "audio_windows_wav": _q_audio_windows_wav,
+        # (c) re-proof of round-2-changed pipelines
+        "exact_dedup_clusters": _q_exact_clusters,
+        "identity_collapse": _q_identity_collapse,
+        "hardlink_groups": _q_hardlinks,
+        "exact_dedup_report": _q_exact_report,
+        "exact_dedup_keep_first": _q_keep_first,
+        "exact_dedup_ignore_empty": _q_ignore_empty,
+        "exact_dedup_size_only": _q_exact_dedup_size_only,
+        "exact_dedup_normalized": _q_exact_dedup_normalized,
+        "cascade_counters": _q_cascade_counters,
+        "minhash_near_dup_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_clusters,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "containment_pairs": _q_containment_pairs,
+        "cross_corpus_near_pairs": _q_cross_corpus_near,
+        "embedding_dup_pairs": _q_embedding_dup,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "embedding_centroids": _q_embedding_centroids,
+        "knn_topk": _q_knn,
+        "events_windowed_agg": _q_windowed_agg,
+        "events_range_counts": _q_range_counts,
+        "event_sessions": _q_sessions,
+        "events_asof_join": _q_asof_join,
+        "substring_dup_docs": _q_substring_dup,
+        "latest_by_url": _q_latest_by_url,
+        "new_content": _q_new_content,
+        "domain_dup_stats": _q_domain_dup_stats,
+        # ---- slot 51+: round-1-proven (pytest-pinned) + rows-only ----
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        "lang_id": text.lang_id,
+        "doc_fingerprints": text.fingerprints,
+        "doc_stats_by_lang": text.doc_stats_by_lang,
+        "top_terms": _q_top_terms,
+        "normalize_text": _q_normalize_text,
+        "lang_confusion": _q_lang_confusion,
+        "sample_pages": _q_sample_pages,
+        "domain_stats": _q_domain_stats,
+        "filter_blocked_domains": _q_filter_blocked,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_clusters": _q_simhash_clusters,
+        "dup_span_fingerprints": _q_span_fingerprints,
+        "substring_clusters": _q_substring_clusters,
+        "longest_dup_spans": _q_longest_dup_spans,
+        "image_meta": _q_image_meta,
+        "image_features": _q_image_features,
+        "image_resized": _q_image_resized,
+        "audio_features": _q_audio_features,
+        "audio_window_counts": _q_audio_windows,
+        "frame_samples": _q_frame_samples,
     }
 
 
@@ -612,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
     from data_dedup_ray.pipelines import clean as _clean
     from data_dedup_ray.pipelines import events as _events
+    from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import search as _search
@@ -633,8 +679,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _search.embedding_centroids_sql(),
         "embedding_dup_clusters": _search.embedding_dup_clusters_sql(0.99),
         # simhash_pairs / simhash_clusters intentionally omitted: the
-        # fingerprint function is not SQL-expressible → rows-only check;
-        # exactness is covered by tests/test_near.py's brute-force oracle.
+        # DEFAULT fingerprint hash is not SQL-expressible → rows-only;
+        # exactness is covered by tests/test_near.py's brute-force oracle
+        # AND by simhash_sha_pairs below, which runs the IDENTICAL
+        # pigeonhole/verify machinery over a sha256-derived token hash
+        # that DuckDB restates in closed form.
+        "simhash_sha_pairs": _near.simhash_sha_pairs_sql(3),
+        "image_meta_bmp": _media.image_meta_bmp_sql(),
+        "audio_windows_wav": _media.audio_windows_wav_sql(),
+        # embedding_dup_pairs_lsh intentionally omitted: approximate
+        # candidate generation (recall <1 for non-identical near-pairs)
+        # → rows-only; subset-of-exact + planted-copy recall are pinned
+        # by tests/test_text_embed.py.
         # dup_span_fingerprints / substring_clusters intentionally omitted
         # (winnowed 64-bit rolling hashes are not SQL-expressible) →
         # rows-only checks; exactness is covered by substring_dup_docs'

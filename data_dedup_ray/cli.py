@@ -26,7 +26,61 @@ Exit code 0 on success (bin/dedup_files:10; CLI.pm:333).
 from __future__ import annotations
 
 import argparse
+import re
 import sys
+
+_KIBI = 1024
+_MEBI = _KIBI * 1024
+_GIBI = _MEBI * 1024
+_TEBI = _GIBI * 1024
+
+
+def human_readable_bytes(n: float) -> str:
+    """CLI.pm:42-67: '%.1f <prefix>B' at the largest binary scale the
+    value EXCEEDS (strictly greater, per the reference), else '<n> B'."""
+    for scale, prefix in ((_TEBI, "Ti"), (_GIBI, "Gi"),
+                          (_MEBI, "Mi"), (_KIBI, "Ki")):
+        if abs(n) > scale:
+            return f"{n / scale:.1f} {prefix}B"
+    return f"{n} B"
+
+
+#: " at FILE line ##" suffix of a warning line (CLI.pm:71-86)
+_SOURCE_LOC_RE = re.compile(r" at .+? line \d+.*$")
+
+
+def remove_source_loc(msg: str) -> str:
+    """CLI.pm:72-86: strip the ' at FILE line ##' source location from a
+    warning and DROP every line after the first one that carried it (a
+    stack trace adds nothing for users)."""
+    out = []
+    for line in msg.splitlines():
+        m = _SOURCE_LOC_RE.search(line)
+        if m:
+            line = line[: m.start()]
+            if line:
+                out.append(line)
+            break
+        out.append(line)
+    return "".join(f"{line}\n" for line in out)
+
+
+def make_warn(*, quiet: bool = False, debug: bool = False,
+              verbose: bool = False, stream=None):
+    """The reference's warning policy (CLI.pm:256-277) as a warn fn:
+    ``--verbose``/``--debug`` override ``--quiet``; quiet suppresses all;
+    debug passes everything through verbatim; the default strips source
+    locations."""
+    stream = stream if stream is not None else sys.stderr
+
+    if verbose or debug:
+        quiet = False
+    if quiet:
+        return lambda msg: None
+    if debug:
+        return lambda msg: stream.write(
+            msg if msg.endswith("\n") else msg + "\n")
+    return lambda msg: stream.write(remove_source_loc(msg))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -47,17 +101,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-stage parquet checkpoints; rerun to resume")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="pass warnings through verbatim incl. source "
+                        "locations (CLI.pm:273-277); overrides --quiet")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for standalone runs; ignored under ray job")
     return p
 
 
-def _dedupe_inputs(paths: list[str], quiet: bool) -> list[str]:
+def _dedupe_inputs(paths: list[str], warn) -> list[str]:
     seen, out = set(), []
     for d in paths:
         if d in seen:
-            if not quiet:
-                print(f"warning: ignoring repeated input {d}", file=sys.stderr)
+            warn(f"warning: ignoring repeated input {d}")
             continue
         seen.add(d)
         out.append(d)
@@ -66,6 +122,8 @@ def _dedupe_inputs(paths: list[str], quiet: bool) -> list[str]:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    warn = make_warn(quiet=args.quiet, debug=args.debug,
+                     verbose=args.verbose)
 
     import ray
 
@@ -79,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from data_dedup_ray.pipelines import exact
 
-    inputs = _dedupe_inputs(args.input, args.quiet)
+    inputs = _dedupe_inputs(args.input, warn)
     ds = ray.data.read_parquet(inputs)
 
     if args.checkpoint_dir:
@@ -139,6 +197,23 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _emit(exact.report_text(result), args.output)
         if args.verbose:
+            # the reference's progress accumulator (CLI.pm:117-155):
+            # pages seen + human-readable byte tally
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            sizes = ds.map_batches(
+                lambda t: pa.table({
+                    "nbytes": pc.cast(pc.binary_length(t["text"]),
+                                      pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+            print(
+                f"scanned {sizes.count()} pages, "
+                f"{human_readable_bytes(sizes.sum('nbytes') or 0)}",
+                file=sys.stderr,
+            )
             # a checkpointed run already computed the tallies into _META
             stats = (ck.meta("exact_dedup")["counters"]
                      if ck else exact.dedup_stats(result))

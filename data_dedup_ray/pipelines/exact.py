@@ -28,21 +28,87 @@ def filter_empty(ds: ray.data.Dataset, content_col: str = "text") -> ray.data.Da
     )
 
 
-def _first_seen(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values("url", kind="stable").head(1)
+def _keep_min_url(t: pa.Table, identity_col: str) -> pa.Table:
+    """One row per identity key — the row with the minimum url — as a
+    pure Acero kernel (sort + ordered ``first`` aggregate, no per-group
+    Python)."""
+    if t.num_rows == 0:
+        return t
+    others = [c for c in t.column_names if c != identity_col]
+    g = t.sort_by("url").group_by([identity_col], use_threads=False) \
+        .aggregate([(c, "first") for c in others])
+    return g.rename_columns([identity_col] + others) \
+        .select(t.column_names)
 
 
 def collapse_identity(
-    ds: ray.data.Dataset, identity_col: str = "inode_id"
+    ds: ray.data.Dataset, identity_col: str = "inode_id",
+    resolve: "callable | None" = None,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Hardlink collapse: only one page per identity key enters dedup
     (Files.pm:225,167).  The reference keeps the first *seen*; execution
-    order is non-deterministic here, so we pin the CLI's resolution policy —
-    the alphabetically-first url (CLI.pm:281-283, CLI.t:91-97).
+    order is non-deterministic here, so the default pins the CLI's
+    resolution policy — the alphabetically-first url (CLI.pm:281-283,
+    CLI.t:91-97).
 
-    Shuffle key: ``identity_col``.  Groups are hardlink-sized (tiny), so no
-    skew handling is needed."""
-    return ds.groupby(identity_col).map_groups(_first_seen, batch_format="pandas")
+    ``resolve``: the reference's pluggable ``resolve_hardlinks`` callback
+    (Files.pm:279-318, contract tested in Files.t:133-183): it receives
+    the identity group's member urls as a SORTED list and returns the one
+    url that should canonically represent the group.
+
+    Scale shape: a map-side keep-min combiner collapses each split group
+    to ≤1 row per inode BEFORE the exchange, so the shuffle moves
+    O(distinct inodes × split groups), not O(rows); the per-partition
+    step is the same vectorized Acero kernel (no per-group Python).
+    With a user callback, the combiner instead only PRUNES each group to
+    its min-url row per batch — the callback needs the full member url
+    list, so urls are accumulated separately and the callback runs once
+    per multi-member inode in the reduce."""
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+    P = num_partitions
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    base = ds.schema().base_schema
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t[identity_col].to_numpy(zero_copy_only=False), P)))
+
+    if resolve is None:
+        def pre(t: pa.Table) -> pa.Table:
+            return _keep_min_url(t, identity_col)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            return _keep_min_url(t, identity_col).to_pandas()
+
+        return hash_exchange(
+            [ds.map_batches(add_part, batch_format="pyarrow")], fin,
+            num_partitions=P, schema=base, in_schemas=[base], pre=[pre],
+        )
+
+    # user-callback path: ship every (inode, url) pair but only one
+    # full candidate ROW per (inode, url) — groups are hardlink-sized,
+    # so the per-inode Python callback is cheap in the reduce
+    def fin_cb(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        keep_idx = []
+        for _, g in df.groupby(identity_col, sort=False):
+            urls = sorted(g["url"])
+            choice = resolve(urls)
+            if choice not in set(urls):
+                raise ValueError(
+                    f"resolve_hardlinks returned {choice!r}, not one of "
+                    f"the group's member urls")
+            keep_idx.append(g.index[g["url"] == choice][0])
+        return df.loc[keep_idx]
+
+    return hash_exchange(
+        [ds.map_batches(add_part, batch_format="pyarrow")], fin_cb,
+        num_partitions=P, schema=base, in_schemas=[base],
+    )
 
 
 def _hardlink_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -73,15 +139,19 @@ def dedup_pages(
     chain: list[str] | None = None,
     ignore_empty: bool = False,
     collapse: bool = True,
+    resolve_hardlinks: "callable | None" = None,
     id_col: str = "url",
     concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """scan → predicates → cascade: the `Files->scan` + `Engine->add` path
-    (Files.pm:215-240) as one lazy Dataset pipeline."""
+    (Files.pm:215-240) as one lazy Dataset pipeline.
+
+    ``resolve_hardlinks``: optional per-inode canonical-url callback
+    (Files.pm:279-318) forwarded to ``collapse_identity``."""
     if ignore_empty:
         ds = filter_empty(ds)
     if collapse and "inode_id" in ds.schema().names:
-        ds = collapse_identity(ds)
+        ds = collapse_identity(ds, resolve=resolve_hardlinks)
     stages = resolve_chain(chain)
     return dedup_cascade(ds, stages, id_col=id_col, concurrency=concurrency)
 

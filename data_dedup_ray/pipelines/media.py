@@ -105,3 +105,99 @@ def frame_samples(
         batch_size=batch_size,
         concurrency=concurrency or autoscale_pool(),
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checkable real-decoder pipelines: synthetic BMP / PCM-WAV payloads
+# derived deterministically from the documents table — the decode stage
+# must INVERT the construction, so DuckDB can state the expected metadata
+# in closed form (VERDICT r1 §next-round 9).
+# --------------------------------------------------------------------------
+
+
+def bmp_pages(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, payload): one 24bpp BMP per document, width/height encoded
+    from doc_id (width = 1 + doc_id % 64, height = 1 + doc_id % 48)."""
+    from data_dedup_ray.stages.multimodal import encode_bmp
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "payload": pa.array(
+                [encode_bmp(1 + int(i) % 64, 1 + int(i) % 48, seed=int(i))
+                 for i in ids], pa.binary()),
+        })
+
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=256)
+
+
+def image_meta_bmp(
+    sf_dir: str, *, batch_size: int = 64,
+    concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, width, height, mode, decode_ok) via the REAL BMP header
+    parse — SQL-oracle-checkable because the parse inverts ``bmp_pages``'s
+    construction."""
+    return bmp_pages(sf_dir).map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(["doc_id", "width", "height", "mode", "decode_ok"])
+
+
+def image_meta_bmp_sql() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 + doc_id % 64 AS BIGINT) AS width,
+       CAST(1 + doc_id % 48 AS BIGINT) AS height,
+       'rgb' AS mode,
+       true AS decode_ok
+FROM documents"""
+
+
+def wav_pages(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, payload): one 16-bit mono PCM WAV per document with
+    n_samples = 1000 + doc_id % 5000."""
+    from data_dedup_ray.stages.multimodal import encode_wav
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "payload": pa.array(
+                [encode_wav(1000 + int(i) % 5000, seed=int(i))
+                 for i in ids], pa.binary()),
+        })
+
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=256)
+
+
+def audio_windows_wav(
+    sf_dir: str, *, window: int = 512, batch_size: int = 64,
+    concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_windows) via the REAL RIFF/WAVE chunk walk: windows
+    count decoded SAMPLES (block_align from the fmt chunk), so the SQL
+    twin is (1000 + doc_id % 5000) // window."""
+    return wav_pages(sf_dir).map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs=dict(window=window),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(["doc_id", "n_windows"])
+
+
+def audio_windows_wav_sql(window: int = 512) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((1000 + doc_id % 5000) // {window} AS BIGINT) AS n_windows
+FROM documents"""

@@ -499,6 +499,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     group_cap: int = 1024,
+    hash_fn: str = "fast",
     concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
@@ -514,7 +515,8 @@ def simhash_pairs(
     from data_dedup_ray.stages.simhash import SimHashStage, popcount64
 
     chunks = ds.map_batches(
-        stage_task(SimHashStage, id_col=id_col, text_col=text_col),
+        stage_task(SimHashStage, id_col=id_col, text_col=text_col,
+                   hash_fn=hash_fn),
         batch_format="pyarrow",
         batch_size=1024,
     )
@@ -563,6 +565,41 @@ def simhash_pairs(
     # distinct across the 16 key tables (hamming identical per pair)
     return _distinct_pairs(pairs, ["url_a", "url_b"],
                            keep_cols=["url_a", "url_b", "hamming"])
+
+
+def simhash_sha_pairs_sql(max_hamming: int = 3) -> str:
+    """Exact brute-force SQL twin of ``simhash_pairs(hash_fn='sha')``:
+    DuckDB recomputes the per-token 64-bit hash as the first 16 hex
+    chars of sha256 (the definition of ``stages.minhash.sha256_token_hash``),
+    takes the per-bit majority vote over every token OCCURRENCE (frequency
+    weighting, ties → 0 — exactly ``simhash_batch``), and XOR-popcounts
+    every doc pair via a per-bit join.  Token-less docs emit no pairs,
+    mirroring the pipeline."""
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(f"""
+, toks AS (
+  SELECT url, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+  FROM web_pages
+), th AS (
+  SELECT url, substr(sha256(tok), 1, 16) AS h FROM toks
+), bits AS (
+  -- bit j of the 64-bit token hash lives in hex nibble 16 - j//4
+  -- (1-based from the most significant); majority vote per (url, bit)
+  SELECT url, g.j,
+         CASE WHEN 2 * sum(
+           (strpos('0123456789abcdef', substr(h, 16 - (g.j // 4), 1)) - 1)
+             // (1 << (g.j % 4)) % 2
+         ) > count(*) THEN 1 ELSE 0 END AS fpbit
+  FROM th CROSS JOIN generate_series(0, 63) AS g(j)
+  GROUP BY url, g.j
+), ham AS (
+  SELECT a.url AS url_a, b.url AS url_b,
+         sum(CASE WHEN a.fpbit <> b.fpbit THEN 1 ELSE 0 END) AS d
+  FROM bits a JOIN bits b ON a.j = b.j AND a.url < b.url
+  GROUP BY 1, 2)
+SELECT url_a, url_b, CAST(d AS BIGINT) AS hamming
+FROM ham WHERE d <= {max_hamming}""")
 
 
 def simhash_fp_pairs(

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from data_dedup_ray.stages.substring import window_md5_rows, winnowed_rows
+from data_dedup_ray.stages.substring import window_hash_rows, winnowed_rows
 
 
 def _coarse_apply(ds: ray.data.Dataset, col: str, num_partitions: int,
@@ -56,23 +56,42 @@ def substring_dup_docs(
     ds: ray.data.Dataset,
     *,
     min_tokens: int = 50,
+    mode: str = "winnowed",
+    winnow_w: int = 8,
     id_col: str = "url",
     text_col: str = "text",
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """``(url, n_dup_windows)`` — window POSITIONS whose exact
-    ``min_tokens``-token text occurs in at least one other document.
+    """``(url, n_dup_windows)`` — windows whose ``min_tokens``-token text
+    occurs in at least one other document.
 
-    Exact mode (MD5 window content hashes): every position counted, fully
-    reproducible in SQL — see ``oracles.substring_dup_sql``."""
-    rows = ds.map_batches(
-        window_md5_rows,
-        fn_kwargs=dict(min_tokens=min_tokens, id_col=id_col,
-                       text_col=text_col),
-        batch_format="pyarrow",
-        batch_size=512,
-    )
-    row_schema = pa.schema([(id_col, pa.string()), ("whash", pa.string())])
+    ``mode="winnowed"`` (the DEFAULT — the 100 TB path): counts duplicated
+    WINNOWED fingerprints (~1/winnow_w of the exact row volume; a shared
+    span of ``min_tokens + winnow_w − 1`` tokens is always detected).
+    ``mode="exact"`` is the oracle-parity flag: every window POSITION
+    counted, group structure fully reproducible in SQL
+    (``oracles.substring_dup_sql``)."""
+    if mode == "exact":
+        rows = ds.map_batches(
+            window_hash_rows,
+            fn_kwargs=dict(min_tokens=min_tokens, id_col=id_col,
+                           text_col=text_col),
+            batch_format="pyarrow",
+            batch_size=512,
+        )
+    elif mode == "winnowed":
+        rows = ds.map_batches(
+            winnowed_rows,
+            fn_kwargs=dict(min_tokens=min_tokens, winnow_w=winnow_w,
+                           id_col=id_col, text_col=text_col),
+            batch_format="pyarrow",
+            batch_size=512,
+        ).map_batches(
+            lambda t: t.select([id_col, "whash"]), batch_format="pyarrow",
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}: use 'winnowed' | 'exact'")
+    row_schema = pa.schema([(id_col, pa.string()), ("whash", pa.int64())])
     hits = _coarse_apply(
         rows, "whash", num_partitions,
         lambda g: _dup_hits(g, id_col)[[id_col]],

@@ -45,37 +45,95 @@ def size(batch: pa.Table, col: str = "text") -> pa.Array:
     return pc.cast(pc.binary_length(batch[col]), pa.int64())
 
 
-def head_sample(batch: pa.Table, col: str = "text", n: int = SAMPLE) -> pa.Array:
-    """First-cluster middle sample analogue (DigestFactory.pm:58-69).
+def _sample_bounds(n: int) -> tuple[int, int]:
+    """``sample`` byte range (DigestFactory.pm:56-68): 128 bytes around
+    the first cluster's midpoint, offset = max(0, cluster/2 − 128) with
+    the reference's float-then-truncate arithmetic done exactly in ints
+    (floor((c−256)/2) — truncation equals floor for the non-negative
+    post-max value)."""
+    c = min(n, CLUSTER)
+    if c <= 0:
+        return 0, 0
+    return max(0, (c - 2 * SAMPLE) // 2), SAMPLE
 
-    Byte range [max(0, CLUSTER/2 - n), …+n) clamped to the value — for
-    values shorter than a cluster this is simply a head slice, which keeps
-    the digest cheap and deterministic without per-row offset arithmetic.
-    """
-    off = max(0, CLUSTER // 2 - n)
-    return pc.binary_slice(_content(batch, col), off, off + n)
+
+def _end_sample_bounds(n: int) -> tuple[int, int]:
+    """``end_sample`` byte range (DigestFactory.pm:70-87): 128 bytes
+    around the LAST cluster's midpoint; when the tail cluster is shorter
+    than the sample the reference backs up one full cluster."""
+    c = min(n, CLUSTER)
+    if c <= 0:
+        return 0, 0
+    lco = ((n - 1) // c) * c
+    lcs = n - lco
+    if lcs < SAMPLE:
+        lco -= c
+        lcs = c
+    return max(0, lco + (lcs - 2 * SAMPLE) // 2), SAMPLE
+
+
+def _mid_sample_bounds(n: int) -> tuple[int, int]:
+    """``mid_sample`` byte range (DigestFactory.pm:89-102): 128 bytes
+    around the midpoint of the cluster containing byte size/2 − 1 (the
+    reference's int() truncates toward zero, which only differs from
+    floor at n == 1 where the cluster index clamps to 0)."""
+    c = min(n, CLUSTER)
+    if c <= 0:
+        return 0, 0
+    mco = ((n - 2) // (2 * c)) * c if n >= 2 else 0
+    return max(0, mco + (c - 2 * SAMPLE) // 2), SAMPLE
+
+
+def _final_bounds(n: int) -> tuple[int, int]:
+    """``final_*`` byte range (DigestFactory.pm:154-172,199-217): the last
+    cluster — but when the tail is shorter than HALF a cluster, back up
+    one cluster and hash a full cluster ENDING before the short tail
+    (the reference reads exactly cluster_size bytes from the backed-up
+    offset, so the tail bytes are excluded)."""
+    c = min(n, CLUSTER)
+    if c <= 0:
+        return 0, 0
+    lco = ((n - 1) // c) * c
+    lcs = n - lco
+    if 2 * lcs < c:
+        lco -= c
+    return lco, min(c, n - lco)
+
+
+def _per_row_slices(batch: pa.Table, col: str, bounds) -> list:
+    """Per-row byte slices by the reference's size-dependent arithmetic
+    (offsets depend on each value's length, so no scalar binary_slice)."""
+    vals = _content(batch, col).to_pylist()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        b = bytes(v)
+        off, ln = bounds(len(b))
+        out.append(b[off: off + ln])
+    return out
+
+
+def head_sample(batch: pa.Table, col: str = "text", n: int = SAMPLE) -> pa.Array:
+    """``sample`` (DigestFactory.pm:56-68) with the reference's exact
+    size-dependent offset: 128 bytes at max(0, cluster/2 − 128)."""
+    return pa.array(_per_row_slices(batch, col, _sample_bounds),
+                    type=pa.binary())
 
 
 def tail_sample(batch: pa.Table, col: str = "text", n: int = SAMPLE) -> pa.Array:
-    """Last-cluster sample analogue (DigestFactory.pm:71-88): last ``n`` bytes."""
-    return pc.binary_slice(_content(batch, col), -n, None)
+    """``end_sample`` (DigestFactory.pm:70-87): 128 bytes around the last
+    cluster's midpoint, short-tail backoff included."""
+    return pa.array(_per_row_slices(batch, col, _end_sample_bounds),
+                    type=pa.binary())
 
 
 def mid_sample(batch: pa.Table, col: str = "text", n: int = SAMPLE) -> pa.Array:
-    """Middle-cluster sample analogue (DigestFactory.pm:90-102): ``n`` bytes
-    centered on the value's midpoint.  Offsets are per-row (they depend on
-    each value's length), so this slices via numpy over the batch rather
-    than a scalar-offset ``pc.binary_slice``."""
-    vals = _content(batch, col).to_pylist()
-    out = np.empty(len(vals), dtype=object)
-    for i, v in enumerate(vals):
-        if v is None:
-            out[i] = None
-            continue
-        b = bytes(v)
-        off = max(0, len(b) // 2 - n // 2)
-        out[i] = b[off: off + n]
-    return pa.array(out, type=pa.binary())
+    """``mid_sample`` (DigestFactory.pm:89-102): 128 bytes around the
+    mid-file cluster's midpoint."""
+    return pa.array(_per_row_slices(batch, col, _mid_sample_bounds),
+                    type=pa.binary())
 
 
 def head_1k(batch: pa.Table, col: str = "text") -> pa.Array:
@@ -107,9 +165,13 @@ def prefix_hash(batch: pa.Table, col: str = "text") -> pa.Array:
 
 
 def suffix_hash(batch: pa.Table, col: str = "text") -> pa.Array:
-    """``final_xxhash``: 64-bit hash of the last cluster
-    (DigestFactory.pm:154-172; tail-backoff folded into a plain tail slice)."""
-    return _hash64_of_slice(batch, col, -CLUSTER, None)
+    """``final_xxhash``: 64-bit hash of the last cluster with the
+    reference's short-tail backoff (DigestFactory.pm:154-172): a tail
+    shorter than half a cluster is skipped in favor of the preceding
+    FULL cluster."""
+    sliced = _per_row_slices(batch, col, _final_bounds)
+    h = pd.util.hash_array(np.asarray(sliced, dtype=object))
+    return pa.array(h.astype(np.int64), type=pa.int64())
 
 
 def _sha_of_slices(vals, prefix: int | None = None, suffix: bool = False) -> pa.Array:
@@ -138,9 +200,9 @@ def prefix_sha(batch: pa.Table, col: str = "text") -> pa.Array:
 
 
 def suffix_sha(batch: pa.Table, col: str = "text") -> pa.Array:
-    """``final_sha`` analogue: SHA-256 hex of the last cluster
-    (DigestFactory.pm:199-217)."""
-    return _sha_of_slices(_content(batch, col).to_pylist(), prefix=CLUSTER, suffix=True)
+    """``final_sha`` analogue: SHA-256 hex of the last cluster with the
+    reference's short-tail backoff (DigestFactory.pm:199-217)."""
+    return _sha_of_slices(_per_row_slices(batch, col, _final_bounds))
 
 
 def sha(batch: pa.Table, col: str = "text") -> pa.Array:

@@ -28,6 +28,7 @@ handles empty/near-empty rows).
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -44,13 +45,36 @@ def _rng_odd(rng: np.random.Generator, n: int) -> np.ndarray:
     return a
 
 
-def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
-    """→ (concatenated token hash array, per-doc token counts)."""
+def sha256_token_hash(flat: list) -> np.ndarray:
+    """uint64 per token = the first 16 hex chars of sha256(token) — the
+    SQL-twin-able token hash (DuckDB: ``substr(sha256(tok), 1, 16)``),
+    used by the oracle-checked simhash variant.  Distinct tokens are
+    hashed once per batch (natural-language token reuse is heavy)."""
+    cache: dict = {}
+    out = np.empty(len(flat), dtype=np.uint64)
+    for i, w in enumerate(flat):
+        v = cache.get(w)
+        if v is None:
+            v = np.uint64(
+                int(hashlib.sha256(w.encode("utf-8")).hexdigest()[:16], 16))
+            cache[w] = v
+        out[i] = v
+    return out
+
+
+def tokenize_batch(texts, token_hash=None) -> tuple[np.ndarray, np.ndarray]:
+    """→ (concatenated token hash array, per-doc token counts).
+
+    ``token_hash``: optional replacement for the default deterministic
+    ``pd.util.hash_array`` (e.g. ``sha256_token_hash`` for SQL parity)."""
     toks = [TOKEN_RE.findall(t) if t else [] for t in texts]
     counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
     flat = [w for doc in toks for w in doc]
     if flat:
-        hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
+        if token_hash is not None:
+            hashes = token_hash(flat)
+        else:
+            hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
     else:
         hashes = np.empty(0, dtype=np.uint64)
     return hashes, counts

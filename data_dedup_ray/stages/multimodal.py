@@ -17,6 +17,8 @@ worker heap, and let the object store spill cold blocks.
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -37,47 +39,169 @@ def _fake_meta(blob: bytes) -> tuple[int, int, str]:
     return w, 64 + h[1] % 192, ["rgb", "rgba", "gray"][h[2] % 3]
 
 
-class DecodeImage:
-    """``(id, payload:binary)`` → + ``(width, height, mode, decode_ok)``.
+# --------------------------------------------------------------------------
+# REAL dependency-free decoders: BMP / binary-PPM image headers+pixels and
+# PCM-WAV framing — the formats simple enough to parse with the standard
+# library, proving the decode seam end-to-end (and giving the driver a
+# SQL-checkable oracle); unknown byte payloads still fall back to the
+# documented deterministic stand-ins.
+# --------------------------------------------------------------------------
 
-    Real pixel decoding raises ``NotImplementedError`` without PIL; rows
-    that fail to decode are flagged, not dropped (quarantine-filter
-    downstream — the reference's unreadable-file policy, Files.pm:229-233).
-    """
+_PPM_HEADER_RE = re.compile(rb"^P([56])\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def parse_image_header(blob: bytes):
+    """``(width, height, mode, codec)`` for BMP (BITMAPINFOHEADER) and
+    binary PPM/PGM payloads; ``None`` when the bytes are neither."""
+    if len(blob) >= 54 and blob[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", blob, 18)
+        bpp = struct.unpack_from("<H", blob, 28)[0]
+        mode = {8: "gray", 24: "rgb", 32: "rgba"}.get(bpp)
+        if mode is None or width <= 0:
+            return None
+        return width, abs(height), mode, "bmp"
+    m = _PPM_HEADER_RE.match(blob)
+    if m:
+        mode = "rgb" if m.group(1) == b"6" else "gray"
+        return (int(m.group(2)), int(m.group(3)), mode,
+                "ppm" if mode == "rgb" else "pgm")
+    return None
+
+
+def decode_bmp_pixels(blob: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 array from a 24bpp BITMAPINFOHEADER BMP (rows are
+    stored bottom-up, BGR, padded to 4-byte boundaries)."""
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    flip = height > 0
+    height = abs(height)
+    stride = ((24 * width + 31) // 32) * 4
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=height * stride, offset=offset
+    ).reshape(height, stride)
+    px = rows[:, : width * 3].reshape(height, width, 3)[..., ::-1]  # BGR→RGB
+    return px[::-1] if flip else px
+
+
+def parse_wav(blob: bytes):
+    """``(n_channels, sample_rate, bits, n_samples, data_off, data_len)``
+    for a RIFF/WAVE PCM payload; ``None`` for anything else.  Walks the
+    chunk list like any real reader (fmt and data chunks may be preceded
+    by LIST/fact chunks)."""
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos: pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", blob, body)
+        elif cid == b"data":
+            data = (body, min(size, len(blob) - body))
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or fmt[0] != 1:  # PCM only
+        return None
+    channels, rate = fmt[1], fmt[2]
+    block_align, bits = fmt[4], fmt[5]
+    if block_align == 0:
+        return None
+    return channels, rate, bits, data[1] // block_align, data[0], data[1]
+
+
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 24bpp BITMAPINFOHEADER BMP with deterministic pixel
+    bytes — the test/bench payload generator for the real decode seam."""
+    stride = ((24 * width + 31) // 32) * 4
+    npix = height * stride
+    pix = ((np.arange(npix, dtype=np.int64) * 31 + seed * 7) % 256) \
+        .astype(np.uint8).tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + npix, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            npix, 2835, 2835, 0, 0))
+    return header + pix
+
+
+def encode_wav(n_samples: int, sample_rate: int = 16000,
+               seed: int = 0) -> bytes:
+    """Minimal 16-bit mono PCM RIFF/WAVE with deterministic samples."""
+    samples = (((np.arange(n_samples, dtype=np.int64) * 131 + seed * 17)
+                % 65536) - 32768).astype(np.int16).tobytes()
+    dlen = len(samples)
+    return (b"RIFF" + struct.pack("<I", 36 + dlen) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", dlen) + samples)
+
+
+class DecodeImage:
+    """``(id, payload:binary)`` → + ``(width, height, mode, codec,
+    decode_ok)``.
+
+    BMP and binary-PPM/PGM payloads are parsed for REAL
+    (``parse_image_header`` — header fields, no codec library needed);
+    other byte payloads fall back to the documented deterministic
+    stand-in with ``codec='fake'`` (a PIL import upgrades them in one
+    method).  Rows that fail to decode are flagged, not dropped
+    (quarantine-filter downstream — the reference's unreadable-file
+    policy, Files.pm:229-233)."""
 
     def __init__(self, *, payload_col: str = "payload", strict: bool = False):
         self.payload_col = payload_col
         self.strict = strict
 
     def decode_pixels(self, blob: bytes) -> np.ndarray:
+        hdr = parse_image_header(blob or b"")
+        if hdr is not None and hdr[3] == "bmp":
+            return decode_bmp_pixels(blob)
+        if hdr is not None and hdr[3] in ("ppm", "pgm"):
+            m = _PPM_HEADER_RE.match(blob)
+            w_, h_ = int(m.group(2)), int(m.group(3))
+            ch = 3 if hdr[3] == "ppm" else 1
+            return np.frombuffer(
+                blob, np.uint8, count=w_ * h_ * ch, offset=m.end()
+            ).reshape(h_, w_, ch)
         if not _HAVE_PIL:
             raise NotImplementedError(
-                "pixel decode requires an image library; this container "
-                "ships none (stub per repo constraints)"
+                "pixel decode beyond BMP/PPM requires an image library; "
+                "this container ships none (stub per repo constraints)"
             )
         raise NotImplementedError("wire PIL here when available")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.payload_col].to_pylist()
-        w, h, m, ok = [], [], [], []
+        w, h, m, cod, ok = [], [], [], [], []
         for b in blobs:
+            b = b or b""
+            hdr = parse_image_header(b)
             try:
-                if self.strict:
-                    self.decode_pixels(b or b"")
-                wi, hi, mi = _fake_meta(b or b"")
+                if hdr is not None:
+                    wi, hi, mi, ci = hdr
+                elif self.strict:
+                    self.decode_pixels(b)
+                    raise AssertionError("unreachable")
+                else:
+                    wi, hi, mi = _fake_meta(b)
+                    ci = "fake"
                 w.append(wi)
                 h.append(hi)
                 m.append(mi)
+                cod.append(ci)
                 ok.append(True)
             except (NotImplementedError, ValueError):
                 w.append(0)
                 h.append(0)
                 m.append("")
+                cod.append("")
                 ok.append(False)
         return (
             batch.append_column("width", pa.array(w, type=pa.int32()))
             .append_column("height", pa.array(h, type=pa.int32()))
             .append_column("mode", pa.array(m, type=pa.string()))
+            .append_column("codec", pa.array(cod, type=pa.string()))
             .append_column("decode_ok", pa.array(ok))
         )
 
@@ -178,12 +302,23 @@ class AudioFeatures:
         n_win, feats = [], []
         for b in blobs:
             b = b or b""
-            nw = max(0, len(b) // self.window)
-            n_win.append(nw)
+            wav = parse_wav(b)
+            if wav is not None:
+                # REAL RIFF/WAVE framing: windows count SAMPLES (via the
+                # parsed block_align), and features are computed over the
+                # decoded data chunk only — headers never leak into them
+                _, _, _, n_samples, off, dlen = wav
+                nw = n_samples // self.window
+                n_win.append(nw)
+                payload = b[off: off + dlen]
+            else:
+                nw = max(0, len(b) // self.window)
+                n_win.append(nw)
+                payload = b[: nw * self.window]
             if nw == 0:
                 feats.append(np.zeros(self.dim, dtype=np.float32))
                 continue
-            arr = np.frombuffer(b[: nw * self.window], dtype=np.uint8)
+            arr = np.frombuffer(payload, dtype=np.uint8)
             hist = np.bincount(arr, minlength=256).astype(np.float32)
             hist /= max(np.linalg.norm(hist), 1e-9)
             feats.append(hist @ self.proj)

@@ -21,15 +21,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from data_dedup_ray.stages.minhash import tokenize_batch
+from data_dedup_ray.stages.minhash import sha256_token_hash, tokenize_batch
 
 N_CHUNKS = 4
 CHUNK_BITS = 16
 
+#: named token-hash functions for the stages below; "sha" is the
+#: SQL-twin-able variant (oracles can restate it with DuckDB sha256())
+HASH_FNS = {"fast": None, "sha": sha256_token_hash}
 
-def simhash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+
+def simhash_batch(texts, token_hash=None) -> tuple[np.ndarray, np.ndarray]:
     """→ (uint64 fingerprints for docs with ≥1 token, bool has-token mask)."""
-    hashes, counts = tokenize_batch(texts)
+    hashes, counts = tokenize_batch(texts, token_hash=token_hash)
     has = counts > 0
     if not has.any():
         return np.empty(0, dtype=np.uint64), has
@@ -109,14 +113,15 @@ class SimHashFingerprints:
     instead of a second full tokenize pass just to find empty docs."""
 
     def __init__(self, *, id_col: str = "url", text_col: str = "text",
-                 keep_empty: bool = False):
+                 keep_empty: bool = False, hash_fn: str = "fast"):
         self.id_col, self.text_col = id_col, text_col
         self.keep_empty = keep_empty
+        self.token_hash = HASH_FNS[hash_fn]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
-        fp, has = simhash_batch(texts)
+        fp, has = simhash_batch(texts, token_hash=self.token_hash)
         if not self.keep_empty:
             return pa.table(
                 {
@@ -138,13 +143,15 @@ class SimHashFingerprints:
 class SimHashStage:
     """Actor stage: text → exploded ``(url, chunk_id, chunk_val, fp)`` rows."""
 
-    def __init__(self, *, id_col: str = "url", text_col: str = "text"):
+    def __init__(self, *, id_col: str = "url", text_col: str = "text",
+                 hash_fn: str = "fast"):
         self.id_col, self.text_col = id_col, text_col
+        self.token_hash = HASH_FNS[hash_fn]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
-        fp, has = simhash_batch(texts)
+        fp, has = simhash_batch(texts, token_hash=self.token_hash)
         ids = ids[has]
         kv = key_values(fp)
         n = len(ids)

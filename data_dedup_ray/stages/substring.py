@@ -13,15 +13,16 @@ Ray-Data-native formulation.
 
 Two granularities:
 
-- ``window_md5_rows``: EXACT — one MD5 per window position over the joined
-  token text.  Reproducible in ANSI SQL (DuckDB ``md5`` over
-  ``regexp_extract_all`` token lists), which makes the pipeline
-  oracle-checkable end to end.
-- ``winnowed_rows``: SCALE — 64-bit polynomial rolling hashes winnowed to
-  the per-window minimum (Schleimer et al., SIGMOD'03 "Winnowing: Local
-  Algorithms for Document Fingerprinting"): any shared span of
-  ``min_tokens + w − 1`` tokens is guaranteed to share a selected
-  fingerprint, at ~1/w of the row volume.
+- ``window_hash_rows``: EXACT — one 64-bit rolling hash per window
+  position.  The SQL oracle (DuckDB ``md5`` groups over
+  ``regexp_extract_all`` token lists) checks the GROUP structure, which
+  is hash-choice-independent, so the pipeline stays oracle-checkable
+  end to end while shuffling 8-byte rows.
+- ``winnowed_rows``: SCALE (the library default) — the same rolling
+  hashes winnowed to the per-window minimum (Schleimer et al.,
+  SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
+  any shared span of ``min_tokens + w − 1`` tokens is guaranteed to
+  share a selected fingerprint, at ~1/w of the row volume.
 
 Tokenizer = stages/minhash.TOKEN_RE (one compiled regex, shared across the
 near-dup family so "token" means one thing engine-wide).
@@ -29,7 +30,7 @@ near-dup family so "token" means one thing engine-wide).
 
 from __future__ import annotations
 
-import hashlib
+
 
 import numpy as np
 import pandas as pd
@@ -40,28 +41,34 @@ from data_dedup_ray.stages.minhash import TOKEN_RE
 _POLY = np.uint64(0x100000001B3)
 
 
-def window_md5_rows(
+def window_hash_rows(
     batch: pa.Table, *, min_tokens: int = 50,
     id_col: str = "url", text_col: str = "text",
 ) -> pa.Table:
-    """→ ``(id, whash:string)`` — one MD5 hex row per token-window position.
+    """→ ``(id, whash:int64)`` — one row per token-window position, the
+    64-bit polynomial rolling hash of the window (fully vectorized — no
+    per-window Python, 8 bytes/row through the shuffle instead of the
+    32-hex-char MD5 strings the first version shipped).
 
-    ``whash = md5(" ".join(tokens[i : i + min_tokens]))``, matching DuckDB's
-    ``md5(array_to_string(w[i : i+L-1], ' '))`` byte for byte."""
-    ids_out, hashes_out = [], []
+    Grouping by the rolling hash equals grouping by window TEXT up to the
+    standard 2⁻⁶⁴ collision trade (accepted engine-wide, see MinHash
+    shingles), so the SQL twin — DuckDB ``md5(array_to_string(...))``
+    groups, ``oracles.substring_dup_sql`` — is unchanged: neither side's
+    hash VALUES appear in the output, only the group structure."""
+    texts = batch[text_col].to_pylist()
     ids = batch[id_col].to_pylist()
-    for uid, text in zip(ids, batch[text_col].to_pylist()):
-        toks = TOKEN_RE.findall(text) if text else []
-        n = len(toks)
-        if n < min_tokens:
-            continue
-        for i in range(n - min_tokens + 1):
-            win = " ".join(toks[i: i + min_tokens])
-            ids_out.append(uid)
-            hashes_out.append(hashlib.md5(win.encode()).hexdigest())
+    win, counts = _rolling_window_hashes(texts, min_tokens)
+    nw = np.maximum(counts - min_tokens + 1, 0)
+    # doc d's (non-boundary-crossing) windows: win[tok_off_d : +nw_d]
+    tok_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    doc_of = np.repeat(np.arange(len(ids)), nw)
+    idx = (np.arange(int(nw.sum()))
+           - np.repeat(np.cumsum(nw) - nw, nw)
+           + tok_off[doc_of])
     return pa.table(
-        {id_col: pa.array(ids_out, type=pa.string()),
-         "whash": pa.array(hashes_out, type=pa.string())}
+        {id_col: pa.array(np.asarray(ids, dtype=object)[doc_of],
+                          type=pa.string()),
+         "whash": pa.array(win[idx].view(np.int64))}
     )
 
 

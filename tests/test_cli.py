@@ -118,3 +118,76 @@ def test_near_mode_tsv_and_checkpoint_resume(ray_session, pages_parquet,
         meta = json.load(f)
     assert meta["counters"]["n_pages"] > 0
     assert meta["counters"]["n_clusters"] <= meta["counters"]["n_pages"]
+
+
+# --------------------------------------------------------------------------
+# Warning policy + human_readable_bytes (CLI.pm:42-86,256-277; CLI.t:141-216)
+# --------------------------------------------------------------------------
+
+
+def test_human_readable_bytes_goldens():
+    from data_dedup_ray.cli import human_readable_bytes as hrb
+
+    assert hrb(0) == "0 B"
+    assert hrb(1023) == "1023 B"
+    assert hrb(1024) == "1024 B"          # strictly greater, CLI.pm:57
+    assert hrb(1025) == "1.0 KiB"
+    assert hrb(1536) == "1.5 KiB"
+    assert hrb(1024**2 + 1) == "1.0 MiB"
+    assert hrb(3 * 1024**3) == "3.0 GiB"
+    assert hrb(2 * 1024**4) == "2.0 TiB"
+    assert hrb(-1536) == "-1.5 KiB"       # abs() scale pick, CLI.pm:58
+
+
+def test_remove_source_loc():
+    from data_dedup_ray.cli import remove_source_loc
+
+    # same-line location stripped
+    assert remove_source_loc(
+        "something failed at /x/y.py line 12.") == "something failed\n"
+    # carp-style: location on its own line → line dropped entirely and
+    # everything AFTER the first located line dropped too (CLI.t:212-216)
+    assert remove_source_loc(
+        "warned you\n at /x/y.py line 9.\n  trace frame called at z"
+    ) == "warned you\n"
+    # plain warnings untouched
+    assert remove_source_loc("plain warning") == "plain warning\n"
+
+
+def test_warning_policy_modes():
+    import io
+
+    from data_dedup_ray.cli import make_warn
+
+    msgs = ["plain warning",
+            "located warning at /a/b.py line 3."]
+
+    def run(**kw):
+        buf = io.StringIO()
+        w = make_warn(stream=buf, **kw)
+        for m in msgs:
+            w(m)
+        return buf.getvalue()
+
+    # normal: locations stripped (CLI.t:141-165)
+    assert run() == "plain warning\nlocated warning\n"
+    # quiet: nothing (CLI.t:167-187)
+    assert run(quiet=True) == ""
+    # debug: verbatim incl. locations (CLI.t:190-216)
+    assert run(debug=True) == ("plain warning\n"
+                               "located warning at /a/b.py line 3.\n")
+    # verbose/debug override quiet (CLI.pm:260)
+    assert run(quiet=True, debug=True) != ""
+    assert run(quiet=True, verbose=True) == "plain warning\nlocated warning\n"
+
+
+def test_cli_verbose_scan_summary(ray_session, pages_parquet, tmp_path):
+    out = tmp_path / "v.tsv"
+    r = _run(["--input", pages_parquet, "--output", str(out),
+              "--verbose", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import re as _re
+
+    m = _re.search(r"scanned (\d+) pages, (.+B)$", r.stderr, _re.M)
+    assert m, r.stderr[-2000:]
+    assert int(m.group(1)) > 0

@@ -145,3 +145,106 @@ def test_dedup_size_only_chain(sf_dir, con):
     # a single-stage weak chain merges MORE than the full cascade
     full = exact.dedup_pages(web_pages(sf_dir), collapse=False).to_pandas()
     assert got["cluster_id"].nunique() <= full["cluster_id"].nunique()
+
+
+# --------------------------------------------------------------------------
+# Reference digest-edge semantics (DigestFactory.pm:154-172) + the
+# resolve_hardlinks callback surface (Files.pm:279-318, Files.t:133-183)
+# --------------------------------------------------------------------------
+
+
+def test_final_digest_bounds_reference_semantics():
+    from data_dedup_ray.stages.hashes import (
+        _end_sample_bounds, _final_bounds, _mid_sample_bounds,
+        _sample_bounds)
+
+    # final_*: last cluster, short-tail (< cluster/2) backs up ONE full
+    # cluster and EXCLUDES the tail bytes
+    assert _final_bounds(6143) == (0, 4096)      # tail 2047 < 2048 → backoff
+    assert _final_bounds(6144) == (4096, 2048)   # tail == half: no backoff
+    assert _final_bounds(4097) == (0, 4096)      # tail 1 → backoff
+    assert _final_bounds(4096) == (0, 4096)
+    assert _final_bounds(100) == (0, 100)
+    assert _final_bounds(0) == (0, 0)
+    # sample: offset max(0, cluster/2 - 128) with float-truncate parity
+    assert _sample_bounds(301) == (22, 128)      # trunc(150.5-128) == 22
+    assert _sample_bounds(4096) == (1920, 128)
+    assert _sample_bounds(0) == (0, 0)
+    # end_sample: tail < 128 backs up one full cluster
+    assert _end_sample_bounds(4096 + 100) == (1920, 128)
+    assert _end_sample_bounds(4096 + 200) == (4096 + 100 - 128, 128)
+    assert _end_sample_bounds(100) == (0, 128)
+    # mid_sample: cluster containing byte size/2 - 1
+    assert _mid_sample_bounds(8192) == (1920, 128)   # mid cluster = 0
+    assert _mid_sample_bounds(16384) == (4096 + 1920, 128)
+    assert _mid_sample_bounds(1) == (0, 128)
+
+
+def test_final_sha_short_tail_backoff_groups(ray_session):
+    """Twins differing ONLY in a sub-half-cluster tail must group together
+    under a final_sha-only chain (the reference hashes the preceding full
+    cluster, not the short tail); a half-cluster tail must NOT back off."""
+    import ray.data
+
+    from data_dedup_ray.pipelines.exact import dedup_pages
+
+    # ASCII-only so the string→binary cast (UTF-8) is byte-for-byte
+    X = b"0123456789abcdef" * 256       # 4096 bytes
+    Y = b"fedcba9876543210" * 256
+    rows = pd.DataFrame({
+        "url": ["a", "b", "c", "d"],
+        "text": [
+            (X + b"a" * 2047).decode("latin-1"),   # backoff → hashes X
+            (X + b"b" * 2047).decode("latin-1"),   # backoff → hashes X
+            (X + b"c" * 2048).decode("latin-1"),   # no backoff → tail only
+            (Y + b"a" * 2047).decode("latin-1"),   # backoff → hashes Y
+        ],
+    })
+    res = dedup_pages(ray.data.from_pandas(rows), chain=["final_sha"],
+                      collapse=False).to_pandas().set_index("url")
+    assert res.loc["a", "cluster_id"] == res.loc["b", "cluster_id"]
+    assert res.loc["c", "cluster_id"] != res.loc["a", "cluster_id"]
+    assert res.loc["d", "cluster_id"] != res.loc["a", "cluster_id"]
+
+
+def test_resolve_hardlinks_callback_contract(ray_session):
+    """Files.t:133-183: the callback receives each multi-member inode's
+    sorted url list and its returned url becomes the group's canonical
+    representative."""
+    import ray.data
+
+    from data_dedup_ray.pipelines.exact import collapse_identity
+
+    rows = pd.DataFrame({
+        "url": ["a1", "a2", "a3", "b1", "solo"],
+        "inode_id": [7, 7, 7, 8, 9],
+        "text": ["t7", "t7", "t7", "t8", "t9"],
+    })
+    seen = []
+
+    def resolve(urls):
+        seen.append(list(urls))
+        return urls[-1]  # alphabetically-LAST member
+
+    got = collapse_identity(ray.data.from_pandas(rows), resolve=resolve) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == ["a3", "b1", "solo"]
+    assert got["text"].tolist() == ["t7", "t8", "t9"]
+    # default (no callback) pins the alphabetically-FIRST url
+    dflt = collapse_identity(ray.data.from_pandas(rows)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert dflt["url"].tolist() == ["a1", "b1", "solo"]
+
+
+def test_resolve_hardlinks_rejects_foreign_url(ray_session):
+    import ray.data
+
+    from data_dedup_ray.pipelines.exact import collapse_identity
+
+    rows = pd.DataFrame({
+        "url": ["a1", "a2"], "inode_id": [7, 7], "text": ["t", "t"],
+    })
+    with pytest.raises(Exception):
+        collapse_identity(
+            ray.data.from_pandas(rows), resolve=lambda urls: "nope"
+        ).to_pandas()

