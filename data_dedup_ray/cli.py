@@ -83,6 +83,41 @@ def make_warn(*, quiet: bool = False, debug: bool = False,
     return lambda msg: stream.write(remove_source_loc(msg))
 
 
+class ProgressDisplay:
+    """The reference's throttled scan-progress display (CLI.pm:115-156):
+    an update every ``granularity`` files, ``\\r``-overwritten in place
+    with overflow padding when the message shrinks, cleared when done.
+    ``force`` mirrors the reference's ``force_display`` arg."""
+
+    def __init__(self, stream=None, granularity: int = 1000):
+        self.stream = stream if stream is not None else sys.stderr
+        self.granularity = granularity
+        self.files = 0
+        self.bytes = 0
+        self._next_print = 0
+        self._msg_len = 0
+
+    def update(self, n_files: int, n_bytes: int, *,
+               force: bool = False) -> None:
+        self.files += n_files
+        self.bytes += n_bytes
+        if self.files < self._next_print and not force:
+            return
+        msg = (f"scanned {self.files} files, "
+               f"{human_readable_bytes(self.bytes)}")
+        pad = max(0, self._msg_len - len(msg))
+        self._msg_len = len(msg)
+        self.stream.write("\r" + msg + " " * pad)
+        self._next_print = (
+            self.files // self.granularity + 1) * self.granularity
+
+    def clear(self) -> None:
+        """CLI.pm:149-152: blank the line and re-display ASAP."""
+        self.stream.write("\r" + " " * self._msg_len + "\r")
+        self._msg_len = 0
+        self._next_print = 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_dedup_ray",
                                 description=__doc__.split("\n")[0])
@@ -197,8 +232,9 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _emit(exact.report_text(result), args.output)
         if args.verbose:
-            # the reference's progress accumulator (CLI.pm:117-155):
-            # pages seen + human-readable byte tally
+            # the reference's LIVE progress display (CLI.pm:115-156):
+            # throttled \r updates while streaming the size pass, then a
+            # final forced display + newline as the scan summary
             import pyarrow as pa
             import pyarrow.compute as pc
 
@@ -209,9 +245,16 @@ def main(argv: list[str] | None = None) -> int:
                 }),
                 batch_format="pyarrow",
             )
+            prog = ProgressDisplay()
+            for b in sizes.iter_batches(batch_format="pyarrow"):
+                prog.update(
+                    b.num_rows,
+                    int(pc.sum(b["nbytes"]).as_py() or 0))
+            prog.update(0, 0, force=True)
+            print("", file=sys.stderr)  # keep the final line
             print(
-                f"scanned {sizes.count()} pages, "
-                f"{human_readable_bytes(sizes.sum('nbytes') or 0)}",
+                f"scanned {prog.files} pages, "
+                f"{human_readable_bytes(prog.bytes)}",
                 file=sys.stderr,
             )
             # a checkpointed run already computed the tallies into _META

@@ -8,6 +8,7 @@ path, ``text`` the file content, ``inode_id`` the hardlink identity
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -111,25 +112,49 @@ def collapse_identity(
     )
 
 
-def _hardlink_group(g: pd.DataFrame) -> pd.DataFrame:
-    urls = sorted(g["url"])
-    return pd.DataFrame(
-        {
-            "inode_id": [g["inode_id"].iloc[0]],
-            "n_links": [len(urls)],
-            "members": ["\t".join(urls)],
-        }
-    )
+def _members_rollup(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Per-partition (key, n_links, members) rollup: multi-member keys
+    only, members tab-joined in url order.  Single-member keys — the
+    overwhelming majority at scale — are dropped by one VECTORIZED
+    transform before any per-group string work happens."""
+    if not len(df):
+        return pd.DataFrame({key: pd.Series(dtype=df[key].dtype),
+                             "n_links": pd.Series(dtype=np.int64),
+                             "members": pd.Series(dtype=object)})
+    sizes = df.groupby(key, sort=False)["url"].transform("size")
+    multi = df[sizes > 1].sort_values([key, "url"], kind="stable")
+    g = multi.groupby(key, sort=False)["url"]
+    out = g.agg("\t".join).rename("members").reset_index()
+    out["n_links"] = g.size().to_numpy()
+    return out[[key, "n_links", "members"]]
 
 
-def hardlinks(ds: ray.data.Dataset) -> ray.data.Dataset:
+def hardlinks(ds: ray.data.Dataset,
+              num_partitions: int = 32) -> ray.data.Dataset:
     """All urls grouped by identity key, multi-member groups only
-    (Files.pm:341 `hardlinks` accessor)."""
-    grouped = ds.select_columns(["inode_id", "url"]).groupby("inode_id").map_groups(
-        _hardlink_group, batch_format="pandas"
-    )
-    return grouped.map_batches(
-        lambda t: t.filter(pc.greater(t["n_links"], 1)), batch_format="pyarrow"
+    (Files.pm:341 `hardlinks` accessor).
+
+    One sortless exchange keyed on the inode; the per-partition rollup
+    prunes single-member inodes vectorized BEFORE the per-group string
+    join, so the Python-level work is output-sized (true hardlink
+    groups), not corpus-sized."""
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t["inode_id"].to_numpy(zero_copy_only=False), num_partitions)))
+
+    sel = ds.select_columns(["inode_id", "url"]).map_batches(
+        add_part, batch_format="pyarrow")
+    return hash_exchange(
+        [sel],
+        lambda df: _members_rollup(df, "inode_id"),
+        num_partitions=num_partitions,
+        schema=pa.schema([("inode_id", pa.int64()),
+                          ("n_links", pa.int64()),
+                          ("members", pa.string())]),
+        in_schemas=[pa.schema([("inode_id", pa.int64()),
+                               ("url", pa.string())])],
     )
 
 
@@ -156,27 +181,38 @@ def dedup_pages(
     return dedup_cascade(ds, stages, id_col=id_col, concurrency=concurrency)
 
 
-def _report_group(g: pd.DataFrame) -> pd.DataFrame:
-    urls = sorted(g["url"])
-    return pd.DataFrame(
-        {
-            "cluster_id": [g["cluster_id"].iloc[0]],
-            "n_members": [len(urls)],
-            "members": ["\t".join(urls)],
-        }
-    )
-
-
-def duplicate_report(result: ray.data.Dataset) -> ray.data.Dataset:
+def duplicate_report(result: ray.data.Dataset,
+                     num_partitions: int = 32) -> ray.data.Dataset:
     """The CLI duplicate report (CLI.pm:285-310): only blocks with >1 member,
     members tab-joined in lexicographic order — one row per duplicate
-    cluster.  Render with ``report_text`` for the byte-exact TSV."""
-    dups = result.map_batches(
-        lambda t: t.filter(pc.greater(t["n_members"], 1)), batch_format="pyarrow"
+    cluster.  Render with ``report_text`` for the byte-exact TSV.
+
+    Rows are pre-filtered to duplicate clusters, then one sortless
+    exchange keyed on cluster_id feeds the vectorized rollup (same kernel
+    as ``hardlinks``)."""
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_members"], 1))
+        t = t.select(["cluster_id", "url"])
+        return t.append_column("_part", pa.array(key_partition(
+            t["cluster_id"].to_numpy(zero_copy_only=False),
+            num_partitions)))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = _members_rollup(df, "cluster_id")
+        return out.rename(columns={"n_links": "n_members"})
+
+    return hash_exchange(
+        [result.map_batches(prep, batch_format="pyarrow")],
+        fin,
+        num_partitions=num_partitions,
+        schema=pa.schema([("cluster_id", pa.string()),
+                          ("n_members", pa.int64()),
+                          ("members", pa.string())]),
+        in_schemas=[pa.schema([("cluster_id", pa.string()),
+                               ("url", pa.string())])],
     )
-    return dups.select_columns(["cluster_id", "url", "n_members"]).groupby(
-        "cluster_id"
-    ).map_groups(_report_group, batch_format="pandas")
 
 
 def report_text(result: ray.data.Dataset) -> str:

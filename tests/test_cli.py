@@ -191,3 +191,48 @@ def test_cli_verbose_scan_summary(ray_session, pages_parquet, tmp_path):
     m = _re.search(r"scanned (\d+) pages, (.+B)$", r.stderr, _re.M)
     assert m, r.stderr[-2000:]
     assert int(m.group(1)) > 0
+
+
+def test_progress_display_throttle_and_clear():
+    """CLI.pm:115-156 semantics: updates every `granularity` files,
+    \\r-overwrite with overflow padding, clear blanks the line."""
+    import io
+
+    from data_dedup_ray.cli import ProgressDisplay
+
+    buf = io.StringIO()
+    p = ProgressDisplay(stream=buf, granularity=3)
+    p.update(1, 100)        # files=1 ≥ next(0) → prints
+    p.update(1, 100)        # files=2 < next(3) → silent
+    assert buf.getvalue() == "\rscanned 1 files, 100 B"
+    p.update(1, 300)        # files=3 ≥ 3 → prints
+    assert buf.getvalue().endswith("\rscanned 3 files, 500 B")
+    # shrinkage pads with spaces to blank the previous longer message
+    q = ProgressDisplay(stream=io.StringIO(), granularity=1)
+    q.update(1, 123456789)  # "scanned 1 files, 117.7 MiB"
+    long_len = q._msg_len
+    q.files, q.bytes = 0, 0   # simulate a reset to a shorter message
+    q._next_print = 0
+    q.update(1, 1)
+    short = "scanned 1 files, 1 B"
+    assert q.stream.getvalue().endswith(
+        "\r" + short + " " * (long_len - len(short)))
+    # clear blanks the whole line and resets the throttle
+    line_len = q._msg_len
+    q.clear()
+    assert q.stream.getvalue().endswith("\r" + " " * line_len + "\r")
+    assert q._msg_len == 0 and q._next_print == 0
+
+
+def test_progress_display_force():
+    import io
+
+    from data_dedup_ray.cli import ProgressDisplay
+
+    buf = io.StringIO()
+    p = ProgressDisplay(stream=buf, granularity=1000)
+    p.update(5, 500)         # 5 ≥ 0 → prints, next=1000
+    p.update(5, 500)         # silent
+    p.update(0, 0, force=True)
+    assert buf.getvalue().count("\r") == 2
+    assert buf.getvalue().endswith("scanned 10 files, 1000 B")
