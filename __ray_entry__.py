@@ -532,6 +532,12 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(emb, k=5, n_queries=10, nlist=16, nprobe=8)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    from data_dedup_ray.pipelines import text
+
+    return text.bpe_token_counts(sf_dir)
+
+
 def _q_simhash_sha_pairs(sf_dir: str):
     from data_dedup_ray.pipelines import near
 
@@ -623,8 +629,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_docs": _q_substring_dup,
         "latest_by_url": _q_latest_by_url,
         "new_content": _q_new_content,
-        "domain_dup_stats": _q_domain_dup_stats,
+        "bpe_token_counts": _q_bpe_token_counts,
         # ---- slot 51+: round-1-proven (pytest-pinned) + rows-only ----
+        "domain_dup_stats": _q_domain_dup_stats,
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
@@ -671,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         # hash / approximate LSH not SQL-expressible) → rows-only checks;
         # ann accuracy is covered by tests vs the exact knn.
         "token_stats": oracles.token_stats_sql(),
+        "bpe_token_counts": _text.bpe_token_counts_sql(),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
         "doc_stats_by_lang": oracles.doc_stats_sql(),

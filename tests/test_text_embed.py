@@ -258,3 +258,11 @@ def test_embedding_dup_clusters_fallback_matches_dsu(sf_dir):
     got = embedding_dup_clusters(sf_dir, dsu_max_edges=0).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_token_counts_oracle(sf_dir, con):
+    from data_dedup_ray.pipelines import text as text_pipe
+
+    _cmp(text_pipe.bpe_token_counts(sf_dir),
+         con.execute(text_pipe.bpe_token_counts_sql()).fetchdf(),
+         ["doc_id"])
