@@ -349,3 +349,32 @@ def test_map_roots_int64_no_float_corruption():
     out = map_roots_int64(vals, {42: 7})
     assert out.tolist() == [2**63 - 7, 2**63 - 9, -(2**63) + 5, 7]
     assert out.dtype == np.int64
+
+
+def test_label_propagation_path_graph(ray_session):
+    """A path graph needs multiple propagation rounds (min label crosses
+    one hop per round) — stresses the per-round exchange + convergence
+    check, unlike the star/clique components near-dup produces."""
+    import ray.data
+
+    nodes = ray.data.from_pandas(
+        pd.DataFrame({"url": list("abcdef") + ["zz"]}))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "url_a": list("abcde"),
+        "url_b": list("bcdef"),
+    }))
+    lp = label_propagation(nodes, edges).to_pandas()
+    m = dict(zip(lp["url"], lp["cluster_id"]))
+    assert all(m[u] == "a" for u in "abcdef")
+    assert m["zz"] == "zz"  # isolated node keeps its own label
+
+
+def test_label_propagation_empty_edges(ray_session):
+    import ray.data
+
+    nodes = ray.data.from_pandas(pd.DataFrame({"url": ["x", "y"]}))
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"url_a": pd.Series(dtype=str),
+                      "url_b": pd.Series(dtype=str)}))
+    lp = label_propagation(nodes, edges).to_pandas().sort_values("url")
+    assert lp["cluster_id"].tolist() == ["x", "y"]
