@@ -538,6 +538,12 @@ def _q_bpe_token_counts(sf_dir: str):
     return text.bpe_token_counts(sf_dir)
 
 
+def _q_line_dedup(sf_dir: str):
+    from data_dedup_ray.pipelines import clean
+
+    return clean.line_dedup(sf_dir)
+
+
 def _q_simhash_sha_pairs(sf_dir: str):
     from data_dedup_ray.pipelines import near
 
@@ -628,9 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_asof_join,
         "substring_dup_docs": _q_substring_dup,
         "latest_by_url": _q_latest_by_url,
-        "new_content": _q_new_content,
+        "line_dedup": _q_line_dedup,
         "bpe_token_counts": _q_bpe_token_counts,
         # ---- slot 51+: round-1-proven (pytest-pinned) + rows-only ----
+        "new_content": _q_new_content,
         "domain_dup_stats": _q_domain_dup_stats,
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -679,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         # ann accuracy is covered by tests vs the exact knn.
         "token_stats": oracles.token_stats_sql(),
         "bpe_token_counts": _text.bpe_token_counts_sql(),
+        "line_dedup": _clean.line_dedup_sql(),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
         "doc_stats_by_lang": oracles.doc_stats_sql(),

@@ -689,3 +689,128 @@ rep AS (SELECT s.url,
 SELECT b.url, b.n_tokens
 FROM best b JOIN rep r ON r.url = b.url
 WHERE r.top_frac_bp < {TOP_TOKEN_KEEP_BP} AND b.n_tokens >= {MIN_TOKENS}"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-frequency LINE dedup (sub-document granularity — the
+# CCNet/RefinedWeb-style boilerplate-line removal, adapted to the flat
+# token streams of the synthetic corpus: a "line" is a positional k-token
+# chunk)
+# --------------------------------------------------------------------------
+
+
+def _doc_lines(texts: list, k: int) -> list:
+    """Per doc: the list of k-token line strings (last partial kept)."""
+    out = []
+    for s in texts:
+        toks = TOKEN_RE.findall(s) if s else []
+        out.append([" ".join(toks[i: i + k])
+                    for i in range(0, len(toks), k)])
+    return out
+
+
+def line_dedup(sf_dir: str, *, k: int = 10, max_df: int = 2,
+               num_partitions: int = 16) -> ray.data.Dataset:
+    """``(doc_id, clean_text, n_removed)`` — remove every line that occurs
+    in MORE than ``max_df`` distinct documents, then reassemble each doc
+    from its kept lines (in order, single-space joined).
+
+    Scale shape: only 8-byte line HASHES enter the DF shuffle (line text
+    is regenerated locally at rebuild time); the per-batch partial counts
+    distinct docs per line (a doc's rows never split across batches), the
+    exchange sums partials and thresholds inside the owning partition,
+    and the resulting common-line set — boilerplate-sized by definition —
+    is broadcast once via ``ray.put`` for the rebuild pass."""
+    P = num_partitions
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lines in _doc_lines(t["text"].to_pylist(), k):
+            if lines:
+                c.update(set(pd.util.hash_array(
+                    np.asarray(list(set(lines)), dtype=object)).tolist()))
+        lh = np.fromiter(c.keys(), np.uint64, len(c))
+        return pa.table({
+            "lh": pa.array(lh.view(np.int64)),
+            "df": pa.array(np.fromiter(c.values(), np.int64, len(c))),
+            "_part": pa.array((lh % np.uint64(P)).astype(np.int64)),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["lh", "_part"]).aggregate([("df", "sum")])
+            .rename_columns(["lh", "_part", "df"])
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lh", sort=False, as_index=False)["df"].sum()
+        return out.loc[out["df"] > max_df, ["lh"]]
+
+    common = hash_exchange(
+        [docs.map_batches(partial, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=pa.schema([("lh", pa.int64())]),
+        in_schemas=[pa.schema([("lh", pa.int64()), ("df", pa.int64())])],
+        pre=[combine],
+    ).to_pandas()
+    import ray as _ray
+
+    # an all-empty exchange can round-trip to a column-less DataFrame
+    blocked_set = (
+        frozenset(common["lh"].to_numpy().view(np.uint64).tolist())
+        if len(common) else frozenset()
+    )
+    ref = _ray.put(blocked_set)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        blocked = _ray.get(ref)
+        texts = t["text"].to_pylist()
+        clean, removed = [], []
+        for lines in _doc_lines(texts, k):
+            if not lines:
+                clean.append("")
+                removed.append(0)
+                continue
+            lhs = pd.util.hash_array(np.asarray(lines, dtype=object))
+            keep = [ln for ln, h in zip(lines, lhs.tolist())
+                    if h not in blocked]
+            clean.append(" ".join(keep))
+            removed.append(len(lines) - len(keep))
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_removed": pa.array(removed, pa.int64()),
+        })
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+def line_dedup_sql(k: int = 10, max_df: int = 2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+lines AS (
+  SELECT doc_id, g.i AS line_idx,
+         array_to_string(t[(g.i - 1) * {k} + 1 : g.i * {k}], ' ') AS line
+  FROM toks, UNNEST(generate_series(
+      1, CAST(ceil(len(t) / {k}.0) AS BIGINT))) AS g(i)
+  WHERE len(t) > 0),
+common AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) > {max_df}),
+kept AS (
+  SELECT l.doc_id,
+         string_agg(l.line, ' ' ORDER BY l.line_idx)
+           FILTER (WHERE c.line IS NULL) AS clean_text,
+         count(*) FILTER (WHERE c.line IS NOT NULL) AS n_removed
+  FROM lines l LEFT JOIN common c USING (line)
+  GROUP BY l.doc_id)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN kept k USING (doc_id)"""

@@ -159,3 +159,24 @@ def test_build_clean_corpus_subset_of_keep_best(sf_dir):
     best = clean.near_dup_keep_best(sf_dir).to_pandas()
     assert set(corpus["url"]) <= set(best["url"])
     assert (corpus["n_tokens"] >= clean.MIN_TOKENS).all()
+
+
+def test_line_dedup_oracle(sf_dir, con):
+    from data_dedup_ray.pipelines import clean as clean_pipe
+
+    got = clean_pipe.line_dedup(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(clean_pipe.line_dedup_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["n_removed"].astype(int).tolist() == \
+        want["n_removed"].astype(int).tolist()
+    # planted exact-duplicate families share every line → removals happen
+    assert got["n_removed"].sum() > 0
+
+
+def test_line_dedup_threshold_semantics(sf_dir):
+    from data_dedup_ray.pipelines import clean as clean_pipe
+
+    loose = clean_pipe.line_dedup(sf_dir, max_df=10**9).to_pandas()
+    assert (loose["n_removed"] == 0).all()  # nothing exceeds the ceiling
