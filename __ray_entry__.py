@@ -104,18 +104,23 @@ def _q_minhash_pairs(sf_dir: str):
 
 def _q_cross_corpus_near(sf_dir: str):
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from data_dedup_ray.pipelines import near, snapshots
 
     pairs = near.cross_corpus_near_pairs(
         snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7
     )
-    return pd.DataFrame({
-        "new_url": pairs["new_url"],
-        "index_url": pairs["index_url"],
-        "jaccard_bp": np.floor(pairs["jaccard"] * 10000).astype(np.int64),
-    })
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "new_url": t["new_url"],
+            "index_url": t["index_url"],
+            "jaccard_bp": pa.array(
+                np.floor(t["jaccard"].to_numpy(zero_copy_only=False)
+                         * 10000).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
 
 
 def _q_containment_pairs(sf_dir: str):

@@ -893,10 +893,11 @@ def cross_corpus_near_pairs(
     *,
     threshold: float = 0.7,
     **lsh_kwargs,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Near-duplicate pairs BETWEEN two corpora: ``(new_url, index_url,
     jaccard)`` for every new-crawl page whose k-shingle Jaccard with some
-    existing-index page is ≥ ``threshold``.
+    existing-index page is ≥ ``threshold``.  Returns a Dataset — nothing
+    is collected on the driver.
 
     This is the near-dup counterpart of snapshots.new_content — "which
     newly crawled pages are (close to) something we already have" — run
@@ -944,15 +945,19 @@ def cross_corpus_near_pairs(
     ver = verify_pairs_partitioned(
         union, cross, id_col=id_col, text_col=text_col,
         shingle_k=shingle_k, threshold=threshold, sh=sh,
-    ).to_pandas()
-    if not len(ver):
-        return pd.DataFrame({"new_url": [], "index_url": [], "jaccard": []})
-    out = pd.DataFrame({
-        "new_url": ver[f"{id_col}_b"].str[2:],
-        "index_url": ver[f"{id_col}_a"].str[2:],
-        "jaccard": ver["jaccard"],
-    })
-    return out.sort_values(["new_url", "index_url"]).reset_index(drop=True)
+    )
+
+    def untag(t: pa.Table) -> pa.Table:
+        # 'i|' < 'n|' sorts the index side into url_a deterministically
+        return pa.table({
+            "new_url": pc.utf8_slice_codeunits(
+                t[f"{id_col}_b"].combine_chunks(), 2),
+            "index_url": pc.utf8_slice_codeunits(
+                t[f"{id_col}_a"].combine_chunks(), 2),
+            "jaccard": t["jaccard"].combine_chunks(),
+        })
+
+    return ver.map_batches(untag, batch_format="pyarrow")
 
 
 def cross_corpus_near_pairs_sql(threshold: float = 0.7) -> str:

@@ -187,7 +187,7 @@ def test_cross_corpus_near_pairs_oracle(sf_dir, con):
 
     pairs = near.cross_corpus_near_pairs(
         snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7
-    )
+    ).to_pandas()
     got = pd.DataFrame({
         "new_url": pairs["new_url"], "index_url": pairs["index_url"],
         "jaccard_bp": np.floor(pairs["jaccard"] * 10000).astype(np.int64),
@@ -206,7 +206,7 @@ def test_cross_corpus_includes_unchanged_recrawls(sf_dir):
 
     pairs = near.cross_corpus_near_pairs(
         snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7
-    )
+    ).to_pandas()
     # byte-identical re-crawls (doc_id % 6 == 0) must match themselves at
     # jaccard 1.0; changed re-crawls (same url, trailing edit) score < 1.0
     self_pairs = pairs[pairs["new_url"] == pairs["index_url"]].copy()
