@@ -208,7 +208,9 @@ def main(argv: list[str] | None = None) -> int:
             if ck else build()
         )
         if args.format == "parquet":
-            result.write_parquet(args.output)
+            from data_dedup_ray.state import resumable_write_parquet
+
+            resumable_write_parquet(result, args.output, key_col="url")
         else:
             pdf = result.to_pandas().sort_values(["cluster_id", "url"])
             lines = [
@@ -228,7 +230,9 @@ def main(argv: list[str] | None = None) -> int:
             if ck else build()
         )
         if args.format == "parquet":
-            result.write_parquet(args.output)
+            from data_dedup_ray.state import resumable_write_parquet
+
+            resumable_write_parquet(result, args.output, key_col="url")
         else:
             _emit(exact.report_text(result), args.output)
         if args.verbose:

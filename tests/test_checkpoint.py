@@ -97,3 +97,70 @@ def test_counters_callable_lands_in_meta(tmp_path, sf_dir):
     assert res.count() == 10
     meta = ck.meta("stage_x")
     assert meta["counters"] == {"rows_seen": 10}
+
+
+# --------------------------------------------------------------------------
+# Per-partition resumable parquet sink (state/sink.py)
+# --------------------------------------------------------------------------
+
+
+def test_resumable_sink_roundtrip_and_skip(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from data_dedup_ray.state import (finished_partitions,
+                                      resumable_write_parquet)
+
+    df = pd.DataFrame({"url": [f"u{i:04d}" for i in range(500)],
+                       "val": range(500)})
+    ds = ray.data.from_pandas(df)
+    out = str(tmp_path / "sink")
+    st1 = resumable_write_parquet(ds, out, key_col="url", num_partitions=8)
+    assert st1["written"].all() and st1["n_rows"].sum() == 500
+    assert finished_partitions(out) == set(st1["part"])
+    # read back through standard discovery (markers ignored via _ prefix;
+    # the hive-style part=N dirs surface as a prunable 'part' column)
+    back = ray.data.read_parquet(out).to_pandas() \
+        .drop(columns=["part"]).sort_values("url")
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True),
+        df.sort_values("url").reset_index(drop=True))
+    # full rerun: everything skipped, bytes untouched
+    mtimes = {p: os.path.getmtime(os.path.join(out, p, "data.parquet"))
+              for p in os.listdir(out)}
+    st2 = resumable_write_parquet(ds, out, key_col="url", num_partitions=8)
+    assert (~st2["written"]).all()
+    assert st2["n_rows"].sum() == 500
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, p, "data.parquet")) == m
+
+
+def test_resumable_sink_rewrites_crashed_partition(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from data_dedup_ray.state import resumable_write_parquet
+
+    df = pd.DataFrame({"url": [f"u{i:04d}" for i in range(300)],
+                       "val": range(300)})
+    ds = ray.data.from_pandas(df)
+    out = str(tmp_path / "sink")
+    resumable_write_parquet(ds, out, key_col="url", num_partitions=4)
+    # simulate a crash: one partition lost its marker and has garbage data
+    victim = sorted(d for d in os.listdir(out) if d.startswith("part="))[1]
+    os.remove(os.path.join(out, victim, "_SUCCESS"))
+    with open(os.path.join(out, victim, "data.parquet"), "wb") as f:
+        f.write(b"corrupt")
+    st = resumable_write_parquet(ds, out, key_col="url", num_partitions=4)
+    rewritten = st[st["written"]]
+    assert len(rewritten) == 1
+    assert rewritten["part"].iloc[0] == int(victim.split("=")[1])
+    back = ray.data.read_parquet(out).to_pandas() \
+        .drop(columns=["part"]).sort_values("url")
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True),
+        df.sort_values("url").reset_index(drop=True))

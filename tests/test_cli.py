@@ -236,3 +236,21 @@ def test_progress_display_force():
     p.update(0, 0, force=True)
     assert buf.getvalue().count("\r") == 2
     assert buf.getvalue().endswith("scanned 10 files, 1000 B")
+
+
+def test_cli_parquet_output_resumable(ray_session, pages_parquet, tmp_path):
+    import os
+
+    out = str(tmp_path / "pq")
+    r = _run(["--input", pages_parquet, "--output", out,
+              "--format", "parquet", "--quiet", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    parts = [d for d in os.listdir(out) if d.startswith("part=")]
+    assert parts
+    assert all(os.path.exists(os.path.join(out, d, "_SUCCESS"))
+               for d in parts)
+    import ray.data
+
+    back = ray.data.read_parquet(out).to_pandas()
+    assert {"url", "cluster_id", "n_members"} <= set(back.columns)
+    assert len(back) > 0
