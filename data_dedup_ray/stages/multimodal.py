@@ -125,6 +125,30 @@ def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + pix
 
 
+def encode_bmp_from_pixels(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → 24bpp BITMAPINFOHEADER BMP bytes
+    (bottom-up rows, BGR, 4-byte row padding) — the exact inverse of
+    ``decode_bmp_pixels``."""
+    h, w, _ = px.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    pix = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pix), 2835, 2835, 0, 0))
+    return header + pix
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, c) array — the real resize
+    kernel (pure index arithmetic, no codec library)."""
+    h, w = px.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return px[yi][:, xi]
+
+
 def encode_wav(n_samples: int, sample_rate: int = 16000,
                seed: int = 0) -> bytes:
     """Minimal 16-bit mono PCM RIFF/WAVE with deterministic samples."""
@@ -254,10 +278,17 @@ class ResizeImage:
         self.target_h = target_h
 
     def resize_pixels(self, blob: bytes) -> bytes:
+        """REAL decode→resize→re-encode for 24bpp BMP payloads (no codec
+        library needed); other formats need PIL."""
+        hdr = parse_image_header(blob or b"")
+        if hdr is not None and hdr[3] == "bmp":
+            px = decode_bmp_pixels(blob)
+            return encode_bmp_from_pixels(
+                resize_nearest(px, self.target_w, self.target_h))
         if not _HAVE_PIL:
             raise NotImplementedError(
-                "real resize requires an image library; this container "
-                "ships none (stub per repo constraints)"
+                "resize beyond BMP requires an image library; this "
+                "container ships none (stub per repo constraints)"
             )
         raise NotImplementedError("wire PIL here when available")
 
@@ -266,6 +297,15 @@ class ResizeImage:
         out, ow, oh = [], [], []
         for b in blobs:
             b = b or b""
+            hdr = parse_image_header(b)
+            if hdr is not None and hdr[3] == "bmp" and \
+                    struct.unpack_from("<H", b, 28)[0] == 24:
+                out.append(self.resize_pixels(b))
+                ow.append(self.target_w)
+                oh.append(self.target_h)
+                continue
+            # deterministic stand-in for undecodable payloads (see
+            # module docstring): byte-level downsample
             w, h, _ = _fake_meta(b)
             scale = min(1.0, (self.target_w * self.target_h) / (w * h))
             stride = max(1, int(round(1 / max(scale, 1e-9))))
