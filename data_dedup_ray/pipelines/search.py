@@ -175,9 +175,11 @@ def _emit_pairs(ids: np.ndarray, X: np.ndarray, jds: np.ndarray,
             ii, jj = ii[keep], jj[keep]
         a, b = ids[s + ii], jds[jj]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        out_a.append(lo)
-        out_b.append(hi)
-        out_c.append(np.floor(sims[ii, jj] * 10000 + 0.5).astype(np.int64))
+        ns = lo < hi  # drop self-pairs (overlapping sides, e.g. star hub)
+        out_a.append(lo[ns])
+        out_b.append(hi[ns])
+        out_c.append(
+            np.floor(sims[ii, jj][ns] * 10000 + 0.5).astype(np.int64))
     if not out_a:
         return _PAIR_SCHEMA.empty_table()
     return pa.table({
@@ -264,10 +266,20 @@ def embedding_dup_pairs_lsh(
     emb_col: str = "embedding",
     num_partitions: int = 64,
     dim: int | None = None,
+    group_cap: int = 4096,
 ) -> ray.data.Dataset:
     """Sub-quadratic scale path for semantic dedup: random-hyperplane
     signature buckets → exact cosine verify within buckets → cross-table
     pair dedup.  Same output contract as ``embedding_dup_pairs``.
+
+    Skew guard: a bucket larger than ``group_cap`` (identical-vector
+    mega-clusters — boilerplate pages — land whole in one bucket of
+    EVERY table) emits a linear STAR around its min-id member instead of
+    all O(g²) pairs: emitted pairs are still exact-cosine-verified real
+    pairs (a subset of the exact join), and component CONNECTIVITY is
+    preserved for the downstream clustering, trading only pair-list
+    completeness inside one oversized bucket — the same trade as the
+    MinHash band star fallback (pipelines/near._pairs_in_partition).
 
     Recall: IDENTICAL vectors share every signature, so exact-duplicate
     recall is 1.0 by construction; a non-identical pair at angle θ
@@ -332,6 +344,14 @@ def embedding_dup_pairs_lsh(
         for gi in range(len(cuts) - 1):
             s, e = cuts[gi], cuts[gi + 1]
             if e - s < 2:
+                continue
+            if e - s > group_cap:
+                # star fallback: hub = min id; one (1, g) matmul instead
+                # of (g, g) — connectivity preserved, exact cos values
+                hub = s + int(np.argmin(ids_s[s:e]))
+                outs.append(_emit_pairs(
+                    ids_s[hub:hub + 1], Xs[hub:hub + 1],
+                    ids_s[s:e], Xs[s:e], threshold, diagonal=False))
                 continue
             outs.append(_emit_pairs(ids_s[s:e], Xs[s:e], ids_s[s:e],
                                     Xs[s:e], threshold, diagonal=True))

@@ -266,3 +266,34 @@ def test_bpe_token_counts_oracle(sf_dir, con):
     _cmp(text_pipe.bpe_token_counts(sf_dir),
          con.execute(text_pipe.bpe_token_counts_sql()).fetchdf(),
          ["doc_id"])
+
+
+def test_embedding_lsh_star_fallback_on_mega_cluster(ray_session):
+    """An identical-vector mega-cluster (boilerplate) lands whole in one
+    bucket of every table; beyond group_cap the bucket emits a linear
+    STAR around the min id — pairs stay exact-verified and connectivity
+    is preserved without O(g²) work."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from data_dedup_ray.pipelines.components import dsu_components
+    from data_dedup_ray.pipelines.search import embedding_dup_pairs_lsh
+
+    n = 300
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [base.tolist()] * n,   # all identical
+    })
+    ds = ray.data.from_pandas(df)
+    pairs = embedding_dup_pairs_lsh(
+        ds, threshold=0.99, dim=16, group_cap=50).to_pandas()
+    # star: linear pair count (≤ n-1 per table before dedup → ≤ n-1 after)
+    assert 0 < len(pairs) <= n - 1
+    assert (pairs["cos_bp"] == 10000).all()
+    # connectivity: one component containing every vector
+    comp = dsu_components(pairs, a="vec_id_a", b="vec_id_b")
+    roots = {comp.get(i, i) for i in range(n)}
+    assert roots == {0}
