@@ -549,6 +549,12 @@ def _q_line_dedup(sf_dir: str):
     return clean.line_dedup(sf_dir)
 
 
+def _q_token_shards(sf_dir: str):
+    from data_dedup_ray.pipelines import stats
+
+    return stats.token_shards(sf_dir, budget=5000)
+
+
 def _q_simhash_sha_pairs(sf_dir: str):
     from data_dedup_ray.pipelines import near
 
@@ -638,10 +644,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": _q_sessions,
         "events_asof_join": _q_asof_join,
         "substring_dup_docs": _q_substring_dup,
-        "latest_by_url": _q_latest_by_url,
+        "token_shards": _q_token_shards,
         "line_dedup": _q_line_dedup,
         "bpe_token_counts": _q_bpe_token_counts,
         # ---- slot 51+: round-1-proven (pytest-pinned) + rows-only ----
+        "latest_by_url": _q_latest_by_url,
         "new_content": _q_new_content,
         "domain_dup_stats": _q_domain_dup_stats,
         "token_stats": text.token_stats,
@@ -692,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracles.token_stats_sql(),
         "bpe_token_counts": _text.bpe_token_counts_sql(),
         "line_dedup": _clean.line_dedup_sql(),
+        "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
         "doc_stats_by_lang": oracles.doc_stats_sql(),

@@ -268,3 +268,107 @@ sizes AS (SELECT cluster_id, count(*) AS cluster_size
           FROM assign GROUP BY cluster_id)
 SELECT cluster_size, count(*) AS n_clusters
 FROM sizes GROUP BY cluster_size"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget shard assignment — a distributed ORDERED PREFIX SUM
+# (LLM sequence-packing prep: place every doc at its global token offset
+# in doc_id order and cut shards every `budget` tokens)
+# --------------------------------------------------------------------------
+
+
+def token_shards(sf_dir: str, *, budget: int = 50_000,
+                 num_partitions: int = 16) -> ray.data.Dataset:
+    """``(doc_id, n_tokens, tok_offset, shard_id)``: ``tok_offset`` is the
+    exclusive prefix sum of token counts in global ``doc_id`` order, and
+    ``shard_id = tok_offset // budget`` — the token-offset sharding a
+    training pipeline uses to pack a corpus into fixed-budget shards.
+
+    Distributed prefix-sum shape (ordered aggregates need RANGE, not
+    hash, partitioning): doc_ids range-partition into contiguous blocks;
+    one bucketized split serves BOTH phases — phase 1 reduces each block
+    to its token total (P tiny rows to the driver), phase 2 adds the
+    exclusive per-block base to each block's local cumsum.  Shuffle
+    volume is two int64 columns; nothing else moves."""
+    from data_dedup_ray.engine.exchange import bucketize
+    from data_dedup_ray.stages.textstats import TOKEN_RE
+
+    P = num_partitions
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    max_id = int(docs.max("doc_id"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.fromiter(
+            (len(TOKEN_RE.findall(s)) if s else 0
+             for s in t["text"].to_pylist()), np.int64, len(ids))
+        part = np.minimum(ids * P // (max_id + 1), P - 1)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n),
+            "_part": pa.array(part.astype(np.int64)),
+        })
+
+    in_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                           ("_part", pa.int64())])
+    buckets = bucketize(docs.map_batches(counts, batch_format="pyarrow"),
+                        num_partitions=P, in_schema=in_schema)
+
+    def block_total(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"part": pd.Series(dtype=np.int64),
+                                 "total": pd.Series(dtype=np.int64)})
+        p = int(min(df["doc_id"].iloc[0] * P // (max_id + 1), P - 1))
+        return pd.DataFrame({"part": [p],
+                             "total": [int(df["n_tokens"].sum())]})
+
+    totals = hash_exchange(
+        [buckets], block_total, num_partitions=P,
+        schema=pa.schema([("part", pa.int64()), ("total", pa.int64())]),
+        in_schemas=[in_schema.remove(2)],
+    ).to_pandas()
+    base = np.zeros(P, dtype=np.int64)
+    for _, r in totals.iterrows():
+        base[int(r["part"])] = int(r["total"])
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])  # exclusive bases
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ["doc_id", "n_tokens", "tok_offset",
+                                  "shard_id"]})
+        df = df.sort_values("doc_id", kind="stable")
+        p = int(min(df["doc_id"].iloc[0] * P // (max_id + 1), P - 1))
+        n = df["n_tokens"].to_numpy()
+        off = base[p] + np.cumsum(n) - n
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "tok_offset": off,
+            "shard_id": off // budget,
+        })
+
+    return hash_exchange(
+        [buckets], assign, num_partitions=P,
+        schema=pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                          ("tok_offset", pa.int64()),
+                          ("shard_id", pa.int64())]),
+        in_schemas=[in_schema.remove(2)],
+    )
+
+
+def token_shards_sql(budget: int = 50_000) -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+')))
+              OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+         AS tok_offset,
+       CAST((sum(len(regexp_extract_all(text, '[a-z0-9]+')))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - len(regexp_extract_all(text, '[a-z0-9]+'))) // {budget}
+            AS BIGINT) AS shard_id
+FROM documents"""

@@ -124,3 +124,33 @@ def test_cluster_size_histogram_mass_conserved(sf_dir):
     got = stats.cluster_size_histogram(sf_dir).to_pandas()
     total = (got["cluster_size"] * got["n_clusters"]).sum()
     assert total == web_pages(sf_dir).count()  # every page in one cluster
+
+
+def test_token_shards_oracle(sf_dir, con):
+    from data_dedup_ray.pipelines import stats as stats_pipe
+
+    got = stats_pipe.token_shards(sf_dir, budget=2000).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(stats_pipe.token_shards_sql(2000)).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ["doc_id", "n_tokens", "tok_offset", "shard_id"]:
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist()
+    assert got["shard_id"].max() > 0  # budget forces multiple shards
+
+
+def test_token_shards_partition_invariance(sf_dir):
+    """The distributed ordered prefix sum must be exact under ANY range
+    partitioning — the defining property that separates it from the
+    engine's unordered aggregates."""
+    from data_dedup_ray.pipelines import stats as stats_pipe
+
+    a = stats_pipe.token_shards(sf_dir, budget=3000, num_partitions=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stats_pipe.token_shards(sf_dir, budget=3000, num_partitions=13) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # offsets are a true prefix sum: consecutive docs tile the token line
+    assert (a["tok_offset"].to_numpy()[1:]
+            == (a["tok_offset"] + a["n_tokens"]).to_numpy()[:-1]).all()
