@@ -581,20 +581,120 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
                                    threshold=0.99)
 
 
+def _q_embedding_lsh_planted_pairs(sf_dir: str):
+    """The SQL-checkable core of the LSH path: planted exact-copy pairs
+    (vec_id % 10 == 0 ↔ vec_id + 100000).  Identical vectors share every
+    signature, so LSH recall on this subset is 1.0 BY CONSTRUCTION — an
+    exact oracle over an approximate pipeline's guaranteed sub-output."""
+    import pyarrow as pa
+
+    from data_dedup_ray.pipelines.search import (augmented_embeddings,
+                                                 embedding_dup_pairs_lsh)
+
+    pairs = embedding_dup_pairs_lsh(augmented_embeddings(sf_dir),
+                                    threshold=0.99)
+
+    def planted(t: pa.Table) -> pa.Table:
+        a = t["vec_id_a"].to_numpy(zero_copy_only=False)
+        b = t["vec_id_b"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((b == a + 100000) & (a % 10 == 0)))
+
+    return pairs.map_batches(planted, batch_format="pyarrow")
+
+
+def _q_bpe_merged_token_counts(sf_dir: str):
+    from data_dedup_ray.pipelines import text as _text
+
+    return _text.bpe_merged_token_counts(sf_dir)
+
+
+def _q_decontaminate_hashed(sf_dir: str):
+    """The hash64 broadcast mode (scale path): same contract and SQL twin
+    as exact mode — blake2b-64 gram-hash collisions are the only
+    theoretical divergence (~n²/2⁶⁴)."""
+    from data_dedup_ray.pipelines import clean as _clean
+
+    return _clean.decontaminate(sf_dir, grams="hash64")
+
+
+def _q_exact_dedup_bloom(sf_dir: str):
+    """colliding_filter='bloom' — blocks must be bit-identical to exact
+    mode, so it shares exact_dedup_clusters' oracle."""
+    res = exact.dedup_pages(web_pages(sf_dir), collapse=False,
+                            colliding_filter="bloom")
+    return res.select_columns(["url", "cluster_id", "n_members"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_dedup_ray.pipelines import text
 
     # ORDER MATTERS: the driver records CORRECTNESS rows for the FIRST 50
-    # keys only.  Slots 1-50 hold (a) the 21 queries that had no driver
-    # row in round 1 (clean/stats/relational/urls/events-tail), (b) the
-    # round-2 additions with fresh SQL oracles (sha-simhash, real BMP/WAV
-    # decoders), and (c) re-proof of every pipeline whose implementation
-    # materially changed this round (exact-collapse, events rounding/ties,
-    # near-dup verify, embedding dedup).  Everything rotated past slot 50
-    # was driver-proven in CORRECTNESS_r01.json and stays pinned by the
-    # pytest suite.
+    # keys only.  Round-3 slots 1-50 hold (a) the 13 keys that had never
+    # produced a driver row (the 12 documented rows-only feature outputs +
+    # embedding_dup_pairs_lsh, VERDICT r2 item 2), (b) the round-3
+    # additions with fresh SQL oracles (LSH planted-pair subset, merged
+    # BPE, hashed decontaminate, Bloom cascade), and (c) re-proof of every
+    # pipeline whose implementation materially changed this round
+    # (embedding block-pair partition fix, simhash cluster gating, the
+    # polars exchange hash, vectorized attach, cascade bloom plumbing).
+    # Everything rotated past slot 50 was driver-proven in r1/r2 and
+    # stays pinned by the pytest suite.
     return {
-        # (a) round-1 driver-unchecked — clean/stats/relational/urls/events
+        # (a) never-driver-evidenced: rows-only records at minimum
+        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
+        "doc_fingerprints": text.fingerprints,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_clusters": _q_simhash_clusters,
+        "dup_span_fingerprints": _q_span_fingerprints,
+        "substring_clusters": _q_substring_clusters,
+        "longest_dup_spans": _q_longest_dup_spans,
+        "image_meta": _q_image_meta,
+        "image_features": _q_image_features,
+        "image_resized": _q_image_resized,
+        "audio_features": _q_audio_features,
+        # (b) round-3 additions with SQL oracles
+        "embedding_lsh_planted_pairs": _q_embedding_lsh_planted_pairs,
+        "bpe_merged_token_counts": _q_bpe_merged_token_counts,
+        "decontaminate_hashed": _q_decontaminate_hashed,
+        "exact_dedup_bloom": _q_exact_dedup_bloom,
+        # (c) re-proof of round-3-changed pipelines (all oracle-backed)
+        "embedding_dup_pairs": _q_embedding_dup,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "embedding_centroids": _q_embedding_centroids,
+        "knn_topk": _q_knn,
+        "minhash_near_dup_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_clusters,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "containment_pairs": _q_containment_pairs,
+        "cross_corpus_near_pairs": _q_cross_corpus_near,
+        "simhash_sha_pairs": _q_simhash_sha_pairs,
+        "near_dup_keep_first": _q_near_dup_keep_first,
+        "near_dup_keep_best": _q_near_dup_keep_best,
+        "build_clean_corpus": _q_build_clean_corpus,
+        "substring_dup_docs": _q_substring_dup,
+        "exact_dedup_clusters": _q_exact_clusters,
+        "cascade_counters": _q_cascade_counters,
+        "exact_dedup_report": _q_exact_report,
+        "exact_dedup_keep_first": _q_keep_first,
+        "exact_dedup_size_only": _q_exact_dedup_size_only,
+        "exact_dedup_ignore_empty": _q_ignore_empty,
+        "exact_dedup_normalized": _q_exact_dedup_normalized,
+        "identity_collapse": _q_identity_collapse,
+        "hardlink_groups": _q_hardlinks,
+        "token_shards": _q_token_shards,
+        "decontaminate": _q_decontaminate,
+        "bpe_token_counts": _q_bpe_token_counts,
+        # (d) fill to 50 with oracle-backed keys
+        "line_dedup": _q_line_dedup,
+        "image_meta_bmp": _q_image_meta_bmp,
+        "audio_windows_wav": _q_audio_windows_wav,
+        "audio_window_counts": _q_audio_windows,
+        "frame_samples": _q_frame_samples,
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
         "events_top_k_per_user": _q_top_k_per_user,
         "dedup_events_windowed": _q_dedup_events_windowed,
         "canonical_urls": _q_canonical_urls,
@@ -612,49 +712,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "boilerplate_terms": _q_boilerplate_terms,
         "remove_boilerplate": _q_remove_boilerplate,
-        "decontaminate": _q_decontaminate,
-        "near_dup_keep_first": _q_near_dup_keep_first,
-        "near_dup_keep_best": _q_near_dup_keep_best,
-        "build_clean_corpus": _q_build_clean_corpus,
-        # (b) round-2 additions with SQL oracles
-        "simhash_sha_pairs": _q_simhash_sha_pairs,
-        "image_meta_bmp": _q_image_meta_bmp,
-        "audio_windows_wav": _q_audio_windows_wav,
-        # (c) re-proof of round-2-changed pipelines
-        "exact_dedup_clusters": _q_exact_clusters,
-        "identity_collapse": _q_identity_collapse,
-        "hardlink_groups": _q_hardlinks,
-        "exact_dedup_report": _q_exact_report,
-        "exact_dedup_keep_first": _q_keep_first,
-        "exact_dedup_ignore_empty": _q_ignore_empty,
-        "exact_dedup_size_only": _q_exact_dedup_size_only,
-        "exact_dedup_normalized": _q_exact_dedup_normalized,
-        "cascade_counters": _q_cascade_counters,
-        "minhash_near_dup_pairs": _q_minhash_pairs,
-        "near_dup_clusters": _q_near_clusters,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "containment_pairs": _q_containment_pairs,
-        "cross_corpus_near_pairs": _q_cross_corpus_near,
-        "embedding_dup_pairs": _q_embedding_dup,
-        "embedding_dup_clusters": _q_embedding_dup_clusters,
-        "embedding_centroids": _q_embedding_centroids,
-        "knn_topk": _q_knn,
         "events_windowed_agg": _q_windowed_agg,
         "events_range_counts": _q_range_counts,
         "event_sessions": _q_sessions,
         "events_asof_join": _q_asof_join,
-        "substring_dup_docs": _q_substring_dup,
-        "token_shards": _q_token_shards,
-        "line_dedup": _q_line_dedup,
-        "bpe_token_counts": _q_bpe_token_counts,
-        # ---- slot 51+: round-1-proven (pytest-pinned) + rows-only ----
         "latest_by_url": _q_latest_by_url,
         "new_content": _q_new_content,
         "domain_dup_stats": _q_domain_dup_stats,
-        "token_stats": text.token_stats,
-        "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
-        "doc_fingerprints": text.fingerprints,
         "doc_stats_by_lang": text.doc_stats_by_lang,
         "top_terms": _q_top_terms,
         "normalize_text": _q_normalize_text,
@@ -662,20 +727,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_pages": _q_sample_pages,
         "domain_stats": _q_domain_stats,
         "filter_blocked_domains": _q_filter_blocked,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash_clusters": _q_simhash_clusters,
-        "dup_span_fingerprints": _q_span_fingerprints,
-        "substring_clusters": _q_substring_clusters,
-        "longest_dup_spans": _q_longest_dup_spans,
-        "image_meta": _q_image_meta,
-        "image_features": _q_image_features,
-        "image_resized": _q_image_resized,
-        "audio_features": _q_audio_features,
-        "audio_window_counts": _q_audio_windows,
-        "frame_samples": _q_frame_samples,
     }
 
 
@@ -698,6 +749,23 @@ def oracle_sql() -> dict[str, str]:
         # ann accuracy is covered by tests vs the exact knn.
         "token_stats": oracles.token_stats_sql(),
         "bpe_token_counts": _text.bpe_token_counts_sql(),
+        "bpe_merged_token_counts": _text.bpe_merged_token_counts_sql(),
+        # hash64 mode has the SAME exact twin: blake2b-64 gram-hash
+        # collisions are the only theoretical divergence (~n²/2⁶⁴)
+        "decontaminate_hashed": _clean.decontaminate_sql(),
+        # Bloom collision filter must reproduce exact blocks bit-for-bit
+        "exact_dedup_bloom": web_pages_sql(
+            "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"
+            " count(*) OVER (PARTITION BY text) AS n_members FROM web_pages"
+        ),
+        # the LSH path's GUARANTEED sub-output (identical vectors share
+        # every signature → planted-copy recall is 1.0 by construction);
+        # the full LSH pair list stays rows-only (approximate recall)
+        "embedding_lsh_planted_pairs": (
+            "SELECT vec_id AS vec_id_a, vec_id + 100000 AS vec_id_b,"
+            " CAST(10000 AS BIGINT) AS cos_bp"
+            " FROM embeddings WHERE vec_id % 10 = 0"
+        ),
         "line_dedup": _clean.line_dedup_sql(),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),

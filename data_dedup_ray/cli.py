@@ -118,6 +118,63 @@ class ProgressDisplay:
         self._next_print = 0
 
 
+def _make_tally():
+    """Zero-cpu counter actor: the scan-progress tally the input tap
+    feeds while the dedup pipeline streams (one actor, fire-and-forget
+    adds — never on the data path's critical chain)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class Tally:
+        def __init__(self):
+            self.files = 0
+            self.bytes = 0
+
+        def add(self, n_files: int, n_bytes: int) -> None:
+            self.files += n_files
+            self.bytes += n_bytes
+
+        def get(self) -> tuple:
+            return self.files, self.bytes
+
+    return Tally.remote()
+
+
+def _counting(ds, tally):
+    """Pass-through map_batches that tallies (rows, text bytes) into the
+    progress actor as the ONE real scan streams — replaces the old
+    post-hoc second full read of the input (ADVICE round 2): the display
+    is now live (reference CLI.pm:115-156 semantics) and input IO is
+    paid once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def tap(t: pa.Table) -> pa.Table:
+        tally.add.remote(
+            t.num_rows,
+            int(pc.sum(pc.binary_length(t["text"])).as_py() or 0),
+        )
+        return t
+
+    return ds.map_batches(tap, batch_format="pyarrow")
+
+
+def _settled_totals(tally):
+    """Read the tally until stable: worker adds are fire-and-forget, so a
+    few may still be in the actor's mailbox when the pipeline returns."""
+    import time
+
+    import ray
+
+    f, b = ray.get(tally.get.remote())
+    while True:
+        time.sleep(0.05)
+        f2, b2 = ray.get(tally.get.remote())
+        if (f2, b2) == (f, b):
+            return f, b
+        f, b = f2, b2
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_dedup_ray",
                                 description=__doc__.split("\n")[0])
@@ -210,16 +267,42 @@ def main(argv: list[str] | None = None) -> int:
         if args.format == "parquet":
             from data_dedup_ray.state import resumable_write_parquet
 
-            resumable_write_parquet(result, args.output, key_col="url")
+            resumable_write_parquet(
+                result, args.output, key_col="url",
+                config={"near": True, "threshold": args.threshold,
+                        "inputs": inputs})
         else:
-            pdf = result.to_pandas().sort_values(["cluster_id", "url"])
-            lines = [
-                "\t".join(g["url"]) for _, g in pdf.groupby("cluster_id")
-                if len(g) > 1
-            ]
-            text = "\n".join(sorted(lines)) + "\n"
-            _emit(text, args.output)
+            # same exchange rollup as the exact report: multi-member
+            # clusters are reduced inside the partitions and only the
+            # output-sized (members) lines reach the driver — never the
+            # corpus-sized assignment table
+            rep = exact.cluster_report(result, key="cluster_id")
+            lines = sorted(rep.to_pandas()["members"])
+            _emit("".join(line + "\n" for line in lines), args.output)
     else:
+        prog = tally = poll_stop = poll_thread = None
+        if args.verbose:
+            # the reference's LIVE progress display (CLI.pm:115-156): a
+            # tap on the ONE real input scan feeds a counter actor; a
+            # poll thread repaints the throttled \r line while the dedup
+            # pipeline streams (no second read of the corpus)
+            import threading
+
+            tally = _make_tally()
+            ds = _counting(ds, tally)
+            prog = ProgressDisplay()
+            poll_stop = threading.Event()
+
+            def _poll():
+                last = (0, 0)
+                while not poll_stop.wait(0.2):
+                    cur = ray.get(tally.get.remote())
+                    prog.update(cur[0] - last[0], cur[1] - last[1])
+                    last = cur
+
+            poll_thread = threading.Thread(target=_poll, daemon=True)
+            poll_thread.start()
+
         def build():
             return exact.dedup_pages(
                 ds, chain=args.alg, ignore_empty=args.ignore_empty
@@ -232,29 +315,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.format == "parquet":
             from data_dedup_ray.state import resumable_write_parquet
 
-            resumable_write_parquet(result, args.output, key_col="url")
+            resumable_write_parquet(
+                result, args.output, key_col="url",
+                config={"near": False, "alg": args.alg,
+                        "ignore_empty": args.ignore_empty,
+                        "inputs": inputs})
         else:
             _emit(exact.report_text(result), args.output)
         if args.verbose:
-            # the reference's LIVE progress display (CLI.pm:115-156):
-            # throttled \r updates while streaming the size pass, then a
-            # final forced display + newline as the scan summary
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            sizes = ds.map_batches(
-                lambda t: pa.table({
-                    "nbytes": pc.cast(pc.binary_length(t["text"]),
-                                      pa.int64()),
-                }),
-                batch_format="pyarrow",
-            )
-            prog = ProgressDisplay()
-            for b in sizes.iter_batches(batch_format="pyarrow"):
-                prog.update(
-                    b.num_rows,
-                    int(pc.sum(b["nbytes"]).as_py() or 0))
-            prog.update(0, 0, force=True)
+            poll_stop.set()
+            poll_thread.join()
+            files, nbytes = _settled_totals(tally)
+            prog.update(files - prog.files, nbytes - prog.bytes,
+                        force=True)
             print("", file=sys.stderr)  # keep the final line
             print(
                 f"scanned {prog.files} pages, "

@@ -147,15 +147,80 @@ def _colliding_sets(ds: ray.data.Dataset, stages: list[DigestStage],
     return colliding, n_rows
 
 
+#: Bloom sizing for ``colliding_filter="bloom"`` (module-level so tests
+#: can force a lossy filter and assert block identity survives)
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_N_HASHES = 4
+
+
+def _bloom_remix(x: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """splitmix64-style remix — k independent index streams from one
+    value without materializing k hash columns."""
+    with np.errstate(over="ignore"):
+        z = x + seed * _GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_build(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Sorted colliding-prefix array → (bit array, m, n_hashes).  m is
+    floored at 64 so an empty level still round-trips.  n_hashes rides in
+    the broadcast tuple so build (driver) and probe (workers) can never
+    disagree on the filter's parameters."""
+    m = max(64, len(arr) * _BLOOM_BITS_PER_KEY)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    u = arr.view(np.uint64)
+    for i in range(_BLOOM_N_HASHES):
+        idx = _bloom_remix(u, np.uint64(i + 1)) % np.uint64(m)
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+    return bits, m, _BLOOM_N_HASHES
+
+
+def _bloom_contains(bits: np.ndarray, m: int, vals: np.ndarray,
+                    n_hashes: int) -> np.ndarray:
+    out = np.ones(len(vals), dtype=bool)
+    u = vals.view(np.uint64)
+    for i in range(n_hashes):
+        idx = _bloom_remix(u, np.uint64(i + 1)) % np.uint64(m)
+        out &= (
+            bits[(idx >> np.uint64(3)).astype(np.int64)]
+            & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        ) != 0
+    return out
+
+
 class _Assign:
     """Pass 2 actor: close unique rows, compute expensive digests for
-    candidates only.  Collision sets broadcast once per actor via ray.put."""
+    candidates only.  Collision sets broadcast once per actor via ray.put.
+
+    ``colliding`` entries are either sorted int64 prefix arrays (exact
+    membership) or ``("bloom", bits, m)`` triples.  The lossy mode closes
+    rows map-side ONLY at level 0 (a Bloom miss is definite — no false
+    negatives — and level 0 has no earlier level whose hit could have
+    been a false positive); every later row goes through the candidate
+    trie, which recomputes ``n_keys`` from REAL digest values, so block
+    structure and key counts are bit-identical to exact mode and the
+    filter costs only extra expensive-digest work + shuffle rows (the
+    documented extreme-scale trade, module docstring)."""
 
     def __init__(self, stages, eager_n, id_col, colliding_ref):
         self.stages: list[DigestStage] = stages
         self.eager_n = eager_n
         self.id_col = id_col
-        self.colliding: list[np.ndarray] = ray.get(colliding_ref)
+        self.colliding: list = ray.get(colliding_ref)
+        self.lossy = any(
+            isinstance(c, tuple) and c and c[0] == "bloom"
+            for c in self.colliding
+        )
+
+    def _hit(self, k: int, vals: np.ndarray) -> np.ndarray:
+        c = self.colliding[k]
+        if isinstance(c, tuple) and c and c[0] == "bloom":
+            return _bloom_contains(c[1], c[2], vals, c[3])
+        return np.isin(vals, c)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -165,8 +230,10 @@ class _Assign:
 
         alive = np.ones(n, dtype=bool)
         n_keys = np.zeros(n, dtype=np.int64)
-        for k in range(self.eager_n):
-            hit = np.isin(pfx[k].view(np.int64), self.colliding[k])
+        # lossy filters may only close at level 0 (see class docstring)
+        close_levels = 1 if self.lossy else self.eager_n
+        for k in range(close_levels):
+            hit = self._hit(k, pfx[k].view(np.int64))
             closed = alive & ~hit
             n_keys[closed] = k + 1
             alive &= hit
@@ -248,6 +315,7 @@ def dedup_cascade(
     *,
     id_col: str = "url",
     concurrency: int | tuple | None = None,
+    colliding_filter: str = "exact",
 ) -> ray.data.Dataset:
     """Run the lazy digest cascade; returns one row per input row with
     ``[id_col, k_<stage>..., n_keys, cluster_id, n_members]``.
@@ -256,7 +324,18 @@ def dedup_cascade(
     ``n_members > 1`` — i.e. they agreed on every digest in the chain
     (Engine.pm:391-395).  ``n_keys`` is the block's key-prefix length
     (Engine.pm:243-252).
+
+    ``colliding_filter``: ``"exact"`` broadcasts the sorted colliding
+    prefix arrays; ``"bloom"`` broadcasts ~16-bit-per-key Bloom filters
+    instead — at extreme scale the colliding-prefix set itself can be
+    large, and a Bloom false positive only costs extra expensive-digest
+    work on a unique row (it closes with identical ``n_keys`` in the
+    candidate trie), never block structure.
     """
+    if colliding_filter not in ("exact", "bloom"):
+        raise ValueError(
+            f"colliding_filter must be 'exact' or 'bloom', "
+            f"got {colliding_filter!r}")
     if not stages:
         return _degenerate_block(ds, id_col)
 
@@ -276,6 +355,8 @@ def dedup_cascade(
             lambda t: _with_const(t, stages, id_col), batch_format="pyarrow"
         )
         return out
+    if colliding_filter == "bloom":
+        colliding = [("bloom", *_bloom_build(arr)) for arr in colliding]
     ref = ray.put(colliding)
 
     from data_dedup_ray.util import stage_task
@@ -304,9 +385,17 @@ def dedup_cascade(
     )
     from data_dedup_ray.engine.exchange import hash_exchange
 
+    # exact mode: candidates collide at EVERY eager level, so the full
+    # eager prefix co-locates each row with all its trie mates (best key
+    # distribution).  bloom mode: candidates may be unique at a later
+    # eager level (only level 0 closes map-side), so the shuffle must key
+    # on the level-0 digest alone — complete level-0 groups co-locate and
+    # the bucket trie reproduces the global trie's n_keys exactly
+    key_stages = eager if colliding_filter == "exact" else eager[:1]
+
     def add_part(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
-        for st in eager:
+        for st in key_stages:
             h = _mix(h, _hash64(t[st.column]))
         return t.append_column(
             "_part", pa.array((h % np.uint64(64)).astype(np.int64))

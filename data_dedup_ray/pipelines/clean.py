@@ -366,8 +366,20 @@ def _gram_set(s: str, n: int) -> set[str]:
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _gram_hash64(grams) -> set[int]:
+    """Deterministic 64-bit gram hashes (blake2b-8; NOT Python ``hash``,
+    which is per-process salted and would desync workers)."""
+    import hashlib
+
+    return {
+        int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+        for g in grams
+    }
+
+
 class _ContaminationProbe:
-    def __init__(self, bench_ref, n: int):
+    def __init__(self, bench_ref, n: int, hashed: bool = False):
         import ray
 
         bench = (
@@ -376,12 +388,16 @@ class _ContaminationProbe:
         )
         self.bench = frozenset(bench)
         self.n = n
+        self.hashed = hashed
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         hits = np.zeros(len(texts), dtype=np.int64)
         for i, s in enumerate(texts):
-            hits[i] = len(_gram_set(s, self.n) & self.bench)
+            g = _gram_set(s, self.n)
+            if self.hashed:
+                g = _gram_hash64(g)
+            hits[i] = len(g & self.bench)
         return pa.table({
             "doc_id": t["doc_id"].combine_chunks(),
             "n_hits": pa.array(hits),
@@ -390,15 +406,25 @@ class _ContaminationProbe:
 
 
 def decontaminate(sf_dir: str, *, n: int = DECON_NGRAM,
-                  bench_mod: int = BENCH_MOD) -> ray.data.Dataset:
+                  bench_mod: int = BENCH_MOD,
+                  grams: str = "exact") -> ray.data.Dataset:
     """Flag corpus docs sharing any ``n``-gram with the benchmark set
     (docs with ``doc_id % bench_mod == 0``): ``(doc_id, n_hits,
     contaminated)``.  ``n_hits`` counts the doc's DISTINCT contaminated
     n-grams; benchmark members flag themselves — exactly the docs a
     training run must drop.
+
+    ``grams``: ``"exact"`` broadcasts the benchmark n-gram STRINGS (the
+    airtight SQL-oracle mode); ``"hash64"`` is the scale mode — the
+    broadcast set carries 8-byte blake2b hashes instead of strings
+    (~10-20× smaller for an eval suite's millions of grams), trading an
+    ~n²/2⁶⁴ collision false-positive chance for broadcast size.
     """
     import ray
 
+    if grams not in ("exact", "hash64"):
+        raise ValueError(f"grams must be 'exact' or 'hash64', got {grams!r}")
+    hashed = grams == "hash64"
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -409,13 +435,16 @@ def decontaminate(sf_dir: str, *, n: int = DECON_NGRAM,
         for s, d in zip(t["text"].to_pylist(), ids):
             if d % bench_mod == 0:
                 out |= _gram_set(s, n)
+        if hashed:
+            return pa.table({"gram": pa.array(
+                np.fromiter(_gram_hash64(out), np.uint64, len(out)))})
         return pa.table({"gram": pa.array(list(out), pa.string())})
 
-    grams = docs.map_batches(bench_grams, batch_format="pyarrow")
-    bench = frozenset(r["gram"] for r in grams.take_all())
+    grams_ds = docs.map_batches(bench_grams, batch_format="pyarrow")
+    bench = frozenset(r["gram"] for r in grams_ds.take_all())
     ref = ray.put(list(bench))
     return docs.map_batches(
-        stage_task(_ContaminationProbe, bench_ref=ref, n=n),
+        stage_task(_ContaminationProbe, bench_ref=ref, n=n, hashed=hashed),
         batch_format="pyarrow",
     )
 

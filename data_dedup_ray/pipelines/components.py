@@ -31,10 +31,19 @@ class DSU:
         self.parent: dict = {}
 
     def find(self, x):
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            p = self.parent[x] = self.find(p)
-        return p
+        # iterative two-pass (chase, then compress): a pathological union
+        # order can build chains past Python's recursion limit long before
+        # the edge-count guard trips
+        p = self.parent
+        if x not in p:
+            p[x] = x
+            return x
+        r = x
+        while p[r] != r:
+            r = p[r]
+        while p[x] != r:
+            p[x], x = r, p[x]
+        return r
 
     def union(self, a, b):
         ra, rb = self.find(a), self.find(b)
@@ -95,9 +104,13 @@ def attach_clusters(ds: ray.data.Dataset, assignment: dict, *,
 
     def attach(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        ids = batch[id_col].to_pylist()
-        vals = [m.get(i, i) for i in ids]
-        return batch.append_column(out_col, pa.array(vals, type=pa.string()))
+        # vectorized dict map with identity fallback (string domain — no
+        # float round-trip hazard), not a per-row Python loop
+        ids = batch[id_col].to_pandas()
+        vals = ids.map(m)
+        vals = vals.where(vals.notna(), ids)
+        return batch.append_column(
+            out_col, pa.array(vals.to_numpy(), type=pa.string()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
 

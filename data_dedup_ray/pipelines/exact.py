@@ -167,18 +167,23 @@ def dedup_pages(
     resolve_hardlinks: "callable | None" = None,
     id_col: str = "url",
     concurrency: int | tuple | None = None,
+    colliding_filter: str = "exact",
 ) -> ray.data.Dataset:
     """scan → predicates → cascade: the `Files->scan` + `Engine->add` path
     (Files.pm:215-240) as one lazy Dataset pipeline.
 
     ``resolve_hardlinks``: optional per-inode canonical-url callback
-    (Files.pm:279-318) forwarded to ``collapse_identity``."""
+    (Files.pm:279-318) forwarded to ``collapse_identity``.
+    ``colliding_filter``: forwarded to the cascade — ``"bloom"`` swaps the
+    broadcast collision sets for Bloom filters (extreme-scale mode,
+    engine/cascade.py)."""
     if ignore_empty:
         ds = filter_empty(ds)
     if collapse and "inode_id" in ds.schema().names:
         ds = collapse_identity(ds, resolve=resolve_hardlinks)
     stages = resolve_chain(chain)
-    return dedup_cascade(ds, stages, id_col=id_col, concurrency=concurrency)
+    return dedup_cascade(ds, stages, id_col=id_col, concurrency=concurrency,
+                         colliding_filter=colliding_filter)
 
 
 def duplicate_report(result: ray.data.Dataset,
@@ -211,6 +216,36 @@ def duplicate_report(result: ray.data.Dataset,
                           ("n_members", pa.int64()),
                           ("members", pa.string())]),
         in_schemas=[pa.schema([("cluster_id", pa.string()),
+                               ("url", pa.string())])],
+    )
+
+
+def cluster_report(result: ray.data.Dataset, *, key: str = "cluster_id",
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """``duplicate_report`` for results WITHOUT an ``n_members`` column
+    (the near-dup cluster assignments): one sortless exchange keyed on
+    ``key``, per-partition vectorized rollup to multi-member clusters
+    only.  The shuffle carries (key, url) — never text — and the driver
+    never sees per-row data, only the output-sized report."""
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select([key, "url"])
+        return t.append_column("_part", pa.array(key_partition(
+            t[key].to_numpy(zero_copy_only=False), num_partitions)))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = _members_rollup(df, key)
+        return out.rename(columns={"n_links": "n_members"})
+
+    return hash_exchange(
+        [result.map_batches(prep, batch_format="pyarrow")],
+        fin,
+        num_partitions=num_partitions,
+        schema=pa.schema([(key, pa.string()),
+                          ("n_members", pa.int64()),
+                          ("members", pa.string())]),
+        in_schemas=[pa.schema([(key, pa.string()),
                                ("url", pa.string())])],
     )
 

@@ -40,11 +40,28 @@ import ray.data
 from data_dedup_ray.util import autoscale_pool, stage_task
 from ray.data.aggregate import Count, Min
 
-from data_dedup_ray.engine.exchange import bucketize, hash_exchange
+from data_dedup_ray.engine.exchange import (bucketize, hash_exchange,
+                                            key_partition)
 from data_dedup_ray.pipelines.components import (
     attach_clusters, dsu_components, map_roots_int64)
 from data_dedup_ray.stages.minhash import (MinHashLSH, ShingleMinHashLSH,
                                            shingle_sets)
+
+
+def _hash_str_column(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Vectorized uint64 hash of a string column with NO per-value
+    PyObject materialization: polars' native hash runs over the arrow
+    buffers zero-copy (the old ``to_pylist()`` + object-array hashing
+    dominated the hottest exchange's map side).  Only WITHIN-RUN
+    consistency matters — every exchange round that must co-partition on
+    the same ids calls this one function — not cross-version stability."""
+    try:
+        import polars as pl
+
+        return pl.from_arrow(col).hash(seed=0).to_numpy()
+    except ImportError:  # pragma: no cover - polars is baked in
+        vals = np.asarray(col.to_pylist(), dtype=object)
+        return pd.util.hash_array(vals)
 
 
 def lsh_candidate_pairs(
@@ -294,21 +311,12 @@ def verify_pairs_partitioned(
         sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
                           shingle_k=shingle_k).materialize()
 
-    def _with_part(col: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(b[col], index=False).to_numpy()
-            b = b.copy()
-            b["_part"] = (h % np.uint64(P)).astype(np.int64)
-            return b
-        return fn
-
     def _with_part_pa(col: str):
         def fn(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t.append_column("_part",
                                        pa.array([], type=pa.int64()))
-            vals = np.asarray(t[col].to_pylist(), dtype=object)
-            h = pd.util.hash_array(vals)
+            h = _hash_str_column(t[col])
             return t.append_column(
                 "_part", pa.array((h % np.uint64(P)).astype(np.int64))
             )
@@ -602,6 +610,27 @@ SELECT url_a, url_b, CAST(d AS BIGINT) AS hamming
 FROM ham WHERE d <= {max_hamming}""")
 
 
+def _distinct_fps(fp_rows: ray.data.Dataset, *,
+                  num_partitions: int = 64) -> ray.data.Dataset:
+    """Distinct fingerprints: map-side drop_duplicates, then one exchange
+    keyed on the fp — the node set of the fp-level candidate graph."""
+
+    def dedupe_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates("fp")[["fp"]].copy()
+        b["_part"] = (
+            b["fp"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return b
+
+    return hash_exchange(
+        [fp_rows.map_batches(dedupe_part, batch_format="pandas")],
+        lambda g: g.drop_duplicates("fp")[["fp"]],
+        num_partitions=num_partitions,
+        schema=pa.schema([("fp", pa.int64())]),
+        in_schemas=[pa.schema([("fp", pa.int64())])],
+    )
+
+
 def simhash_fp_pairs(
     fp_rows: ray.data.Dataset,
     *,
@@ -618,20 +647,7 @@ def simhash_fp_pairs(
     trivially one component)."""
     from data_dedup_ray.stages.simhash import key_values, popcount64
 
-    def dedupe_part(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.drop_duplicates("fp")[["fp"]].copy()
-        b["_part"] = (
-            b["fp"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
-        ).astype(np.int64)
-        return b
-
-    distinct = hash_exchange(
-        [fp_rows.map_batches(dedupe_part, batch_format="pandas")],
-        lambda g: g.drop_duplicates("fp")[["fp"]],
-        num_partitions=num_partitions,
-        schema=pa.schema([("fp", pa.int64())]),
-        in_schemas=[pa.schema([("fp", pa.int64())])],
-    )
+    distinct = _distinct_fps(fp_rows, num_partitions=num_partitions)
 
     def explode(t: pa.Table) -> pa.Table:
         fp = t["fp"].to_numpy().view(np.uint64)
@@ -682,18 +698,112 @@ def simhash_fp_pairs(
                            num_partitions=num_partitions)
 
 
+def _pad_fp(fp_i64: np.ndarray) -> np.ndarray:
+    """int64-view fingerprints → zero-filled 20-char decimal strings of
+    the uint64 value: width-stable, so lexicographic order == uint64
+    order and min-label propagation keeps min-fp semantics."""
+    return np.char.zfill(fp_i64.view(np.uint64).astype("U20"), 20)
+
+
+def _simhash_clusters_lp(
+    fp_rows: ray.data.Dataset, edges: ray.data.Dataset, *,
+    id_col: str = "url", num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """BIG-GRAPH path for ``simhash_clusters``: the fp edge list is past
+    the driver DSU guard, so components are labeled by distributed
+    min-label propagation over PADDED fp strings (``_pad_fp``), then two
+    exchanges map each doc to its component's min url — (1) join docs to
+    fp labels keyed on the fp, (2) keyed on the root, where a whole
+    component is co-located, a per-partition groupby-transform(min) over
+    urls attaches the cluster id.  Nothing lands on the driver and no
+    component-sized dict is broadcast."""
+    from data_dedup_ray.pipelines.components import label_propagation
+
+    P = num_partitions
+
+    sedges = edges.map_batches(
+        lambda t: pa.table({
+            "url_a": pa.array(_pad_fp(t["fp_a"].to_numpy())),
+            "url_b": pa.array(_pad_fp(t["fp_b"].to_numpy())),
+        }),
+        batch_format="pyarrow",
+    )
+    nodes = _distinct_fps(fp_rows, num_partitions=P).map_batches(
+        lambda t: pa.table({"url": pa.array(_pad_fp(t["fp"].to_numpy()))}),
+        batch_format="pyarrow",
+    )
+    lp = label_propagation(nodes, sedges)  # (url=fp_str, cluster_id=root)
+
+    def doc_key(t: pa.Table) -> pa.Table:
+        fps = _pad_fp(t["fp"].to_numpy())
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "fp_s": pa.array(fps),
+            "_part": pa.array(key_partition(fps, P)),
+        })
+
+    def lp_key(t: pa.Table) -> pa.Table:
+        fp_s = t["url"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fp_s": t["url"].combine_chunks(),
+            "root": t["cluster_id"].combine_chunks(),
+            "_part": pa.array(key_partition(fp_s, P)),
+        })
+
+    def join_root(docs: pd.DataFrame, labs: pd.DataFrame) -> pd.DataFrame:
+        labs = labs.drop_duplicates("fp_s")
+        m = docs.merge(labs, on="fp_s", how="left")
+        root = m["root"].where(m["root"].notna(), m["fp_s"])
+        return pd.DataFrame({id_col: m[id_col], "root": root})
+
+    tagged = hash_exchange(
+        [fp_rows.map_batches(doc_key, batch_format="pyarrow"),
+         lp.map_batches(lp_key, batch_format="pyarrow")],
+        join_root,
+        num_partitions=P,
+        schema=pa.schema([(id_col, pa.string()), ("root", pa.string())]),
+        in_schemas=[pa.schema([(id_col, pa.string()),
+                               ("fp_s", pa.string())]),
+                    pa.schema([("fp_s", pa.string()),
+                               ("root", pa.string())])],
+    )
+
+    def root_key(t: pa.Table) -> pa.Table:
+        r = t["root"].to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(key_partition(r, P)))
+
+    def attach_min(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype=object),
+                                 "cluster_id": pd.Series(dtype=object)})
+        mins = df.groupby("root", sort=False)[id_col].transform("min")
+        return pd.DataFrame({id_col: df[id_col], "cluster_id": mins})
+
+    return hash_exchange(
+        [tagged.map_batches(root_key, batch_format="pyarrow")],
+        attach_min,
+        num_partitions=P,
+        schema=pa.schema([(id_col, pa.string()),
+                          ("cluster_id", pa.string())]),
+        in_schemas=[pa.schema([(id_col, pa.string()),
+                               ("root", pa.string())])],
+    )
+
+
 def simhash_clusters(
     ds: ray.data.Dataset, *, max_hamming: int = 3, id_col: str = "url",
     text_col: str = "text", concurrency: int | tuple | None = None,
-    group_cap: int = 4096,
+    group_cap: int = 4096, dsu_max_edges: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Rows labeled by SimHash near-dup component (min-member url).
 
     Pipeline: fingerprints → fp-level candidate graph (``simhash_fp_pairs``)
-    → driver DSU over DISTINCT-fp edges (bounded by the distinct-fp count,
-    not the document count) → per-component min url via one partitioned
-    aggregate → broadcast attach.  Docs with < 1 token keep their own url
-    as a singleton cluster id."""
+    → count()-GATED components over DISTINCT-fp edges: driver DSU while
+    the edge list is under ``dsu_max_edges`` (bounded by the distinct-fp
+    count, not the document count), fully distributed label propagation
+    past it (``_simhash_clusters_lp`` — no driver collect, no
+    component-sized broadcast) → per-component min url → attach.  Docs
+    with < 1 token keep their own url as a singleton cluster id."""
     from data_dedup_ray.stages.simhash import SimHashFingerprints
 
     # one corpus scan: fingerprints for tokenful docs AND the empty-doc
@@ -710,9 +820,22 @@ def simhash_clusters(
         batch_format="pyarrow",
     )
 
-    edges = simhash_fp_pairs(
+    # materialize once: count() reads block metadata; the DSU collect (or
+    # the label-propagation input) reuses the same blocks
+    edges_ds = simhash_fp_pairs(
         fp_rows, max_hamming=max_hamming, group_cap=group_cap
-    ).to_pandas()
+    ).materialize()
+    if edges_ds.count() > dsu_max_edges:
+        clustered = _simhash_clusters_lp(fp_rows, edges_ds, id_col=id_col)
+
+        def singletons_lp(t: pa.Table) -> pa.Table:
+            ids = t.filter(pc.invert(t["has"]))[id_col].combine_chunks()
+            return pa.table({id_col: ids, "cluster_id": ids})
+
+        empty_lp = fp_all.map_batches(singletons_lp, batch_format="pyarrow")
+        return clustered.union(empty_lp)
+
+    edges = edges_ds.to_pandas()
     fp2root = dsu_components(edges, a="fp_a", b="fp_b")
     ref = ray.put(fp2root)
 
@@ -1096,33 +1219,41 @@ def lsh_candidate_pairs_skew_split(
         """Map-side star pairs for hot bands; pass-through for cold rows."""
 
         def __init__(self, ref, emit_stars: bool):
-            self.heavy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            heavy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            # heavy-hitter frame built ONCE per actor: the per-batch hot
+            # test and center lookup are then a single vectorized merge
+            # (this path exists because hot bands are huge — a per-row
+            # Python loop here defeated its own purpose)
+            self.heavy_df = pd.DataFrame({
+                "band_id": np.fromiter((k[0] for k in heavy), np.int64,
+                                       len(heavy)),
+                "band_hash": np.fromiter((k[1] for k in heavy), np.int64,
+                                         len(heavy)),
+                "center": list(heavy.values()),
+            })
             self.emit_stars = emit_stars
 
-        def _is_heavy(self, t: pa.Table) -> np.ndarray:
-            bids = t["band_id"].to_numpy(zero_copy_only=False)
-            bhs = t["band_hash"].to_numpy(zero_copy_only=False)
-            return np.fromiter(
-                ((int(b), int(h)) in self.heavy for b, h in zip(bids, bhs)),
-                bool, len(t),
-            )
-
         def __call__(self, t: pa.Table) -> pa.Table:
-            hot = self._is_heavy(t)
+            keys = pd.DataFrame({
+                "band_id": t["band_id"].to_numpy(zero_copy_only=False),
+                "band_hash": t["band_hash"].to_numpy(zero_copy_only=False),
+            })
+            m = keys.merge(self.heavy_df, on=["band_id", "band_hash"],
+                           how="left")
+            hot = m["center"].notna().to_numpy()
             if self.emit_stars:
+                if not hot.any():  # all-cold batch: avoid the NaN-typed
+                    return pa.table({  # empty center column
+                        f"{id_col}_a": pa.array([], pa.string()),
+                        f"{id_col}_b": pa.array([], pa.string()),
+                    })
                 sub = t.filter(pa.array(hot))
-                ids = sub[id_col].to_pylist()
-                bids = sub["band_id"].to_numpy(zero_copy_only=False)
-                bhs = sub["band_hash"].to_numpy(zero_copy_only=False)
-                a, b = [], []
-                for i, m in enumerate(ids):
-                    center = self.heavy[(int(bids[i]), int(bhs[i]))]
-                    if m != center:
-                        a.append(center)
-                        b.append(m)
+                centers = m["center"].to_numpy()[hot]
+                members = sub[id_col].to_pandas().to_numpy()
+                keep = members != centers
                 return pa.table({
-                    f"{id_col}_a": pa.array(a, pa.string()),
-                    f"{id_col}_b": pa.array(b, pa.string()),
+                    f"{id_col}_a": pa.array(centers[keep], pa.string()),
+                    f"{id_col}_b": pa.array(members[keep], pa.string()),
                 })
             return t.filter(pa.array(~hot))
 

@@ -40,7 +40,18 @@ def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     if n == 0:
         return np.zeros((0, 0), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(flat) % n:
+        raise ValueError(
+            f"ragged embedding column {col!r}: {len(flat)} values over "
+            f"{n} rows — all rows must share one dimension"
+        )
     d = len(flat) // n
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if len(lens) and (lens.min() != d or lens.max() != d):
+        raise ValueError(
+            f"ragged embedding column {col!r}: row lengths span "
+            f"[{lens.min()}, {lens.max()}], expected uniform {d}"
+        )
     return flat.reshape(n, d)
 
 
@@ -97,7 +108,7 @@ def knn_topk(
 
     → (query_id, neighbor_id, rank, cos_bp); self-matches excluded;
     deterministic tie-break (cos desc, neighbor_id asc)."""
-    qdf = emb.filter(lambda r: r[id_col] < n_queries).to_pandas()
+    qdf = emb.filter(expr=f"{id_col} < {int(n_queries)}").to_pandas()
     if len(qdf) == 0:
         return _empty_topk()
     qdf = qdf.sort_values(id_col)
@@ -231,7 +242,12 @@ def embedding_dup_pairs(
         hi = np.maximum(myb, peer)
         part = lo * B - lo * (lo - 1) // 2 + (hi - lo)
         sub = t.select([id_col, emb_col]).take(pa.array(rep))
+        # the block pair this row serves, packed — pair_part derives its
+        # (lo, hi) from THIS column, never from the data it happens to
+        # receive: a mixed partition fed rows from only one side must
+        # emit nothing, not fall back to a (duplicate) diagonal join
         return sub.append_column("_blk", pa.array(myb)) \
+                  .append_column("_lohi", pa.array((lo << 32) | hi)) \
                   .append_column("_part", pa.array(part))
 
     emitted = emb.map_batches(emit, batch_format="pyarrow")
@@ -239,13 +255,19 @@ def embedding_dup_pairs(
     def pair_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
+        lohi = int(t["_lohi"][0].as_py())
+        lo, hi = lohi >> 32, lohi & 0xFFFFFFFF
         ids = t[id_col].to_numpy(zero_copy_only=False)
         blk = t["_blk"].to_numpy(zero_copy_only=False)
         X = _normalize(_matrix(t, emb_col))
-        ub = np.unique(blk)
-        if len(ub) == 1:
+        if lo == hi:
             return _emit_pairs(ids, X, ids, X, threshold, diagonal=True)
-        mi, mj = blk == ub[0], blk == ub[1]
+        mi, mj = blk == lo, blk == hi
+        if not mi.any() or not mj.any():
+            # one side of this block pair is empty: the cross join is
+            # empty by definition (the within-block pairs of the present
+            # side belong to its own diagonal partition)
+            return _PAIR_SCHEMA.empty_table()
         return _emit_pairs(ids[mi], X[mi], ids[mj], X[mj], threshold,
                            diagonal=False)
 
@@ -403,7 +425,7 @@ def ann_lsh_topk(
     """Approximate top-k: random-hyperplane LSH bucket candidates, then
     exact cosine within candidates.  The scale path — candidates per query
     are bounded by bucket occupancy instead of the corpus size."""
-    qdf = emb.filter(lambda r: r[id_col] < n_queries).to_pandas()
+    qdf = emb.filter(expr=f"{id_col} < {int(n_queries)}").to_pandas()
     if len(qdf) == 0:
         return _empty_topk()
     qdf = qdf.sort_values(id_col)
@@ -508,7 +530,7 @@ def ann_ivf_topk(
     broadcast via ``ray.put``, and cell assignment is one matmul-argmax
     per batch — candidates per query are bounded by cell occupancy
     (≈ nprobe/nlist of the corpus) instead of the corpus size."""
-    qdf = emb.filter(lambda r: r[id_col] < n_queries).to_pandas()
+    qdf = emb.filter(expr=f"{id_col} < {int(n_queries)}").to_pandas()
     if len(qdf) == 0:
         return _empty_topk()
     qdf = qdf.sort_values(id_col)

@@ -297,7 +297,13 @@ def token_shards(sf_dir: str, *, budget: int = 50_000,
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    max_id = int(docs.max("doc_id"))
+    max_id = docs.max("doc_id")
+    if max_id is None:  # empty corpus: the shard table is empty too
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], pa.int64())
+            for c in ["doc_id", "n_tokens", "tok_offset", "shard_id"]
+        }))
+    max_id = int(max_id)
 
     def counts(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)

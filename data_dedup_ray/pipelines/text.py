@@ -314,6 +314,130 @@ def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+#: fixture merge table for the driver oracle: pairwise NON-INTERACTING
+#: rules (no rule's second char is another rule's first, none
+#: self-overlaps), so the merge closure has a closed form a SQL oracle
+#: can restate — merged length = chars − Σ non-overlapping pair
+#: occurrences.  The tokenizer itself is a general ranked-merges BPE
+#: (any merges table works, e.g. GPT-2's 50k merges at real scale).
+DEFAULT_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("e", "r"), ("i", "n"), ("o", "u"),
+]
+
+
+class _BPEMergeCounter:
+    """Per-worker BPE tokenizer state: merge ranks + compiled pretokenizer
+    built ONCE per process (util.stage_task), merges table broadcast via
+    ``ray.put``.  Counts merged tokens per doc; a word-level memo caches
+    each distinct pretoken's merged length (the standard BPE serving
+    trick — natural text reuses a small word vocabulary)."""
+
+    def __init__(self, merges_ref):
+        import re as _re
+
+        import ray as _ray
+
+        merges = (
+            _ray.get(merges_ref)
+            if isinstance(merges_ref, _ray.ObjectRef) else merges_ref
+        )
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.pre = _re.compile(BPE_PATTERN)
+        self.cache: dict[str, int] = {}
+
+    def _merged_len(self, piece: str) -> int:
+        n = self.cache.get(piece)
+        if n is not None:
+            return n
+        word = list(piece)
+        while len(word) > 1:
+            best, best_rank = None, None
+            for i in range(len(word) - 1):
+                r = self.ranks.get((word[i], word[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (word[i], word[i + 1]), r
+            if best is None:
+                break
+            # merge ALL occurrences of the best pair, leftmost first —
+            # the standard BPE step
+            out, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1
+                        and (word[i], word[i + 1]) == best):
+                    out.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        n = len(word)
+        if len(self.cache) < 1_000_000:  # bound actor memory
+            self.cache[piece] = n
+        return n
+
+    def __call__(self, t: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+
+        texts = t["text"].to_pylist()
+        counts = np.fromiter(
+            (sum(self._merged_len(p) for p in self.pre.findall(s))
+             for s in texts),
+            np.int64, len(texts),
+        )
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "n_merged_tokens": pa.array(counts),
+        })
+
+
+def bpe_merged_token_counts(
+    sf_dir: str, merges: list[tuple[str, str]] | None = None,
+) -> ray.data.Dataset:
+    """REAL merged-BPE token counts: ``(doc_id, n_merged_tokens)`` — the
+    GPT-2-pattern pretokenizer pieces run through ranked pair merges
+    (``_BPEMergeCounter``), not just the pretokenizer split that
+    ``bpe_token_counts`` reports.  The merges table is broadcast once
+    (``ray.put``); per-worker tokenizer state builds once per process."""
+    import ray
+
+    from data_dedup_ray.util import stage_task
+
+    ref = ray.put(list(merges if merges is not None else DEFAULT_MERGES))
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        stage_task(_BPEMergeCounter, merges_ref=ref),
+        batch_format="pyarrow",
+    )
+
+
+def bpe_merged_token_counts_sql() -> str:
+    """SQL twin for the DEFAULT_MERGES fixture: the rules are pairwise
+    non-interacting (see DEFAULT_MERGES), so merged length per pretoken
+    piece = char length − Σ non-overlapping occurrences of each pair,
+    and ``replace()`` counts exactly the occurrences BPE merges."""
+    def esc(p: str) -> str:
+        return (p.replace("\\", "\\\\").replace("'", "''")
+                 .replace("\t", "\\t").replace("\n", "\\n")
+                 .replace("\f", "\\f").replace("\r", "\\r"))
+
+    terms = " + ".join(
+        f"(length(piece) - length(replace(piece, '{a}{b}', ''))) / 2"
+        for a, b in DEFAULT_MERGES
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{esc(BPE_PATTERN)}')) AS piece
+  FROM documents),
+c AS (SELECT doc_id, sum(length(piece) - ({terms})) AS n
+      FROM p GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_merged_tokens
+FROM documents d LEFT JOIN c USING (doc_id)"""
+
+
 def bpe_token_counts_sql() -> str:
     def esc(p: str) -> str:
         return (p.replace("\\", "\\\\").replace("'", "''")

@@ -59,6 +59,7 @@ def resumable_write_parquet(
     *,
     key_col: str = "url",
     num_partitions: int = 32,
+    config: dict | None = None,
 ) -> pd.DataFrame:
     """Write ``ds`` to ``path`` as ``num_partitions`` hash-partitioned
     parquet directories, skipping partitions already marked ``_SUCCESS``.
@@ -68,10 +69,22 @@ def resumable_write_parquet(
     their ``n_rows`` is read back from the existing file's metadata).
     Rows belonging to finished partitions are dropped by one vectorized
     filter BEFORE the shuffle, so a resume moves only the missing data.
+
+    Each partition directory also carries a ``_META.json`` lineage record
+    (row count, key column, the producing run's ``config`` + its hash —
+    the same shape as stage checkpoints' ``state/checkpoint.py`` meta),
+    written before the ``_SUCCESS`` marker.
     """
+    import hashlib
+    import json
+
     os.makedirs(path, exist_ok=True)
     done = finished_partitions(path)
     P = num_partitions
+    cfg = config or {}
+    cfg_hash = hashlib.sha256(
+        json.dumps(cfg, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
 
     def prep(t: pa.Table) -> pa.Table:
         part = key_partition(t[key_col].to_numpy(zero_copy_only=False), P)
@@ -91,11 +104,34 @@ def resumable_write_parquet(
                                  "n_rows": pd.Series(dtype=np.int64),
                                  "written": pd.Series(dtype=bool)})
         p = int(df["_p"].iloc[0])
-        df = df.sort_values(key_col, kind="stable").drop(columns=["_p"])
+        df = df.drop(columns=["_p"])
+        # sort on ALL columns (key first): ties on key_col would otherwise
+        # land in arrival order, making the bytes depend on the shuffle
+        sort_cols = [key_col] + [c for c in df.columns if c != key_col]
+        try:
+            df = df.sort_values(sort_cols, kind="stable")
+        except TypeError:
+            # unorderable payload column (lists/arrays): byte determinism
+            # then rests on key uniqueness within the partition
+            df = df.sort_values(key_col, kind="stable")
         d = os.path.join(path, f"part={p}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                       os.path.join(d, "data.parquet"))
+        dest = os.path.join(d, "data.parquet")
+        # temp-file + atomic rename: a crash mid-write must never leave a
+        # torn data.parquet that a plain read_parquet (which ignores the
+        # _SUCCESS marker) would choke on or silently include
+        tmp = os.path.join(d, "_data.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.rename(tmp, dest)
+        import json as _json
+        with open(os.path.join(d, "_META.json"), "w") as f:
+            _json.dump({
+                "part": p,
+                "n_rows": len(df),
+                "key_col": key_col,
+                "config_hash": cfg_hash,
+                "config": cfg,
+            }, f, indent=1, sort_keys=True, default=str)
         # marker LAST: a crash before this line leaves the partition
         # unmarked and the rerun rewrites it in place
         with open(os.path.join(d, "_SUCCESS"), "w"):

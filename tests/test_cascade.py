@@ -148,3 +148,51 @@ def test_mid_sample_and_fast_sha_kernels():
     fast = hashes.fast_prefix_sha(t).to_pylist()
     assert fast[2] == hashlib.sha256(b"x" * 2048).hexdigest()
     assert fast[0] == hashlib.sha256(b"").hexdigest()
+
+
+def test_bloom_collision_filter_identical_blocks():
+    """colliding_filter='bloom' must reproduce the exact mode's blocks
+    (membership, n_keys, n_members) bit-for-bit — false positives only
+    cost extra expensive-digest work, never structure."""
+    rows = NINE + [("A1dup", "A", 1), ("C9dup", "C", 9)]
+    stages = [LETTER, _mod(3),
+              _col_stage("num", lambda t: t["num"], expensive=True)]
+    exact = dedup_cascade(_ds(rows), stages, id_col="id").to_pandas()
+    bloom = dedup_cascade(_ds(rows), stages, id_col="id",
+                          colliding_filter="bloom").to_pandas()
+    assert _clusters(exact) == _clusters(bloom)
+    e = exact.sort_values("id").reset_index(drop=True)
+    b = bloom.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        e[["id", "cluster_id", "n_keys", "n_members"]],
+        b[["id", "cluster_id", "n_keys", "n_members"]],
+    )
+
+
+def test_bloom_filter_lossy_still_identical(monkeypatch):
+    """Force heavy false positives (1 bit/key, 1 hash) — blocks must
+    STILL be identical: level-0 closure is FP-proof and the candidate
+    trie keys on real digest values."""
+    from data_dedup_ray.engine import cascade as _c
+
+    monkeypatch.setattr(_c, "_BLOOM_BITS_PER_KEY", 1)
+    monkeypatch.setattr(_c, "_BLOOM_N_HASHES", 1)
+    rows = NINE + [("A1dup", "A", 1), ("B5dup", "B", 5)]
+    stages = [LETTER, MOD2,
+              _col_stage("num", lambda t: t["num"], expensive=True)]
+    exact = dedup_cascade(_ds(rows), stages, id_col="id").to_pandas()
+    bloom = dedup_cascade(_ds(rows), stages, id_col="id",
+                          colliding_filter="bloom").to_pandas()
+    assert _clusters(exact) == _clusters(bloom)
+
+
+def test_bloom_no_false_negatives_unit():
+    from data_dedup_ray.engine.cascade import _bloom_build, _bloom_contains
+    import numpy as np
+
+    arr = np.array([5, -3, 2**62, -2**60, 0], dtype=np.int64)
+    bits, m, k = _bloom_build(arr)
+    assert _bloom_contains(bits, m, arr, k).all()
+    # empty set → nothing matches (m floors at 64, all bits zero)
+    ebits, em, ek = _bloom_build(np.array([], dtype=np.int64))
+    assert not _bloom_contains(ebits, em, arr, ek).any()

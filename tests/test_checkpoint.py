@@ -164,3 +164,44 @@ def test_resumable_sink_rewrites_crashed_partition(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         back.reset_index(drop=True),
         df.sort_values("url").reset_index(drop=True))
+
+
+def test_resumable_sink_meta_lineage_on_resume(ray_session, tmp_path):
+    """Every finished partition carries a _META.json lineage record
+    (n_rows, key_col, config + hash), surviving a crash-resume cycle
+    with the rewritten partition's meta refreshed."""
+    import json
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from data_dedup_ray.state import resumable_write_parquet
+
+    df = pd.DataFrame({"url": [f"u{i:04d}" for i in range(200)],
+                       "val": range(200)})
+    ds = ray.data.from_pandas(df)
+    out = str(tmp_path / "sink")
+    cfg = {"alg": ["size", "sha"], "near": False}
+    st = resumable_write_parquet(ds, out, key_col="url",
+                                 num_partitions=4, config=cfg)
+    metas = {}
+    for d in sorted(os.listdir(out)):
+        mp = os.path.join(out, d, "_META.json")
+        assert os.path.exists(mp), f"missing _META.json in {d}"
+        with open(mp) as f:
+            metas[d] = json.load(f)
+    assert sum(m["n_rows"] for m in metas.values()) == 200
+    assert all(m["key_col"] == "url" for m in metas.values())
+    assert all(m["config"] == cfg for m in metas.values())
+    hashes = {m["config_hash"] for m in metas.values()}
+    assert len(hashes) == 1
+    # crash one partition; the resume rewrites its data AND its meta
+    victim = sorted(d for d in os.listdir(out) if d.startswith("part="))[0]
+    os.remove(os.path.join(out, victim, "_SUCCESS"))
+    os.remove(os.path.join(out, victim, "_META.json"))
+    resumable_write_parquet(ds, out, key_col="url", num_partitions=4,
+                            config=cfg)
+    with open(os.path.join(out, victim, "_META.json")) as f:
+        again = json.load(f)
+    assert again == metas[victim]

@@ -180,3 +180,14 @@ def test_line_dedup_threshold_semantics(sf_dir):
 
     loose = clean_pipe.line_dedup(sf_dir, max_df=10**9).to_pandas()
     assert (loose["n_removed"] == 0).all()  # nothing exceeds the ceiling
+
+
+def test_decontaminate_hash64_matches_exact(sf_dir):
+    from data_dedup_ray.pipelines import clean
+
+    exact = (clean.decontaminate(sf_dir).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    hashed = (clean.decontaminate(sf_dir, grams="hash64").to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(exact, hashed)

@@ -21,12 +21,22 @@ def pages_parquet(ray_session, tmp_path_factory):
 def _run(args, **kw):
     env = dict(os.environ)
     env.pop("RAY_ADDRESS", None)
-    return subprocess.run(
-        [sys.executable, "-m", "data_dedup_ray.cli", *args],
-        capture_output=True, text=True, env=env, timeout=420,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        **kw,
-    )
+    cmd = [sys.executable, "-m", "data_dedup_ray.cli", *args]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=420, cwd=cwd, **kw)
+    if r.returncode != 0:
+        # observed once-in-many-runs environmental flake: the subprocess
+        # CLI's own single-node Ray cluster can fail to bootstrap while
+        # the pytest-session cluster is alive.  Retry exactly once with
+        # the first attempt's stderr preserved for the assertion message.
+        first_err = r.stderr
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=420, cwd=cwd, **kw)
+        if r.returncode != 0:
+            r.stderr = (f"[first attempt stderr]\n{first_err}\n"
+                        f"[retry stderr]\n{r.stderr}")
+    return r
 
 
 def test_tsv_report_golden_shape(ray_session, pages_parquet, tmp_path):

@@ -378,3 +378,47 @@ def test_label_propagation_empty_edges(ray_session):
                       "url_b": pd.Series(dtype=str)}))
     lp = label_propagation(nodes, edges).to_pandas().sort_values("url")
     assert lp["cluster_id"].tolist() == ["x", "y"]
+
+
+def test_simhash_clusters_fallback_matches_dsu(pages):
+    """Forcing the fp-edge DSU guard to trip must route simhash_clusters
+    through _simhash_clusters_lp (distributed label propagation + exchange
+    joins — no driver collect) and produce the identical clustering."""
+    want = (
+        near.simhash_clusters(pages)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    got = (
+        near.simhash_clusters(pages, dsu_max_edges=0)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["url", "cluster_id"]], want[["url", "cluster_id"]]
+    )
+
+
+def test_dsu_find_iterative_deep_chain():
+    """A 30k-long union chain in worst-case order must not recurse: the
+    old recursive find blew Python's recursion limit (~1000 frames)."""
+    from data_dedup_ray.pipelines.components import DSU
+
+    d = DSU()
+    n = 30_000
+    # build a chain rooted at 0 where each union attaches the next node
+    # to the current deepest: parent pointers form one long path
+    for i in range(n - 1, 0, -1):
+        d.union(i - 1, i)
+    # a find from the far end must walk (and compress) the whole path
+    assert d.find(n - 1) == 0
+    assert all(d.find(i) == 0 for i in range(0, n, 997))
+
+
+def test_pad_fp_preserves_uint64_order():
+    fps = np.array([0, 1, 2**40, -1, -2, 2**63 - 1, -(2**63)],
+                   dtype=np.int64)
+    padded = near._pad_fp(fps)
+    u = fps.view(np.uint64)
+    order_u = np.argsort(u, kind="stable")
+    order_s = np.argsort(padded, kind="stable")
+    assert (order_u == order_s).all()
+    assert all(len(s) == 20 for s in padded)

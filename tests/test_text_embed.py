@@ -297,3 +297,67 @@ def test_embedding_lsh_star_fallback_on_mega_cluster(ray_session):
     comp = dsu_components(pairs, a="vec_id_a", b="vec_id_b")
     roots = {comp.get(i, i) for i in range(n)}
     assert roots == {0}
+
+
+def test_embedding_dup_pairs_empty_block_no_duplicates(ray_session):
+    """Regression: a mixed (lo,hi) partition fed rows from only ONE block
+    must emit nothing — inferring the pair from np.unique(blk) re-emitted
+    that block's diagonal pairs (4 identical vectors → 11 pairs, not 6)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    v = [0.1, 0.2, 0.3, 0.4]
+    df = pd.DataFrame({
+        "vec_id": np.arange(4, dtype=np.int64),
+        "embedding": [v] * 4,
+    })
+    ds = ray.data.from_pandas(df)
+    got = embedding_dup_pairs(ds, threshold=0.99, num_blocks=8).to_pandas()
+    pairs = list(zip(got["vec_id_a"], got["vec_id_b"]))
+    assert len(pairs) == len(set(pairs)) == 6
+    assert (got["cos_bp"] == 10000).all()
+
+
+def test_matrix_rejects_ragged_embeddings(ray_session):
+    import pyarrow as pa
+
+    from data_dedup_ray.pipelines.search import _matrix
+
+    t = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0, 5.0],
+                                         [6.0]])})
+    with pytest.raises(ValueError, match="ragged"):
+        _matrix(t)
+    # total divisible by n but rows ragged — still rejected
+    t2 = pa.table({"embedding": pa.array([[1.0], [2.0, 3.0, 4.0],
+                                          [5.0, 6.0]])})
+    with pytest.raises(ValueError, match="ragged"):
+        _matrix(t2)
+
+
+def test_bpe_merged_token_counts_oracle(sf_dir, con):
+    _cmp(text.bpe_merged_token_counts(sf_dir),
+         con.execute(
+             __import__("data_dedup_ray.pipelines.text",
+                        fromlist=["x"]).bpe_merged_token_counts_sql()
+         ).fetchdf(), ["doc_id"])
+
+
+def test_bpe_merge_counter_goldens():
+    """Hand-checked merge closures, incl. ranked-priority behavior on a
+    non-fixture merges table (the general BPE path)."""
+    from data_dedup_ray.pipelines.text import _BPEMergeCounter
+
+    c = _BPEMergeCounter([("t", "h"), ("e", "r"), ("i", "n"), ("o", "u")])
+    assert c._merged_len("the") == 2          # th + e
+    assert c._merged_len("ther") == 2         # th + er
+    assert c._merged_len("xyz") == 3
+    assert c._merged_len("") == 0
+    assert c._merged_len("thth") == 2
+    # ranked priority: ("a","b") outranks ("b","c") → "abc" = ab + c;
+    # a rank-reversed table merges bc first → a + bc (still 2 tokens),
+    # but "abcb" distinguishes: ab,c,b (3) vs a,bc,b (3)… use "abc"+rank
+    hi = _BPEMergeCounter([("a", "b"), ("ab", "c")])
+    assert hi._merged_len("abc") == 1          # ab then ab+c — multi-level
+    lo = _BPEMergeCounter([("b", "c"), ("a", "b")])
+    assert lo._merged_len("abc") == 2          # bc first → a + bc
