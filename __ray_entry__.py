@@ -567,6 +567,12 @@ def _q_image_meta_bmp(sf_dir: str):
     return media.image_meta_bmp(sf_dir)
 
 
+def _q_image_meta_png(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.image_meta_png(sf_dir)
+
+
 def _q_audio_windows_wav(sf_dir: str):
     from data_dedup_ray.pipelines import media
 
@@ -656,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         # (b) round-3 additions with SQL oracles
         "embedding_lsh_planted_pairs": _q_embedding_lsh_planted_pairs,
+        "image_meta_png": _q_image_meta_png,
         "bpe_merged_token_counts": _q_bpe_merged_token_counts,
         "decontaminate_hashed": _q_decontaminate_hashed,
         "exact_dedup_bloom": _q_exact_dedup_bloom,
@@ -693,8 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_window_counts": _q_audio_windows,
         "frame_samples": _q_frame_samples,
         "token_stats": text.token_stats,
-        "quality_scores": text.quality_scores,
         # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
+        "quality_scores": text.quality_scores,
         "events_top_k_per_user": _q_top_k_per_user,
         "dedup_events_windowed": _q_dedup_events_windowed,
         "canonical_urls": _q_canonical_urls,
@@ -783,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         # that DuckDB restates in closed form.
         "simhash_sha_pairs": _near.simhash_sha_pairs_sql(3),
         "image_meta_bmp": _media.image_meta_bmp_sql(),
+        "image_meta_png": _media.image_meta_png_sql(),
         "audio_windows_wav": _media.audio_windows_wav_sql(),
         # embedding_dup_pairs_lsh intentionally omitted: approximate
         # candidate generation (recall <1 for non-identical near-pairs)

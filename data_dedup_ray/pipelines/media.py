@@ -12,8 +12,8 @@ import pyarrow as pa
 import ray.data
 
 from data_dedup_ray.stages.multimodal import (AudioFeatures, DecodeImage,
-                                              FrameSample, ImageFeatures,
-                                              ResizeImage)
+                                              DecodeImagePixels, FrameSample,
+                                              ImageFeatures, ResizeImage)
 from data_dedup_ray.util import autoscale_pool
 
 
@@ -158,6 +158,76 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        'rgb' AS mode,
        true AS decode_ok
 FROM documents"""
+
+
+def png_pages(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, payload): one 8-bit PNG per document.  Dimensions encode
+    from doc_id (width = 1 + doc_id % 64, height = 1 + doc_id % 48),
+    channels cycle gray/rgb/rgba with doc_id % 3, pixel bytes are
+    ``(31*i + 7*doc_id) % 256`` in scan order, and the per-row PNG filter
+    type cycles ``(row + doc_id) % 5`` — every corpus exercises all five
+    unfilter kernels (see ``encode_png``)."""
+    from data_dedup_ray.stages.multimodal import encode_png
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "payload": pa.array(
+                [encode_png(1 + int(i) % 64, 1 + int(i) % 48, seed=int(i))
+                 for i in ids], pa.binary()),
+        })
+
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=256)
+
+
+def image_meta_png(
+    sf_dir: str, *, batch_size: int = 64,
+    concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, width, height, mode, decode_ok, pixel_sum) via the REAL
+    PNG decoder (stdlib zlib inflate + numpy unfilter, all 5 filter
+    types).  ``pixel_sum`` totals every decoded pixel byte, so the SQL
+    twin proves the inflate/unfilter path byte-exact — not just the
+    header parse."""
+    return png_pages(sf_dir).map_batches(
+        DecodeImagePixels,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(
+        ["doc_id", "width", "height", "mode", "decode_ok", "pixel_sum"])
+
+
+def image_meta_png_sql() -> str:
+    """DuckDB twin of ``image_meta_png``: dimensions/mode in closed form.
+    pixel_sum restates the generator's ``sum_i (31*i + 7*doc_id) % 256``:
+    gcd(31, 256) = 1, so every 256 consecutive pixels contribute exactly
+    0+1+...+255 = 32640, and because 31*256k ≡ 0 (mod 256) the tail of
+    ``npix % 256`` pixels reduces to ``(31*j + 7*doc_id) % 256`` for
+    j < npix % 256 — an uncorrelated range(256) cross join."""
+    return """
+WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(1 + doc_id % 64 AS BIGINT) AS width,
+         CAST(1 + doc_id % 48 AS BIGINT) AS height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+              AS BIGINT) AS ch
+  FROM documents)
+SELECT d.doc_id, d.width, d.height,
+       CASE d.ch WHEN 1 THEN 'gray' WHEN 3 THEN 'rgb' ELSE 'rgba' END
+         AS mode,
+       true AS decode_ok,
+       CAST((d.width * d.height * d.ch // 256) * 32640
+            + COALESCE(SUM(CASE
+                WHEN t.range < (d.width * d.height * d.ch) % 256
+                THEN (31 * t.range + 7 * d.doc_id) % 256 END), 0)
+            AS BIGINT) AS pixel_sum
+FROM dims d CROSS JOIN range(256) t
+GROUP BY d.doc_id, d.width, d.height, d.ch"""
 
 
 def wav_pages(sf_dir: str) -> ray.data.Dataset:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import re
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -40,11 +41,13 @@ def _fake_meta(blob: bytes) -> tuple[int, int, str]:
 
 
 # --------------------------------------------------------------------------
-# REAL dependency-free decoders: BMP / binary-PPM image headers+pixels and
-# PCM-WAV framing — the formats simple enough to parse with the standard
-# library, proving the decode seam end-to-end (and giving the driver a
-# SQL-checkable oracle); unknown byte payloads still fall back to the
-# documented deterministic stand-ins.
+# REAL dependency-free decoders: PNG (stdlib zlib inflate + numpy
+# unfiltering of all five filter types), BMP / binary-PPM image
+# headers+pixels, and PCM-WAV framing — everything parseable with the
+# standard library alone, proving the decode seam end-to-end (and giving
+# the driver SQL-checkable oracles); unknown byte payloads still fall back
+# to the documented deterministic stand-ins.  Only JPEG remains
+# environment-blocked (needs a DCT/Huffman codec library).
 # --------------------------------------------------------------------------
 
 _PPM_HEADER_RE = re.compile(rb"^P([56])\s+(\d+)\s+(\d+)\s+(\d+)\s")
@@ -65,7 +68,7 @@ def parse_image_header(blob: bytes):
         mode = "rgb" if m.group(1) == b"6" else "gray"
         return (int(m.group(2)), int(m.group(3)), mode,
                 "ppm" if mode == "rgb" else "pgm")
-    return None
+    return parse_png_header(blob)
 
 
 def decode_bmp_pixels(blob: bytes) -> np.ndarray:
@@ -84,6 +87,157 @@ def decode_bmp_pixels(blob: bytes) -> np.ndarray:
     ).reshape(height, stride)
     px = rows[:, : width * 3].reshape(height, width, 3)[..., ::-1]  # BGR→RGB
     return px[::-1] if flip else px
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> (mode string, channels); palette (3) and 16-bit depths are
+# recognized in metadata but not pixel-decoded
+_PNG_MODES = {0: ("gray", 1), 2: ("rgb", 3), 4: ("graya", 2), 6: ("rgba", 4)}
+
+
+def parse_png_header(blob: bytes):
+    """``(width, height, mode, codec)`` from a PNG IHDR chunk; ``None``
+    when the bytes are not a PNG (or an unsupported color type)."""
+    if len(blob) < 33 or blob[:8] != _PNG_SIG or blob[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", blob, 16)
+    ctype = blob[25]
+    mode = _PNG_MODES.get(ctype, (None, 0))[0]
+    if mode is None or width <= 0 or height <= 0:
+        return None
+    return width, height, mode, "png"
+
+
+def decode_png_pixels(blob: bytes) -> np.ndarray:
+    """(h, w, c) uint8 array from an 8-bit non-interlaced PNG (color types
+    0/2/4/6) — a REAL decoder on the stdlib alone: chunk walk, zlib
+    inflate, and per-scanline unfiltering of all five PNG filter types
+    (None/Sub/Up/Average/Paeth).  Sub is a per-lane cumulative sum;
+    Average/Paeth carry their left-neighbor dependency in a per-pixel loop
+    vectorized across channels."""
+    hdr = parse_png_header(blob)
+    if hdr is None:
+        raise ValueError("not a PNG")
+    w, h = hdr[0], hdr[1]
+    depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+        ">BBBBB", blob, 24)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    ch = _PNG_MODES[ctype][1]
+    pos, idat = 8, []
+    while pos + 8 <= len(blob):
+        (size,) = struct.unpack_from(">I", blob, pos)
+        cid = blob[pos + 4: pos + 8]
+        if cid == b"IDAT":
+            idat.append(blob[pos + 8: pos + 8 + size])
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + crc
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, w, ch), np.int32)
+    zero_row = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        f = lines[y, 0]
+        cur = lines[y, 1:].astype(np.int32).reshape(w, ch)
+        prior = out[y - 1] if y else zero_row
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-1] per lane
+            rec = cur.cumsum(axis=0) % 256
+        elif f == 2:  # Up
+            rec = (cur + prior) % 256
+        elif f == 3:  # Average
+            rec = np.empty((w, ch), np.int32)
+            left = np.zeros(ch, np.int32)
+            for x in range(w):
+                left = (cur[x] + ((left + prior[x]) >> 1)) % 256
+                rec[x] = left
+        elif f == 4:  # Paeth
+            rec = np.empty((w, ch), np.int32)
+            left = np.zeros(ch, np.int32)
+            ul = np.zeros(ch, np.int32)
+            for x in range(w):
+                up = prior[x]
+                p = left + up - ul
+                pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                                np.where(pb <= pc, up, ul))
+                left = (cur[x] + pred) % 256
+                rec[x] = left
+                ul = up
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+
+def encode_png_from_pixels(px: np.ndarray, *, filters=0,
+                           level: int = 6) -> bytes:
+    """(h, w, c) or (h, w) uint8 array → 8-bit non-interlaced PNG bytes.
+    ``filters`` is a single filter type (0-4) or a per-row sequence; the
+    encoder side is fully vectorized (filters predict from true pixel
+    values, so no sequential dependency exists when encoding)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = px.astype(np.int32)
+    rows = []
+    zero_row = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        cur = px[y]
+        prior = px[y - 1] if y else zero_row
+        f = int(filters) if np.isscalar(filters) else int(filters[y])
+        left = np.zeros((w, ch), np.int32)
+        left[1:] = cur[:-1]
+        if f == 0:
+            flt = cur
+        elif f == 1:
+            flt = (cur - left) % 256
+        elif f == 2:
+            flt = (cur - prior) % 256
+        elif f == 3:
+            flt = (cur - ((left + prior) >> 1)) % 256
+        elif f == 4:
+            ul = np.zeros((w, ch), np.int32)
+            ul[1:] = prior[:-1]
+            p = left + prior - ul
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            flt = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        rows.append(bytes([f]) + flt.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic PNG payload generator (the test/bench/oracle twin of
+    ``encode_bmp``): channels cycle gray/rgb/rgba with ``seed % 3``, pixel
+    bytes are ``(31*i + 7*seed) % 256`` in scan order, and the per-row
+    filter type cycles ``(row + seed) % 5`` so every unfilter kernel is
+    exercised by every corpus."""
+    ch = (1, 3, 4)[seed % 3]
+    npix = width * height * ch
+    px = ((np.arange(npix, dtype=np.int64) * 31 + seed * 7) % 256) \
+        .astype(np.uint8).reshape(height, width, ch)
+    filters = [(y + seed) % 5 for y in range(height)]
+    return encode_png_from_pixels(px, filters=filters)
 
 
 def parse_wav(blob: bytes):
@@ -181,6 +335,8 @@ class DecodeImage:
         hdr = parse_image_header(blob or b"")
         if hdr is not None and hdr[3] == "bmp":
             return decode_bmp_pixels(blob)
+        if hdr is not None and hdr[3] == "png":
+            return decode_png_pixels(blob)
         if hdr is not None and hdr[3] in ("ppm", "pgm"):
             m = _PPM_HEADER_RE.match(blob)
             w_, h_ = int(m.group(2)), int(m.group(3))
@@ -228,6 +384,25 @@ class DecodeImage:
             .append_column("codec", pa.array(cod, type=pa.string()))
             .append_column("decode_ok", pa.array(ok))
         )
+
+
+class DecodeImagePixels(DecodeImage):
+    """``DecodeImage`` + ``pixel_sum:int64`` — the sum of every decoded
+    pixel byte.  For PNG this exercises the full chunk-walk → inflate →
+    unfilter path per row, so a SQL oracle stating the expected sum proves
+    the decode is byte-exact (not just header-deep).  Payloads without a
+    real pixel decoder (codec='fake') report sum 0."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        sums = []
+        for b in batch[self.payload_col].to_pylist():
+            try:
+                sums.append(int(
+                    self.decode_pixels(b or b"").astype(np.int64).sum()))
+            except (NotImplementedError, ValueError):
+                sums.append(0)
+        return out.append_column("pixel_sum", pa.array(sums, pa.int64()))
 
 
 class ImageFeatures:
@@ -285,6 +460,10 @@ class ResizeImage:
             px = decode_bmp_pixels(blob)
             return encode_bmp_from_pixels(
                 resize_nearest(px, self.target_w, self.target_h))
+        if hdr is not None and hdr[3] == "png":
+            px = decode_png_pixels(blob)
+            return encode_png_from_pixels(
+                resize_nearest(px, self.target_w, self.target_h))
         if not _HAVE_PIL:
             raise NotImplementedError(
                 "resize beyond BMP requires an image library; this "
@@ -298,12 +477,18 @@ class ResizeImage:
         for b in blobs:
             b = b or b""
             hdr = parse_image_header(b)
-            if hdr is not None and hdr[3] == "bmp" and \
-                    struct.unpack_from("<H", b, 28)[0] == 24:
-                out.append(self.resize_pixels(b))
-                ow.append(self.target_w)
-                oh.append(self.target_h)
-                continue
+            if hdr is not None and (
+                (hdr[3] == "bmp"
+                 and struct.unpack_from("<H", b, 28)[0] == 24)
+                or hdr[3] == "png"
+            ):
+                try:
+                    out.append(self.resize_pixels(b))
+                    ow.append(self.target_w)
+                    oh.append(self.target_h)
+                    continue
+                except ValueError:
+                    pass  # 16-bit / interlaced PNG: metadata-only format
             # deterministic stand-in for undecodable payloads (see
             # module docstring): byte-level downsample
             w, h, _ = _fake_meta(b)
