@@ -573,6 +573,12 @@ def _q_image_meta_png(sf_dir: str):
     return media.image_meta_png(sf_dir)
 
 
+def _q_image_meta_jpeg(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.image_meta_jpeg(sf_dir)
+
+
 def _q_audio_windows_wav(sf_dir: str):
     from data_dedup_ray.pipelines import media
 
@@ -663,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (b) round-3 additions with SQL oracles
         "embedding_lsh_planted_pairs": _q_embedding_lsh_planted_pairs,
         "image_meta_png": _q_image_meta_png,
+        "image_meta_jpeg": _q_image_meta_jpeg,
         "bpe_merged_token_counts": _q_bpe_merged_token_counts,
         "decontaminate_hashed": _q_decontaminate_hashed,
         "exact_dedup_bloom": _q_exact_dedup_bloom,
@@ -699,8 +706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_windows_wav": _q_audio_windows_wav,
         "audio_window_counts": _q_audio_windows,
         "frame_samples": _q_frame_samples,
-        "token_stats": text.token_stats,
         # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
+        "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "events_top_k_per_user": _q_top_k_per_user,
         "dedup_events_windowed": _q_dedup_events_windowed,
@@ -791,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sha_pairs": _near.simhash_sha_pairs_sql(3),
         "image_meta_bmp": _media.image_meta_bmp_sql(),
         "image_meta_png": _media.image_meta_png_sql(),
+        "image_meta_jpeg": _media.image_meta_jpeg_sql(),
         "audio_windows_wav": _media.audio_windows_wav_sql(),
         # embedding_dup_pairs_lsh intentionally omitted: approximate
         # candidate generation (recall <1 for non-identical near-pairs)

@@ -272,12 +272,58 @@ def run_scaling(sf_dir: str, factor: int, lo: int = 2, hi: int = 8) -> dict:
     }
 
 
+def run_recall(sf_dir: str, num_cpus: int, factor: int,
+               threshold: float = 0.7) -> dict:
+    """Measured dup-pair recall of the probabilistic MinHash/LSH pipeline
+    vs EXACT shingle-Jaccard ground truth — the north_rule's ≥0.99 recall
+    criterion, measured rather than argued.  Ground truth comes from the
+    AllPairs prefix-filter path (``ngram_jaccard_pairs``), which is exact
+    by construction; both pipelines run at the same shingle size (k=5)
+    and the same threshold, per the rule's "same shingle/signature
+    config" clause."""
+    _init_ray(num_cpus)
+    from data_dedup_ray.pipelines import near
+
+    pages = _pages(sf_dir, factor)
+    t0 = time.perf_counter()
+    got = near.minhash_dedup_pairs(pages, threshold=threshold).to_pandas()
+    lsh_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    truth = near.ngram_jaccard_pairs(pages, threshold=threshold).to_pandas()
+    exact_sec = time.perf_counter() - t0
+    def _pairset(df):
+        # an all-empty Dataset loses its schema in to_pandas
+        return set(zip(df["url_a"], df["url_b"])) if len(df) else set()
+
+    got_pairs = _pairset(got)
+    truth_pairs = _pairset(truth)
+    tp = len(got_pairs & truth_pairs)
+    recall = tp / len(truth_pairs) if truth_pairs else 1.0
+    precision = tp / len(got_pairs) if got_pairs else 1.0
+    return {
+        "metric": f"minhash/LSH dup-pair recall vs exact ground truth "
+                  f"(J>={threshold}, shingle_k=5)",
+        "value": round(recall, 6),
+        "unit": "recall",
+        "queries": {"lsh_verified_sec": round(lsh_sec, 3),
+                    "exact_allpairs_sec": round(exact_sec, 3)},
+        "pairs": {"truth": len(truth_pairs), "lsh": len(got_pairs),
+                  "true_positives": tp},
+        "precision": round(precision, 6),
+        "sf": _sf_of(sf_dir),
+        "amplify_factor": factor,
+        "num_cpus": num_cpus,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--factor", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--recall", action="store_true",
+                    help="measure LSH dup-pair recall vs exact ground truth")
     ap.add_argument("--stats", action="store_true",
                     help="print the headline pipeline's ds.stats() to stderr")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
@@ -289,6 +335,12 @@ def main() -> None:
     if args.stats:
         result = run_stats(args.sf_dir, args.num_cpus,
                            args.factor or DEFAULT_FACTOR)
+    elif args.recall:
+        result = run_recall(args.sf_dir, args.num_cpus,
+                            args.factor or DEFAULT_FACTOR)
+        import ray
+
+        ray.shutdown()
     elif args.scaling:
         result = run_scaling(args.sf_dir, args.factor or DEFAULT_SCALING_FACTOR)
     else:

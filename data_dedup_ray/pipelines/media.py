@@ -230,6 +230,70 @@ FROM dims d CROSS JOIN range(256) t
 GROUP BY d.doc_id, d.width, d.height, d.ch"""
 
 
+def jpeg_pages(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, payload): one baseline grayscale JPEG per document.
+    Dimensions encode from doc_id (width = 8*(1 + doc_id % 8), height =
+    8*(1 + doc_id % 6)); every 8x8 block b (raster order) is the constant
+    value ``128 + 2*(((31*b + 7*doc_id) % 65) - 32)`` — DC-only with even
+    offsets, which survives Annex-K quantization EXACTLY, so the decoded
+    pixels equal the construction bit-for-bit (see stages/jpeg.py)."""
+    from data_dedup_ray.stages.jpeg import encode_jpeg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "payload": pa.array(
+                [encode_jpeg(8 * (1 + int(i) % 8), 8 * (1 + int(i) % 6),
+                             seed=int(i))
+                 for i in ids], pa.binary()),
+        })
+
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=256)
+
+
+def image_meta_jpeg(
+    sf_dir: str, *, batch_size: int = 64,
+    concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, width, height, mode, decode_ok, pixel_sum) via the REAL
+    baseline-JPEG decoder — marker stream, Huffman entropy decode,
+    dequantize, exact IDCT.  The DC-only construction makes the lossy
+    format losslessly round-trippable, so ``pixel_sum`` is SQL-provable
+    end-to-end."""
+    return jpeg_pages(sf_dir).map_batches(
+        DecodeImagePixels,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(
+        ["doc_id", "width", "height", "mode", "decode_ok", "pixel_sum"])
+
+
+def image_meta_jpeg_sql() -> str:
+    """DuckDB twin of ``image_meta_jpeg``: per document, 48 candidate
+    block slots (uncorrelated range(48) cross join — max 8x6 blocks),
+    each live block contributing 64 copies of its constant value."""
+    return """
+WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(8 * (1 + doc_id % 8) AS BIGINT) AS width,
+         CAST(8 * (1 + doc_id % 6) AS BIGINT) AS height,
+         CAST((1 + doc_id % 8) * (1 + doc_id % 6) AS BIGINT) AS nblocks
+  FROM documents)
+SELECT d.doc_id, d.width, d.height,
+       'gray' AS mode,
+       true AS decode_ok,
+       CAST(SUM(CASE WHEN t.range < d.nblocks
+                THEN 64 * (128 + 2 * (((31 * t.range + 7 * d.doc_id) % 65)
+                                      - 32)) END) AS BIGINT) AS pixel_sum
+FROM dims d CROSS JOIN range(48) t
+GROUP BY d.doc_id, d.width, d.height, d.nblocks"""
+
+
 def wav_pages(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, payload): one 16-bit mono PCM WAV per document with
     n_samples = 1000 + doc_id % 5000."""

@@ -42,12 +42,13 @@ def _fake_meta(blob: bytes) -> tuple[int, int, str]:
 
 # --------------------------------------------------------------------------
 # REAL dependency-free decoders: PNG (stdlib zlib inflate + numpy
-# unfiltering of all five filter types), BMP / binary-PPM image
-# headers+pixels, and PCM-WAV framing — everything parseable with the
-# standard library alone, proving the decode seam end-to-end (and giving
-# the driver SQL-checkable oracles); unknown byte payloads still fall back
-# to the documented deterministic stand-ins.  Only JPEG remains
-# environment-blocked (needs a DCT/Huffman codec library).
+# unfiltering of all five filter types), baseline JPEG (stages/jpeg.py —
+# marker parse, canonical-Huffman entropy decode, dequant + exact 8x8
+# IDCT, JFIF color transform), BMP / binary-PPM image headers+pixels, and
+# PCM-WAV framing — everything parseable with the standard library alone,
+# proving the decode seam end-to-end (and giving the driver SQL-checkable
+# oracles); unknown byte payloads still fall back to the documented
+# deterministic stand-ins.
 # --------------------------------------------------------------------------
 
 _PPM_HEADER_RE = re.compile(rb"^P([56])\s+(\d+)\s+(\d+)\s+(\d+)\s")
@@ -68,7 +69,12 @@ def parse_image_header(blob: bytes):
         mode = "rgb" if m.group(1) == b"6" else "gray"
         return (int(m.group(2)), int(m.group(3)), mode,
                 "ppm" if mode == "rgb" else "pgm")
-    return parse_png_header(blob)
+    hdr = parse_png_header(blob)
+    if hdr is not None:
+        return hdr
+    from data_dedup_ray.stages.jpeg import parse_jpeg_header
+
+    return parse_jpeg_header(blob)
 
 
 def decode_bmp_pixels(blob: bytes) -> np.ndarray:
@@ -337,6 +343,10 @@ class DecodeImage:
             return decode_bmp_pixels(blob)
         if hdr is not None and hdr[3] == "png":
             return decode_png_pixels(blob)
+        if hdr is not None and hdr[3] == "jpeg":
+            from data_dedup_ray.stages.jpeg import decode_jpeg_pixels
+
+            return decode_jpeg_pixels(blob)
         if hdr is not None and hdr[3] in ("ppm", "pgm"):
             m = _PPM_HEADER_RE.match(blob)
             w_, h_ = int(m.group(2)), int(m.group(3))
@@ -464,6 +474,13 @@ class ResizeImage:
             px = decode_png_pixels(blob)
             return encode_png_from_pixels(
                 resize_nearest(px, self.target_w, self.target_h))
+        if hdr is not None and hdr[3] == "jpeg":
+            from data_dedup_ray.stages.jpeg import (decode_jpeg_pixels,
+                                                    encode_jpeg_from_pixels)
+
+            px = decode_jpeg_pixels(blob)
+            return encode_jpeg_from_pixels(
+                resize_nearest(px, self.target_w, self.target_h))
         if not _HAVE_PIL:
             raise NotImplementedError(
                 "resize beyond BMP requires an image library; this "
@@ -480,7 +497,7 @@ class ResizeImage:
             if hdr is not None and (
                 (hdr[3] == "bmp"
                  and struct.unpack_from("<H", b, 28)[0] == 24)
-                or hdr[3] == "png"
+                or hdr[3] in ("png", "jpeg")
             ):
                 try:
                     out.append(self.resize_pixels(b))
@@ -488,7 +505,8 @@ class ResizeImage:
                     oh.append(self.target_h)
                     continue
                 except ValueError:
-                    pass  # 16-bit / interlaced PNG: metadata-only format
+                    pass  # 16-bit/interlaced PNG, progressive JPEG:
+                    #       metadata-only formats
             # deterministic stand-in for undecodable payloads (see
             # module docstring): byte-level downsample
             w, h, _ = _fake_meta(b)

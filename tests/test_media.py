@@ -318,3 +318,101 @@ def test_decode_pixels_fake_payload_sums_zero(ray_session):
     out = DecodeImagePixels()(t)
     assert out["codec"].to_pylist() == ["fake"]
     assert out["pixel_sum"].to_pylist() == [0]
+
+
+# --------------------------------------------------------------------------
+# JPEG: real stdlib+numpy baseline codec (stages/jpeg.py)
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_dc_only_exact():
+    """DC-only grayscale JPEGs (constant 8x8 blocks, even offsets from
+    128) survive Annex-K quantization exactly — decode is bit-for-bit."""
+    from data_dedup_ray.stages.jpeg import (decode_jpeg_pixels, encode_jpeg,
+                                            parse_jpeg_header)
+
+    for seed in range(5):
+        blob = encode_jpeg(64, 48, seed=seed)
+        assert parse_jpeg_header(blob) == (64, 48, "gray", "jpeg")
+        px = decode_jpeg_pixels(blob)
+        b = np.arange(6 * 8, dtype=np.int64)
+        vals = 128 + 2 * (((31 * b + 7 * seed) % 65) - 32)
+        exp = np.repeat(np.repeat(vals.reshape(6, 8), 8, 0), 8, 1) \
+            .astype(np.uint8)
+        assert np.array_equal(px[:, :, 0], exp), seed
+
+
+def test_jpeg_roundtrip_tolerance():
+    """Lossy roundtrip through the full DCT/quantize/Huffman path stays
+    within a small error bound at high quality, for gray and 4:4:4 RGB,
+    including non-multiple-of-8 dimensions."""
+    from data_dedup_ray.stages.jpeg import (decode_jpeg_pixels,
+                                            encode_jpeg_from_pixels)
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)) \
+        .astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_from_pixels(smooth, quality=95))
+    assert dec.shape == (40, 56, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - smooth.astype(int)).max() <= 6
+
+    rgb = np.stack([smooth, smooth[::-1], np.roll(smooth, 5, axis=1)], -1)
+    dec = decode_jpeg_pixels(encode_jpeg_from_pixels(rgb, quality=95))
+    assert dec.shape == (40, 56, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 12
+
+    odd = (xx[:13, :19] * 3 + yy[:13, :19] * 5).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_from_pixels(odd, quality=90))
+    assert dec.shape == (13, 19, 1)
+
+
+def test_jpeg_unsupported_modes_fail_loudly():
+    from data_dedup_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    blob = bytearray(encode_jpeg(16, 16, seed=0))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(bytes(blob))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x00\x01junk")
+
+
+def test_jpeg_resize_stage_roundtrip():
+    """ResizeImage on a JPEG payload re-encodes a real JPEG whose decoded
+    pixels match the nearest-neighbor resample within codec tolerance."""
+    from data_dedup_ray.stages.jpeg import (decode_jpeg_pixels,
+                                            parse_jpeg_header)
+    from data_dedup_ray.stages.multimodal import (encode_png,  # noqa: F401
+                                                  resize_nearest,
+                                                  ResizeImage)
+    from data_dedup_ray.stages.jpeg import encode_jpeg
+
+    blob = encode_jpeg(64, 48, seed=2)
+    stage = ResizeImage(target_w=16, target_h=12)
+    out = stage.resize_pixels(blob)
+    assert parse_jpeg_header(out) == (16, 12, "gray", "jpeg")
+    exp = resize_nearest(decode_jpeg_pixels(blob), 16, 12)
+    got = decode_jpeg_pixels(out)
+    # resampled blocks carry sharp 2px steps (high-frequency content), so
+    # re-encoding is visibly lossy — bound both tail and mean error
+    err = np.abs(got.astype(int) - exp.astype(int))
+    assert err.max() <= 24 and err.mean() <= 4.0, (err.max(), err.mean())
+
+
+def test_image_meta_jpeg_oracle(ray_session):
+    """Full pipeline vs the DuckDB twin — pixel_sum proves the Huffman +
+    dequant + IDCT path end-to-end (DC-only construction is lossless)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    got = media.image_meta_jpeg(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(media.image_meta_jpeg_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["decode_ok"].all()
+    for c in ("width", "height", "pixel_sum"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+    assert (got["mode"] == "gray").all()
