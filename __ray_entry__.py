@@ -579,6 +579,24 @@ def _q_image_meta_jpeg(sf_dir: str):
     return media.image_meta_jpeg(sf_dir)
 
 
+def _q_kmeans_assign(sf_dir: str):
+    import ray.data
+
+    from data_dedup_ray.pipelines import curation
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return curation.kmeans_assign(emb, k=8, iters=0)
+
+
+def _q_semdedup_keep(sf_dir: str):
+    from data_dedup_ray.pipelines import curation
+    from data_dedup_ray.pipelines.search import augmented_embeddings
+
+    return curation.semdedup_keep(augmented_embeddings(sf_dir),
+                                  k=8, iters=0, tau=0.5)
+
+
 def _q_audio_windows_wav(sf_dir: str):
     from data_dedup_ray.pipelines import media
 
@@ -670,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_planted_pairs": _q_embedding_lsh_planted_pairs,
         "image_meta_png": _q_image_meta_png,
         "image_meta_jpeg": _q_image_meta_jpeg,
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup_keep": _q_semdedup_keep,
         "bpe_merged_token_counts": _q_bpe_merged_token_counts,
         "decontaminate_hashed": _q_decontaminate_hashed,
         "exact_dedup_bloom": _q_exact_dedup_bloom,
@@ -705,8 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_bmp": _q_image_meta_bmp,
         "audio_windows_wav": _q_audio_windows_wav,
         "audio_window_counts": _q_audio_windows,
-        "frame_samples": _q_frame_samples,
         # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
+        "frame_samples": _q_frame_samples,
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "events_top_k_per_user": _q_top_k_per_user,
@@ -747,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from data_dedup_ray import oracles
     from data_dedup_ray.pipelines import clean as _clean
+    from data_dedup_ray.pipelines import curation as _curation
     from data_dedup_ray.pipelines import events as _events
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import near as _near
@@ -799,6 +820,8 @@ def oracle_sql() -> dict[str, str]:
         "image_meta_bmp": _media.image_meta_bmp_sql(),
         "image_meta_png": _media.image_meta_png_sql(),
         "image_meta_jpeg": _media.image_meta_jpeg_sql(),
+        "kmeans_assign": _curation.kmeans_assign_sql(8),
+        "semdedup_keep": _curation.semdedup_keep_sql(8, 0.5, augmented=True),
         "audio_windows_wav": _media.audio_windows_wav_sql(),
         # embedding_dup_pairs_lsh intentionally omitted: approximate
         # candidate generation (recall <1 for non-identical near-pairs)
