@@ -632,6 +632,41 @@ def _q_embedding_lsh_planted_pairs(sf_dir: str):
     return pairs.map_batches(planted, batch_format="pyarrow")
 
 
+def _q_ann_lsh_planted_top1(sf_dir: str):
+    """The SQL-checkable core of the LSH ANN path: for queries with a
+    planted exact copy (vec_id % 10 == 0 → copy at vec_id + 100000), the
+    copy shares EVERY hyperplane signature, is always a candidate, and at
+    cos = 1.0 beats every other neighbor — rank 1 BY CONSTRUCTION, an
+    exact oracle over an approximate pipeline's guaranteed sub-output."""
+    from data_dedup_ray.pipelines.search import (ann_lsh_topk,
+                                                 augmented_embeddings)
+
+    res = ann_lsh_topk(augmented_embeddings(sf_dir), k=5, n_queries=100)
+    out = res[(res["rank"] == 1) & (res["query_id"] % 10 == 0)]
+    return out[["query_id", "neighbor_id", "cos_bp"]].reset_index(drop=True)
+
+
+def _q_ann_ivf_planted_top1(sf_dir: str):
+    """IVF twin of the LSH planted-top1 oracle: an identical vector is
+    assigned to the query's own coarse cell, which is always the first
+    probe — guaranteed candidate, guaranteed rank 1 at cos = 1.0."""
+    from data_dedup_ray.pipelines.search import (ann_ivf_topk,
+                                                 augmented_embeddings)
+
+    res = ann_ivf_topk(augmented_embeddings(sf_dir), k=5, n_queries=100)
+    out = res[(res["rank"] == 1) & (res["query_id"] % 10 == 0)]
+    return out[["query_id", "neighbor_id", "cos_bp"]].reset_index(drop=True)
+
+
+def _q_doc_fingerprints_sha(sf_dir: str):
+    """Oracle-checked twin of the rows-only ``doc_fingerprints``: min
+    k-shingle sha256 hash, restated verbatim by DuckDB (same pattern as
+    the sha-token simhash)."""
+    from data_dedup_ray.pipelines import text as _text
+
+    return _text.fingerprints_sha(sf_dir)
+
+
 def _q_bpe_merged_token_counts(sf_dir: str):
     from data_dedup_ray.pipelines import text as _text
 
@@ -690,6 +725,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_jpeg": _q_image_meta_jpeg,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_keep": _q_semdedup_keep,
+        "ann_lsh_planted_top1": _q_ann_lsh_planted_top1,
+        "ann_ivf_planted_top1": _q_ann_ivf_planted_top1,
+        "doc_fingerprints_sha": _q_doc_fingerprints_sha,
         "bpe_merged_token_counts": _q_bpe_merged_token_counts,
         "decontaminate_hashed": _q_decontaminate_hashed,
         "exact_dedup_bloom": _q_exact_dedup_bloom,
@@ -720,12 +758,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "decontaminate": _q_decontaminate,
         "bpe_token_counts": _q_bpe_token_counts,
-        # (d) fill to 50 with oracle-backed keys
+        # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
         "line_dedup": _q_line_dedup,
         "image_meta_bmp": _q_image_meta_bmp,
         "audio_windows_wav": _q_audio_windows_wav,
         "audio_window_counts": _q_audio_windows,
-        # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
         "frame_samples": _q_frame_samples,
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -801,6 +838,19 @@ def oracle_sql() -> dict[str, str]:
             " CAST(10000 AS BIGINT) AS cos_bp"
             " FROM embeddings WHERE vec_id % 10 = 0"
         ),
+        # ANN twins of the same guarantee: an identical vector shares
+        # every LSH signature / the query's own IVF cell, so it is always
+        # retrieved and always rank 1 at cos 1.0
+        "ann_lsh_planted_top1": (
+            "SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,"
+            " CAST(10000 AS BIGINT) AS cos_bp"
+            " FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 100"
+        ),
+        "ann_ivf_planted_top1": (
+            "SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,"
+            " CAST(10000 AS BIGINT) AS cos_bp"
+            " FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 100"
+        ),
         "line_dedup": _clean.line_dedup_sql(),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
@@ -820,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "image_meta_bmp": _media.image_meta_bmp_sql(),
         "image_meta_png": _media.image_meta_png_sql(),
         "image_meta_jpeg": _media.image_meta_jpeg_sql(),
+        "doc_fingerprints_sha": _text.fingerprints_sha_sql(),
         "kmeans_assign": _curation.kmeans_assign_sql(8),
         "semdedup_keep": _curation.semdedup_keep_sql(8, 0.5, augmented=True),
         "audio_windows_wav": _media.audio_windows_wav_sql(),

@@ -204,31 +204,39 @@ def semdedup_keep(
         keep_out = np.ones(t.num_rows, dtype=bool)
         for cid in np.unique(cids):
             rows = order[cids[order] == cid]
-            if len(rows) < 2:
+            n = len(rows)
+            if n < 2:
                 continue
             sub = X[rows]
-            # union-find over cos>=tau pairs, ids ascending: parent =
-            # min id of the group (keep-first convention)
-            parent = np.arange(len(rows))
-
-            def find(i):
-                while parent[i] != i:
-                    parent[i] = parent[parent[i]]
-                    i = parent[i]
-                return i
-
-            for s in range(0, len(rows), chunk):
-                e = min(s + chunk, len(rows))
+            # matmul row-chunks sized so sims stays bounded (~64 MB) no
+            # matter how large a dup-heavy cluster gets
+            step = max(1, min(chunk, (64 << 20) // (8 * n)))
+            ii_all, jj_all = [], []
+            for s in range(0, n, step):
+                e = min(s + step, n)
                 sims = sub[s:e] @ sub.T
                 ii, jj = np.nonzero(sims >= tau)
-                for i, j in zip(ii + s, jj):
-                    if i >= j:
-                        continue
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[max(ri, rj)] = min(ri, rj)
-            roots = np.array([find(i) for i in range(len(rows))])
-            keep_out[rows] = roots == np.arange(len(rows))
+                keep_ut = (s + ii) < jj  # upper triangle, each pair once
+                ii_all.append(ii[keep_ut] + s)
+                jj_all.append(jj[keep_ut])
+            if not ii_all or not sum(len(a) for a in ii_all):
+                continue
+            ei = np.concatenate(ii_all)
+            ej = np.concatenate(jj_all)
+            # connected components as vectorized min-label propagation:
+            # every round pushes each edge's smaller label across it with
+            # np.minimum.at (no per-edge Python); converges in O(graph
+            # diameter) rounds — tiny for cosine-ball dup groups
+            labels = np.arange(n)
+            while True:
+                prev = labels.copy()
+                m = np.minimum(labels[ei], labels[ej])
+                np.minimum.at(labels, ei, m)
+                np.minimum.at(labels, ej, m)
+                labels = labels[labels]  # pointer-halving compaction
+                if np.array_equal(labels, prev):
+                    break
+            keep_out[rows] = labels == np.arange(n)
         return pa.table({
             "vec_id": t["vec_id"].combine_chunks(),
             "cluster_id": t["cluster_id"].combine_chunks(),

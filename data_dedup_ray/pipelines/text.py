@@ -56,6 +56,32 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def fingerprints_sha(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, fingerprint_sha): the oracle-checked fingerprint variant
+    (see ``textstats.doc_fingerprint_sha``)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        textstats.doc_fingerprint_sha, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint_sha"])
+
+
+def fingerprints_sha_sql(shingle_k: int = 5) -> str:
+    """DuckDB twin: identical tokenization, shingling, hash, and min."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents)
+SELECT doc_id,
+       coalesce(list_min(
+         [substr(sha256(array_to_string(ts[i:i+{shingle_k - 1}], ' ')), 1, 16)
+          FOR i IN generate_series(1, len(ts) - {shingle_k - 1})]), '')
+         AS fingerprint_sha
+FROM toks"""
+
+
 def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
     """Grouped corpus stats with per-batch pre-aggregation (combiner) before
     the small shuffle — the scalable aggregate shape (SURVEY.md §4)."""

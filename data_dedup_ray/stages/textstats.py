@@ -109,6 +109,35 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
 
 
+def doc_fingerprint_sha(batch: pa.Table, *, text_col: str = "text",
+                        shingle_k: int = 5) -> pa.Table:
+    """SQL-twin-able document fingerprint: the minimum over all k-shingles
+    of the first 16 hex chars of sha256(space-joined shingle) — DuckDB
+    restates it verbatim with a list comprehension over
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``.  Docs with fewer
+    than k tokens emit '' (the SQL NULL→'' coalesce).  The default
+    ``doc_fingerprint`` (vectorized rolling hash) stays the production
+    kernel; this variant trades speed for an exact oracle, the same
+    pattern as the sha-token simhash."""
+    import hashlib
+
+    texts = batch[text_col].to_pylist()
+    fps = []
+    for t in texts:
+        toks = TOKEN_RE.findall((t or "").lower())
+        if len(toks) < shingle_k:
+            fps.append("")
+            continue
+        fps.append(min(
+            hashlib.sha256(
+                " ".join(toks[i:i + shingle_k]).encode()
+            ).hexdigest()[:16]
+            for i in range(len(toks) - shingle_k + 1)
+        ))
+    return batch.append_column("fingerprint_sha",
+                               pa.array(fps, type=pa.string()))
+
+
 def doc_fingerprint(batch: pa.Table, *, text_col: str = "text",
                     shingle_k: int = 5) -> pa.Table:
     """64-bit document fingerprint: the minimum k-shingle rolling hash —

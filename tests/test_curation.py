@@ -110,3 +110,19 @@ def test_kmeans_assign_empty_seed_guard(ray_session):
     })
     with pytest.raises(ValueError, match="seed"):
         curation.kmeans_assign(ray.data.from_arrow(t), k=4, iters=0)
+
+
+def test_semdedup_long_transitive_chain(ray_session):
+    """A chain of vectors where only NEIGHBORS exceed tau (cos 20deg =
+    0.94 >= 0.9, cos 40deg = 0.77 < 0.9) forms ONE component that needs
+    multiple propagation rounds — keep-first leaves only vec_id 0."""
+    n = 16
+    ang = np.arange(n) * np.deg2rad(20.0)
+    vecs = np.stack([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    got = curation.semdedup_keep(ray.data.from_arrow(t), k=1, iters=0,
+                                 tau=0.9).to_pandas().sort_values("vec_id")
+    assert got["keep"].tolist() == [True] + [False] * (n - 1)

@@ -361,3 +361,40 @@ def test_bpe_merge_counter_goldens():
     assert hi._merged_len("abc") == 1          # ab then ab+c — multi-level
     lo = _BPEMergeCounter([("b", "c"), ("a", "b")])
     assert lo._merged_len("abc") == 2          # bc first → a + bc
+
+
+def test_ann_planted_copy_is_rank1_both_index_types(ray_session, sf_dir):
+    """Planted exact copies are guaranteed retrievals for BOTH ANN paths:
+    identical vectors share every LSH hyperplane signature and the
+    query's own IVF coarse cell, so the copy is always a candidate and
+    wins rank 1 at cos 1.0 (the driver's ann_*_planted_top1 oracles)."""
+    from data_dedup_ray.pipelines.search import (ann_ivf_topk, ann_lsh_topk,
+                                                 augmented_embeddings)
+
+    emb = augmented_embeddings(sf_dir)
+    for fn in (ann_lsh_topk, ann_ivf_topk):
+        res = fn(emb, k=5, n_queries=100)
+        top1 = res[(res["rank"] == 1) & (res["query_id"] % 10 == 0)]
+        assert len(top1) == 10, fn.__name__
+        assert (top1["neighbor_id"].to_numpy()
+                == top1["query_id"].to_numpy() + 100000).all(), fn.__name__
+        assert (top1["cos_bp"] == 10000).all(), fn.__name__
+
+
+def test_fingerprints_sha_oracle(ray_session, sf_dir):
+    """min-k-shingle sha256 fingerprint vs its verbatim DuckDB twin."""
+    import duckdb
+
+    from data_dedup_ray.pipelines import text
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    got = text.fingerprints_sha(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(text.fingerprints_sha_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["fingerprint_sha"].tolist() == \
+        want["fingerprint_sha"].tolist()
+    # every real doc has >= 5 tokens in the synthetic corpus
+    assert (got["fingerprint_sha"].str.len() == 16).all()
