@@ -151,3 +151,41 @@ def test_popcount64_matches_python(vals):
     arr = np.asarray(vals, dtype=np.uint64)
     got = popcount64(arr)
     assert [int(x) for x in got] == [bin(v).count("1") for v in vals]
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.lists(st.integers(0, 4), min_size=24, max_size=24),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, ch, filters, seed):
+    """decode(encode(px)) == px for arbitrary dims, channel counts, and
+    per-row filter choices — the PNG codec is lossless by definition."""
+    from data_dedup_ray.stages.multimodal import (decode_png_pixels,
+                                                  encode_png_from_pixels)
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    blob = encode_png_from_pixels(px, filters=filters[:h])
+    assert np.array_equal(decode_png_pixels(blob), px)
+
+
+@given(
+    st.integers(1, 6), st.integers(1, 6),
+    st.lists(st.integers(-32, 32), min_size=36, max_size=36),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_dc_only_property(bw, bh, offsets):
+    """Any grayscale image of constant 8x8 blocks with EVEN offsets from
+    128 survives the full JPEG encode/decode cycle bit-exactly (DC-only,
+    quantization divides evenly) — the invariant the driver oracle uses."""
+    from data_dedup_ray.stages.jpeg import (decode_jpeg_pixels,
+                                            encode_jpeg_from_pixels)
+
+    vals = 128 + 2 * np.array(offsets[: bw * bh], dtype=np.int64)
+    px = np.repeat(np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1) \
+        .astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_from_pixels(px, quality=50))
+    assert np.array_equal(dec[:, :, 0], px)
