@@ -142,10 +142,10 @@ def _make_tally():
 
 def _counting(ds, tally):
     """Pass-through map_batches that tallies (rows, text bytes) into the
-    progress actor as the ONE real scan streams — replaces the old
-    post-hoc second full read of the input (ADVICE round 2): the display
-    is now live (reference CLI.pm:115-156 semantics) and input IO is
-    paid once."""
+    progress actor.  The caller must consume the tapped dataset EXACTLY
+    once (the CLI materializes through it) — Ray re-executes lineage per
+    consumer, so an unmaterialized tap would multi-count the corpus once
+    per downstream cascade branch."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -302,6 +302,14 @@ def main(argv: list[str] | None = None) -> int:
 
             poll_thread = threading.Thread(target=_poll, daemon=True)
             poll_thread.start()
+            # materialize THROUGH the tap: the counted scan executes
+            # exactly once, right now, with the poll thread repainting
+            # live — and every downstream cascade branch (planning,
+            # uniques, candidates) reuses the materialized blocks instead
+            # of re-reading (and re-counting) the input per branch.
+            # Resumed checkpoint runs count the same way (the tally no
+            # longer depends on whether the pipeline re-executes).
+            ds = ds.materialize()
 
         def build():
             return exact.dedup_pages(

@@ -45,14 +45,22 @@ from data_dedup_ray.pipelines.search import _matrix, _normalize
 
 
 def _seed_centroids(emb: ray.data.Dataset, k: int, id_col: str,
-                    emb_col: str) -> np.ndarray:
+                    emb_col: str):
     """Deterministic init: the embeddings of ``vec_id < k``, in id order
-    (k rows — driver-small by the paper's own k ≪ N contract)."""
+    (k rows — driver-small by the paper's own k ≪ N contract).  Returns
+    ``(seed_ids, unit_matrix)``; cluster labels are the seeds' ACTUAL
+    ids, so output semantics never depend on id contiguity, and a corpus
+    missing some of the first k ids fails loudly instead of silently
+    shrinking k."""
     seeds = emb.filter(expr=f"{id_col} < {int(k)}").to_pandas()
-    if len(seeds) == 0:
-        raise ValueError(f"no seed rows with {id_col} < {k}")
+    if len(seeds) != k:
+        raise ValueError(
+            f"expected {k} seed rows with {id_col} < {k}, found "
+            f"{len(seeds)} — pass a k matching the corpus's id range")
     seeds = seeds.sort_values(id_col)
-    return _normalize(np.array(seeds[emb_col].tolist(), dtype=np.float64))
+    seed_ids = seeds[id_col].to_numpy().astype(np.int64)
+    return seed_ids, _normalize(
+        np.array(seeds[emb_col].tolist(), dtype=np.float64))
 
 
 def _lloyd_refine(emb: ray.data.Dataset, cent: np.ndarray, iters: int,
@@ -103,21 +111,22 @@ def kmeans_assign(
 ) -> ray.data.Dataset:
     """(vec_id, cluster_id, cos_bp): nearest-centroid assignment after
     ``iters`` Lloyd refinements of the deterministic seed centroids.
-    Ties break to the lowest cluster id (argmax-first = DuckDB's
-    ``ORDER BY cos DESC, cid``)."""
-    cent = _seed_centroids(emb, k, id_col, emb_col)
+    Cluster labels are the seed rows' vec_ids; ties break to the lowest
+    (argmax-first over id-sorted seeds = DuckDB's ``ORDER BY cos DESC,
+    cid``)."""
+    seed_ids, cent = _seed_centroids(emb, k, id_col, emb_col)
     cent = _lloyd_refine(emb, cent, iters, id_col, emb_col)
-    ref = ray.put(cent)
+    ref = ray.put((seed_ids, cent))
 
     def assign(batch: pa.Table) -> pa.Table:
-        C = ray.get(ref)
+        sids, C = ray.get(ref)
         X = _normalize(_matrix(batch, emb_col))
         sims = X @ C.T
         a = np.argmax(sims, axis=1)
         best = sims[np.arange(len(a)), a]
         return pa.table({
             "vec_id": batch[id_col].combine_chunks(),
-            "cluster_id": pa.array(a.astype(np.int64)),
+            "cluster_id": pa.array(sids[a]),
             "cos_bp": pa.array(
                 np.floor(best * 10000 + 0.5).astype(np.int64)),
         })
@@ -168,20 +177,20 @@ def semdedup_keep(
     # assignment recomputed inline so the embedding rides along with its
     # cluster id in ONE pass (no join between an assignment table and the
     # embedding table)
-    cent = _seed_centroids(emb, k, id_col, emb_col)
+    seed_ids, cent = _seed_centroids(emb, k, id_col, emb_col)
     cent = _lloyd_refine(emb, cent, iters, id_col, emb_col)
-    ref = ray.put(cent)
+    ref = ray.put((seed_ids, cent))
     P = num_partitions
 
     def tag(batch: pa.Table) -> pa.Table:
-        C = ray.get(ref)
+        sids, C = ray.get(ref)
         X = _normalize(_matrix(batch, emb_col))
-        a = np.argmax(X @ C.T, axis=1).astype(np.int64)
+        a = np.argmax(X @ C.T, axis=1)
         return pa.table({
             "vec_id": batch[id_col].combine_chunks(),
-            "cluster_id": pa.array(a),
+            "cluster_id": pa.array(sids[a]),
             "embedding": batch[emb_col].combine_chunks(),
-            "_part": pa.array(a % P),
+            "_part": pa.array(a.astype(np.int64) % P),
         })
 
     tagged = emb.map_batches(tag, batch_format="pyarrow")

@@ -342,34 +342,47 @@ def _extend(v: int, size: int) -> int:
 
 def parse_jpeg_header(blob: bytes):
     """``(width, height, mode, codec)`` from the SOF0/SOF2 segment;
-    ``None`` when the bytes are not a JPEG."""
+    ``None`` when the bytes are not a JPEG — including streams truncated
+    mid-segment (a partial download must quarantine, not raise)."""
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         return None
     pos = 2
-    while pos + 4 <= len(blob):
-        if blob[pos] != 0xFF:
-            return None
-        marker = blob[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if marker == 0xD9:
-            return None
-        (size,) = struct.unpack_from(">H", blob, pos + 2)
-        if marker in (0xC0, 0xC1, 0xC2):
-            _prec, h, w, nc = struct.unpack_from(">BHHB", blob, pos + 4)
-            mode = {1: "gray", 3: "rgb", 4: "cmyk"}.get(nc)
-            if mode is None or w <= 0 or h <= 0:
+    try:
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
                 return None
-            return w, h, mode, "jpeg"
-        pos += 2 + size
+            marker = blob[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                return None
+            (size,) = struct.unpack_from(">H", blob, pos + 2)
+            if marker in (0xC0, 0xC1, 0xC2):
+                _prec, h, w, nc = struct.unpack_from(">BHHB", blob, pos + 4)
+                mode = {1: "gray", 3: "rgb", 4: "cmyk"}.get(nc)
+                if mode is None or w <= 0 or h <= 0:
+                    return None
+                return w, h, mode, "jpeg"
+            pos += 2 + size
+    except struct.error:
+        return None
     return None
 
 
 def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
     """(h, w, c) uint8 from a baseline sequential JPEG (SOF0, 8-bit,
     sampling factors 1 or 2, optional restart intervals).  Progressive
-    (SOF2) and arithmetic-coded streams raise ValueError."""
+    (SOF2), arithmetic-coded, and CORRUPT streams all raise ValueError —
+    internal failure modes (undefined table ids, truncated segments,
+    malformed bodies) are normalized so callers need one except type."""
+    try:
+        return _decode_jpeg(blob)
+    except (KeyError, IndexError, struct.error) as ex:
+        raise ValueError(f"corrupt JPEG stream: {ex!r}") from ex
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

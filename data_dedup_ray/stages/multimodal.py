@@ -141,7 +141,10 @@ def decode_png_pixels(blob: bytes) -> np.ndarray:
         elif cid == b"IEND":
             break
         pos += 12 + size  # length + type + data + crc
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:  # corrupt IDAT quarantines, never crashes
+        raise ValueError(f"corrupt PNG stream: {ex}") from ex
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")

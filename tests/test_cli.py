@@ -200,7 +200,14 @@ def test_cli_verbose_scan_summary(ray_session, pages_parquet, tmp_path):
 
     m = _re.search(r"scanned (\d+) pages, (.+B)$", r.stderr, _re.M)
     assert m, r.stderr[-2000:]
-    assert int(m.group(1)) > 0
+    # EXACT count: the tap is materialized-through once, so lineage
+    # re-execution by later cascade branches must not multi-count
+    import duckdb
+
+    n_pages = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{pages_parquet}/*.parquet')"
+    ).fetchone()[0]
+    assert int(m.group(1)) == n_pages, (m.group(1), n_pages)
 
 
 def test_progress_display_throttle_and_clear():

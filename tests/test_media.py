@@ -416,3 +416,48 @@ def test_image_meta_jpeg_oracle(ray_session):
     for c in ("width", "height", "pixel_sum"):
         assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
     assert (got["mode"] == "gray").all()
+
+
+def test_corrupt_payloads_quarantine_not_crash():
+    """Truncated/garbage image streams must flag the row, never kill the
+    task: truncated-JPEG header parse returns None; corrupt PNG IDAT and
+    undefined JPEG table ids normalize to ValueError; the pixel stages
+    report decode failure as data."""
+    import struct
+    import zlib as _zlib
+
+    import pyarrow as pa
+
+    from data_dedup_ray.stages.jpeg import (decode_jpeg_pixels, encode_jpeg,
+                                            parse_jpeg_header)
+    from data_dedup_ray.stages.multimodal import (_png_chunk, _PNG_SIG,
+                                                  decode_png_pixels,
+                                                  DecodeImagePixels,
+                                                  ResizeImage)
+
+    # JPEG truncated inside a marker segment: parse yields None (fake path)
+    trunc = encode_jpeg(16, 16, seed=0)[:20]
+    assert parse_jpeg_header(trunc) is None
+
+    # JPEG whose scan references an undefined Huffman table: ValueError
+    blob = bytearray(encode_jpeg(16, 16, seed=0))
+    i = blob.find(b"\xff\xda")
+    blob[i + 6] = 0x55  # DC table 5 / AC table 5 (never defined)
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        decode_jpeg_pixels(bytes(blob))
+
+    # PNG with garbage IDAT: ValueError, and the stage marks the row
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    bad_png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", b"not deflate data")
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_png_pixels(bad_png)
+
+    t = pa.table({"payload": pa.array([bad_png, trunc], pa.binary())})
+    out = DecodeImagePixels()(t)
+    assert out["pixel_sum"].to_pylist() == [0, 0]
+    res = ResizeImage(target_w=4, target_h=4)(t)
+    assert res.num_rows == 2  # fell back to the stand-in, no crash
+    # sanity: zlib unused-import guard
+    assert _zlib.crc32(b"") == 0
