@@ -264,8 +264,7 @@ def shingle_rows(
     emission and the verify join all skip empty sets naturally."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        cat, sizes = shingle_sets(texts, shingle_k)
+        cat, sizes = shingle_sets(batch[text_col], shingle_k)
         offs = np.zeros(len(sizes) + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
         blobs = [cat[offs[i]: offs[i + 1]].tobytes() for i in range(len(sizes))]

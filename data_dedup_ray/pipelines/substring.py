@@ -196,8 +196,7 @@ def _token_rows(ds: ray.data.Dataset, *, id_col: str, text_col: str
     from data_dedup_ray.stages.minhash import tokenize_batch
 
     def fn(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        hashes, counts = tokenize_batch(texts)
+        hashes, counts = tokenize_batch(b[text_col])
         offs = np.zeros(len(counts) + 1, dtype=np.int64)
         np.cumsum(counts, out=offs[1:])
         blobs = [hashes[offs[i]: offs[i + 1]].astype(np.int64).tobytes()

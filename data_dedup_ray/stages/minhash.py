@@ -6,8 +6,10 @@ vectorized ``map_batches`` actor stage (permutation parameters built once
 per actor in ``__init__``).
 
 Vectorization strategy (no per-shingle Python):
-- tokenize each text with one compiled C regex (the only per-row Python);
-- hash ALL tokens of a batch in one ``pd.util.hash_array`` call;
+- tokenize + hash ALL tokens of a batch in one vectorized polars pass
+  (``str.extract_all`` + seeded 64-bit hash — no per-token Python
+  objects; the regex-findall path remains as the no-polars fallback and
+  the ``token_hash``-override path);
 - shingle hashes = polynomial rolling combine of k consecutive token hashes
   over the whole concatenated array (numpy, mod 2^64), masking windows that
   cross document boundaries;
@@ -65,15 +67,45 @@ def sha256_token_hash(flat: list) -> np.ndarray:
 def tokenize_batch(texts, token_hash=None) -> tuple[np.ndarray, np.ndarray]:
     """→ (concatenated token hash array, per-doc token counts).
 
+    ``texts`` may be a Python list OR a pyarrow (Chunked)Array — the hot
+    callers hand the Arrow column straight through so the default path
+    never builds per-token Python strings.
+
     ``token_hash``: optional replacement for the default deterministic
-    ``pd.util.hash_array`` (e.g. ``sha256_token_hash`` for SQL parity)."""
+    token hash (e.g. ``sha256_token_hash`` for SQL parity).  Named
+    overrides take a list of token strings, so that path tokenizes in
+    Python.  The DEFAULT identity hash is polars' seeded 64-bit string
+    hash — deterministic across processes for a fixed polars version,
+    which is all shingle identity needs (within-run cross-worker
+    consistency; exactness is restored by the Jaccard verify stage, and
+    hash collisions cost p≈2⁻⁶⁴ like any hashed-shingle scheme)."""
+    if token_hash is None:
+        try:
+            import polars as pl
+
+            s = (pl.from_arrow(texts) if isinstance(
+                     texts, (pa.Array, pa.ChunkedArray))
+                 else pl.Series(texts, dtype=pl.Utf8))
+            lst = s.str.extract_all(r"[a-z0-9]+")
+            counts = (lst.list.len().fill_null(0)
+                      .to_numpy().astype(np.int64))
+            if counts.sum():
+                hashes = (lst.explode(empty_as_null=False).drop_nulls()
+                          .hash(seed=0).to_numpy().astype(np.uint64))
+            else:
+                hashes = np.empty(0, dtype=np.uint64)
+            return hashes, counts
+        except ImportError:  # pragma: no cover - polars is baked in
+            pass
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts.to_pylist()
     toks = [TOKEN_RE.findall(t) if t else [] for t in texts]
     counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
     flat = [w for doc in toks for w in doc]
     if flat:
         if token_hash is not None:
             hashes = token_hash(flat)
-        else:
+        else:  # pragma: no cover - reached only without polars
             hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
     else:
         hashes = np.empty(0, dtype=np.uint64)
@@ -180,9 +212,8 @@ class MinHashLSH:
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
-        sig, has = self.signatures(texts)
+        sig, has = self.signatures(batch[self.text_col])
         return self.band_table(sig, ids[has])
 
 

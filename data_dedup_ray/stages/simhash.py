@@ -2,7 +2,7 @@
 
 north_rule extension (SURVEY.md §7 M3).  Fingerprint: token-frequency
 weighted Charikar SimHash over the same deterministic tokenizer as MinHash
-(stages/minhash.py); fully vectorized — one ``pd.util.hash_array`` per
+(stages/minhash.py); fully vectorized — one ``tokenize_batch`` call per
 batch, one ``np.add.reduceat`` for the per-document bit sums.
 
 Candidate search for Hamming distance ≤ 3 uses a TWO-level pigeonhole: 64
@@ -119,9 +119,9 @@ class SimHashFingerprints:
         self.token_hash = HASH_FNS[hash_fn]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
-        fp, has = simhash_batch(texts, token_hash=self.token_hash)
+        fp, has = simhash_batch(batch[self.text_col],
+                                token_hash=self.token_hash)
         if not self.keep_empty:
             return pa.table(
                 {
@@ -149,9 +149,9 @@ class SimHashStage:
         self.token_hash = HASH_FNS[hash_fn]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
-        fp, has = simhash_batch(texts, token_hash=self.token_hash)
+        fp, has = simhash_batch(batch[self.text_col],
+                                token_hash=self.token_hash)
         ids = ids[has]
         kv = key_values(fp)
         n = len(ids)

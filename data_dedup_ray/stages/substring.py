@@ -30,13 +30,8 @@ near-dup family so "token" means one thing engine-wide).
 
 from __future__ import annotations
 
-
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-
-from data_dedup_ray.stages.minhash import TOKEN_RE
 
 _POLY = np.uint64(0x100000001B3)
 
@@ -55,9 +50,8 @@ def window_hash_rows(
     shingles), so the SQL twin — DuckDB ``md5(array_to_string(...))``
     groups, ``oracles.substring_dup_sql`` — is unchanged: neither side's
     hash VALUES appear in the output, only the group structure."""
-    texts = batch[text_col].to_pylist()
     ids = batch[id_col].to_pylist()
-    win, counts = _rolling_window_hashes(texts, min_tokens)
+    win, counts = _rolling_window_hashes(batch[text_col], min_tokens)
     nw = np.maximum(counts - min_tokens + 1, 0)
     # doc d's (non-boundary-crossing) windows: win[tok_off_d : +nw_d]
     tok_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
@@ -72,19 +66,17 @@ def window_hash_rows(
     )
 
 
-def _rolling_window_hashes(texts: list, min_tokens: int) -> tuple[np.ndarray, np.ndarray]:
+def _rolling_window_hashes(texts, min_tokens: int) -> tuple[np.ndarray, np.ndarray]:
     """→ (concatenated per-position window hashes, per-doc window counts).
 
-    Polynomial combine of ``min_tokens`` consecutive token hashes, computed
-    over the whole batch's concatenated token-hash array with boundary
-    masking — ``min_tokens`` numpy ops total, no per-window Python."""
-    toks = [TOKEN_RE.findall(t) if t else [] for t in texts]
-    counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-    flat = [w for doc in toks for w in doc]
-    hashes = (
-        pd.util.hash_array(np.asarray(flat, dtype=object))
-        if flat else np.empty(0, dtype=np.uint64)
-    )
+    Polynomial combine of ``min_tokens`` consecutive token hashes
+    (token hash = the engine-wide ``minhash.tokenize_batch`` identity),
+    computed over the whole batch's concatenated token-hash array with
+    boundary masking — ``min_tokens`` numpy ops total, no per-window
+    Python."""
+    from data_dedup_ray.stages.minhash import tokenize_batch
+
+    hashes, counts = tokenize_batch(texts)
     k = min_tokens
     n = len(hashes)
     with np.errstate(over="ignore"):
@@ -107,9 +99,8 @@ def winnowed_rows(
     minimum is selected; selections are deduplicated by position.  Any span
     of ``min_tokens + winnow_w − 1`` tokens shared between two documents
     yields at least one identical selected (hash, aligned-content) pair."""
-    texts = batch[text_col].to_pylist()
     ids = batch[id_col].to_pylist()
-    win, counts = _rolling_window_hashes(texts, min_tokens)
+    win, counts = _rolling_window_hashes(batch[text_col], min_tokens)
     # window hashes were computed over the CONCATENATED token-hash array;
     # doc d's valid (non-boundary-crossing) windows are the slice
     # win[tok_off_d : tok_off_d + n_windows_d].

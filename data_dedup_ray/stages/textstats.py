@@ -145,10 +145,9 @@ def doc_fingerprint(batch: pa.Table, *, text_col: str = "text",
     near-identity key (rows-only check; hash not SQL-expressible)."""
     from data_dedup_ray.stages.minhash import shingle_sets
 
-    texts = batch[text_col].to_pylist()
-    cat, sizes = shingle_sets(texts, shingle_k)
+    cat, sizes = shingle_sets(batch[text_col], shingle_k)
     offs = np.concatenate([[0], np.cumsum(sizes)])
-    fp = np.zeros(len(texts), dtype=np.int64)
+    fp = np.zeros(len(batch), dtype=np.int64)
     has = sizes > 0
     if has.any():
         fp[has] = np.minimum.reduceat(cat, offs[:-1][has]).view(np.int64)
