@@ -682,6 +682,23 @@ def _q_decontaminate_hashed(sf_dir: str):
     return _clean.decontaminate(sf_dir, grams="hash64")
 
 
+def _q_chunk_dedup_fixed(sf_dir: str):
+    from data_dedup_ray.pipelines import chunks as _chunks
+
+    return _chunks.chunk_dedup_fixed(sf_dir)
+
+
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Gear-hash content-defined chunking (LBFS/FastCDC family) over the
+    html blobs — rows-only (the gear boundary rule is not reasonably
+    SQL-restatable); the oracle-backed sibling is ``chunk_dedup_fixed``
+    (same hash identity + rollup kernel) and the splitter is pinned by
+    reconstruction/bounds/shift-resilience tests (tests/test_chunks.py)."""
+    from data_dedup_ray.pipelines import chunks as _chunks
+
+    return _chunks.cdc_chunk_stats(sf_dir)
+
+
 def _q_exact_dedup_bloom(sf_dir: str):
     """colliding_filter='bloom' — blocks must be bit-identical to exact
     mode, so it shares exact_dedup_clusters' oracle."""
@@ -731,6 +748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merged_token_counts": _q_bpe_merged_token_counts,
         "decontaminate_hashed": _q_decontaminate_hashed,
         "exact_dedup_bloom": _q_exact_dedup_bloom,
+        "chunk_dedup_fixed": _q_chunk_dedup_fixed,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -756,9 +775,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "identity_collapse": _q_identity_collapse,
         "hardlink_groups": _q_hardlinks,
         "token_shards": _q_token_shards,
+        # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
+        # (decontaminate / bpe_token_counts rotated out for the round-3
+        # chunk-dedup additions: both have green r2 rows and their DEFAULT
+        # behavior is unchanged this round)
         "decontaminate": _q_decontaminate,
         "bpe_token_counts": _q_bpe_token_counts,
-        # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
         "line_dedup": _q_line_dedup,
         "image_meta_bmp": _q_image_meta_bmp,
         "audio_windows_wav": _q_audio_windows_wav,
@@ -825,6 +847,11 @@ def oracle_sql() -> dict[str, str]:
         # hash64 mode has the SAME exact twin: blake2b-64 gram-hash
         # collisions are the only theoretical divergence (~n²/2⁶⁴)
         "decontaminate_hashed": _clean.decontaminate_sql(),
+        # fixed-size chunk dedup over the html BLOB — DuckDB restates the
+        # chunking via hex-string slicing; cdc_chunk_stats intentionally
+        # omitted (gear boundary rule not SQL-restatable) → rows-only,
+        # with chunk_dedup_fixed as the oracle-backed sibling.
+        "chunk_dedup_fixed": oracles.chunk_dedup_fixed_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

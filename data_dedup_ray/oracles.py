@@ -293,3 +293,28 @@ def cascade_counters_sql() -> str:
         "UNION ALL SELECT 1, kc1, c1.v FROM kc, c1\n"
         "UNION ALL SELECT 2, kc2, c2.v FROM kc, c2"
     )
+
+
+def chunk_dedup_fixed_sql(chunk_size: int = 512) -> str:
+    """SQL twin of pipelines/chunks.chunk_dedup_fixed: fixed-size chunks of
+    the html BLOB via hex-string slicing (2 hex chars per byte — DuckDB's
+    ``sha256`` takes VARCHAR, so both sides hash the lowercase hex of the
+    chunk bytes), grouped to the multi-copy chunk table."""
+    from data_dedup_ray.corpus import web_pages_sql
+
+    L = int(chunk_size)
+    return web_pages_sql(
+        ", chunks AS (\n"
+        "  SELECT url,\n"
+        f"    substring(hex(html), CAST(1 + i*{2 * L} AS BIGINT), {2 * L})"
+        " AS hx\n"
+        "  FROM (SELECT url, html,\n"
+        "    unnest(range(CAST(ceil(octet_length(html)"
+        f" / {L}.0) AS BIGINT))) AS i\n"
+        "    FROM web_pages))\n"
+        "SELECT sha256(lower(hx)) AS chunk_hash,\n"
+        "  CAST(count(*) AS BIGINT) AS n_copies,\n"
+        "  CAST(length(hx) // 2 AS BIGINT) AS chunk_len,\n"
+        "  min(url) AS canonical_url\n"
+        "FROM chunks GROUP BY hx HAVING count(*) > 1"
+    )

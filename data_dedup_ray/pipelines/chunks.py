@@ -1,0 +1,301 @@
+"""Chunk-level storage dedup over the binary ``html`` column — fixed-size
+and content-defined (CDC) chunking.
+
+north_rule extension.  The reference deduplicates whole files by a digest
+cascade (/root/reference/lib/Data/Dedup/Files.pm:104-116); classic storage
+dedup refines that to SUB-file granularity: split each blob into chunks,
+hash each chunk, and group identical chunks across the corpus.  Two
+splitters:
+
+- ``fixed_chunk_rows``: fixed ``chunk_size``-byte offsets — the simple
+  splitter, and the SQL-twin-able one (DuckDB can restate it exactly:
+  ``sha256(lower(substring(hex(html), 1 + i*2L, 2L)))`` over an unnested
+  ``range(ceil(octet_length/L))`` — see ``oracles.chunk_dedup_fixed_sql``).
+  One byte inserted at the front shifts every later chunk, so fixed
+  chunking misses shifted duplicates — which is exactly what CDC fixes.
+- ``cdc_chunk_rows``: content-defined chunking with a gear rolling hash
+  (the LBFS / FastCDC family: Muthitacharoen et al., SOSP'01 "A
+  Low-bandwidth Network File System"; Xia et al., USENIX ATC'16
+  "FastCDC").  A boundary is declared after byte ``i`` when the gear
+  hash of the trailing 64 bytes has ``log2(avg_size)`` zero low bits,
+  clamped to ``[min_size, max_size]``.  Boundaries depend only on LOCAL
+  content, so an insertion re-synchronizes within ~one chunk and the
+  rest of the blob dedups against the unshifted copy (pinned by the
+  shift-resilience property test).
+
+Chunk identity is ``sha256`` of the LOWERCASE HEX of the chunk bytes —
+hex rather than raw bytes only because the SQL twin's ``sha256()`` takes
+VARCHAR, not BLOB; both sides hash the identical string.
+
+Vectorization: the gear hash is computed for ALL positions of a batch in
+64 numpy ops (the 64-byte window makes it a shift-weighted convolution —
+the same trick as the rolling token-window hashes in stages/substring.py);
+the min/max clamp walks only the SPARSE candidate set (≈ bytes/avg_size
+entries).  Per-chunk sha256 is a C-speed hashlib call per chunk (bounded
+by chunks-per-batch, never per byte).
+
+100 TB shape: chunk BYTES never enter a shuffle — only fixed-width
+``(chunk_hash, chunk_len, url)`` rows flow through the sortless
+``hash_exchange``, with a map-side combiner collapsing within-batch
+repeats before the exchange; the multi-copy group table that reaches the
+caller is output-sized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+#: gear table: 256 deterministic uint64s, derived from public knowledge
+#: only (sha256 of the byte value) — no seed state to ship to workers
+_GEAR = np.frombuffer(
+    b"".join(hashlib.sha256(bytes([i])).digest()[:8] for i in range(256)),
+    dtype=">u8",
+).astype(np.uint64)
+
+_WINDOW = 64  # gear window: bits shifted out after 64 steps
+
+_CHUNK_ROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("chunk_idx", pa.int64()),
+        ("chunk_len", pa.int64()),
+        ("chunk_hash", pa.string()),
+    ]
+)
+
+_GROUP_SCHEMA = pa.schema(
+    [
+        ("chunk_hash", pa.string()),
+        ("n_copies", pa.int64()),
+        ("chunk_len", pa.int64()),
+        ("canonical_url", pa.string()),
+    ]
+)
+
+
+def _chunk_hash(chunk: bytes) -> str:
+    return hashlib.sha256(chunk.hex().encode("ascii")).hexdigest()
+
+
+def _binary_buffers(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """binary column → (concatenated uint8 data, int64 row offsets)."""
+    arr = col.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    off_dt = np.int64 if width == 8 else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dt,
+                        count=len(arr) + 1 + arr.offset)
+    off = off[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, off
+
+
+def fixed_chunk_rows(
+    pages: ray.data.Dataset,
+    *,
+    chunk_size: int = 512,
+    id_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """``(url, chunk_idx, chunk_len, chunk_hash)`` — fixed-offset chunks."""
+    L = int(chunk_size)
+
+    def fn(t: pa.Table) -> pa.Table:
+        data, off = _binary_buffers(t[html_col])
+        ids = t[id_col].to_pylist()
+        urls, idxs, lens, hashes = [], [], [], []
+        mv = data.tobytes()  # one copy; memoryview slices after
+        for r, url in enumerate(ids):
+            s, e = int(off[r]), int(off[r + 1])
+            for ci, cs in enumerate(range(s, e, L)):
+                ce = min(cs + L, e)
+                urls.append(url)
+                idxs.append(ci)
+                lens.append(ce - cs)
+                hashes.append(_chunk_hash(mv[cs:ce]))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_len": pa.array(lens, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def _gear_hashes(data: np.ndarray) -> np.ndarray:
+    """Gear hash at every position of ``data`` (uint8) in 64 numpy ops:
+    ``h[i] = Σ_{j<64} GEAR[data[i-j]] << j`` — the closed form of the
+    recurrence ``h = (h << 1) + GEAR[b]`` once ``j ≥ 64`` bits have
+    shifted out."""
+    n = len(data)
+    g = _GEAR[data]
+    h = g.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, _WINDOW):
+            h[j:] += g[: n - j] << np.uint64(j)
+    return h
+
+
+def cdc_boundaries(
+    data: np.ndarray,
+    doc_offsets: np.ndarray,
+    *,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined chunk boundaries for each doc segment of ``data``.
+
+    → (chunk start offsets, chunk end offsets), both absolute into
+    ``data``, covering every doc segment exactly.  ``avg_size`` must be a
+    power of two (the boundary test is ``gear & (avg-1) == 0``).
+    ``min_size ≥ 64`` keeps the gear window inside the current doc, so
+    boundaries never depend on a neighboring doc's bytes."""
+    assert avg_size & (avg_size - 1) == 0, "avg_size must be a power of 2"
+    assert min_size >= _WINDOW, "min_size must cover the gear window"
+    mask = np.uint64(avg_size - 1)
+    h = _gear_hashes(data)
+    cand = np.flatnonzero((h & mask) == 0)  # boundary AFTER byte i
+    starts, ends = [], []
+    for d in range(len(doc_offsets) - 1):
+        s, e = int(doc_offsets[d]), int(doc_offsets[d + 1])
+        lo = np.searchsorted(cand, s)
+        hi = np.searchsorted(cand, e)
+        dc = cand[lo:hi]
+        pos = s
+        while pos < e:
+            limit = min(pos + max_size, e)
+            j = np.searchsorted(dc, pos + min_size - 1)
+            cut = None
+            if j < len(dc) and dc[j] < limit:
+                cut = int(dc[j]) + 1
+            elif limit < e:
+                cut = limit
+            else:
+                cut = e
+            starts.append(pos)
+            ends.append(cut)
+            pos = cut
+    return (np.asarray(starts, np.int64), np.asarray(ends, np.int64))
+
+
+def cdc_chunk_rows(
+    pages: ray.data.Dataset,
+    *,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+    id_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """``(url, chunk_idx, chunk_len, chunk_hash)`` — gear-CDC chunks."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        data, off = _binary_buffers(t[html_col])
+        ids = t[id_col].to_pylist()
+        starts, ends = cdc_boundaries(
+            data, off, min_size=min_size, avg_size=avg_size,
+            max_size=max_size)
+        # chunk r belongs to the doc whose segment contains starts[r]
+        doc_of = np.searchsorted(off, starts, side="right") - 1
+        idx = np.arange(len(starts)) - np.searchsorted(starts, off[doc_of])
+        mv = data.tobytes()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [ids[d] for d in doc_of.tolist()], pa.string()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "chunk_len": pa.array(ends - starts, pa.int64()),
+                "chunk_hash": pa.array(
+                    [_chunk_hash(mv[s:e])
+                     for s, e in zip(starts.tolist(), ends.tolist())],
+                    pa.string()),
+            }
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def _dup_chunk_groups(
+    rows: ray.data.Dataset, *, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """chunk rows → ``(chunk_hash, n_copies, chunk_len, canonical_url)``
+    for every chunk occurring more than once (identical-content chunks
+    share ``chunk_len`` by construction)."""
+    P = num_partitions
+
+    def with_part(t: pa.Table) -> pa.Table:
+        part = key_partition(t["chunk_hash"].to_numpy(zero_copy_only=False), P)
+        return t.append_column("_part", pa.array(part))
+
+    def combine(t: pa.Table) -> pa.Table:
+        # map-side partial: within-batch copy counts + min url
+        return (
+            t.group_by(["chunk_hash", "chunk_len", "_part"])
+            .aggregate([("url", "count"), ("url", "min")])
+            .rename_columns(
+                ["chunk_hash", "chunk_len", "_part", "n_copies",
+                 "canonical_url"])
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t)
+                 for c, t in [("chunk_hash", object), ("n_copies", np.int64),
+                              ("chunk_len", np.int64),
+                              ("canonical_url", object)]})
+        g = df.groupby("chunk_hash", sort=False, as_index=False).agg(
+            n_copies=("n_copies", "sum"), chunk_len=("chunk_len", "first"),
+            canonical_url=("canonical_url", "min"))
+        return g.loc[g["n_copies"] > 1,
+                     ["chunk_hash", "n_copies", "chunk_len",
+                      "canonical_url"]]
+
+    in_schema = pa.schema(
+        [("chunk_hash", pa.string()), ("chunk_len", pa.int64()),
+         ("n_copies", pa.int64()), ("canonical_url", pa.string())])
+    return hash_exchange(
+        [rows.map_batches(with_part, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=_GROUP_SCHEMA,
+        in_schemas=[in_schema],
+        pre=[combine],
+    )
+
+
+def chunk_dedup_fixed(sf_dir: str, *, chunk_size: int = 512) -> ray.data.Dataset:
+    """Driver query: multi-copy fixed-size chunk groups over web_pages —
+    full SQL twin in ``oracles.chunk_dedup_fixed_sql``."""
+    pages = web_pages(sf_dir).select_columns(["url", "html"])
+    return _dup_chunk_groups(fixed_chunk_rows(pages, chunk_size=chunk_size))
+
+
+def cdc_chunk_stats(
+    sf_dir: str, *, min_size: int = 64, avg_size: int = 256,
+    max_size: int = 1024,
+) -> ray.data.Dataset:
+    """Driver query: multi-copy CDC chunk groups over web_pages.
+
+    Rows-only for the driver (the gear boundary rule is not reasonably
+    SQL-restatable); the oracle-backed sibling is ``chunk_dedup_fixed``
+    (same hash identity, same group/rollup kernel), and the CDC splitter
+    itself is pinned by reconstruction / bounds / shift-resilience
+    property tests (tests/test_chunks.py)."""
+    pages = web_pages(sf_dir).select_columns(["url", "html"])
+    rows = cdc_chunk_rows(pages, min_size=min_size, avg_size=avg_size,
+                          max_size=max_size)
+    return _dup_chunk_groups(rows)

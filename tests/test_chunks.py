@@ -1,0 +1,119 @@
+"""Chunk-level dedup: fixed-size SQL-oracle parity + CDC properties."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pytest
+
+from data_dedup_ray.pipelines import chunks
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hash(b: bytes) -> str:
+    return hashlib.sha256(b.hex().encode()).hexdigest()
+
+
+def _cdc_chunks_of(data: bytes, **kw) -> list:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    starts, ends = chunks.cdc_boundaries(
+        arr, np.array([0, len(arr)], np.int64), **kw)
+    return [data[s:e] for s, e in zip(starts, ends)]
+
+
+@pytest.fixture(scope="module")
+def blob():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=20_000, dtype=np.uint8).tobytes()
+
+
+def test_fixed_chunk_oracle_parity(ray_session):
+    from data_dedup_ray.oracles import chunk_dedup_fixed_sql
+
+    got = (chunks.chunk_dedup_fixed(SF).to_pandas()
+           .sort_values("chunk_hash").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(chunk_dedup_fixed_sql()).fetchdf()
+            .sort_values("chunk_hash").reset_index(drop=True))
+    assert list(got.columns) == ["chunk_hash", "n_copies", "chunk_len",
+                                 "canonical_url"]
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert (got[c].astype(str).values == want[c].astype(str).values).all()
+
+
+def test_cdc_reconstruction_and_bounds(blob):
+    cs = _cdc_chunks_of(blob, min_size=64, avg_size=256, max_size=1024)
+    assert b"".join(cs) == blob
+    lens = [len(c) for c in cs]
+    assert all(length <= 1024 for length in lens)
+    # every chunk except possibly the last respects min_size
+    assert all(length >= 64 for length in lens[:-1])
+    # avg in the right ballpark (gear mask = avg-1 plus the clamp)
+    assert 128 <= len(blob) / len(cs) <= 1024
+
+
+def test_cdc_deterministic(blob):
+    a = [_hash(c) for c in _cdc_chunks_of(blob)]
+    b = [_hash(c) for c in _cdc_chunks_of(blob)]
+    assert a == b
+
+
+def test_cdc_shift_resilience_vs_fixed(blob):
+    """Prepending bytes re-syncs CDC within ~one chunk; fixed-offset
+    chunking loses (almost) everything — the reason CDC exists."""
+    prefix = b"\x00" * 137  # not a multiple of the fixed chunk size
+    shifted = prefix + blob
+
+    base_cdc = {_hash(c) for c in _cdc_chunks_of(blob)}
+    shift_cdc = {_hash(c) for c in _cdc_chunks_of(shifted)}
+    cdc_kept = len(base_cdc & shift_cdc) / len(base_cdc)
+
+    def fixed_hashes(data: bytes, L: int = 512) -> set:
+        return {_hash(data[i: i + L]) for i in range(0, len(data), L)}
+
+    fixed_kept = (len(fixed_hashes(blob) & fixed_hashes(shifted))
+                  / len(fixed_hashes(blob)))
+    assert cdc_kept >= 0.8
+    assert fixed_kept <= 0.1
+    assert cdc_kept > fixed_kept
+
+
+def test_cdc_boundaries_doc_independent(blob):
+    """Chunking two docs in one batch equals chunking each alone —
+    boundaries never leak across doc segments."""
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    half = len(arr) // 2
+    joint_s, joint_e = chunks.cdc_boundaries(
+        arr, np.array([0, half, len(arr)], np.int64))
+    a_s, a_e = chunks.cdc_boundaries(arr[:half], np.array([0, half], np.int64))
+    b_s, b_e = chunks.cdc_boundaries(arr[half:],
+                                     np.array([0, len(arr) - half], np.int64))
+    assert joint_s.tolist() == a_s.tolist() + (b_s + half).tolist()
+    assert joint_e.tolist() == a_e.tolist() + (b_e + half).tolist()
+
+
+def test_cdc_stats_find_mirror_dups(ray_session):
+    """mirror pages are byte-identical to their base page, so every one of
+    their CDC chunks must appear in a multi-copy group."""
+    got = chunks.cdc_chunk_stats(SF).to_pandas()
+    assert len(got) > 0
+    assert (got["n_copies"] >= 2).all()
+    rows = chunks.cdc_chunk_rows(
+        chunks.web_pages(SF).select_columns(["url", "html"])).to_pandas()
+    mirror = rows[rows["url"].str.startswith("https://mirror.")]
+    assert len(mirror) > 0
+    assert set(mirror["chunk_hash"]).issubset(set(got["chunk_hash"]))
+
+
+def test_fixed_rows_cover_blob(ray_session):
+    rows = chunks.fixed_chunk_rows(
+        chunks.web_pages(SF).select_columns(["url", "html"]),
+        chunk_size=512).to_pandas()
+    pages = chunks.web_pages(SF).select_columns(["url", "html"]).to_pandas()
+    per_url = rows.groupby("url")["chunk_len"].sum()
+    for url, html in zip(pages["url"], pages["html"]):
+        assert per_url.get(url, 0) == len(html)
