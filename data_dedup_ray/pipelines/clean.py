@@ -519,7 +519,6 @@ def near_dup_keep_best(
     """
     from data_dedup_ray.corpus import web_pages
     from data_dedup_ray.pipelines import near
-    from data_dedup_ray.stages.textstats import TOKEN_RE
 
     P = num_partitions
     pages = web_pages(sf_dir)
@@ -536,10 +535,9 @@ def near_dup_keep_best(
         })
 
     def prep_quality(t: pa.Table) -> pa.Table:
-        n_tok = np.fromiter(
-            (len(TOKEN_RE.findall(s.lower())) for s in t["text"].to_pylist()),
-            np.int64, len(t),
-        )
+        from data_dedup_ray.stages.minhash import token_counts
+
+        n_tok = token_counts(t["text"], lowercase=True)
         out = pa.table({
             "url": t["url"].combine_chunks(),
             "n_tokens": pa.array(n_tok),

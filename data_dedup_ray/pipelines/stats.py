@@ -291,7 +291,6 @@ def token_shards(sf_dir: str, *, budget: int = 50_000,
     exclusive per-block base to each block's local cumsum.  Shuffle
     volume is two int64 columns; nothing else moves."""
     from data_dedup_ray.engine.exchange import bucketize
-    from data_dedup_ray.stages.textstats import TOKEN_RE
 
     P = num_partitions
     docs = ray.data.read_parquet(
@@ -306,10 +305,10 @@ def token_shards(sf_dir: str, *, budget: int = 50_000,
     max_id = int(max_id)
 
     def counts(t: pa.Table) -> pa.Table:
+        from data_dedup_ray.stages.minhash import token_counts
+
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        n = np.fromiter(
-            (len(TOKEN_RE.findall(s)) if s else 0
-             for s in t["text"].to_pylist()), np.int64, len(ids))
+        n = token_counts(t["text"])
         part = np.minimum(ids * P // (max_id + 1), P - 1)
         return pa.table({
             "doc_id": pa.array(ids),

@@ -112,6 +112,33 @@ def tokenize_batch(texts, token_hash=None) -> tuple[np.ndarray, np.ndarray]:
     return hashes, counts
 
 
+def token_counts(texts, lowercase: bool = False) -> np.ndarray:
+    """Per-doc count of ``TOKEN_RE`` matches, vectorized (one polars
+    ``count_matches`` pass over the column — no per-token or per-doc
+    Python objects).  ``texts`` may be a list or a pyarrow
+    (Chunked)Array.  ``lowercase`` folds case first, matching the
+    ``len(TOKEN_RE.findall(s.lower()))`` convention of the text-quality
+    operators (the pattern is ASCII-only, so folding changes counts only
+    via full-unicode expansions, which both engines apply)."""
+    try:
+        import polars as pl
+
+        s = (pl.from_arrow(texts) if isinstance(
+                 texts, (pa.Array, pa.ChunkedArray))
+             else pl.Series(texts, dtype=pl.Utf8))
+        if lowercase:
+            s = s.str.to_lowercase()
+        return (s.str.count_matches(r"[a-z0-9]+").fill_null(0)
+                .to_numpy().astype(np.int64))
+    except ImportError:  # pragma: no cover - polars is baked in
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = texts.to_pylist()
+        return np.fromiter(
+            (len(TOKEN_RE.findall(t.lower() if lowercase else t))
+             if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts))
+
+
 def shingle_sets(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Distinct k-shingle hash sets for each text.
 

@@ -144,6 +144,48 @@ def test_shingle_sets_counts(texts):
         assert (s == 0) == (n_windows == 0)
 
 
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=0, max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_tokenize_polars_matches_regex_fallback(texts):
+    """The polars fast path and the regex-findall fallback must agree on
+    token COUNTS for arbitrary unicode input (hash values differ by
+    design — identity only needs within-run consistency), and arrow-column
+    input must equal list input bit-for-bit."""
+    import pyarrow as pa
+
+    from data_dedup_ray.stages.minhash import TOKEN_RE, tokenize_batch
+
+    h_list, c_list = tokenize_batch(texts)
+    h_arrow, c_arrow = tokenize_batch(pa.chunked_array([pa.array(
+        texts, pa.string())]))
+    assert c_list.tolist() == c_arrow.tolist()
+    assert h_list.tolist() == h_arrow.tolist()
+    want = [len(TOKEN_RE.findall(t)) if t else 0 for t in texts]
+    assert c_list.tolist() == want
+    assert len(h_list) == sum(want)
+
+
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=0, max_size=15),
+       st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_token_counts_matches_findall(texts, lowercase):
+    """The vectorized count path must agree with the per-row
+    regex-findall convention for arbitrary unicode, in both case
+    modes, for list and arrow-column input."""
+    import pyarrow as pa
+
+    from data_dedup_ray.stages.minhash import TOKEN_RE, token_counts
+
+    got = token_counts(texts, lowercase=lowercase)
+    got_arrow = token_counts(
+        pa.chunked_array([pa.array(texts, pa.string())]),
+        lowercase=lowercase)
+    want = [len(TOKEN_RE.findall(t.lower() if lowercase else t))
+            if t else 0 for t in texts]
+    assert got.tolist() == want
+    assert got_arrow.tolist() == want
+
+
 @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
                 min_size=0, max_size=50))
 @settings(max_examples=100, deadline=None)
