@@ -699,6 +699,23 @@ def _q_cdc_chunk_stats(sf_dir: str):
     return _chunks.cdc_chunk_stats(sf_dir)
 
 
+def _q_chunk_delta_snap2(sf_dir: str):
+    from data_dedup_ray.pipelines import chunks as _chunks
+
+    return _chunks.chunk_delta_snap2(sf_dir)
+
+
+def _q_chunk_delta_cdc(sf_dir: str):
+    """Cross-snapshot CDC chunk delta — rows-only (gear boundaries not
+    SQL-restatable); the oracle-backed sibling is ``chunk_delta_snap2``
+    (same anti-join + rollup kernel under fixed chunking), and the CDC
+    resync property (edit delta is O(edit), unchanged pages ship zero
+    bytes) is pinned by tests/test_chunks.py."""
+    from data_dedup_ray.pipelines import chunks as _chunks
+
+    return _chunks.chunk_delta_snap2_cdc(sf_dir)
+
+
 def _q_exact_dedup_bloom(sf_dir: str):
     """colliding_filter='bloom' — blocks must be bit-identical to exact
     mode, so it shares exact_dedup_clusters' oracle."""
@@ -750,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_bloom": _q_exact_dedup_bloom,
         "chunk_dedup_fixed": _q_chunk_dedup_fixed,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "chunk_delta_snap2": _q_chunk_delta_snap2,
+        "chunk_delta_cdc": _q_chunk_delta_cdc,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -772,13 +791,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_size_only": _q_exact_dedup_size_only,
         "exact_dedup_ignore_empty": _q_ignore_empty,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
-        "identity_collapse": _q_identity_collapse,
-        "hardlink_groups": _q_hardlinks,
         "token_shards": _q_token_shards,
         # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
         # (decontaminate / bpe_token_counts rotated out for the round-3
-        # chunk-dedup additions: both have green r2 rows and their DEFAULT
-        # behavior is unchanged this round)
+        # chunk-dedup additions, identity_collapse / hardlink_groups for
+        # the chunk-delta additions: all four have green r2 rows and
+        # their code paths are unchanged this round)
+        "identity_collapse": _q_identity_collapse,
+        "hardlink_groups": _q_hardlinks,
         "decontaminate": _q_decontaminate,
         "bpe_token_counts": _q_bpe_token_counts,
         "line_dedup": _q_line_dedup,
@@ -852,6 +872,10 @@ def oracle_sql() -> dict[str, str]:
         # omitted (gear boundary rule not SQL-restatable) → rows-only,
         # with chunk_dedup_fixed as the oracle-backed sibling.
         "chunk_dedup_fixed": oracles.chunk_dedup_fixed_sql(),
+        # incremental chunk delta of the re-crawl vs the base corpus;
+        # chunk_delta_cdc intentionally omitted (gear boundaries) →
+        # rows-only, with chunk_delta_snap2 as the oracle-backed sibling
+        "chunk_delta_snap2": oracles.chunk_delta_snap2_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

@@ -318,3 +318,33 @@ def chunk_dedup_fixed_sql(chunk_size: int = 512) -> str:
         "  min(url) AS canonical_url\n"
         "FROM chunks GROUP BY hx HAVING count(*) > 1"
     )
+
+
+def chunk_delta_snap2_sql(chunk_size: int = 512) -> str:
+    """SQL twin of pipelines/chunks.chunk_delta_snap2: fixed-size chunks
+    of the re-crawl (snapshot2) anti-joined by hash against the DISTINCT
+    chunk set of the base corpus, rolled up per url.  Same hex-slice
+    chunk identity as ``chunk_dedup_fixed_sql``."""
+    from data_dedup_ray.pipelines.snapshots import snapshots_sql
+
+    L = int(chunk_size)
+    slice_ = (f"substring(hex(html), CAST(1 + i*{2 * L} AS BIGINT),"
+              f" {2 * L})")
+    rng = (f"unnest(range(CAST(ceil(octet_length(html) / {L}.0)"
+           " AS BIGINT))) AS i")
+    return snapshots_sql(
+        ", widx AS (\n"
+        f"  SELECT DISTINCT sha256(lower({slice_})) AS ch\n"
+        f"  FROM (SELECT html, {rng} FROM web_pages)),\n"
+        "s AS (\n"
+        "  SELECT url, sha256(lower(hx)) AS ch,\n"
+        "    CAST(length(hx) // 2 AS BIGINT) AS len\n"
+        f"  FROM (SELECT url, {slice_} AS hx\n"
+        f"    FROM (SELECT url, html, {rng} FROM snapshot2)))\n"
+        "SELECT url, CAST(count(*) AS BIGINT) AS n_chunks,\n"
+        "  CAST(sum(CASE WHEN w.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_new_chunks,\n"
+        "  CAST(sum(CASE WHEN w.ch IS NULL THEN len ELSE 0 END) AS BIGINT)"
+        " AS new_bytes\n"
+        "FROM s LEFT JOIN widx w ON s.ch = w.ch GROUP BY url"
+    )

@@ -277,6 +277,115 @@ def _dup_chunk_groups(
     )
 
 
+def chunk_delta(
+    new_ds: ray.data.Dataset,
+    index_ds: ray.data.Dataset,
+    *,
+    chunker=fixed_chunk_rows,
+    num_partitions: int = 16,
+    **chunk_kw,
+) -> ray.data.Dataset:
+    """Incremental storage delta of a new crawl against an existing
+    corpus: ``(url, n_chunks, n_new_chunks, new_bytes)`` per new page,
+    where a chunk is NEW iff its hash occurs nowhere in ``index_ds``
+    (``new_bytes`` = the bytes a chunk store would actually ingest).
+
+    The incremental counterpart of ``_dup_chunk_groups`` — the primitive
+    a recurring crawl runs between snapshots (the reference re-hashes
+    everything on every scan, Files.pm:24-44; here the index side ships
+    DISTINCT CHUNK HASHES only, never bytes).  Both sides co-partition
+    on ``chunk_hash`` in one two-input exchange; the anti-join marks new
+    chunks and reduces to per-(url, partition) partials inside the
+    partition, so the final url rollup moves one tiny row per url per
+    touched partition."""
+    P = num_partitions
+
+    def with_part(t: pa.Table) -> pa.Table:
+        part = key_partition(t["chunk_hash"].to_numpy(zero_copy_only=False), P)
+        return t.append_column("_part", pa.array(part))
+
+    def idx_prep(t: pa.Table) -> pa.Table:
+        t = t.select(["chunk_hash"])
+        part = key_partition(t["chunk_hash"].to_numpy(zero_copy_only=False), P)
+        return t.append_column("_part", pa.array(part))
+
+    def idx_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["chunk_hash", "_part"]).aggregate([])
+
+    def anti(new_df: pd.DataFrame, idx_df: pd.DataFrame) -> pd.DataFrame:
+        if not len(new_df):
+            return pd.DataFrame({
+                "url": pd.Series(dtype=object),
+                "n_chunks": pd.Series(dtype=np.int64),
+                "n_new_chunks": pd.Series(dtype=np.int64),
+                "new_bytes": pd.Series(dtype=np.int64),
+            })
+        is_new = ~new_df["chunk_hash"].isin(set(idx_df["chunk_hash"]))
+        g = new_df.assign(
+            _new=is_new.astype(np.int64),
+            _nb=new_df["chunk_len"].to_numpy() * is_new.to_numpy(),
+        ).groupby("url", sort=False, as_index=False).agg(
+            n_chunks=("chunk_hash", "size"), n_new_chunks=("_new", "sum"),
+            new_bytes=("_nb", "sum"))
+        return g[["url", "n_chunks", "n_new_chunks", "new_bytes"]]
+
+    new_schema = pa.schema(
+        [("url", pa.string()), ("chunk_idx", pa.int64()),
+         ("chunk_len", pa.int64()), ("chunk_hash", pa.string())])
+    idx_schema = pa.schema([("chunk_hash", pa.string())])
+    partials = hash_exchange(
+        [
+            chunker(new_ds, **chunk_kw).map_batches(
+                with_part, batch_format="pyarrow"),
+            chunker(index_ds, **chunk_kw).map_batches(
+                idx_prep, batch_format="pyarrow"),
+        ],
+        anti,
+        num_partitions=P,
+        schema=pa.schema(
+            [("url", pa.string()), ("n_chunks", pa.int64()),
+             ("n_new_chunks", pa.int64()), ("new_bytes", pa.int64())]),
+        in_schemas=[new_schema, idx_schema],
+        pre=[None, idx_distinct],
+    )
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("url").aggregate(
+        Sum(on="n_chunks", alias_name="n_chunks"),
+        Sum(on="n_new_chunks", alias_name="n_new_chunks"),
+        Sum(on="new_bytes", alias_name="new_bytes"),
+    )
+
+
+def chunk_delta_snap2(sf_dir: str, *, chunk_size: int = 512) -> ray.data.Dataset:
+    """Driver query: fixed-size chunk delta of the month-later re-crawl
+    (snapshots.snapshot2) against the base corpus — full SQL twin in
+    ``oracles.chunk_delta_snap2_sql``."""
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+
+    new_ds = snapshot2(sf_dir).select_columns(["url", "html"])
+    index_ds = web_pages(sf_dir).select_columns(["url", "html"])
+    return chunk_delta(new_ds, index_ds, chunk_size=chunk_size)
+
+
+def chunk_delta_snap2_cdc(
+    sf_dir: str, *, min_size: int = 64, avg_size: int = 256,
+    max_size: int = 1024,
+) -> ray.data.Dataset:
+    """Driver query (rows-only): the same delta under gear-CDC chunking.
+    The oracle-backed sibling is ``chunk_delta_snap2`` (same rollup
+    kernel); the CDC splitter is pinned by tests/test_chunks.py, and
+    test_chunk_delta_cdc_resync asserts the property CDC exists for:
+    the delta of an edited page stays O(edit), not O(page)."""
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+
+    new_ds = snapshot2(sf_dir).select_columns(["url", "html"])
+    index_ds = web_pages(sf_dir).select_columns(["url", "html"])
+    return chunk_delta(
+        new_ds, index_ds, chunker=cdc_chunk_rows,
+        min_size=min_size, avg_size=avg_size, max_size=max_size)
+
+
 def chunk_dedup_fixed(sf_dir: str, *, chunk_size: int = 512) -> ray.data.Dataset:
     """Driver query: multi-copy fixed-size chunk groups over web_pages —
     full SQL twin in ``oracles.chunk_dedup_fixed_sql``."""

@@ -117,3 +117,45 @@ def test_fixed_rows_cover_blob(ray_session):
     per_url = rows.groupby("url")["chunk_len"].sum()
     for url, html in zip(pages["url"], pages["html"]):
         assert per_url.get(url, 0) == len(html)
+
+
+def test_chunk_delta_fixed_oracle_parity(ray_session):
+    from data_dedup_ray.oracles import chunk_delta_snap2_sql
+
+    got = (chunks.chunk_delta_snap2(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(chunk_delta_snap2_sql()).fetchdf()
+            .sort_values("url").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    g = got.sort_index(axis=1)
+    w = want.sort_index(axis=1)
+    assert list(g.columns) == list(w.columns)
+    for c in g.columns:
+        assert (g[c].astype(str).values == w[c].astype(str).values).all()
+    # semantics: the re-crawl revisits doc_id % 3 == 0; the % 6 == 0
+    # captures are byte-identical to snapshot 1, so their delta is zero
+    unchanged = got[got["url"].str.rsplit("/", n=1).str[-1]
+                    .astype(int) % 6 == 0]
+    assert len(unchanged) > 0
+    assert (unchanged["n_new_chunks"] == 0).all()
+    edited = got[got["url"].str.rsplit("/", n=1).str[-1]
+                 .astype(int) % 6 != 0]
+    assert (edited["n_new_chunks"] > 0).all()
+
+
+def test_chunk_delta_cdc_resync(ray_session):
+    """CDC's reason to exist: an edit's delta is O(edit ± one chunk),
+    not O(page) — and byte-identical re-crawls ship nothing."""
+    got = chunks.chunk_delta_snap2_cdc(SF).to_pandas()
+    assert len(got) > 0
+    ids = got["url"].str.rsplit("/", n=1).str[-1].astype(int)
+    unchanged = got[ids % 6 == 0]
+    assert len(unchanged) > 0 and (unchanged["n_new_chunks"] == 0).all()
+    # the trailing edit touches at most the final chunk plus the suffix:
+    # bounded by max_size + edit bytes, far below whole-page re-ingest
+    edited = got[ids % 6 != 0]
+    assert len(edited) > 0
+    assert (edited["new_bytes"] <= 1024 + 64).all()
