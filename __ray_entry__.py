@@ -724,6 +724,23 @@ def _q_exact_dedup_bloom(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+def _q_tf_cosine_pairs(sf_dir: str):
+    from data_dedup_ray.pipelines import tfidf as _tfidf
+
+    return _tfidf.tf_cosine_pairs(sf_dir)
+
+
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """Smoothed-idf-weighted cosine pairs — rows-only (float idf sums
+    are not restatable under SQL's different reduction order); the
+    oracle-backed sibling is ``tf_cosine_pairs`` (identical exchanges
+    and pair universe, all-integer), and the float kernel is pinned by
+    the numpy brute-force parity test in tests/test_tfidf.py."""
+    from data_dedup_ray.pipelines import tfidf as _tfidf
+
+    return _tfidf.tfidf_cosine_pairs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_dedup_ray.pipelines import text
 
@@ -769,6 +786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_stats": _q_cdc_chunk_stats,
         "chunk_delta_snap2": _q_chunk_delta_snap2,
         "chunk_delta_cdc": _q_chunk_delta_cdc,
+        "tf_cosine_pairs": _q_tf_cosine_pairs,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -788,15 +807,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_counters": _q_cascade_counters,
         "exact_dedup_report": _q_exact_report,
         "exact_dedup_keep_first": _q_keep_first,
-        "exact_dedup_size_only": _q_exact_dedup_size_only,
-        "exact_dedup_ignore_empty": _q_ignore_empty,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
         "token_shards": _q_token_shards,
         # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
         # (decontaminate / bpe_token_counts rotated out for the round-3
         # chunk-dedup additions, identity_collapse / hardlink_groups for
-        # the chunk-delta additions: all four have green r2 rows and
-        # their code paths are unchanged this round)
+        # the chunk-delta additions, exact_dedup_size_only /
+        # exact_dedup_ignore_empty for the sparse TF-cosine additions:
+        # all have green r2 rows, and the cascade they exercise is
+        # re-proven in-slot by exact_dedup_clusters / _bloom /
+        # cascade_counters)
+        "exact_dedup_size_only": _q_exact_dedup_size_only,
+        "exact_dedup_ignore_empty": _q_ignore_empty,
         "identity_collapse": _q_identity_collapse,
         "hardlink_groups": _q_hardlinks,
         "decontaminate": _q_decontaminate,
@@ -876,6 +898,10 @@ def oracle_sql() -> dict[str, str]:
         # chunk_delta_cdc intentionally omitted (gear boundaries) →
         # rows-only, with chunk_delta_snap2 as the oracle-backed sibling
         "chunk_delta_snap2": oracles.chunk_delta_snap2_sql(),
+        # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
+        # omitted: float idf partial sums → rows-only, with
+        # tf_cosine_pairs as the oracle-backed sibling)
+        "tf_cosine_pairs": oracles.tf_cosine_pairs_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

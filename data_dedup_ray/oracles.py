@@ -348,3 +348,37 @@ def chunk_delta_snap2_sql(chunk_size: int = 512) -> str:
         " AS new_bytes\n"
         "FROM s LEFT JOIN widx w ON s.ch = w.ch GROUP BY url"
     )
+
+
+def tf_cosine_pairs_sql(max_df: int = 256, min_cos2_bp: int = 8100) -> str:
+    """SQL twin of pipelines/tfidf.tf_cosine_pairs: exact integer
+    TF-cosine pairs over the df-pruned vocabulary.  Everything stays in
+    the integer domain (DuckDB sums BIGINT into HUGEINT), so the
+    threshold predicate and the reported ``cos2_bp`` = ⌊dot²·10⁴ /
+    (n2a·n2b)⌋ match the Ray side bit-for-bit — no float rounding to
+    drift on."""
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(
+        ", toks AS (\n"
+        "  SELECT url, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS token FROM web_pages),\n"
+        "tf AS (\n"
+        "  SELECT url, token, CAST(count(*) AS BIGINT) AS tf\n"
+        "  FROM toks GROUP BY url, token),\n"
+        "dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),\n"
+        "vocab AS (\n"
+        "  SELECT tf.url, tf.token, tf.tf FROM tf JOIN dfx USING (token)\n"
+        f"  WHERE dfx.df <= {int(max_df)}),\n"
+        "norms AS (SELECT url, sum(tf*tf) AS n2 FROM vocab GROUP BY url),\n"
+        "dots AS (\n"
+        "  SELECT a.url AS url_a, b.url AS url_b, sum(a.tf*b.tf) AS dot\n"
+        "  FROM vocab a JOIN vocab b USING (token)\n"
+        "  WHERE a.url < b.url GROUP BY 1, 2)\n"
+        "SELECT d.url_a, d.url_b, CAST(d.dot AS BIGINT) AS dot,\n"
+        "  CAST(d.dot*d.dot*10000 // (na.n2*nb.n2) AS BIGINT) AS cos2_bp\n"
+        "FROM dots d\n"
+        "JOIN norms na ON na.url = d.url_a\n"
+        "JOIN norms nb ON nb.url = d.url_b\n"
+        f"WHERE d.dot*d.dot*10000 >= {int(min_cos2_bp)} * na.n2 * nb.n2"
+    )
