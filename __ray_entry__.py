@@ -724,6 +724,12 @@ def _q_exact_dedup_bloom(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+def _q_ensemble_clusters(sf_dir: str):
+    from data_dedup_ray.pipelines import ensemble as _ensemble
+
+    return _ensemble.ensemble_clusters(sf_dir)
+
+
 def _q_tf_cosine_pairs(sf_dir: str):
     from data_dedup_ray.pipelines import tfidf as _tfidf
 
@@ -788,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_delta_cdc": _q_chunk_delta_cdc,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "ensemble_clusters": _q_ensemble_clusters,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -807,16 +814,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_counters": _q_cascade_counters,
         "exact_dedup_report": _q_exact_report,
         "exact_dedup_keep_first": _q_keep_first,
-        "exact_dedup_normalized": _q_exact_dedup_normalized,
         "token_shards": _q_token_shards,
         # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
         # (decontaminate / bpe_token_counts rotated out for the round-3
         # chunk-dedup additions, identity_collapse / hardlink_groups for
         # the chunk-delta additions, exact_dedup_size_only /
-        # exact_dedup_ignore_empty for the sparse TF-cosine additions:
-        # all have green r2 rows, and the cascade they exercise is
-        # re-proven in-slot by exact_dedup_clusters / _bloom /
-        # cascade_counters)
+        # exact_dedup_ignore_empty / exact_dedup_normalized for the
+        # sparse TF-cosine + ensemble additions: all have green r2 rows,
+        # and the cascade they exercise is re-proven in-slot by
+        # exact_dedup_clusters / _bloom / cascade_counters)
+        "exact_dedup_normalized": _q_exact_dedup_normalized,
         "exact_dedup_size_only": _q_exact_dedup_size_only,
         "exact_dedup_ignore_empty": _q_ignore_empty,
         "identity_collapse": _q_identity_collapse,
@@ -902,6 +909,9 @@ def oracle_sql() -> dict[str, str]:
         # omitted: float idf partial sums → rows-only, with
         # tf_cosine_pairs as the oracle-backed sibling)
         "tf_cosine_pairs": oracles.tf_cosine_pairs_sql(),
+        # 3-signal ensemble clusters: recursive closure over the union
+        # of the Jaccard / tf-cosine / sha-simhash edge sets
+        "ensemble_clusters": oracles.ensemble_clusters_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

@@ -382,3 +382,67 @@ def tf_cosine_pairs_sql(max_df: int = 256, min_cos2_bp: int = 8100) -> str:
         "JOIN norms nb ON nb.url = d.url_b\n"
         f"WHERE d.dot*d.dot*10000 >= {int(min_cos2_bp)} * na.n2 * nb.n2"
     )
+
+
+def ensemble_clusters_sql(
+    threshold: float = 0.7, max_df: int = 256, min_cos2_bp: int = 8100,
+    max_hamming: int = 3,
+) -> str:
+    """SQL twin of pipelines/ensemble.ensemble_clusters: recursive
+    transitive closure over the UNION of three edge sets — shingle
+    Jaccard ≥ threshold (``_SHINGLE_CTES``), exact integer TF-cosine
+    (fragment of ``tf_cosine_pairs_sql``, ``t``-prefixed), and the
+    sha-token simhash bit-majority Hamming ≤ max_hamming (fragment of
+    ``near.simhash_sha_pairs_sql``, ``s``-prefixed).  Singletons keep
+    their own url, exactly like ``near_dup_clusters_sql``."""
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},{_SHINGLE_CTES},
+ttoks AS (
+  SELECT url, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM web_pages),
+ttf AS (
+  SELECT url, token, CAST(count(*) AS BIGINT) AS tf
+  FROM ttoks GROUP BY url, token),
+tdfx AS (SELECT token, count(*) AS df FROM ttf GROUP BY token),
+tvocab AS (
+  SELECT ttf.url, ttf.token, ttf.tf FROM ttf JOIN tdfx USING (token)
+  WHERE tdfx.df <= {int(max_df)}),
+tnorms AS (SELECT url, sum(tf*tf) AS n2 FROM tvocab GROUP BY url),
+tdots AS (
+  SELECT a.url AS url_a, b.url AS url_b, sum(a.tf*b.tf) AS dot
+  FROM tvocab a JOIN tvocab b USING (token)
+  WHERE a.url < b.url GROUP BY 1, 2),
+stoks AS (
+  SELECT url, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+  FROM web_pages),
+sth AS (SELECT url, substr(sha256(tok), 1, 16) AS h FROM stoks),
+sbits AS (
+  SELECT url, g.j,
+         CASE WHEN 2 * sum(
+           (strpos('0123456789abcdef', substr(h, 16 - (g.j // 4), 1)) - 1)
+             // (1 << (g.j % 4)) % 2
+         ) > count(*) THEN 1 ELSE 0 END AS fpbit
+  FROM sth CROSS JOIN generate_series(0, 63) AS g(j)
+  GROUP BY url, g.j),
+sham AS (
+  SELECT a.url AS url_a, b.url AS url_b,
+         sum(CASE WHEN a.fpbit <> b.fpbit THEN 1 ELSE 0 END) AS d
+  FROM sbits a JOIN sbits b ON a.j = b.j AND a.url < b.url
+  GROUP BY 1, 2),
+dup AS (
+  SELECT url_a, url_b FROM jac WHERE j >= {threshold}
+  UNION
+  SELECT d.url_a, d.url_b FROM tdots d
+  JOIN tnorms na ON na.url = d.url_a
+  JOIN tnorms nb ON nb.url = d.url_b
+  WHERE d.dot*d.dot*10000 >= {int(min_cos2_bp)} * na.n2 * nb.n2
+  UNION
+  SELECT url_a, url_b FROM sham WHERE d <= {int(max_hamming)}),
+edges AS (SELECT url_a AS a, url_b AS b FROM dup
+          UNION SELECT url_b, url_a FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id
+FROM web_pages w LEFT JOIN comp c ON c.url = w.url"""

@@ -88,8 +88,13 @@ def tf_rows(
     P = num_partitions
 
     def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = t[id_col]
-        hashes, counts = tokenize_batch(t[text_col])
+        # case-fold BEFORE tokenizing (the tf-idf convention, and what
+        # the SQL twin's lower(text) does); the shingle pipelines
+        # deliberately do not fold — don't unify them
+        hashes, counts = tokenize_batch(pc.utf8_lower(t[text_col]))
         empty = pa.table({
             "id": pa.array([], pa.string()),
             "tok": pa.array([], pa.uint64()),
