@@ -724,6 +724,18 @@ def _q_exact_dedup_bloom(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+def _q_tiered_clusters(sf_dir: str):
+    from data_dedup_ray.pipelines import tiered
+
+    return tiered.tiered_dedup_clusters(web_pages(sf_dir), threshold=0.7)
+
+
+def _q_tiered_stats(sf_dir: str):
+    from data_dedup_ray.pipelines import tiered
+
+    return tiered.tiered_dedup_stats(web_pages(sf_dir), threshold=0.7)
+
+
 def _q_ensemble_clusters(sf_dir: str):
     from data_dedup_ray.pipelines import ensemble as _ensemble
 
@@ -795,6 +807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "ensemble_clusters": _q_ensemble_clusters,
+        "tiered_dedup_clusters": _q_tiered_clusters,
+        "tiered_dedup_stats": _q_tiered_stats,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -990,6 +1004,10 @@ def oracle_sql() -> dict[str, str]:
             " AS n_windows FROM web_pages"
         ),
         "near_dup_clusters": oracles.near_dup_clusters_sql(0.7),
+        # the funnel provably reproduces the flat pipeline's clusters
+        # (pipelines/tiered.py module docstring) — same closure oracle
+        "tiered_dedup_clusters": oracles.near_dup_clusters_sql(0.7),
+        "tiered_dedup_stats": oracles.tiered_dedup_stats_sql(0.7),
         "exact_dedup_clusters": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"
             " count(*) OVER (PARTITION BY text) AS n_members FROM web_pages"

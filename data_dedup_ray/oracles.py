@@ -161,6 +161,32 @@ def near_dup_clusters_sql(threshold: float = 0.7) -> str:
     )
 
 
+def tiered_dedup_stats_sql(threshold: float = 0.7) -> str:
+    """Funnel telemetry twin (pipelines/tiered.tiered_dedup_stats): pages,
+    exact shingle-set groups (empty-set docs are singleton groups), and
+    final near-dup components.  Exact groups key on the shingle STRING
+    set — equal iff the Ray side's canonical hash-set blobs are equal."""
+    return (
+        f"WITH RECURSIVE {WEB_PAGES_CTE},{_SHINGLE_CTES},\n"
+        f"dup AS (SELECT url_a, url_b FROM jac WHERE j >= {threshold}),\n"
+        "edges AS (SELECT url_a AS a, url_b AS b FROM dup"
+        " UNION SELECT url_b, url_a FROM dup),\n"
+        "reach(a, b) AS (SELECT a, b FROM edges"
+        " UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),\n"
+        "comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id"
+        " FROM reach GROUP BY a),\n"
+        "labels AS (SELECT w.url, coalesce(c.cluster_id, w.url)"
+        " AS cluster_id FROM web_pages w LEFT JOIN comp c ON c.url = w.url),\n"
+        "sets AS (SELECT url, string_agg(s, chr(1) ORDER BY s) AS k"
+        " FROM sh GROUP BY url)\n"
+        "SELECT (SELECT count(*) FROM web_pages) AS n_pages,\n"
+        "       (SELECT count(DISTINCT k) FROM sets)\n"
+        "         + (SELECT count(*) FROM web_pages)\n"
+        "         - (SELECT count(*) FROM sets) AS n_exact_groups,\n"
+        "       (SELECT count(DISTINCT cluster_id) FROM labels) AS n_clusters"
+    )
+
+
 def substring_dup_sql(min_tokens: int = 50) -> str:
     """Exact windowed-substring oracle: per url, the number of token-window
     positions whose ``min_tokens``-token text occurs in ≥1 other document
