@@ -724,6 +724,12 @@ def _q_exact_dedup_bloom(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+def _q_passage_keep_first(sf_dir: str):
+    from data_dedup_ray.pipelines import clean as _clean
+
+    return _clean.passage_dedup_keep_first(sf_dir)
+
+
 def _q_tiered_clusters(sf_dir: str):
     from data_dedup_ray.pipelines import tiered
 
@@ -809,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ensemble_clusters": _q_ensemble_clusters,
         "tiered_dedup_clusters": _q_tiered_clusters,
         "tiered_dedup_stats": _q_tiered_stats,
+        "passage_dedup_keep_first": _q_passage_keep_first,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -953,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 100"
         ),
         "line_dedup": _clean.line_dedup_sql(),
+        "passage_dedup_keep_first": _clean.passage_dedup_keep_first_sql(),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),

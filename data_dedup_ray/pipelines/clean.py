@@ -841,3 +841,182 @@ kept AS (
 SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
        CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed
 FROM documents d LEFT JOIN kept k USING (doc_id)"""
+
+
+# --------------------------------------------------------------------------
+# Keep-FIRST passage dedup (MassiveText/Gopher-style exact sub-document
+# dedup): unlike line_dedup's DF-threshold removal of EVERY occurrence of
+# a common line, keep-first removes all but the globally first occurrence
+# (ordered by doc_id, then position) of each duplicated passage — the
+# semantics used when duplicated content is valuable once.
+# --------------------------------------------------------------------------
+
+
+def _passage_occurrences(k: int, num_partitions: int):
+    """Batch fn: one (lh, pack, _part) row per passage occurrence — 8-byte
+    line hash plus doc_id·2³²+pos packed ordinal; text never leaves the
+    batch."""
+    P = num_partitions
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lhs, packs = [], []
+        for did, lines in zip(ids, _doc_lines(t["text"].to_pylist(), k)):
+            if not lines:
+                continue
+            lhs.append(pd.util.hash_array(np.asarray(lines, dtype=object)))
+            packs.append(np.int64(did) << np.int64(32)
+                         | np.arange(len(lines), dtype=np.int64))
+        lh = (np.concatenate(lhs) if lhs else np.empty(0, np.uint64))
+        pk = (np.concatenate(packs) if packs else np.empty(0, np.int64))
+        return pa.table({
+            "lh": pa.array(lh.view(np.int64)),
+            "pack": pa.array(pk),
+            "_part": pa.array((lh % np.uint64(P)).astype(np.int64)),
+        })
+
+    return fn
+
+
+def _rebuild_from_removals(t: pa.Table, removed: np.ndarray,
+                           k: int) -> pa.Table:
+    """Reassemble each doc from its kept passages; ``removed`` is a SORTED
+    int64 array of packed (doc_id·2³² + pos) removal ordinals.  Membership
+    is one vectorized searchsorted over all occurrences in the batch."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    docs_lines = _doc_lines(t["text"].to_pylist(), k)
+    clean, n_removed = [], np.zeros(len(ids), dtype=np.int64)
+    for i, (did, lines) in enumerate(zip(ids, docs_lines)):
+        if not lines:
+            clean.append("")
+            continue
+        packs = (np.int64(did) << np.int64(32)
+                 | np.arange(len(lines), dtype=np.int64))
+        if len(removed):
+            pos = np.searchsorted(removed, packs)
+            hit = (pos < len(removed)) & (removed[np.minimum(
+                pos, len(removed) - 1)] == packs)
+        else:
+            hit = np.zeros(len(lines), dtype=bool)
+        clean.append(" ".join(ln for ln, h in zip(lines, hit) if not h))
+        n_removed[i] = int(hit.sum())
+    return pa.table({
+        "doc_id": t["doc_id"].combine_chunks(),
+        "clean_text": pa.array(clean, pa.string()),
+        "n_removed": pa.array(n_removed),
+    })
+
+
+def passage_dedup_keep_first(
+    sf_dir: str, *, k: int = 10, num_partitions: int = 16,
+    broadcast_max_removals: int = 5_000_000,
+) -> ray.data.Dataset:
+    """``(doc_id, clean_text, n_removed)`` — every duplicated passage kept
+    only at its globally FIRST occurrence (min packed (doc_id, pos) per
+    line hash), docs reassembled from the survivors in order.
+
+    Scale shape: occurrences ship 16-byte hash-only rows through ONE
+    exchange; the winner per line hash is a vectorized groupby-min inside
+    the owning partition, and only the REMOVALS (duplicate-occurrence-
+    sized) come back.  Below ``broadcast_max_removals`` the removal set is
+    broadcast once via ``ray.put`` and the rebuild is a second streaming
+    pass over the corpus (text never shuffled); past the guard the docs
+    and removals are co-partitioned on doc_id instead — text then moves
+    through exactly one exchange, never collected on the driver.
+
+    64-bit line-hash caveat (same exposure as ``line_dedup``): two
+    distinct passages colliding under ``pd.util.hash_array`` would dedup
+    as one; at 10¹² lines use a 128-bit hash here."""
+    P = num_partitions
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def removals_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pack": pd.Series([], dtype="int64")})
+        win = df.groupby("lh", sort=False)["pack"].transform("min")
+        return df.loc[df["pack"].to_numpy() != win.to_numpy(), ["pack"]]
+
+    removals = hash_exchange(
+        [docs.map_batches(_passage_occurrences(k, P),
+                          batch_format="pyarrow")],
+        removals_part,
+        num_partitions=P,
+        schema=pa.schema([("pack", pa.int64())]),
+        in_schemas=[pa.schema([("lh", pa.int64()), ("pack", pa.int64())])],
+    ).materialize()
+
+    if removals.count() <= broadcast_max_removals:
+        rem = removals.to_pandas()
+        arr = (np.sort(rem["pack"].to_numpy())
+               if len(rem) else np.empty(0, np.int64))
+        import ray as _ray
+
+        ref = _ray.put(arr)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            return _rebuild_from_removals(t, _ray.get(ref), k)
+
+        return docs.map_batches(rebuild, batch_format="pyarrow")
+
+    # big-removal fallback: co-partition docs and removals on doc_id
+    def prep_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part", pa.array((ids % P).astype(np.int64)))
+
+    def prep_rem(t: pa.Table) -> pa.Table:
+        did = np.right_shift(t["pack"].to_numpy(), 32)
+        return t.append_column(
+            "_part", pa.array((did % P).astype(np.int64)))
+
+    def fin(d: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        arr = (np.sort(r["pack"].to_numpy())
+               if len(r) else np.empty(0, np.int64))
+        if not len(d):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "clean_text": pd.Series([], dtype=object),
+                                 "n_removed": pd.Series([], dtype="int64")})
+        return _rebuild_from_removals(
+            pa.Table.from_pandas(d, preserve_index=False), arr, k
+        ).to_pandas()
+
+    return hash_exchange(
+        [docs.map_batches(prep_docs, batch_format="pyarrow"),
+         removals.map_batches(prep_rem, batch_format="pyarrow")],
+        fin,
+        num_partitions=P,
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("clean_text", pa.string()),
+                          ("n_removed", pa.int64())]),
+        in_schemas=[pa.schema([("doc_id", pa.int64()),
+                               ("text", pa.string())]),
+                    pa.schema([("pack", pa.int64())])],
+    )
+
+
+def passage_dedup_keep_first_sql(k: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+lines AS (
+  SELECT doc_id, g.i AS line_idx,
+         array_to_string(t[(g.i - 1) * {k} + 1 : g.i * {k}], ' ') AS line
+  FROM toks, UNNEST(generate_series(
+      1, CAST(ceil(len(t) / {k}.0) AS BIGINT))) AS g(i)
+  WHERE len(t) > 0),
+ranked AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_idx) AS rn
+  FROM lines),
+kept AS (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY line_idx)
+           FILTER (WHERE rn = 1) AS clean_text,
+         count(*) FILTER (WHERE rn > 1) AS n_removed
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN kept k USING (doc_id)"""

@@ -191,3 +191,49 @@ def test_decontaminate_hash64_matches_exact(sf_dir):
               .sort_values("doc_id").reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(exact, hashed)
+
+
+def test_passage_keep_first_oracle(sf_dir, con):
+    got = clean.passage_dedup_keep_first(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(clean.passage_dedup_keep_first_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["n_removed"].astype(int).tolist() == \
+        want["n_removed"].astype(int).tolist()
+    # duplicated passages exist in the corpus, and keep-first retains the
+    # FIRST occurrence: total removals < total duplicate occurrences that
+    # line_dedup (remove-ALL at max_df=0) would flag
+    assert got["n_removed"].sum() > 0
+
+
+def test_passage_keep_first_keeps_first_occurrence(sf_dir):
+    """The min-doc_id copy of a duplicated passage keeps its text intact."""
+    got = clean.passage_dedup_keep_first(sf_dir).to_pandas()
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchdf()
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    from data_dedup_ray.stages.textstats import TOKEN_RE
+
+    dup = got[got["n_removed"] > 0]
+    assert len(dup) > 0
+    # keep-first global invariant: for every doc, the removed count never
+    # exceeds its line count, and doc 0 of each planted family is intact
+    first = got.loc[got["doc_id"] == got["doc_id"].min()].iloc[0]
+    toks = TOKEN_RE.findall(by_id[first["doc_id"]])
+    rebuilt = " ".join(" ".join(toks[i:i + 10])
+                       for i in range(0, len(toks), 10))
+    assert first["n_removed"] == 0 and first["clean_text"] == rebuilt
+
+
+def test_passage_keep_first_fallback_path_equal(sf_dir):
+    """Forcing the co-partition fallback (guard=0 removals broadcastable)
+    must give byte-identical output to the broadcast path."""
+    a = clean.passage_dedup_keep_first(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = clean.passage_dedup_keep_first(
+        sf_dir, broadcast_max_removals=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
