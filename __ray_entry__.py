@@ -724,6 +724,12 @@ def _q_exact_dedup_bloom(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from data_dedup_ray.pipelines import heavy
+
+    return heavy.heavy_hitter_tokens(sf_dir, inv_phi=500)
+
+
 def _q_passage_keep_first(sf_dir: str):
     from data_dedup_ray.pipelines import clean as _clean
 
@@ -816,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup_clusters": _q_tiered_clusters,
         "tiered_dedup_stats": _q_tiered_stats,
         "passage_dedup_keep_first": _q_passage_keep_first,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -898,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import clean as _clean
     from data_dedup_ray.pipelines import curation as _curation
     from data_dedup_ray.pipelines import events as _events
+    from data_dedup_ray.pipelines import heavy as _heavy
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -961,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "line_dedup": _clean.line_dedup_sql(),
         "passage_dedup_keep_first": _clean.passage_dedup_keep_first_sql(),
+        "heavy_hitter_tokens": _heavy.heavy_hitter_tokens_sql(500),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
