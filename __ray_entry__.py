@@ -724,6 +724,35 @@ def _q_exact_dedup_bloom(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+def _q_incremental_near_pairs(sf_dir: str):
+    """Build the persisted shingle store from the index corpus, then run
+    the incremental pipeline over the new crawl — same ground truth as
+    cross_corpus_near_pairs (the store is just its index side, persisted)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from data_dedup_ray.pipelines import index, snapshots
+
+    store = f"/tmp/dedup_shingle_store_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(store, ignore_errors=True)
+    index.build_shingle_store(web_pages(sf_dir), store)
+    pairs = index.incremental_near_pairs(
+        snapshots.snapshot2(sf_dir), store, threshold=0.7)
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "new_url": t["new_url"],
+            "index_url": t["index_url"],
+            "jaccard_bp": pa.array(
+                np.floor(t["jaccard"].to_numpy(zero_copy_only=False)
+                         * 10000).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     from data_dedup_ray.pipelines import heavy
 
@@ -823,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup_stats": _q_tiered_stats,
         "passage_dedup_keep_first": _q_passage_keep_first,
         "heavy_hitter_tokens": _q_heavy_hitters,
+        "incremental_near_pairs": _q_incremental_near_pairs,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -970,6 +1000,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _clean.line_dedup_sql(),
         "passage_dedup_keep_first": _clean.passage_dedup_keep_first_sql(),
         "heavy_hitter_tokens": _heavy.heavy_hitter_tokens_sql(500),
+        # the persisted-store pipeline is cross_corpus_near_pairs with its
+        # index side read from parquet — identical exact ground truth
+        "incremental_near_pairs": _near.cross_corpus_near_pairs_sql(0.7),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
