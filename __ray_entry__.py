@@ -724,6 +724,13 @@ def _q_exact_dedup_bloom(sf_dir: str):
     return res.select_columns(["url", "cluster_id", "n_members"])
 
 
+def _q_near_clusters_by_lang(sf_dir: str):
+    from data_dedup_ray.pipelines import multilingual
+
+    return multilingual.near_dup_clusters_by_lang(
+        web_pages(sf_dir), threshold=0.7)
+
+
 def _q_incremental_near_pairs(sf_dir: str):
     """Build the persisted shingle store from the index corpus, then run
     the incremental pipeline over the new crawl — same ground truth as
@@ -853,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup_keep_first": _q_passage_keep_first,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "incremental_near_pairs": _q_incremental_near_pairs,
+        "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -936,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import curation as _curation
     from data_dedup_ray.pipelines import events as _events
     from data_dedup_ray.pipelines import heavy as _heavy
+    from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -1003,6 +1012,8 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-store pipeline is cross_corpus_near_pairs with its
         # index side read from parquet — identical exact ground truth
         "incremental_near_pairs": _near.cross_corpus_near_pairs_sql(0.7),
+        "near_dup_clusters_by_lang":
+            _multilingual.near_dup_clusters_by_lang_sql(0.7),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
