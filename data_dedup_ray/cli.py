@@ -186,6 +186,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alg", action="append", default=None,
                    help="digest stage name, repeatable, order = chain order")
     p.add_argument("--ignore-empty", action="store_true")
+    p.add_argument("--tiered", action="store_true",
+                   help="with --near: run the exact-collapse funnel "
+                        "(pipelines/tiered) instead of the flat MinHash "
+                        "pipeline — identical clusters, cheaper on "
+                        "duplicate-heavy corpora")
     p.add_argument("--near", action="store_true",
                    help="MinHash/LSH near-dup clusters instead of exact")
     p.add_argument("--threshold", type=float, default=0.7)
@@ -238,17 +243,25 @@ def main(argv: list[str] | None = None) -> int:
         ck = Checkpointer(
             args.checkpoint_dir,
             {"alg": args.alg, "near": args.near,
-             "threshold": args.threshold,
+             "tiered": args.tiered, "threshold": args.threshold,
              "ignore_empty": args.ignore_empty, "inputs": inputs},
         )
     else:
         ck = None
 
     if args.near:
-        from data_dedup_ray.pipelines import near
+        if args.tiered:
+            from data_dedup_ray.pipelines import tiered as _tiered
 
-        def build():
-            return near.minhash_dedup_clusters(ds, threshold=args.threshold)
+            def build():
+                return _tiered.tiered_dedup_clusters(
+                    ds, threshold=args.threshold)
+        else:
+            from data_dedup_ray.pipelines import near
+
+            def build():
+                return near.minhash_dedup_clusters(
+                    ds, threshold=args.threshold)
 
         def _near_counters(d):
             sizes = d.groupby("cluster_id").count().to_pandas()

@@ -271,3 +271,17 @@ def test_cli_parquet_output_resumable(ray_session, pages_parquet, tmp_path):
     back = ray.data.read_parquet(out).to_pandas()
     assert {"url", "cluster_id", "n_members"} <= set(back.columns)
     assert len(back) > 0
+
+
+def test_near_tiered_matches_flat(ray_session, pages_parquet, tmp_path):
+    """--near --tiered routes through the funnel and produces the exact
+    same duplicate-cluster TSV as the flat pipeline."""
+    flat, tiered = tmp_path / "flat.tsv", tmp_path / "tiered.tsv"
+    r1 = _run(["--input", pages_parquet, "--near", "--threshold", "0.7",
+               "--output", str(flat), "--quiet"])
+    assert r1.returncode == 0, r1.stderr
+    r2 = _run(["--input", pages_parquet, "--near", "--tiered",
+               "--threshold", "0.7", "--output", str(tiered), "--quiet"])
+    assert r2.returncode == 0, r2.stderr
+    assert flat.read_bytes() == tiered.read_bytes()
+    assert flat.read_bytes()  # non-empty: the fixture plants duplicates
