@@ -231,3 +231,77 @@ def test_jpeg_dc_only_property(bw, bh, offsets):
         .astype(np.uint8)
     dec = decode_jpeg_pixels(encode_jpeg_from_pixels(px, quality=50))
     assert np.array_equal(dec[:, :, 0], px)
+
+
+# ------------------------------------------------- passage rebuild kernel
+
+
+@given(
+    st.lists(  # (doc_id, n_lines) per doc
+        st.tuples(st.integers(0, 50), st.integers(0, 12)),
+        min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_rebuild_from_removals_matches_set_semantics(docs, data):
+    """The searchsorted membership in clean._rebuild_from_removals equals
+    naive per-passage set membership for arbitrary removal sets."""
+    import pyarrow as pa
+
+    from data_dedup_ray.pipelines.clean import _rebuild_from_removals
+
+    k = 3
+    ids, texts, all_packs = [], [], []
+    for did, n_lines in docs:
+        toks = [f"w{did}x{i}" for i in range(n_lines * k)]
+        ids.append(did)
+        texts.append(" ".join(toks))
+        all_packs += [(np.int64(did) << np.int64(32)) | np.int64(p)
+                      for p in range(n_lines)]
+    removed = sorted(data.draw(st.sets(st.sampled_from(all_packs + [0]))))
+    removed_arr = np.asarray(removed, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _rebuild_from_removals(t, removed_arr, k).to_pandas()
+    rem_set = set(removed)
+    for row, (did, n_lines) in zip(out.itertuples(), docs):
+        toks = [f"w{did}x{i}" for i in range(n_lines * k)]
+        lines = [" ".join(toks[i:i + k]) for i in range(0, len(toks), k)]
+        keep = [ln for p, ln in enumerate(lines)
+                if ((did << 32) | p) not in rem_set]
+        assert row.clean_text == " ".join(keep)
+        assert row.n_removed == len(lines) - len(keep)
+
+
+# ------------------------------------------------- Misra-Gries batch trim
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=2),
+                min_size=0, max_size=60),
+       st.integers(1, 6))
+@settings(max_examples=200, deadline=None)
+def test_heavy_batch_counts_and_trim_guarantee(tokens, m):
+    """pipelines/heavy's trim step: ≤ m survivors, every survivor's
+    estimate undercounts its true count by exactly the trim threshold,
+    and any token with true count > W/(m+1) survives."""
+    from collections import Counter
+
+    true = Counter(tokens)
+    w = sum(true.values())
+    counts = np.asarray(sorted(true.values(), reverse=True), dtype=np.int64)
+    terms = np.asarray(
+        sorted(true, key=lambda t: (-true[t], t)), dtype=object)
+    if len(terms) > m:
+        thr = np.partition(counts, len(counts) - (m + 1))[-(m + 1)]
+        keep = counts > thr
+        terms_o, counts_o = terms[keep], counts[keep] - thr
+    else:
+        thr = 0
+        terms_o, counts_o = terms, counts
+    assert len(terms_o) <= m
+    est = dict(zip(terms_o, counts_o))
+    for tok, c in true.items():
+        if c > w / (m + 1):
+            assert est.get(tok, 0) >= c - thr > 0
+        if tok in est:
+            assert est[tok] == c - thr
