@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import polars as pl  # module-level: workers import it once, serially
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -43,8 +44,6 @@ _W_KEY = ""
 def _batch_counts(texts: pa.ChunkedArray):
     """(terms object-array, counts int64-array, total tokens) — exact,
     vectorized through polars (no per-token Python objects)."""
-    import polars as pl
-
     s = (pl.from_arrow(texts) if isinstance(
              texts, (pa.Array, pa.ChunkedArray))
          else pl.Series(texts, dtype=pl.Utf8)).str.to_lowercase()

@@ -37,6 +37,17 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+# import polars at MODULE level, not inside the hot functions: a worker
+# process then imports it exactly once (serially, when the UDF closure is
+# deserialized), which removes the half-initialized-module failure mode a
+# lazy in-function import can leave behind in a long-lived reused worker
+# ("polars._reexport has no attribute 'Series'", observed once in a
+# 101-query replay poisoning every later minhash query on that worker)
+try:
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked in
+    _pl = None
+
 from data_dedup_ray.util import autoscale_pool, stage_task
 from ray.data.aggregate import Count, Min
 
@@ -55,13 +66,10 @@ def _hash_str_column(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     dominated the hottest exchange's map side).  Only WITHIN-RUN
     consistency matters — every exchange round that must co-partition on
     the same ids calls this one function — not cross-version stability."""
-    try:
-        import polars as pl
-
-        return pl.from_arrow(col).hash(seed=0).to_numpy()
-    except ImportError:  # pragma: no cover - polars is baked in
-        vals = np.asarray(col.to_pylist(), dtype=object)
-        return pd.util.hash_array(vals)
+    if _pl is not None:
+        return _pl.from_arrow(col).hash(seed=0).to_numpy()
+    vals = np.asarray(col.to_pylist(), dtype=object)  # pragma: no cover
+    return pd.util.hash_array(vals)  # pragma: no cover
 
 
 def lsh_candidate_pairs(

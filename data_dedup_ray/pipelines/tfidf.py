@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import polars as pl  # module-level: workers import it once, serially
 import pyarrow as pa
 import ray
 import ray.data
@@ -103,8 +104,6 @@ def tf_rows(
         })
         if not len(hashes):
             return empty
-        import polars as pl
-
         rep = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         g = (
             pl.DataFrame({"i": rep, "tok": hashes})

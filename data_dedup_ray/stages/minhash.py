@@ -37,6 +37,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# module-level import: workers import polars exactly once when the UDF
+# deserializes, never lazily inside a running task (a lazy import can
+# leave a half-initialized module behind in a reused worker — observed
+# once as "polars._reexport has no attribute 'Series'")
+try:
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked in
+    _pl = None
+
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -79,24 +88,19 @@ def tokenize_batch(texts, token_hash=None) -> tuple[np.ndarray, np.ndarray]:
     which is all shingle identity needs (within-run cross-worker
     consistency; exactness is restored by the Jaccard verify stage, and
     hash collisions cost p≈2⁻⁶⁴ like any hashed-shingle scheme)."""
-    if token_hash is None:
-        try:
-            import polars as pl
-
-            s = (pl.from_arrow(texts) if isinstance(
-                     texts, (pa.Array, pa.ChunkedArray))
-                 else pl.Series(texts, dtype=pl.Utf8))
-            lst = s.str.extract_all(r"[a-z0-9]+")
-            counts = (lst.list.len().fill_null(0)
-                      .to_numpy().astype(np.int64))
-            if counts.sum():
-                hashes = (lst.explode(empty_as_null=False).drop_nulls()
-                          .hash(seed=0).to_numpy().astype(np.uint64))
-            else:
-                hashes = np.empty(0, dtype=np.uint64)
-            return hashes, counts
-        except ImportError:  # pragma: no cover - polars is baked in
-            pass
+    if token_hash is None and _pl is not None:
+        s = (_pl.from_arrow(texts) if isinstance(
+                 texts, (pa.Array, pa.ChunkedArray))
+             else _pl.Series(texts, dtype=_pl.Utf8))
+        lst = s.str.extract_all(r"[a-z0-9]+")
+        counts = (lst.list.len().fill_null(0)
+                  .to_numpy().astype(np.int64))
+        if counts.sum():
+            hashes = (lst.explode(empty_as_null=False).drop_nulls()
+                      .hash(seed=0).to_numpy().astype(np.uint64))
+        else:
+            hashes = np.empty(0, dtype=np.uint64)
+        return hashes, counts
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = texts.to_pylist()
     toks = [TOKEN_RE.findall(t) if t else [] for t in texts]
@@ -120,23 +124,20 @@ def token_counts(texts, lowercase: bool = False) -> np.ndarray:
     ``len(TOKEN_RE.findall(s.lower()))`` convention of the text-quality
     operators (the pattern is ASCII-only, so folding changes counts only
     via full-unicode expansions, which both engines apply)."""
-    try:
-        import polars as pl
-
-        s = (pl.from_arrow(texts) if isinstance(
+    if _pl is not None:
+        s = (_pl.from_arrow(texts) if isinstance(
                  texts, (pa.Array, pa.ChunkedArray))
-             else pl.Series(texts, dtype=pl.Utf8))
+             else _pl.Series(texts, dtype=_pl.Utf8))
         if lowercase:
             s = s.str.to_lowercase()
         return (s.str.count_matches(r"[a-z0-9]+").fill_null(0)
                 .to_numpy().astype(np.int64))
-    except ImportError:  # pragma: no cover - polars is baked in
-        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
-            texts = texts.to_pylist()
-        return np.fromiter(
-            (len(TOKEN_RE.findall(t.lower() if lowercase else t))
-             if t else 0 for t in texts),
-            dtype=np.int64, count=len(texts))
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):  # pragma: no cover
+        texts = texts.to_pylist()
+    return np.fromiter(  # pragma: no cover - polars is baked in
+        (len(TOKEN_RE.findall(t.lower() if lowercase else t))
+         if t else 0 for t in texts),
+        dtype=np.int64, count=len(texts))
 
 
 def shingle_sets(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
