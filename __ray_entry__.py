@@ -760,6 +760,25 @@ def _q_incremental_near_pairs(sf_dir: str):
     )
 
 
+def _q_learn_bpe_merges(sf_dir: str):
+    """Distributed Sennrich BPE merge learning — rows-only (iterative
+    driver-coordinated rounds, like kmeans_assign's Lloyd refinement, are
+    not SQL-expressible); exact golden parity with a pure-Python
+    reference is pinned in tests/test_bpe_train.py."""
+    from data_dedup_ray.pipelines import bpe_train
+
+    return bpe_train.learn_bpe_merges(sf_dir, n_merges=12)
+
+
+def _q_learned_bpe_token_counts(sf_dir: str):
+    """learn → apply end-to-end; rows-only for the same reason, with
+    bpe_merged_token_counts as the oracle-backed sibling (same serving
+    tokenizer, fixture merges)."""
+    from data_dedup_ray.pipelines import bpe_train
+
+    return bpe_train.learned_bpe_token_counts(sf_dir, n_merges=8)
+
+
 def _q_heavy_hitters(sf_dir: str):
     from data_dedup_ray.pipelines import heavy
 
@@ -861,6 +880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         "incremental_near_pairs": _q_incremental_near_pairs,
         "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
+        "learn_bpe_merges": _q_learn_bpe_merges,
+        "learned_bpe_token_counts": _q_learned_bpe_token_counts,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
