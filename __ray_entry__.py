@@ -760,6 +760,12 @@ def _q_incremental_near_pairs(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    from data_dedup_ray.pipelines import packing
+
+    return packing.pack_training_sequences(sf_dir, max_len=256)
+
+
 def _q_learn_bpe_merges(sf_dir: str):
     """Distributed Sennrich BPE merge learning — rows-only (iterative
     driver-coordinated rounds, like kmeans_assign's Lloyd refinement, are
@@ -880,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         "incremental_near_pairs": _q_incremental_near_pairs,
         "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
+        "pack_training_sequences": _q_pack_sequences,
         "learn_bpe_merges": _q_learn_bpe_merges,
         "learned_bpe_token_counts": _q_learned_bpe_token_counts,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
@@ -966,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import events as _events
     from data_dedup_ray.pipelines import heavy as _heavy
     from data_dedup_ray.pipelines import multilingual as _multilingual
+    from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -1035,6 +1043,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_pairs": _near.cross_corpus_near_pairs_sql(0.7),
         "near_dup_clusters_by_lang":
             _multilingual.near_dup_clusters_by_lang_sql(0.7),
+        "pack_training_sequences":
+            _packing.pack_training_sequences_sql(256),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
