@@ -760,6 +760,12 @@ def _q_incremental_near_pairs(sf_dir: str):
     )
 
 
+def _q_classifier_scores(sf_dir: str):
+    from data_dedup_ray.pipelines import classifier
+
+    return classifier.quality_classifier_scores(sf_dir)
+
+
 def _q_deterministic_shuffle(sf_dir: str):
     from data_dedup_ray.pipelines import shuffle
 
@@ -894,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
         "pack_training_sequences": _q_pack_sequences,
         "deterministic_shuffle": _q_deterministic_shuffle,
+        "quality_classifier_scores": _q_classifier_scores,
         "learn_bpe_merges": _q_learn_bpe_merges,
         "learned_bpe_token_counts": _q_learned_bpe_token_counts,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
@@ -982,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
+    from data_dedup_ray.pipelines import classifier as _classifier
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -1054,6 +1062,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_training_sequences":
             _packing.pack_training_sequences_sql(256),
         "deterministic_shuffle": _shuffle.deterministic_shuffle_sql(7),
+        "quality_classifier_scores":
+            _classifier.quality_classifier_scores_sql(),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
