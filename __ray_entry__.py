@@ -760,6 +760,12 @@ def _q_incremental_near_pairs(sf_dir: str):
     )
 
 
+def _q_mix_corpora(sf_dir: str):
+    from data_dedup_ray.pipelines import mixing
+
+    return mixing.mix_web_snapshots(sf_dir)
+
+
 def _q_classifier_scores(sf_dir: str):
     from data_dedup_ray.pipelines import classifier
 
@@ -901,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_training_sequences": _q_pack_sequences,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "quality_classifier_scores": _q_classifier_scores,
+        "mix_corpora": _q_mix_corpora,
         "learn_bpe_merges": _q_learn_bpe_merges,
         "learned_bpe_token_counts": _q_learned_bpe_token_counts,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
@@ -990,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
     from data_dedup_ray.pipelines import classifier as _classifier
+    from data_dedup_ray.pipelines import mixing as _mixing
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -1064,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_shuffle": _shuffle.deterministic_shuffle_sql(7),
         "quality_classifier_scores":
             _classifier.quality_classifier_scores_sql(),
+        "mix_corpora": _mixing.mix_web_snapshots_sql(),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),
