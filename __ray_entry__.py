@@ -760,6 +760,12 @@ def _q_incremental_near_pairs(sf_dir: str):
     )
 
 
+def _q_top_quality_per_domain(sf_dir: str):
+    from data_dedup_ray.pipelines import classifier
+
+    return classifier.top_quality_per_domain(web_pages(sf_dir), k=3)
+
+
 def _q_mix_corpora(sf_dir: str):
     from data_dedup_ray.pipelines import mixing
 
@@ -908,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "quality_classifier_scores": _q_classifier_scores,
         "mix_corpora": _q_mix_corpora,
+        "top_quality_per_domain": _q_top_quality_per_domain,
         "learn_bpe_merges": _q_learn_bpe_merges,
         "learned_bpe_token_counts": _q_learned_bpe_token_counts,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
@@ -1073,6 +1080,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_scores":
             _classifier.quality_classifier_scores_sql(),
         "mix_corpora": _mixing.mix_web_snapshots_sql(),
+        "top_quality_per_domain":
+            _classifier.top_quality_per_domain_sql(3),
         "token_shards": _stats.token_shards_sql(5000),
         "quality_scores": oracles.quality_scores_sql(),
         "lang_id": oracles.lang_id_sql(),

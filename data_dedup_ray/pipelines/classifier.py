@@ -106,3 +106,79 @@ s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score,
 SELECT d.doc_id, coalesce(s.score, 0) AS score,
        CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens
 FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+def top_quality_per_domain(
+    ds: "ray.data.Dataset", *, k: int = 3, num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(domain, url, score)`` — each domain's ``k`` best pages by the
+    hashed-linear score (ties → lexicographically-first url).  The
+    per-site curation pick ("keep the best page(s) per host").
+
+    Scale shape: scoring is the shuffle-free scorer pass; the grouped
+    top-k uses the events.top_k_per_user pattern — a map-side combiner
+    prunes every batch to ≤ k rows per domain BEFORE the exchange, so
+    the shuffle carries at most k rows per (domain, batch), never the
+    corpus."""
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+    from data_dedup_ray.pipelines.snapshots import domain_of
+    from data_dedup_ray.util import stage_task
+
+    P = num_partitions
+    scorer = stage_task(_HashedLinearScorer)
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        scored = scorer(pa.table({
+            "doc_id": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+            "text": t["text"].combine_chunks(),
+        }))
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        doms = np.asarray([domain_of(u) for u in urls], dtype=object)
+        return pa.table({
+            "domain": pa.array(doms, pa.string()),
+            "url": t["url"].combine_chunks(),
+            "score": scored["score"],
+            "_part": pa.array(key_partition(doms, P)),
+        })
+
+    def prune(t: pa.Table) -> pa.Table:
+        # combiner: keep ≤ k rows per domain inside the split group
+        df = t.to_pandas()
+        df = df.sort_values(["domain", "score", "url"],
+                            ascending=[True, False, True], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("domain", sort=False).head(k),
+            preserve_index=False)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "score", "url"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("domain", sort=False).head(k)
+
+    return hash_exchange(
+        [ds.map_batches(score_rows, batch_format="pyarrow")],
+        fin,
+        num_partitions=P,
+        schema=pa.schema([("domain", pa.string()), ("url", pa.string()),
+                          ("score", pa.int64())]),
+        in_schemas=[pa.schema([("domain", pa.string()),
+                               ("url", pa.string()),
+                               ("score", pa.int64())])],
+        pre=[prune],
+    )
+
+
+def top_quality_per_domain_sql(k: int = 3) -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(f"""
+SELECT domain, url, score FROM (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain, url,
+         coalesce((SELECT CAST(sum(
+             CAST(('0x' || substr(md5('w|' || t.tok), 1, 8)) AS BIGINT)
+               % {_MOD} - {_OFF}) AS BIGINT)
+           FROM unnest(regexp_extract_all(lower(w.text), '[a-z0-9]+'))
+                AS t(tok)), 0) AS score
+  FROM web_pages w)
+QUALIFY row_number() OVER (PARTITION BY domain
+                           ORDER BY score DESC, url) <= {k}""")

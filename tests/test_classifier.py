@@ -40,3 +40,35 @@ def test_matches_bruteforce_and_oracle():
     pd.testing.assert_frame_equal(got, want)
     # scores genuinely discriminate (non-constant)
     assert got["score"].nunique() > 1
+
+
+def test_top_quality_per_domain_oracle():
+    from data_dedup_ray.corpus import web_pages
+
+    got = (classifier.top_quality_per_domain(web_pages(SF), k=3)
+           .to_pandas().sort_values(["domain", "url"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(classifier.top_quality_per_domain_sql(3)).fetchdf()
+            .sort_values(["domain", "url"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want.astype({"score": "int64"}))
+    # every domain contributes, capped at k
+    assert got.groupby("domain").size().max() <= 3
+    assert got.groupby("domain").size().min() >= 1
+
+
+def test_top_quality_partition_invariance():
+    from data_dedup_ray.corpus import web_pages
+
+    a = (classifier.top_quality_per_domain(web_pages(SF), k=2,
+                                           num_partitions=4)
+         .to_pandas().sort_values(["domain", "url"])
+         .reset_index(drop=True))
+    b = (classifier.top_quality_per_domain(web_pages(SF), k=2,
+                                           num_partitions=32)
+         .to_pandas().sort_values(["domain", "url"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
