@@ -579,6 +579,12 @@ def _q_image_meta_jpeg(sf_dir: str):
     return media.image_meta_jpeg(sf_dir)
 
 
+def _q_image_meta_gif(sf_dir: str):
+    from data_dedup_ray.pipelines import media
+
+    return media.image_meta_gif(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     import ray.data
 
@@ -915,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_scores": _q_classifier_scores,
         "mix_corpora": _q_mix_corpora,
         "top_quality_per_domain": _q_top_quality_per_domain,
+        "image_meta_gif": _q_image_meta_gif,
         "learn_bpe_merges": _q_learn_bpe_merges,
         "learned_bpe_token_counts": _q_learned_bpe_token_counts,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
@@ -1099,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sha_pairs": _near.simhash_sha_pairs_sql(3),
         "image_meta_bmp": _media.image_meta_bmp_sql(),
         "image_meta_png": _media.image_meta_png_sql(),
+        "image_meta_gif": _media.image_meta_gif_sql(),
         "image_meta_jpeg": _media.image_meta_jpeg_sql(),
         "doc_fingerprints_sha": _text.fingerprints_sha_sql(),
         "kmeans_assign": _curation.kmeans_assign_sql(8),

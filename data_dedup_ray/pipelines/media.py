@@ -335,3 +335,68 @@ def audio_windows_wav_sql(window: int = 512) -> str:
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((1000 + doc_id % 5000) // {window} AS BIGINT) AS n_windows
 FROM documents"""
+
+
+def gif_pages(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, payload): one 256-gray-palette GIF87a per document.
+    Dimensions encode from doc_id (width = 1 + doc_id % 64, height =
+    1 + doc_id % 48); pixel INDICES are ``(31*i + 7*doc_id) % 256`` in
+    scan order (the PNG generator's closed form), LZW-compressed for
+    real (variable-width codes, CLEAR resets — see
+    stages/multimodal._lzw_compress_gif)."""
+    from data_dedup_ray.stages.multimodal import encode_gif
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "payload": pa.array(
+                [encode_gif(1 + int(i) % 64, 1 + int(i) % 48, seed=int(i))
+                 for i in ids], pa.binary()),
+        })
+
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=256)
+
+
+def image_meta_gif(
+    sf_dir: str, *, batch_size: int = 64,
+    concurrency: int | tuple | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, width, height, mode, decode_ok, pixel_sum) via the REAL
+    GIF decoder (block walk → sub-block concat → full variable-width LZW
+    → palette map).  pixel_sum totals the decoded RGB bytes, so the SQL
+    twin proves the LZW path bit-exact."""
+    from data_dedup_ray.stages.multimodal import DecodeImagePixels
+
+    return gif_pages(sf_dir).map_batches(
+        DecodeImagePixels,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_pool(),
+    ).select_columns(
+        ["doc_id", "width", "height", "mode", "decode_ok", "pixel_sum"])
+
+
+def image_meta_gif_sql() -> str:
+    """DuckDB twin of ``image_meta_gif``: the gray palette maps index i
+    to (i,i,i), so the RGB pixel sum is 3× the PNG oracle's closed form
+    over npix = width·height indices."""
+    return """
+WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(1 + doc_id % 64 AS BIGINT) AS width,
+         CAST(1 + doc_id % 48 AS BIGINT) AS height
+  FROM documents)
+SELECT d.doc_id, d.width, d.height,
+       'pal' AS mode,
+       true AS decode_ok,
+       CAST(3 * ((d.width * d.height // 256) * 32640
+            + COALESCE(SUM(CASE
+                WHEN t.range < (d.width * d.height) % 256
+                THEN (31 * t.range + 7 * d.doc_id) % 256 END), 0))
+            AS BIGINT) AS pixel_sum
+FROM dims d CROSS JOIN range(256) t
+GROUP BY d.doc_id, d.width, d.height"""

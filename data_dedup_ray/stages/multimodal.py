@@ -72,6 +72,9 @@ def parse_image_header(blob: bytes):
     hdr = parse_png_header(blob)
     if hdr is not None:
         return hdr
+    hdr = parse_gif_header(blob)
+    if hdr is not None:
+        return hdr
     from data_dedup_ray.stages.jpeg import parse_jpeg_header
 
     return parse_jpeg_header(blob)
@@ -346,6 +349,8 @@ class DecodeImage:
             return decode_bmp_pixels(blob)
         if hdr is not None and hdr[3] == "png":
             return decode_png_pixels(blob)
+        if hdr is not None and hdr[3] == "gif":
+            return decode_gif_pixels(blob)
         if hdr is not None and hdr[3] == "jpeg":
             from data_dedup_ray.stages.jpeg import decode_jpeg_pixels
 
@@ -607,3 +612,205 @@ class FrameSample:
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )
+
+
+# --------------------------------------------------------------------------
+# GIF87a — real dependency-free codec (full variable-width LZW both ways)
+# --------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def parse_gif_header(blob: bytes):
+    """``(width, height, 'pal', 'gif')`` from the logical screen
+    descriptor; ``None`` for non-GIF bytes."""
+    if len(blob) < 13 or blob[:6] not in _GIF_MAGICS:
+        return None
+    width, height = struct.unpack_from("<HH", blob, 6)
+    if width <= 0 or height <= 0:
+        return None
+    return width, height, "pal", "gif"
+
+
+def _lzw_compress_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits, LSB-first
+    packing), CLEAR emitted first and again whenever the table fills."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    if data:
+        w = data[0:1]
+        for ch in data[1:]:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                width = min_code_size + 1
+                next_code = end + 1
+            w = bytes([ch])
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of ``_lzw_compress_gif`` (handles the KwKwK case and mid-
+    stream CLEAR resets)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    pos = 0  # bit cursor
+
+    def read(width: int) -> int:
+        nonlocal pos
+        byte, bit = pos >> 3, pos & 7
+        val = 0
+        got = 0
+        while got < width:
+            if byte >= len(data):
+                return end  # truncated stream: treat as end
+            take = min(8 - bit, width - got)
+            val |= ((data[byte] >> bit) & ((1 << take) - 1)) << got
+            got += take
+            bit += take
+            if bit == 8:
+                byte += 1
+                bit = 0
+        pos += width
+        return val
+
+    width = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = min_code_size + 1
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[0:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[0:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond "
+                             f"table size {len(table)}")
+        out += entry
+        # the decoder's table lags the encoder's by one entry at read
+        # time, so the width grows one slot EARLY relative to table size
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic GIF87a payload generator (the oracle twin of
+    ``encode_png``): 256-entry gray global palette (palette[i] = (i,i,i))
+    and pixel INDICES ``(31*i + 7*seed) % 256`` in scan order — so the
+    decoded RGB pixel sum is exactly 3× the PNG generator's closed form."""
+    npix = width * height
+    idx = ((np.arange(npix, dtype=np.int64) * 31 + seed * 7) % 256) \
+        .astype(np.uint8)
+    parts = [b"GIF87a", struct.pack("<HH", width, height),
+             bytes([0xF7, 0, 0])]
+    parts.append(bytes(bytearray(
+        v for i in range(256) for v in (i, i, i))))
+    parts.append(b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
+                 + b"\x00")
+    parts.append(bytes([8]))  # LZW min code size
+    comp = _lzw_compress_gif(idx.tobytes())
+    for i in range(0, len(comp), 255):
+        sub = comp[i: i + 255]
+        parts.append(bytes([len(sub)]) + sub)
+    parts.append(b"\x00\x3B")
+    return b"".join(parts)
+
+
+def decode_gif_pixels(blob: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 array from a GIF87a/89a payload: block walk →
+    sub-block concat → full LZW decompress → palette map."""
+    hdr = parse_gif_header(blob)
+    if hdr is None:
+        raise ValueError("not a GIF payload")
+    pos = 10
+    packed, _bg, _aspect = blob[pos], blob[pos + 1], blob[pos + 2]
+    pos += 3
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            blob, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, w, h = struct.unpack_from("<HHHH", blob, pos + 1)
+        ipacked = blob[pos + 9]
+        pos += 10
+        if ipacked & 0x80:  # local color table wins
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                blob, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        mcs = blob[pos]
+        pos += 1
+        chunks = []
+        while blob[pos]:
+            ln = blob[pos]
+            chunks.append(blob[pos + 1: pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decompress_gif(b"".join(chunks), mcs), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError(
+                f"GIF pixel data truncated: {len(idx)} < {w * h}")
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        return palette[idx[: w * h]].reshape(h, w, 3)
+    raise ValueError("GIF contains no image block")

@@ -461,3 +461,60 @@ def test_corrupt_payloads_quarantine_not_crash():
     assert res.num_rows == 2  # fell back to the stand-in, no crash
     # sanity: zlib unused-import guard
     assert _zlib.crc32(b"") == 0
+
+
+# --------------------------------------------------------------------------
+# GIF (real LZW codec)
+# --------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_streams():
+    import numpy as np
+
+    from data_dedup_ray.stages.multimodal import (_lzw_compress_gif,
+                                                  _lzw_decompress_gif)
+
+    rng = np.random.default_rng(0)
+    for n in [0, 1, 300, 5000, 60000]:  # crosses every code-width boundary
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _lzw_decompress_gif(_lzw_compress_gif(data)) == data
+    rep = b"abcabcabd" * 9000  # long matches + table-fill CLEAR resets
+    assert _lzw_decompress_gif(_lzw_compress_gif(rep)) == rep
+
+
+def test_gif_pixel_roundtrip_and_corrupt():
+    import numpy as np
+    import pytest
+
+    from data_dedup_ray.stages.multimodal import (decode_gif_pixels,
+                                                  encode_gif,
+                                                  parse_gif_header)
+
+    for w, h, s in [(1, 1, 0), (64, 48, 5), (33, 17, 123)]:
+        blob = encode_gif(w, h, s)
+        assert parse_gif_header(blob) == (w, h, "pal", "gif")
+        px = decode_gif_pixels(blob)
+        want = ((np.arange(w * h, dtype=np.int64) * 31 + s * 7) % 256) \
+            .astype(np.uint8).reshape(h, w)
+        assert (px == want[..., None]).all()
+    with pytest.raises(ValueError):
+        decode_gif_pixels(encode_gif(8, 8, 1)[:40])  # truncated
+
+
+def test_image_meta_gif_oracle(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{sf_dir}/documents.parquet'")
+    got = (media.image_meta_gif(sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (con.execute(media.image_meta_gif_sql()).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["decode_ok"].all()
+    assert (got["mode"] == "pal").all()
+    assert got["pixel_sum"].astype(int).tolist() == \
+        want["pixel_sum"].astype(int).tolist()
+    assert got["width"].astype(int).tolist() == \
+        want["width"].astype(int).tolist()
