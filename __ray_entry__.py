@@ -927,10 +927,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (c) re-proof of round-3-changed pipelines (all oracle-backed)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
-        "embedding_centroids": _q_embedding_centroids,
+        "near_dup_clusters": _q_near_clusters,
         "knn_topk": _q_knn,
         "minhash_near_dup_pairs": _q_minhash_pairs,
-        "near_dup_clusters": _q_near_clusters,
+        "embedding_centroids": _q_embedding_centroids,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "containment_pairs": _q_containment_pairs,
         "cross_corpus_near_pairs": _q_cross_corpus_near,
