@@ -862,6 +862,63 @@ def _q_tfidf_cosine_pairs(sf_dir: str):
     return _tfidf.tfidf_cosine_pairs(sf_dir)
 
 
+def _q_substring_dedup_remove(sf_dir: str):
+    """Lee et al. 2107.06499 ExactSubstr REMOVAL: keep-first duplicated
+    50-token windows excised, docs rebuilt from surviving tokens."""
+    from data_dedup_ray.pipelines import spandedup
+
+    return spandedup.substring_dedup_remove(web_pages(sf_dir), min_tokens=50)
+
+
+def _q_weighted_sample_docs(sf_dir: str):
+    from data_dedup_ray.pipelines import sampling
+
+    return sampling.weighted_sample_docs(sf_dir, k=100)
+
+
+def _q_near_dup_clusters_largestar(sf_dir: str):
+    """The near-dup clustering with the connected-components stage forced
+    onto the alternating large-star/small-star path (pipelines/cc.py,
+    Kiveris et al. SoCC'14) — O(log²n) rounds regardless of component
+    diameter, vs label propagation's diameter-bound rounds.  Same
+    clusters as near_dup_clusters by construction → same closure oracle."""
+    from data_dedup_ray.pipelines import near
+
+    return near.minhash_dedup_clusters(
+        web_pages(sf_dir), threshold=0.7, method="largestar")
+
+
+def _q_hll_registers(sf_dir: str):
+    from data_dedup_ray.pipelines import sketches
+
+    return sketches.hll_registers(web_pages(sf_dir), col="text", b=8)
+
+
+def _q_hll_distinct_texts(sf_dir: str):
+    """Rows-only: the float HLL estimate derived from the (oracle-checked)
+    registers; pinned by the error-bound test in tests/test_sketches.py."""
+    import pandas as pd
+
+    from data_dedup_ray.pipelines import sketches
+
+    regs = sketches.hll_registers(
+        web_pages(sf_dir), col="text", b=8).to_pandas()
+    est = sketches.hll_estimate(regs, b=8)
+    return pd.DataFrame({"m": [256], "est_distinct": [int(round(est))]})
+
+
+def _q_cms_token_counts(sf_dir: str):
+    from data_dedup_ray.pipelines import sketches
+
+    return sketches.cms_token_counts(sf_dir)
+
+
+def _q_bigram_lm_scores(sf_dir: str):
+    from data_dedup_ray.pipelines import lm
+
+    return lm.bigram_lm_scores(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_dedup_ray.pipelines import text
 
@@ -889,8 +946,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_dup_spans": _q_longest_dup_spans,
         "image_meta": _q_image_meta,
         "image_features": _q_image_features,
-        "image_resized": _q_image_resized,
-        "audio_features": _q_audio_features,
         # (b) round-3 additions with SQL oracles
         "embedding_lsh_planted_pairs": _q_embedding_lsh_planted_pairs,
         "image_meta_png": _q_image_meta_png,
@@ -924,7 +979,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_gif": _q_image_meta_gif,
         "learn_bpe_merges": _q_learn_bpe_merges,
         "learned_bpe_token_counts": _q_learned_bpe_token_counts,
-        # (c) re-proof of round-3-changed pipelines (all oracle-backed)
+        # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
+        # largestar CC shares near_dup_clusters' closure oracle, so the
+        # flat clustering it displaced below stays transitively in-slot;
+        # image_resized / audio_features rotated past 50 to make room
+        # (their decode paths are proven in-slot by image_meta_png/jpeg/
+        # gif + audio_windows_wav oracles; both stay pytest-pinned)
+        "near_dup_clusters_largestar": _q_near_dup_clusters_largestar,
+        "substring_dedup_remove": _q_substring_dedup_remove,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "hll_registers": _q_hll_registers,
+        "cms_token_counts": _q_cms_token_counts,
+        "bigram_lm_scores": _q_bigram_lm_scores,
+        "hll_distinct_texts": _q_hll_distinct_texts,
+        # (c) re-proof of round-3-changed pipelines (all oracle-backed;
+        # the first five moved past slot 50 for the (b2) additions — all
+        # have green r1/r2 rows, their r3 code changes are pytest-pinned,
+        # and near_dup_clusters' closure is re-proven in-slot by BOTH
+        # tiered_dedup_clusters and near_dup_clusters_largestar)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "near_dup_clusters": _q_near_clusters,
@@ -952,6 +1024,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sparse TF-cosine + ensemble additions: all have green r2 rows,
         # and the cascade they exercise is re-proven in-slot by
         # exact_dedup_clusters / _bloom / cascade_counters)
+        "image_resized": _q_image_resized,
+        "audio_features": _q_audio_features,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
         "exact_dedup_size_only": _q_exact_dedup_size_only,
         "exact_dedup_ignore_empty": _q_ignore_empty,
@@ -1013,8 +1087,12 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import classifier as _classifier
     from data_dedup_ray.pipelines import mixing as _mixing
     from data_dedup_ray.pipelines import media as _media
+    from data_dedup_ray.pipelines import lm as _lm
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
+    from data_dedup_ray.pipelines import sampling as _sampling
+    from data_dedup_ray.pipelines import sketches as _sketches
+    from data_dedup_ray.pipelines import spandedup as _spandedup
     from data_dedup_ray.pipelines import search as _search
     from data_dedup_ray.pipelines import snapshots as _snap
     from data_dedup_ray.pipelines import stats as _stats
@@ -1141,6 +1219,15 @@ def oracle_sql() -> dict[str, str]:
             " AS n_windows FROM web_pages"
         ),
         "near_dup_clusters": oracles.near_dup_clusters_sql(0.7),
+        # largestar CC preserves connectivity round-for-round and fixes
+        # on min-member stars (pipelines/cc.py) — same closure oracle
+        "near_dup_clusters_largestar": oracles.near_dup_clusters_sql(0.7),
+        "hll_registers": web_pages_sql(_sketches.hll_registers_sql()),
+        "cms_token_counts": _sketches.cms_token_counts_sql(),
+        "bigram_lm_scores": _lm.bigram_lm_scores_sql(),
+        "substring_dedup_remove": web_pages_sql(
+            _spandedup.substring_dedup_remove_sql(50)),
+        "weighted_sample_docs": _sampling.weighted_sample_docs_sql(100),
         # the funnel provably reproduces the flat pipeline's clusters
         # (pipelines/tiered.py module docstring) — same closure oracle
         "tiered_dedup_clusters": oracles.near_dup_clusters_sql(0.7),

@@ -82,7 +82,7 @@ def _split_block(col: str, P: int, pre, *tables: pa.Table):
         # pandas round-trip drops the schema of empty batches);
         # _apply_part ignores zero-row tables, so the schema is moot
         e = tables[0].slice(0, 0)
-        return tuple(e for _ in range(P))
+        return e if P == 1 else tuple(e for _ in range(P))
     t = ts[0] if len(ts) == 1 else pa.concat_tables(
         ts, promote_options="default"
     )
@@ -91,7 +91,7 @@ def _split_block(col: str, P: int, pre, *tables: pa.Table):
         t = pre(t)
         if t.num_rows == 0:
             e = t.slice(0, 0)
-            return tuple(e for _ in range(P))
+            return e if P == 1 else tuple(e for _ in range(P))
     part = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.int64)
     t = t.drop_columns([col])
     order = np.argsort(part, kind="stable")
@@ -99,6 +99,8 @@ def _split_block(col: str, P: int, pre, *tables: pa.Table):
     sorted_t = t.take(pa.array(order))
     offs = np.zeros(P + 1, dtype=np.int64)
     np.cumsum(counts, out=offs[1:])
+    if P == 1:
+        return sorted_t  # num_returns=1: the value IS the single return
     return tuple(
         sorted_t.slice(offs[p], offs[p + 1] - offs[p]) for p in range(P)
     )
@@ -174,6 +176,12 @@ def _apply_part(fn: Callable, schema: pa.Schema, sizes: tuple[int, ...],
     return res
 
 
+def _ensure_tuple(refs, P: int):
+    """``num_returns=1`` hands back a bare ObjectRef, not a 1-tuple —
+    normalize so ``blocks[p]`` indexing works for every P."""
+    return (refs,) if P == 1 else refs
+
+
 class Bucketed:
     """A dataset already split into ``P`` hash buckets — the reusable form
     of an exchange input.
@@ -217,7 +225,9 @@ def bucketize(
     if not refs:
         refs = [ray.put(base.empty_table())]
     splits = [
-        _split_block.options(num_returns=P).remote(part_col, P, pre, *g)
+        _ensure_tuple(
+            _split_block.options(num_returns=P).remote(part_col, P, pre, *g),
+            P)
         for g in _split_groups(refs)
     ]
     return Bucketed(splits, base, P)
@@ -284,7 +294,10 @@ def hash_exchange(
         sizes.append(len(groups))
         pre_k = pre[k] if pre else None
         splits.append([
-            _split_block.options(num_returns=P).remote(part_col, P, pre_k, *g)
+            _ensure_tuple(
+                _split_block.options(num_returns=P).remote(
+                    part_col, P, pre_k, *g),
+                P)
             for g in groups
         ])
     out = []

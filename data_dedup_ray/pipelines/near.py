@@ -975,14 +975,19 @@ def ngram_jaccard_pairs(
 
 def minhash_dedup_clusters(
     ds: ray.data.Dataset, *, threshold: float = 0.7,
-    dsu_max_edges: int = 20_000_000, **lsh_kwargs
+    dsu_max_edges: int = 20_000_000, method: str = "auto", **lsh_kwargs
 ) -> ray.data.Dataset:
     """Every row labeled with its near-dup component's min-member url.
 
     The DSU-vs-label-propagation decision is made from a cheap
     ``count()`` aggregate over the verified-pair Dataset — when the edge
     list is past the driver guard it is handed to the distributed
-    ``label_propagation`` as a Dataset and NEVER collected."""
+    ``label_propagation`` as a Dataset and NEVER collected.
+
+    ``method``: "auto" (count-gated DSU / label propagation), or force
+    "largestar" — the O(log²n)-round alternating star algorithm
+    (pipelines/cc.py), preferable when components may be chain-shaped
+    (label propagation pays diameter rounds)."""
     id_col = lsh_kwargs.get("id_col", "url")
     text_col = lsh_kwargs.get("text_col", "text")
     shingle_k = lsh_kwargs.get("shingle_k", 5)
@@ -996,6 +1001,14 @@ def minhash_dedup_clusters(
     # exchange never re-executes
     edges = minhash_dedup_pairs(ds, threshold=threshold, sh=sh,
                                 **lsh_kwargs).materialize()
+    if method == "largestar":
+        from data_dedup_ray.pipelines.cc import largestar_components
+
+        return largestar_components(
+            sh.select_columns([id_col]),
+            edges.select_columns(["url_a", "url_b"]),
+            node_col=id_col,
+        )
     if edges.count() > dsu_max_edges:
         # edge list beyond the driver DSU guard: distributed min-label
         # propagation (components.py) — same deterministic min-member ids
