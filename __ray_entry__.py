@@ -766,6 +766,25 @@ def _q_incremental_near_pairs(sf_dir: str):
     )
 
 
+def _q_incremental_near_dup_clusters(sf_dir: str):
+    """Fold the new crawl into the index corpus' EXISTING cluster
+    assignment via the persisted shingle store — no index-vs-index
+    re-verification; result must equal flat re-clustering of the tagged
+    union (the supernode identity, pipelines/incremental.py)."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import incremental, index, near, snapshots
+
+    store = (f"/tmp/dedup_incr_cluster_store_"
+             f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(store, ignore_errors=True)
+    index.build_shingle_store(web_pages(sf_dir), store)
+    old = near.minhash_dedup_clusters(web_pages(sf_dir), threshold=0.7)
+    return incremental.incremental_near_dup_clusters(
+        snapshots.snapshot2(sf_dir), store, old, threshold=0.7)
+
+
 def _q_top_quality_per_domain(sf_dir: str):
     from data_dedup_ray.pipelines import classifier
 
@@ -970,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup_keep_first": _q_passage_keep_first,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "incremental_near_pairs": _q_incremental_near_pairs,
+        "incremental_near_dup_clusters": _q_incremental_near_dup_clusters,
         "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
         "pack_training_sequences": _q_pack_sequences,
         "deterministic_shuffle": _q_deterministic_shuffle,
@@ -1081,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import curation as _curation
     from data_dedup_ray.pipelines import events as _events
     from data_dedup_ray.pipelines import heavy as _heavy
+    from data_dedup_ray.pipelines import incremental as _incremental
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1157,6 +1178,9 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-store pipeline is cross_corpus_near_pairs with its
         # index side read from parquet — identical exact ground truth
         "incremental_near_pairs": _near.cross_corpus_near_pairs_sql(0.7),
+        # flat-union closure truth for the supernode fold
+        "incremental_near_dup_clusters":
+            _incremental.incremental_near_dup_clusters_oracle(0.7),
         "near_dup_clusters_by_lang":
             _multilingual.near_dup_clusters_by_lang_sql(0.7),
         "pack_training_sequences":
