@@ -785,6 +785,25 @@ def _q_incremental_near_dup_clusters(sf_dir: str):
         snapshots.snapshot2(sf_dir), store, old, threshold=0.7)
 
 
+def _q_rolling_incremental_clusters(sf_dir: str):
+    """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
+    into the standing assignment — each fold reads earlier crawls only
+    through their append-only shingle stores + the previous label table.
+    Equal to flat clustering of the tagged 3-crawl union by induction on
+    the supernode identity."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import incremental, snapshots
+
+    root = (f"/tmp/dedup_rolling_store_"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    return incremental.rolling_incremental_clusters(
+        [("s1", web_pages(sf_dir)), ("s2", snapshots.snapshot2(sf_dir)),
+         ("s3", snapshots.snapshot3(sf_dir))], root, threshold=0.7)
+
+
 def _q_top_quality_per_domain(sf_dir: str):
     from data_dedup_ray.pipelines import classifier
 
@@ -990,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         "incremental_near_pairs": _q_incremental_near_pairs,
         "incremental_near_dup_clusters": _q_incremental_near_dup_clusters,
+        "rolling_incremental_clusters": _q_rolling_incremental_clusters,
         "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
         "pack_training_sequences": _q_pack_sequences,
         "deterministic_shuffle": _q_deterministic_shuffle,
@@ -1181,6 +1201,9 @@ def oracle_sql() -> dict[str, str]:
         # flat-union closure truth for the supernode fold
         "incremental_near_dup_clusters":
             _incremental.incremental_near_dup_clusters_oracle(0.7),
+        # 3-crawl flat closure truth for the rolling fold-by-induction
+        "rolling_incremental_clusters":
+            _incremental.rolling_incremental_clusters_sql(0.7),
         "near_dup_clusters_by_lang":
             _multilingual.near_dup_clusters_by_lang_sql(0.7),
         "pack_training_sequences":

@@ -77,7 +77,7 @@ def _rewrite(src: str, carry: str, out_node: str, out_carry: str,
 
 def incremental_near_dup_clusters(
     new_ds: ray.data.Dataset,
-    store_path: str,
+    store_path: str | list[str],
     old_labels: ray.data.Dataset,
     *,
     threshold: float = 0.7,
@@ -273,6 +273,137 @@ def incremental_near_dup_clusters(
     )
     return index_out.union(new_out).map_batches(
         lambda t: t, batch_format="pyarrow")
+
+
+def tag_captures(ds: ray.data.Dataset, prefix: str, *,
+                 id_col: str = "url", text_col: str = "text"
+                 ) -> ray.data.Dataset:
+    """``(url, text)`` with ``url`` → ``<prefix>url`` — globally unique
+    capture ids for a crawl sequence where the same url recurs every
+    snapshot.  Prefixes are opaque to the incremental fold (its internal
+    ``i|``/``n|`` tags wrap them)."""
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.binary_join_element_wise(
+                pa.scalar(prefix),
+                t[id_col].combine_chunks().cast(pa.string()), ""),
+            text_col: t[text_col].combine_chunks().cast(pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def rolling_incremental_clusters(
+    crawls: list[tuple[str, ray.data.Dataset]],
+    store_root: str,
+    *,
+    threshold: float = 0.7,
+    num_partitions: int = 32,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """The OPERATIONAL loop a recurring crawl runs: cluster crawl 0 flat,
+    then fold each later crawl into the standing assignment — each fold
+    sees earlier crawls only through their persisted shingle stores
+    (text tokenized exactly once, in the crawl that captured it) and the
+    label table the previous fold produced.
+
+    ``crawls`` is ``[(name, dataset), ...]``; every capture gets the
+    globally unique id ``<name>|<url>``.  Each crawl's shingles persist
+    under ``<store_root>/crawl=<name>`` (append-only: a new crawl never
+    rewrites an old crawl's store).  Returns ``(crawl, url, cluster_id)``
+    for every capture of every crawl; ``cluster_id`` is the minimum
+    member capture id — byte-identical to clustering the tagged union of
+    all crawls flat, by induction on the supernode identity
+    (``incremental_near_dup_clusters`` docstring)."""
+    from data_dedup_ray.pipelines.index import build_shingle_store
+    from data_dedup_ray.pipelines.near import minhash_dedup_clusters
+
+    id_col = lsh_kwargs.get("id_col", "url")
+    text_col = lsh_kwargs.get("text_col", "text")
+    shingle_k = lsh_kwargs.get("shingle_k", 5)
+
+    (name0, ds0), rest = crawls[0], crawls[1:]
+    tagged0 = tag_captures(ds0, f"{name0}|", id_col=id_col,
+                           text_col=text_col)
+    store0 = f"{store_root}/crawl={name0}"
+    build_shingle_store(tagged0, store0, id_col=id_col, text_col=text_col,
+                        shingle_k=shingle_k,
+                        num_partitions=num_partitions)
+    labels = minhash_dedup_clusters(tagged0, threshold=threshold,
+                                    **lsh_kwargs)
+    stores = [store0]
+    for name, ds in rest:
+        tagged = tag_captures(ds, f"{name}|", id_col=id_col,
+                              text_col=text_col)
+        out = incremental_near_dup_clusters(
+            tagged, stores, labels, threshold=threshold,
+            num_partitions=num_partitions, **lsh_kwargs)
+        labels = out.select_columns([id_col, "cluster_id"]).materialize()
+        store = f"{store_root}/crawl={name}"
+        build_shingle_store(tagged, store, id_col=id_col,
+                            text_col=text_col, shingle_k=shingle_k,
+                            num_partitions=num_partitions)
+        stores.append(store)
+
+    out_schema = pa.schema([("crawl", pa.string()),
+                            (id_col, pa.string()),
+                            ("cluster_id", pa.string())])
+
+    def split_tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # capture id = '<crawl>|<url>'; urls never contain '|'
+        parts = pc.split_pattern(t[id_col].combine_chunks(), "|",
+                                 max_splits=1)
+        return pa.table({
+            "crawl": pc.list_element(parts, 0),
+            id_col: pc.list_element(parts, 1),
+            "cluster_id": t["cluster_id"].combine_chunks(),
+        })
+
+    return labels.map_batches(split_tag, batch_format="pyarrow")
+
+
+def rolling_incremental_clusters_sql(threshold: float = 0.7) -> str:
+    """Full DuckDB statement: flat closure over the tagged 3-crawl union
+    (web_pages = s1, snapshot2 = s2, snapshot3 = s3); cluster_id = min
+    member capture id — exactly what the rolling fold must reproduce."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.pipelines.snapshots import (SNAPSHOT2_CTE,
+                                                    SNAPSHOT3_CTE)
+
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+{SNAPSHOT2_CTE},
+{SNAPSHOT3_CTE},
+rall AS (
+  SELECT 's1|' || url AS id, text FROM web_pages
+  UNION ALL SELECT 's2|' || url, text FROM snapshot2
+  UNION ALL SELECT 's3|' || url, text FROM snapshot3),
+rtoks AS (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM rall),
+rsh AS (SELECT DISTINCT id, array_to_string(t[i:i+4], ' ') AS s
+        FROM rtoks, UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5),
+rcnt AS (SELECT id, count(*) AS n FROM rsh GROUP BY id),
+rinter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           FROM rsh a JOIN rsh b ON a.s = b.s AND a.id < b.id
+           GROUP BY 1, 2),
+rjac AS (SELECT id_a, id_b,
+                rinter.i * 1.0 / (ca.n + cb.n - rinter.i) AS j
+         FROM rinter JOIN rcnt ca ON ca.id = id_a
+                     JOIN rcnt cb ON cb.id = id_b),
+rdup AS (SELECT id_a, id_b FROM rjac WHERE j >= {threshold}),
+redges AS (SELECT id_a AS a, id_b AS b FROM rdup
+           UNION SELECT id_b, id_a FROM rdup),
+rreach(a, b) AS (SELECT a, b FROM redges
+                 UNION SELECT r.a, e.b FROM rreach r
+                       JOIN redges e ON r.b = e.a),
+rcomp AS (SELECT a AS id, least(a, min(b)) AS cl
+          FROM rreach GROUP BY a)
+SELECT substr(l.id, 1, 2) AS crawl, substr(l.id, 4) AS url,
+       coalesce(c.cl, l.id) AS cluster_id
+FROM rall l LEFT JOIN rcomp c ON c.id = l.id"""
 
 
 def incremental_near_dup_clusters_oracle(threshold: float = 0.7) -> str:

@@ -51,8 +51,21 @@ def build_shingle_store(
     )
 
 
-def read_shingle_store(path: str) -> ray.data.Dataset:
-    """The stored ``(id, sh)`` table as a streaming Dataset."""
+def read_shingle_store(path: str | list[str]) -> ray.data.Dataset:
+    """The stored ``(id, sh)`` table as a streaming Dataset.  A list of
+    paths reads several crawls' stores as one index — the rolling-update
+    form: each crawl appends its own store directory, nothing is
+    rewritten.  (read_parquet rejects directory LISTS, so expand each
+    store to its part files.)"""
+    if isinstance(path, (list, tuple)):
+        import glob
+        import os
+
+        files: list[str] = []
+        for p in path:
+            files += sorted(glob.glob(os.path.join(p, "part=*",
+                                                   "*.parquet")))
+        return ray.data.read_parquet(files)
     return ray.data.read_parquet(path)
 
 

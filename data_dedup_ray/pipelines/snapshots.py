@@ -51,6 +51,7 @@ from data_dedup_ray.corpus import (
 from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 
 RECRAWL_SUFFIX = " updated rev2"
+RECRAWL3_SUFFIX = " updated rev3"
 
 
 # --------------------------------------------------------------------------
@@ -86,6 +87,63 @@ def _derive2(batch: pd.DataFrame) -> pd.DataFrame:
             "inode_id": ids.astype("int64"),
         }
     )
+
+
+def _derive3(batch: pd.DataFrame) -> pd.DataFrame:
+    doc_id = batch["doc_id"]
+    sub = batch.loc[(doc_id % 5) == 0]
+    ids = sub["doc_id"]
+    changed = (ids % 10) != 0
+    text = sub["text"].where(~changed, sub["text"] + RECRAWL3_SUFFIX)
+    url = (
+        "https://site" + (ids % 20).astype(str) + ".example/p/" + ids.astype(str)
+    )
+    ts = (
+        pd.Timestamp(BASE_TS)
+        + pd.to_timedelta(ids, unit="m")
+        + pd.Timedelta(days=60)
+    ).astype("datetime64[us]")
+    html = (
+        (HTML_PRE_A + ids.astype(str) + HTML_PRE_B + text + HTML_POST)
+        .str.encode("utf-8")
+    )
+    return pd.DataFrame(
+        {
+            "url": url,
+            "warc_ts": ts,
+            "html": html,
+            "text": text,
+            "lang": sub["lang"],
+            "inode_id": ids.astype("int64"),
+        }
+    )
+
+
+def snapshot3(sf_dir: str) -> ray.data.Dataset:
+    """The second re-crawl, another month on: every ``doc_id % 5 == 0``
+    base url is revisited; ``doc_id % 10 == 0`` captures are byte-identical
+    to snapshot 1, the rest gained a rev-3 trailing edit."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(_derive3, batch_format="pandas")
+
+
+#: DuckDB twin of ``snapshot3`` (same shape as SNAPSHOT2_CTE).
+SNAPSHOT3_CTE = (
+    "snapshot3 AS (\n"
+    "  SELECT 'https://site' || (doc_id % 20) || '.example/p/' || doc_id AS url,\n"
+    f"         TIMESTAMP '{BASE_TS}' + doc_id * INTERVAL 1 MINUTE"
+    " + INTERVAL 60 DAY AS warc_ts,\n"
+    f"         encode('{HTML_PRE_A}' || doc_id || '{HTML_PRE_B}' || "
+    "CASE WHEN doc_id % 10 = 0 THEN text ELSE text || "
+    f"'{RECRAWL3_SUFFIX}' END || '{HTML_POST}') AS html,\n"
+    "         CASE WHEN doc_id % 10 = 0 THEN text ELSE text || "
+    f"'{RECRAWL3_SUFFIX}' END AS text,\n"
+    "         lang, CAST(doc_id AS BIGINT) AS inode_id\n"
+    "  FROM documents WHERE doc_id % 5 = 0\n"
+    ")"
+)
 
 
 def snapshot2(sf_dir: str) -> ray.data.Dataset:

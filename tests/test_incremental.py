@@ -3,6 +3,7 @@
 re-clustering the tagged union corpus flat — the supernode identity the
 module docstring states."""
 
+import os
 import shutil
 
 import numpy as np
@@ -68,3 +69,32 @@ def test_incremental_empty_new_crawl_keeps_old_labels():
     exp = (old.to_pandas().sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[["url", "cluster_id"]].reset_index(drop=True), exp)
+
+
+def test_rolling_three_crawls_equals_flat_union():
+    """Two successive folds (s2 then s3), each seeing history only via
+    persisted stores + the previous label table, equal flat clustering
+    of the tagged 3-crawl union."""
+    import duckdb
+
+    from data_dedup_ray.pipelines.incremental import (
+        rolling_incremental_clusters, rolling_incremental_clusters_sql)
+
+    root = "/tmp/test_roll_store"
+    shutil.rmtree(root, ignore_errors=True)
+    got = rolling_incremental_clusters(
+        [("s1", web_pages(SF)), ("s2", snapshots.snapshot2(SF)),
+         ("s3", snapshots.snapshot3(SF))], root, threshold=0.7,
+    ).to_pandas().sort_values(["crawl", "url"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(rolling_incremental_clusters_sql(0.7)).df(
+    ).sort_values(["crawl", "url"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
+    # a cluster actually spans all three crawls (doc_id % 15 == 0 urls
+    # recur in s2 and s3)
+    spans = got.groupby("cluster_id")["crawl"].nunique()
+    assert (spans == 3).any()
+    # append-only store layout: one directory per crawl
+    assert sorted(os.listdir(root)) == ["crawl=s1", "crawl=s2", "crawl=s3"]
