@@ -785,6 +785,29 @@ def _q_incremental_near_dup_clusters(sf_dir: str):
         snapshots.snapshot2(sf_dir), store, old, threshold=0.7)
 
 
+def _q_incremental_sig_pairs(sf_dir: str, token_hash=None):
+    """Estimated near-dup pairs against the persisted SIGNATURE store —
+    the constant-1KB/doc incremental state (pipelines/sigstore.py).
+    token_hash='sha' is the SQL-twin variant: the whole MinHash chain
+    (sha256 token hash → rolling shingle hash → 126 multiply-shift
+    permutation minima → agreement count) restated bit-for-bit in
+    DuckDB; the default polars-hash variant is rows-only."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import sigstore, snapshots
+
+    tag = token_hash or "fast"
+    store = (f"/tmp/dedup_sig_store_{tag}_"
+             f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(store, ignore_errors=True)
+    sigstore.build_signature_store(web_pages(sf_dir), store,
+                                   token_hash=token_hash)
+    return sigstore.incremental_sig_near_pairs(
+        snapshots.snapshot2(sf_dir), store, threshold=0.7,
+        token_hash=token_hash)
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1010,6 +1033,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_pairs": _q_incremental_near_pairs,
         "incremental_near_dup_clusters": _q_incremental_near_dup_clusters,
         "rolling_incremental_clusters": _q_rolling_incremental_clusters,
+        "incremental_sig_pairs_sha":
+            lambda sf: _q_incremental_sig_pairs(sf, token_hash="sha"),
+        "incremental_sig_pairs": _q_incremental_sig_pairs,
         "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
         "pack_training_sequences": _q_pack_sequences,
         "deterministic_shuffle": _q_deterministic_shuffle,
@@ -1122,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import events as _events
     from data_dedup_ray.pipelines import heavy as _heavy
     from data_dedup_ray.pipelines import incremental as _incremental
+    from data_dedup_ray.pipelines import sigstore as _sigstore
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1204,6 +1231,10 @@ def oracle_sql() -> dict[str, str]:
         # 3-crawl flat closure truth for the rolling fold-by-induction
         "rolling_incremental_clusters":
             _incremental.rolling_incremental_clusters_sql(0.7),
+        # the sha MinHash signature restated bit-for-bit in DuckDB;
+        # the default-hash sibling (polars seeded hash) stays rows-only
+        "incremental_sig_pairs_sha":
+            _sigstore.incremental_sig_near_pairs_sql(0.7),
         "near_dup_clusters_by_lang":
             _multilingual.near_dup_clusters_by_lang_sql(0.7),
         "pack_training_sequences":

@@ -140,11 +140,17 @@ def token_counts(texts, lowercase: bool = False) -> np.ndarray:
         dtype=np.int64, count=len(texts))
 
 
-def shingle_sets(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+def shingle_sets(texts, k: int, token_hash=None
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct k-shingle hash sets for each text.
 
-    → (concatenated distinct-shingle array, per-doc set sizes)."""
-    hashes, counts = tokenize_batch(texts)
+    → (concatenated distinct-shingle array, per-doc set sizes).
+
+    ``token_hash``: optional token-hash override (see tokenize_batch) —
+    ``sha256_token_hash`` makes the whole shingle/MinHash chain
+    SQL-restatable (the rolling combine below is plain mod-2⁶⁴
+    arithmetic DuckDB can do in HUGEINT)."""
+    hashes, counts = tokenize_batch(texts, token_hash=token_hash)
     with np.errstate(over="ignore"):
         # polynomial rolling combine over the concatenated token hashes
         c = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
@@ -177,11 +183,17 @@ class MinHashLSH:
 
     def __init__(self, *, n_perm: int = 126, band_r: int = 3, shingle_k: int = 5,
                  seed: int = 42, id_col: str = "url", text_col: str = "text",
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 token_hash: str | None = None):
         assert n_perm % band_r == 0
         self.n_perm, self.band_r, self.k = n_perm, band_r, shingle_k
         self.n_bands = n_perm // band_r
         self.id_col, self.text_col = id_col, text_col
+        # "sha" = sha256-derived token hash (SQL-restatable oracle
+        # variant, slower); None = the default polars seeded hash.
+        # Passed by NAME so stage_task's repr cache key stays stable.
+        self.token_hash = (sha256_token_hash if token_hash == "sha"
+                           else None)
         # when set, emit the coarse shuffle key in-stage (saves one full
         # object-store pass over the exploded band rows — an actor stage
         # can't fuse with a downstream task stage)
@@ -194,7 +206,8 @@ class MinHashLSH:
     def signatures(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """→ (uint64 signature matrix [n_docs_with_shingles, n_perm],
         bool mask of docs that have shingles)."""
-        cat, sizes = shingle_sets(texts, self.k)
+        cat, sizes = shingle_sets(texts, self.k,
+                                  token_hash=self.token_hash)
         has = sizes > 0
         if not has.any():
             return np.empty((0, self.n_perm), dtype=np.uint64), has
