@@ -997,10 +997,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # (a) never-driver-evidenced: rows-only records at minimum
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
-        "doc_fingerprints": text.fingerprints,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "simhash_pairs": _q_simhash_pairs,
+        "hll_registers": _q_hll_registers,
+        "cms_token_counts": _q_cms_token_counts,
+        "bigram_lm_scores": _q_bigram_lm_scores,
+        "hll_distinct_texts": _q_hll_distinct_texts,
         "simhash_clusters": _q_simhash_clusters,
         "dup_span_fingerprints": _q_span_fingerprints,
         "substring_clusters": _q_substring_clusters,
@@ -1054,10 +1054,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_largestar": _q_near_dup_clusters_largestar,
         "substring_dedup_remove": _q_substring_dedup_remove,
         "weighted_sample_docs": _q_weighted_sample_docs,
-        "hll_registers": _q_hll_registers,
-        "cms_token_counts": _q_cms_token_counts,
-        "bigram_lm_scores": _q_bigram_lm_scores,
-        "hll_distinct_texts": _q_hll_distinct_texts,
+        "doc_fingerprints": text.fingerprints,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "simhash_pairs": _q_simhash_pairs,
         # (c) re-proof of round-3-changed pipelines (all oracle-backed;
         # the first five moved past slot 50 for the (b2) additions — all
         # have green r1/r2 rows, their r3 code changes are pytest-pinned,
