@@ -808,6 +808,40 @@ def _q_incremental_sig_pairs(sf_dir: str, token_hash=None):
         token_hash=token_hash)
 
 
+def _q_incremental_new_content(sf_dir: str):
+    """Exact incremental dedup against the 32 B/doc content-hash store —
+    the cheapest tier of the incremental state ladder
+    (pipelines/fpstore.py)."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import fpstore, snapshots
+
+    store = (f"/tmp/dedup_hash_store_"
+             f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(store, ignore_errors=True)
+    fpstore.build_content_hash_store(web_pages(sf_dir), store)
+    return fpstore.incremental_new_content(snapshots.snapshot2(sf_dir),
+                                           store)
+
+
+def _q_incremental_simhash_pairs(sf_dir: str, hash_fn="fast"):
+    """Hamming ≤ 3 near-dup pairs against the 8 B/doc SimHash store.
+    hash_fn='sha' is the SQL-twin variant (brute-force DuckDB
+    restatement); 'fast' is rows-only."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import fpstore, snapshots
+
+    store = (f"/tmp/dedup_sim_store_{hash_fn}_"
+             f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(store, ignore_errors=True)
+    fpstore.build_simhash_store(web_pages(sf_dir), store, hash_fn=hash_fn)
+    return fpstore.incremental_simhash_pairs(
+        snapshots.snapshot2(sf_dir), store, hash_fn=hash_fn)
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1002,9 +1036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_scores": _q_bigram_lm_scores,
         "hll_distinct_texts": _q_hll_distinct_texts,
         "simhash_clusters": _q_simhash_clusters,
-        "dup_span_fingerprints": _q_span_fingerprints,
-        "substring_clusters": _q_substring_clusters,
-        "longest_dup_spans": _q_longest_dup_spans,
+        "near_dup_clusters_largestar": _q_near_dup_clusters_largestar,
+        "substring_dedup_remove": _q_substring_dedup_remove,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "image_meta": _q_image_meta,
         "image_features": _q_image_features,
         # (b) round-3 additions with SQL oracles
@@ -1036,6 +1070,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_sig_pairs_sha":
             lambda sf: _q_incremental_sig_pairs(sf, token_hash="sha"),
         "incremental_sig_pairs": _q_incremental_sig_pairs,
+        "incremental_new_content": _q_incremental_new_content,
+        "incremental_simhash_pairs_sha":
+            lambda sf: _q_incremental_simhash_pairs(sf, hash_fn="sha"),
+        "incremental_simhash_pairs": _q_incremental_simhash_pairs,
         "near_dup_clusters_by_lang": _q_near_clusters_by_lang,
         "pack_training_sequences": _q_pack_sequences,
         "deterministic_shuffle": _q_deterministic_shuffle,
@@ -1051,9 +1089,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_resized / audio_features rotated past 50 to make room
         # (their decode paths are proven in-slot by image_meta_png/jpeg/
         # gif + audio_windows_wav oracles; both stay pytest-pinned)
-        "near_dup_clusters_largestar": _q_near_dup_clusters_largestar,
-        "substring_dedup_remove": _q_substring_dedup_remove,
-        "weighted_sample_docs": _q_weighted_sample_docs,
+        "dup_span_fingerprints": _q_span_fingerprints,
+        "substring_clusters": _q_substring_clusters,
+        "longest_dup_spans": _q_longest_dup_spans,
         "doc_fingerprints": text.fingerprints,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1149,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import heavy as _heavy
     from data_dedup_ray.pipelines import incremental as _incremental
     from data_dedup_ray.pipelines import sigstore as _sigstore
+    from data_dedup_ray.pipelines import fpstore as _fpstore
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1235,6 +1274,9 @@ def oracle_sql() -> dict[str, str]:
         # the default-hash sibling (polars seeded hash) stays rows-only
         "incremental_sig_pairs_sha":
             _sigstore.incremental_sig_near_pairs_sql(0.7),
+        "incremental_new_content": _fpstore.incremental_new_content_sql(),
+        "incremental_simhash_pairs_sha":
+            _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":
             _multilingual.near_dup_clusters_by_lang_sql(0.7),
         "pack_training_sequences":
