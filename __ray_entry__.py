@@ -842,6 +842,28 @@ def _q_incremental_simhash_pairs(sf_dir: str, hash_fn="fast"):
         snapshots.snapshot2(sf_dir), store, hash_fn=hash_fn)
 
 
+def _q_incremental_tiered_dedup(sf_dir: str):
+    """Per-crawl disposition funnel over the persisted state ladder:
+    exact via the 32 B/doc hash store (those pages never reach
+    tokenization), near via the shingle store's LSH+verify, else
+    unique (pipelines/incrfunnel.py)."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import fpstore, incrfunnel, index, \
+        snapshots
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    hs = f"/tmp/dedup_funnel_hash_{base}"
+    ss = f"/tmp/dedup_funnel_shingle_{base}"
+    shutil.rmtree(hs, ignore_errors=True)
+    shutil.rmtree(ss, ignore_errors=True)
+    fpstore.build_content_hash_store(web_pages(sf_dir), hs)
+    index.build_shingle_store(web_pages(sf_dir), ss)
+    return incrfunnel.incremental_tiered_dedup(
+        snapshots.snapshot2(sf_dir), hs, ss, threshold=0.7)
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1035,7 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": _q_cms_token_counts,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "hll_distinct_texts": _q_hll_distinct_texts,
-        "simhash_clusters": _q_simhash_clusters,
+        "learned_bpe_token_counts": _q_learned_bpe_token_counts,
         "near_dup_clusters_largestar": _q_near_dup_clusters_largestar,
         "substring_dedup_remove": _q_substring_dedup_remove,
         "weighted_sample_docs": _q_weighted_sample_docs,
@@ -1071,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _q_incremental_sig_pairs(sf, token_hash="sha"),
         "incremental_sig_pairs": _q_incremental_sig_pairs,
         "incremental_new_content": _q_incremental_new_content,
+        "incremental_tiered_dedup": _q_incremental_tiered_dedup,
         "incremental_simhash_pairs_sha":
             lambda sf: _q_incremental_simhash_pairs(sf, hash_fn="sha"),
         "incremental_simhash_pairs": _q_incremental_simhash_pairs,
@@ -1082,7 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_per_domain": _q_top_quality_per_domain,
         "image_meta_gif": _q_image_meta_gif,
         "learn_bpe_merges": _q_learn_bpe_merges,
-        "learned_bpe_token_counts": _q_learned_bpe_token_counts,
+        "simhash_clusters": _q_simhash_clusters,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1188,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import incremental as _incremental
     from data_dedup_ray.pipelines import sigstore as _sigstore
     from data_dedup_ray.pipelines import fpstore as _fpstore
+    from data_dedup_ray.pipelines import incrfunnel as _incrfunnel
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1275,6 +1299,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_sig_pairs_sha":
             _sigstore.incremental_sig_near_pairs_sql(0.7),
         "incremental_new_content": _fpstore.incremental_new_content_sql(),
+        "incremental_tiered_dedup":
+            _incrfunnel.incremental_tiered_dedup_sql(0.7),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":
