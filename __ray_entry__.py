@@ -864,6 +864,26 @@ def _q_incremental_tiered_dedup(sf_dir: str):
         snapshots.snapshot2(sf_dir), hs, ss, threshold=0.7)
 
 
+def _q_compact_hash_store(sf_dir: str):
+    """Latest-wins compaction of two crawls' content-hash store dirs
+    into one (pipelines/storeops.py) — the maintenance op that keeps
+    the append-only store ladder from accumulating dead rows."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import fpstore, snapshots, storeops
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    s1 = f"/tmp/dedup_comp_s1_{base}"
+    s2 = f"/tmp/dedup_comp_s2_{base}"
+    out = f"/tmp/dedup_comp_out_{base}"
+    for p in (s1, s2, out):
+        shutil.rmtree(p, ignore_errors=True)
+    fpstore.build_content_hash_store(web_pages(sf_dir), s1)
+    fpstore.build_content_hash_store(snapshots.snapshot2(sf_dir), s2)
+    return storeops.compact_store([s1, s2], out)
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1061,7 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_largestar": _q_near_dup_clusters_largestar,
         "substring_dedup_remove": _q_substring_dedup_remove,
         "weighted_sample_docs": _q_weighted_sample_docs,
-        "image_meta": _q_image_meta,
+        "learn_bpe_merges": _q_learn_bpe_merges,
         "image_features": _q_image_features,
         # (b) round-3 additions with SQL oracles
         "embedding_lsh_planted_pairs": _q_embedding_lsh_planted_pairs,
@@ -1094,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_sig_pairs": _q_incremental_sig_pairs,
         "incremental_new_content": _q_incremental_new_content,
         "incremental_tiered_dedup": _q_incremental_tiered_dedup,
+        "compact_hash_store": _q_compact_hash_store,
         "incremental_simhash_pairs_sha":
             lambda sf: _q_incremental_simhash_pairs(sf, hash_fn="sha"),
         "incremental_simhash_pairs": _q_incremental_simhash_pairs,
@@ -1104,7 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora": _q_mix_corpora,
         "top_quality_per_domain": _q_top_quality_per_domain,
         "image_meta_gif": _q_image_meta_gif,
-        "learn_bpe_merges": _q_learn_bpe_merges,
+        "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
@@ -1212,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import sigstore as _sigstore
     from data_dedup_ray.pipelines import fpstore as _fpstore
     from data_dedup_ray.pipelines import incrfunnel as _incrfunnel
+    from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1301,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_new_content": _fpstore.incremental_new_content_sql(),
         "incremental_tiered_dedup":
             _incrfunnel.incremental_tiered_dedup_sql(0.7),
+        "compact_hash_store": _storeops.compact_hash_store_sql(),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":

@@ -1,0 +1,112 @@
+"""Store maintenance — compaction for the append-only crawl stores.
+
+Every store tier (fpstore content-sha / simhash, sigstore signatures,
+index shingle blobs) appends one directory per crawl and reads lists of
+directories.  After many crawls the same url has one row per revisit;
+readers cope, but (a) the index side of every incremental job carries
+dead rows and (b) list-reads accumulate small files.  ``compact_store``
+rewrites N crawl directories into ONE, keeping the LATEST crawl's row
+per id (later paths win — the order the crawls were appended), through
+a single hash exchange that moves (id, payload, crawl#) rows once.
+
+Payload-agnostic: works on any ``(id, <payload columns...>)`` store the
+sinks in this repo write.  The compacted directory is itself a
+resumable-sink store (part dirs, _SUCCESS, _META lineage recording the
+source count), so downstream list-reads mix compacted and fresh crawl
+directories freely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+
+def compact_store(
+    paths: list[str],
+    out_path: str | None = None,
+    *,
+    id_col: str = "url",
+    num_partitions: int = 32,
+    config: dict | None = None,
+) -> ray.data.Dataset:
+    """Latest-wins union of ``paths`` (later path = newer crawl).
+
+    Returns the compacted ``(id, payload...)`` Dataset; when
+    ``out_path`` is given, also persists it as a resumable store."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+
+    P = num_partitions
+
+    def tag(k: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t[id_col].combine_chunks().cast(pa.string())
+            return t.set_column(
+                t.schema.get_field_index(id_col), id_col, ids
+            ).append_column(
+                "_crawl", pa.array(np.full(len(ids), k, np.int64))
+            ).append_column(
+                "_part", pa.array(key_partition(
+                    ids.to_numpy(zero_copy_only=False), P)))
+        return fn
+
+    # list-read form: explicit part=*/ *.parquet files, so the hive
+    # `part` directory key never becomes a phantom payload column
+    parts = [_read_store([p]).map_batches(tag(k), batch_format="pyarrow")
+             for k, p in enumerate(paths)]
+    ds = parts[0]
+    for nxt in parts[1:]:
+        ds = ds.union(nxt)
+
+    base = _read_store([paths[0]]).schema().base_schema
+    out_schema = pa.schema([base.field(n) for n in base.names])
+    in_schema = out_schema.append(pa.field("_crawl", pa.int64()))
+    payload = [n for n in base.names if n != id_col]
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in base.names})
+        win = (df.sort_values("_crawl").drop_duplicates(id_col,
+                                                        keep="last"))
+        return win[[id_col, *payload]].reset_index(drop=True)
+
+    def pre_latest(t: pa.Table) -> pa.Table:
+        # map-side combiner: latest per id within the split group
+        df = t.to_pandas()
+        win = df.sort_values("_crawl").drop_duplicates(
+            [id_col, "_part"], keep="last")
+        return pa.Table.from_pandas(win, preserve_index=False)
+
+    compacted = hash_exchange(
+        [ds], keep_latest, num_partitions=P, schema=out_schema,
+        in_schemas=[in_schema], pre=[pre_latest],
+    )
+    if out_path is not None:
+        from data_dedup_ray.state.sink import resumable_write_parquet
+
+        compacted = compacted.materialize()
+        resumable_write_parquet(
+            compacted, out_path, key_col=id_col, num_partitions=P,
+            config={"kind": "compacted_store", "n_sources": len(paths),
+                    "id_col": id_col, **(config or {})},
+        )
+    return compacted
+
+
+def compact_hash_store_sql() -> str:
+    """DuckDB twin of compacting the web_pages (crawl 1) + snapshot2
+    (crawl 2) content-hash stores: per url, the sha of the LATEST
+    capture's text (arg_max by crawl#)."""
+    from data_dedup_ray.pipelines.snapshots import snapshots_sql
+
+    return snapshots_sql(
+        ", uall AS (SELECT url, text, 1 AS k FROM web_pages"
+        "  UNION ALL SELECT url, text, 2 FROM snapshot2)"
+        " SELECT url, sha256(arg_max(text, k)) AS sha"
+        " FROM uall GROUP BY url"
+    )
