@@ -884,6 +884,16 @@ def _q_compact_hash_store(sf_dir: str):
     return storeops.compact_store([s1, s2], out)
 
 
+def _q_dedup_tier_eval(sf_dir: str):
+    """Funnel-tuning quality harness (pipelines/evaluation.py): integer
+    precision/recall/F1 basis points of the sha-simhash and TF-cosine
+    tiers against the exact Jaccard>=0.7 pair set."""
+    from data_dedup_ray.pipelines import evaluation
+
+    return evaluation.dedup_tier_eval(
+        web_pages(sf_dir).select_columns(["url", "text"]))
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1127,6 +1137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_gif": _q_image_meta_gif,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
+        # session-6 addition past the window (its component pair sets
+        # are all in-slot this round; rotate in for an r4 row)
+        "dedup_tier_eval": _q_dedup_tier_eval,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1278,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         # 3-signal ensemble clusters: recursive closure over the union
         # of the Jaccard / tf-cosine / sha-simhash edge sets
         "ensemble_clusters": oracles.ensemble_clusters_sql(),
+        "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

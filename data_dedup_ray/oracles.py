@@ -410,20 +410,11 @@ def tf_cosine_pairs_sql(max_df: int = 256, min_cos2_bp: int = 8100) -> str:
     )
 
 
-def ensemble_clusters_sql(
-    threshold: float = 0.7, max_df: int = 256, min_cos2_bp: int = 8100,
-    max_hamming: int = 3,
-) -> str:
-    """SQL twin of pipelines/ensemble.ensemble_clusters: recursive
-    transitive closure over the UNION of three edge sets — shingle
-    Jaccard ≥ threshold (``_SHINGLE_CTES``), exact integer TF-cosine
-    (fragment of ``tf_cosine_pairs_sql``, ``t``-prefixed), and the
-    sha-token simhash bit-majority Hamming ≤ max_hamming (fragment of
-    ``near.simhash_sha_pairs_sql``, ``s``-prefixed).  Singletons keep
-    their own url, exactly like ``near_dup_clusters_sql``."""
-    return f"""
-WITH RECURSIVE {WEB_PAGES_CTE},{_SHINGLE_CTES},
-ttoks AS (
+def _tf_edge_ctes(max_df: int) -> str:
+    """``t``-prefixed CTE fragment of ``tf_cosine_pairs_sql`` (integer TF
+    dot products over the df-pruned vocabulary), shared by the ensemble
+    closure and the tier-eval oracle."""
+    return f"""ttoks AS (
   SELECT url, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
   FROM web_pages),
 ttf AS (
@@ -437,8 +428,13 @@ tnorms AS (SELECT url, sum(tf*tf) AS n2 FROM tvocab GROUP BY url),
 tdots AS (
   SELECT a.url AS url_a, b.url AS url_b, sum(a.tf*b.tf) AS dot
   FROM tvocab a JOIN tvocab b USING (token)
-  WHERE a.url < b.url GROUP BY 1, 2),
-stoks AS (
+  WHERE a.url < b.url GROUP BY 1, 2)"""
+
+
+def _simhash_edge_ctes() -> str:
+    """``s``-prefixed CTE fragment of ``near.simhash_sha_pairs_sql`` (the
+    sha-token bit-majority fingerprint and pairwise Hamming distances)."""
+    return """stoks AS (
   SELECT url, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
   FROM web_pages),
 sth AS (SELECT url, substr(sha256(tok), 1, 16) AS h FROM stoks),
@@ -454,7 +450,65 @@ sham AS (
   SELECT a.url AS url_a, b.url AS url_b,
          sum(CASE WHEN a.fpbit <> b.fpbit THEN 1 ELSE 0 END) AS d
   FROM sbits a JOIN sbits b ON a.j = b.j AND a.url < b.url
-  GROUP BY 1, 2),
+  GROUP BY 1, 2)"""
+
+
+def dedup_tier_eval_sql(
+    threshold: float = 0.7, max_df: int = 256, min_cos2_bp: int = 8100,
+    max_hamming: int = 3,
+) -> str:
+    """SQL twin of pipelines/evaluation.dedup_tier_eval: per cheap tier
+    (sha-simhash Hamming ≤ max_hamming, integer TF-cosine ≥ min_cos2_bp),
+    integer-exact precision / recall / F1 basis points against the exact
+    shingle-Jaccard ≥ threshold pair set.  F1 is the Dice identity
+    ``2·hit/(pred+true)`` so every metric is one BIGINT floor division —
+    no float ratio ever crosses the value-hash."""
+    return f"""
+WITH {WEB_PAGES_CTE},{_SHINGLE_CTES},
+{_tf_edge_ctes(max_df)},
+{_simhash_edge_ctes()},
+truth AS (SELECT url_a, url_b FROM jac WHERE j >= {threshold}),
+psim AS (SELECT url_a, url_b FROM sham WHERE d <= {int(max_hamming)}),
+pcos AS (
+  SELECT d.url_a, d.url_b FROM tdots d
+  JOIN tnorms na ON na.url = d.url_a
+  JOIN tnorms nb ON nb.url = d.url_b
+  WHERE d.dot*d.dot*10000 >= {int(min_cos2_bp)} * na.n2 * nb.n2),
+m AS (
+  SELECT 'simhash_sha' AS tier,
+         (SELECT count(*) FROM psim) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM psim p JOIN truth t
+            ON p.url_a = t.url_a AND p.url_b = t.url_b) AS n_hit
+  UNION ALL
+  SELECT 'tf_cosine',
+         (SELECT count(*) FROM pcos),
+         (SELECT count(*) FROM truth),
+         (SELECT count(*) FROM pcos p JOIN truth t
+            ON p.url_a = t.url_a AND p.url_b = t.url_b))
+SELECT tier, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT) AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
+FROM m"""
+
+
+def ensemble_clusters_sql(
+    threshold: float = 0.7, max_df: int = 256, min_cos2_bp: int = 8100,
+    max_hamming: int = 3,
+) -> str:
+    """SQL twin of pipelines/ensemble.ensemble_clusters: recursive
+    transitive closure over the UNION of three edge sets — shingle
+    Jaccard ≥ threshold (``_SHINGLE_CTES``), exact integer TF-cosine
+    (fragment of ``tf_cosine_pairs_sql``, ``t``-prefixed), and the
+    sha-token simhash bit-majority Hamming ≤ max_hamming (fragment of
+    ``near.simhash_sha_pairs_sql``, ``s``-prefixed).  Singletons keep
+    their own url, exactly like ``near_dup_clusters_sql``."""
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},{_SHINGLE_CTES},
+{_tf_edge_ctes(max_df)},
+{_simhash_edge_ctes()},
 dup AS (
   SELECT url_a, url_b FROM jac WHERE j >= {threshold}
   UNION

@@ -1,0 +1,157 @@
+"""Dedup-tier QUALITY evaluation — precision / recall / F1 of each cheap
+similarity tier against exact-Jaccard ground truth.
+
+A production dedup funnel (pipelines/tiered.py, incrfunnel.py) stacks
+cheap detectors in front of expensive verification; whether a tier is
+worth its slot is an empirical question: what fraction of its predicted
+pairs are real near-dups (precision), and what fraction of the real
+near-dups does it surface (recall)?  This module answers it with the
+same integer-exact discipline as the rest of the repo:
+
+- ground truth = the exact shingle-Jaccard >= threshold pair set, i.e.
+  the OUTPUT of ``near.minhash_dedup_pairs`` (LSH candidates + exact
+  verify — recall 1.0 vs brute force by the repo's standing oracle);
+- tiers under test = ``near.simhash_pairs(hash_fn='sha')`` (Hamming <=
+  3 fingerprint matching) and ``tfidf.sparse_cosine_pairs`` in exact
+  integer TF mode — both fully SQL-restatable, so the whole eval has a
+  DuckDB twin (``oracles.dedup_tier_eval_sql``);
+- metrics are integer basis points: ``precision_bp = 10^4*hit//pred``,
+  ``recall_bp = 10^4*hit//true``, and F1 via the Dice identity
+  ``f1 = 2*hit/(pred+true)`` so no float division ever happens.
+
+Scale shape: pair sets are OUTPUT-sized (two string columns); matching
+is one co-partitioned hash exchange keyed on ``url_a`` (identical pairs
+share ``url_a``, so an inner merge per partition is exact), emitting
+one 3-integer partial per partition.  Only the P-row partial table ever
+reaches the driver.  The corpus itself is read only by the detectors,
+which already ship their own partitioned pipelines.
+
+The reference engine has no similarity tiers to grade (its digest chain
+is exact by construction, SURVEY §2.2); this is north_rule extension
+surface — the measurement harness a 100 TB dedup deployment tunes its
+funnel with (cf. the precision/recall framing of Gyawali et al. 2024 and
+the SimHash/MinHash comparisons in Henzinger 2006).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+
+_METRIC_SCHEMA = pa.schema([
+    ("tier", pa.string()), ("n_pred", pa.int64()), ("n_true", pa.int64()),
+    ("n_hit", pa.int64()), ("precision_bp", pa.int64()),
+    ("recall_bp", pa.int64()), ("f1_bp", pa.int64()),
+])
+
+_PAIR_SCHEMA = pa.schema([("url_a", pa.string()), ("url_b", pa.string())])
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("n_pred", pa.int64()), ("n_true", pa.int64()), ("n_hit", pa.int64()),
+])
+
+
+def dedup_pair_metrics(
+    pred: ray.data.Dataset,
+    true: ray.data.Dataset,
+    *,
+    tier: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """One ``(tier, n_pred, n_true, n_hit, precision_bp, recall_bp,
+    f1_bp)`` row grading ``pred`` against ``true``.
+
+    Both inputs are ``(url_a, url_b)`` pair Datasets with ``url_a <
+    url_b`` (every detector in this repo emits that orientation).
+    Duplicate pair rows on either side are collapsed before counting.
+    """
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        ua = t["url_a"].combine_chunks().cast(pa.string())
+        return pa.table({
+            "url_a": ua,
+            "url_b": t["url_b"].combine_chunks().cast(pa.string()),
+            "_part": pa.array(key_partition(
+                ua.to_numpy(zero_copy_only=False), P)),
+        })
+
+    def pre_dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["url_a", "url_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def partials(dp: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
+        dp = dp.drop_duplicates(["url_a", "url_b"])
+        dt = dt.drop_duplicates(["url_a", "url_b"])
+        n_hit = len(dp.merge(dt, on=["url_a", "url_b"], how="inner"))
+        return pd.DataFrame({"n_pred": [len(dp)], "n_true": [len(dt)],
+                             "n_hit": [n_hit]})
+
+    parts = hash_exchange(
+        [pred.select_columns(["url_a", "url_b"])
+             .map_batches(tag, batch_format="pyarrow"),
+         true.select_columns(["url_a", "url_b"])
+             .map_batches(tag, batch_format="pyarrow")],
+        partials,
+        num_partitions=P,
+        schema=_PARTIAL_SCHEMA,
+        in_schemas=[_PAIR_SCHEMA, _PAIR_SCHEMA],
+        pre=[pre_dedup, pre_dedup],
+    )
+    # P rows of 3 ints — partition-count-sized, never data-sized
+    df = parts.to_pandas()
+    n_pred = int(df["n_pred"].sum())
+    n_true = int(df["n_true"].sum())
+    n_hit = int(df["n_hit"].sum())
+    return ray.data.from_arrow(pa.table({
+        "tier": [tier],
+        "n_pred": [n_pred], "n_true": [n_true], "n_hit": [n_hit],
+        "precision_bp": [10000 * n_hit // max(n_pred, 1)],
+        "recall_bp": [10000 * n_hit // max(n_true, 1)],
+        "f1_bp": [20000 * n_hit // max(n_pred + n_true, 1)],
+    }, schema=_METRIC_SCHEMA))
+
+
+def dedup_tier_eval(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_df: int = 256,
+    min_cos2_bp: int = 8100,
+    max_hamming: int = 3,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Grade the sha-simhash and integer TF-cosine tiers against the
+    exact Jaccard >= ``threshold`` truth set: one metric row per tier.
+
+    Truth is materialized once (output-sized pair list) and co-reads
+    against both tiers; the corpus is read once per detector exactly as
+    in ``ensemble.ensemble_dup_edges`` (persist ``ds`` up front to share
+    the scan at scale)."""
+    from data_dedup_ray.pipelines import near, tfidf
+
+    truth = near.minhash_dedup_pairs(
+        ds, threshold=threshold, id_col=id_col, text_col=text_col,
+    ).select_columns(["url_a", "url_b"]).materialize()
+
+    p_sim = near.simhash_pairs(
+        ds, id_col=id_col, text_col=text_col, hash_fn="sha",
+        max_hamming=max_hamming,
+    ).select_columns(["url_a", "url_b"])
+    p_cos = tfidf.sparse_cosine_pairs(
+        ds, id_col=id_col, text_col=text_col, weighting="tf",
+        max_df=max_df, min_cos2_bp=min_cos2_bp,
+    ).select_columns(["id_a", "id_b"]).rename_columns(["url_a", "url_b"])
+
+    out = None
+    for tier, p in (("simhash_sha", p_sim), ("tf_cosine", p_cos)):
+        row = dedup_pair_metrics(p, truth, tier=tier,
+                                 num_partitions=num_partitions)
+        out = row if out is None else out.union(row)
+    return out

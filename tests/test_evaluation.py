@@ -1,0 +1,96 @@
+"""Dedup-tier quality metrics: integer-exact precision/recall/F1 of the
+cheap tiers against exact-Jaccard truth, with a full DuckDB twin."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray import oracles
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.pipelines import evaluation
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(rows):
+    return ray.data.from_arrow(pa.table({
+        "url_a": [a for a, _ in rows], "url_b": [b for _, b in rows],
+    }))
+
+
+def _metrics(pred, true, P=4):
+    return evaluation.dedup_pair_metrics(
+        _pairs(pred), _pairs(true), tier="t", num_partitions=P
+    ).to_pandas().iloc[0]
+
+
+def test_micro_metrics_exact():
+    pred = [("a", "b"), ("a", "c"), ("d", "e")]
+    true = [("a", "b"), ("d", "e"), ("f", "g")]
+    m = _metrics(pred, true)
+    assert (m.n_pred, m.n_true, m.n_hit) == (3, 3, 2)
+    assert m.precision_bp == 10000 * 2 // 3
+    assert m.recall_bp == 10000 * 2 // 3
+    assert m.f1_bp == 20000 * 2 // 6
+
+
+def test_identical_and_disjoint_sets():
+    same = [("a", "b"), ("c", "d")]
+    m = _metrics(same, same)
+    assert (m.precision_bp, m.recall_bp, m.f1_bp) == (10000, 10000, 10000)
+    m = _metrics([("a", "b")], [("c", "d")])
+    assert (m.n_hit, m.precision_bp, m.recall_bp, m.f1_bp) == (0, 0, 0, 0)
+
+
+def test_duplicate_pair_rows_collapse():
+    # a detector emitting the same pair twice must not double-count
+    m = _metrics([("a", "b"), ("a", "b")], [("a", "b")])
+    assert (m.n_pred, m.n_hit, m.precision_bp) == (1, 1, 10000)
+
+
+def test_empty_pred_side():
+    m = evaluation.dedup_pair_metrics(
+        ray.data.from_arrow(evaluation._PAIR_SCHEMA.empty_table()),
+        _pairs([("a", "b")]), tier="t", num_partitions=2,
+    ).to_pandas().iloc[0]
+    assert (m.n_pred, m.n_true, m.precision_bp, m.recall_bp) == (0, 1, 0, 0)
+
+
+def test_tier_eval_matches_sql_oracle():
+    got = evaluation.dedup_tier_eval(
+        web_pages(SF).select_columns(["url", "text"])
+    ).to_pandas().sort_values("tier").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(oracles.dedup_tier_eval_sql()).df(
+    ).sort_values("tier").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
+    # the eval is informative at this scale: simhash is the
+    # high-precision tier, truth is non-trivial
+    sim = got[got.tier == "simhash_sha"].iloc[0]
+    assert sim.n_true > 0 and sim.precision_bp > 9000
+
+
+def test_partition_invariance():
+    pages = web_pages(SF).select_columns(["url", "text"])
+    a = evaluation.dedup_tier_eval(pages, num_partitions=1).to_pandas()
+    b = evaluation.dedup_tier_eval(pages, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("tier").reset_index(drop=True),
+        b.sort_values("tier").reset_index(drop=True))
+
+
+def test_ensemble_oracle_unchanged_by_fragment_refactor():
+    """The shared-CTE extraction must leave ensemble_clusters_sql's
+    result identical (regression for the oracles.py refactor)."""
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    df = con.execute(oracles.ensemble_clusters_sql()).df()
+    from data_dedup_ray.corpus import web_pages_sql
+    n = con.execute(web_pages_sql(
+        "SELECT count(*) AS n FROM web_pages")).fetchone()[0]
+    assert len(df) == n > 0 and set(df.columns) == {"url", "cluster_id"}
+    assert (df.cluster_id <= df.url).all()
