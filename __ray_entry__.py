@@ -894,6 +894,15 @@ def _q_dedup_tier_eval(sf_dir: str):
         web_pages(sf_dir).select_columns(["url", "text"]))
 
 
+def _q_crawl_drift(sf_dir: str):
+    """Distribution-shift gate between crawls (pipelines/drift.py):
+    exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
+    from data_dedup_ray.pipelines import drift, snapshots
+
+    return drift.crawl_drift(web_pages(sf_dir),
+                             snapshots.snapshot2(sf_dir))
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1137,9 +1146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_gif": _q_image_meta_gif,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
-        # session-6 addition past the window (its component pair sets
-        # are all in-slot this round; rotate in for an r4 row)
+        # session-6 additions past the window (component pair sets /
+        # token tables are all in-slot this round; rotate in for r4 rows)
         "dedup_tier_eval": _q_dedup_tier_eval,
+        "crawl_drift": _q_crawl_drift,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1247,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import fpstore as _fpstore
     from data_dedup_ray.pipelines import incrfunnel as _incrfunnel
     from data_dedup_ray.pipelines import storeops as _storeops
+    from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1292,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         # of the Jaccard / tf-cosine / sha-simhash edge sets
         "ensemble_clusters": oracles.ensemble_clusters_sql(),
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
+        "crawl_drift": _drift.crawl_drift_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

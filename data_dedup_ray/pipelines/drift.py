@@ -1,0 +1,196 @@
+"""Cross-crawl token-distribution DRIFT — the corpus-health check a
+rolling web pipeline runs before pointing a training mix at a new crawl.
+
+Given two crawls A (the reference, e.g. last month's web_pages) and B
+(the candidate, e.g. this month's re-crawl), report how far B's token
+frequency distribution has moved:
+
+- ``tv_bp``          — total-variation distance in basis points,
+                       ``TV = 1/2 * sum_t |p_t - q_t|``.  With integer
+                       counts this is EXACT: ``10^4 * sum|c_a*N_b -
+                       c_b*N_a| // (2*N_a*N_b)`` — one big-integer floor
+                       division, no float ever (the repo's standing
+                       basis-point discipline).
+- ``oov_mass_b_bp``  — fraction of B's token OCCURRENCES whose token
+                       was never seen in A (out-of-vocabulary mass —
+                       the quantity that breaks a tokenizer/LM fit on A).
+- vocab sizes / overlap / new-vocabulary count, plus both totals.
+
+Scale shape: tokens are 64-bit polars string hashes from the moment of
+tokenization (stages/minhash.tokenize_batch — the same convention the
+tf-idf and shingle pipelines ship), so the ONLY shuffle moves
+``(hash, partial_count)`` rows pre-combined per batch: vocabulary-sized,
+never corpus-sized.  The merged ``(tok, c_a, c_b)`` frequency table is
+a first-class Dataset (``token_freq_table``) usable on its own; the
+drift row is two bounded passes over it (a 2-scalar sum, then P
+partition partials whose big-integer numerators travel as decimal
+strings so a 10^13-token crawl cannot overflow int64 — only the P-row
+partial table ever reaches the driver).
+
+The SQL twin (``crawl_drift_sql``) restates everything over token
+STRINGS with DuckDB HUGEINT arithmetic; parity therefore also witnesses
+that the hashed vocabulary is collision-free on the test corpus, the
+same evidence contract as ``tf_cosine_pairs``.
+
+North_rule extension surface (SURVEY §8): distribution-shift gating for
+rolling crawls (cf. the corpus-comparison statistics in Kilgarriff 2001,
+"Comparing Corpora" — TV distance is his rank-free baseline measure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.engine.exchange import hash_exchange
+
+_FREQ_SCHEMA = pa.schema([
+    ("tok", pa.int64()), ("c_a", pa.int64()), ("c_b", pa.int64()),
+])
+
+_PARTIAL_IN = pa.schema([("tok", pa.int64()), ("c", pa.int64())])
+
+_DRIFT_SCHEMA = pa.schema([
+    ("n_tokens_a", pa.int64()), ("n_tokens_b", pa.int64()),
+    ("vocab_a", pa.int64()), ("vocab_b", pa.int64()),
+    ("vocab_shared", pa.int64()), ("new_vocab_b", pa.int64()),
+    ("oov_mass_b_bp", pa.int64()), ("tv_bp", pa.int64()),
+])
+
+
+def _count_batches(text_col: str, P: int):
+    """Per-batch token-count combiner: (tok, partial c) rows."""
+    from data_dedup_ray.stages.minhash import tokenize_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        hashes, _ = tokenize_batch(t[text_col].combine_chunks())
+        toks, counts = np.unique(hashes, return_counts=True)
+        toks = toks.view(np.int64)
+        return pa.table({
+            "tok": toks, "c": counts.astype(np.int64),
+            "_part": (toks.view(np.uint64) % np.uint64(P)).astype(np.int64),
+        })
+    return fn
+
+
+def token_freq_table(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Merged per-token occurrence counts ``(tok, c_a, c_b)`` for two
+    crawls — full outer over the two hashed vocabularies."""
+    P = num_partitions
+
+    def merge(da: pd.DataFrame, db: pd.DataFrame) -> pd.DataFrame:
+        # per-split-group combiners mean partial rows repeat per token:
+        # re-aggregate here (the hash_exchange `pre` contract)
+        ca = da.groupby("tok", sort=False, as_index=False)["c"].sum()
+        cb = db.groupby("tok", sort=False, as_index=False)["c"].sum()
+        v = ca.merge(cb, on="tok", how="outer", suffixes=("_a", "_b"))
+        return pd.DataFrame({
+            "tok": v["tok"].astype(np.int64),
+            "c_a": v["c_a"].fillna(0).astype(np.int64),
+            "c_b": v["c_b"].fillna(0).astype(np.int64),
+        })
+
+    return hash_exchange(
+        [a.map_batches(_count_batches(text_col, P),
+                       batch_format="pyarrow"),
+         b.map_batches(_count_batches(text_col, P),
+                       batch_format="pyarrow")],
+        merge,
+        num_partitions=P,
+        schema=_FREQ_SCHEMA,
+        in_schemas=[_PARTIAL_IN, _PARTIAL_IN],
+    )
+
+
+def crawl_drift(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """One drift row (``_DRIFT_SCHEMA``) grading crawl ``b`` against
+    reference crawl ``a``."""
+    v = token_freq_table(
+        a, b, text_col=text_col, num_partitions=num_partitions,
+    ).materialize()
+
+    tot = v.sum(["c_a", "c_b"]) or {"sum(c_a)": 0, "sum(c_b)": 0}
+    na, nb = int(tot["sum(c_a)"] or 0), int(tot["sum(c_b)"] or 0)
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        c_a, c_b = df["c_a"].to_numpy(), df["c_b"].to_numpy()
+        # |c_a*nb - c_b*na| in arbitrary precision: object dtype keeps
+        # Python ints elementwise, so 10^13-token crawls can't overflow
+        tv_num = int(np.abs(
+            c_a.astype(object) * nb - c_b.astype(object) * na).sum())
+        return pa.table({
+            "vocab_a": [int((c_a > 0).sum())],
+            "vocab_b": [int((c_b > 0).sum())],
+            "vocab_shared": [int(((c_a > 0) & (c_b > 0)).sum())],
+            "new_vocab_b": [int(((c_a == 0) & (c_b > 0)).sum())],
+            "oov_mass_b": [int(c_b[c_a == 0].sum())],
+            "tv_num": [str(tv_num)],
+        })
+
+    p = v.map_batches(partials, batch_format="pyarrow").to_pandas()
+    tv_num = sum(int(s) for s in p["tv_num"]) if len(p) else 0
+    oov_b = int(p["oov_mass_b"].sum()) if len(p) else 0
+    return ray.data.from_arrow(pa.table({
+        "n_tokens_a": [na], "n_tokens_b": [nb],
+        "vocab_a": [int(p["vocab_a"].sum()) if len(p) else 0],
+        "vocab_b": [int(p["vocab_b"].sum()) if len(p) else 0],
+        "vocab_shared": [int(p["vocab_shared"].sum()) if len(p) else 0],
+        "new_vocab_b": [int(p["new_vocab_b"].sum()) if len(p) else 0],
+        "oov_mass_b_bp": [10000 * oov_b // max(nb, 1)],
+        "tv_bp": [10000 * tv_num // max(2 * na * nb, 1)],
+    }, schema=_DRIFT_SCHEMA))
+
+
+def crawl_drift_sql() -> str:
+    """DuckDB twin of ``crawl_drift(web_pages, snapshot2)`` — token
+    strings instead of hashes, HUGEINT products, identical floor
+    divisions."""
+    from data_dedup_ray.pipelines.snapshots import snapshots_sql
+
+    return snapshots_sql("""
+, ta AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+         FROM web_pages),
+tb AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+       FROM snapshot2),
+ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_a FROM ta GROUP BY tok),
+cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_b FROM tb GROUP BY tok),
+v AS (
+  SELECT coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
+  FROM ca FULL JOIN cb ON ca.tok = cb.tok),
+m AS (
+  SELECT sum(c_a) AS na, sum(c_b) AS nb,
+         sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS vocab_a,
+         sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS vocab_b,
+         sum(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END)
+           AS vocab_shared,
+         sum(CASE WHEN c_a = 0 AND c_b > 0 THEN 1 ELSE 0 END)
+           AS new_vocab_b,
+         sum(CASE WHEN c_a = 0 THEN c_b ELSE 0 END) AS oov_mass_b
+  FROM v),
+tv AS (SELECT sum(abs(v.c_a * m.nb - v.c_b * m.na)) AS tv_num FROM v, m)
+SELECT CAST(m.na AS BIGINT) AS n_tokens_a,
+       CAST(m.nb AS BIGINT) AS n_tokens_b,
+       CAST(m.vocab_a AS BIGINT) AS vocab_a,
+       CAST(m.vocab_b AS BIGINT) AS vocab_b,
+       CAST(m.vocab_shared AS BIGINT) AS vocab_shared,
+       CAST(m.new_vocab_b AS BIGINT) AS new_vocab_b,
+       CAST(10000 * m.oov_mass_b // greatest(m.nb, 1) AS BIGINT)
+         AS oov_mass_b_bp,
+       CAST(10000 * tv.tv_num // greatest(2 * m.na * m.nb, 1) AS BIGINT)
+         AS tv_bp
+FROM m, tv""")

@@ -1,0 +1,100 @@
+"""Cross-crawl token-distribution drift: exact integer TV distance,
+OOV mass, vocabulary overlap — HUGEINT SQL twin."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.pipelines import drift, snapshots
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(texts):
+    return ray.data.from_arrow(pa.table({"text": texts}))
+
+
+def _drift(a, b, P=4):
+    return drift.crawl_drift(_docs(a), _docs(b),
+                             num_partitions=P).to_pandas().iloc[0]
+
+
+def _brute(a_texts, b_texts):
+    import re
+    from collections import Counter
+    ca = Counter(t for s in a_texts for t in re.findall("[a-z0-9]+", s))
+    cb = Counter(t for s in b_texts for t in re.findall("[a-z0-9]+", s))
+    na, nb = sum(ca.values()), sum(cb.values())
+    toks = set(ca) | set(cb)
+    tv = sum(abs(ca[t] * nb - cb[t] * na) for t in toks)
+    oov = sum(cb[t] for t in toks if t not in ca)
+    return {
+        "n_tokens_a": na, "n_tokens_b": nb,
+        "vocab_a": len(ca), "vocab_b": len(cb),
+        "vocab_shared": len(set(ca) & set(cb)),
+        "new_vocab_b": len(set(cb) - set(ca)),
+        "oov_mass_b_bp": 10000 * oov // max(nb, 1),
+        "tv_bp": 10000 * tv // max(2 * na * nb, 1),
+    }
+
+
+def test_identical_crawls_zero_drift():
+    texts = ["the cat sat", "on the mat", "a dog ran"]
+    m = _drift(texts, texts)
+    assert m.tv_bp == 0 and m.oov_mass_b_bp == 0 and m.new_vocab_b == 0
+    assert m.vocab_a == m.vocab_b == m.vocab_shared
+
+
+def test_disjoint_vocabulary_max_drift():
+    m = _drift(["alpha beta gamma"], ["delta epsilon zeta"])
+    assert m.tv_bp == 10000 and m.oov_mass_b_bp == 10000
+    assert m.vocab_shared == 0 and m.new_vocab_b == 3
+
+
+def test_brute_force_parity():
+    a = ["the cat sat on the mat", "dogs chase cats", "x1 y2 z3"]
+    b = ["the cat sat", "birds chase worms worms", "x1 x1 new tokens"]
+    m = _drift(a, b)
+    exp = _brute(a, b)
+    for k, want in exp.items():
+        assert m[k] == want, (k, m[k], want)
+
+
+def test_empty_b_side():
+    m = _drift(["some tokens here"], [""])
+    assert (m.n_tokens_b, m.vocab_b, m.oov_mass_b_bp) == (0, 0, 0)
+    # TV against an empty side degenerates: every |c_a*0 - 0*na| = 0,
+    # so the integer definition reports 0 rather than dividing by zero
+    assert m.tv_bp == 0 and m.vocab_a == 3
+
+
+def test_corpus_matches_sql_oracle():
+    got = drift.crawl_drift(
+        web_pages(SF), snapshots.snapshot2(SF)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(drift.crawl_drift_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1).astype(str),
+        exp.sort_index(axis=1).astype(str))
+    # re-crawl of a subset with trailing edits: low but nonzero drift
+    m = got.iloc[0]
+    assert 0 < m.tv_bp < 5000 and m.vocab_shared > 0
+
+
+def test_partition_invariance():
+    a, b = web_pages(SF), snapshots.snapshot2(SF)
+    x = drift.crawl_drift(a, b, num_partitions=1).to_pandas()
+    y = drift.crawl_drift(a, b, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(x, y)
+
+
+def test_freq_table_is_usable_standalone():
+    v = drift.token_freq_table(
+        _docs(["a b b"]), _docs(["b c"]), num_partitions=4).to_pandas()
+    assert len(v) == 3
+    assert set(v.columns) == {"tok", "c_a", "c_b"}
+    assert v["c_a"].sum() == 3 and v["c_b"].sum() == 2
