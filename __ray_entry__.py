@@ -903,6 +903,16 @@ def _q_crawl_drift(sf_dir: str):
                              snapshots.snapshot2(sf_dir))
 
 
+def _q_crawl_drift_by_lang(sf_dir: str):
+    """CCNet-shaped per-language drift rows: the shift gate sharded the
+    way a multilingual pipeline is (aggregate drift hides a single
+    language collapsing)."""
+    from data_dedup_ray.pipelines import drift, snapshots
+
+    return drift.crawl_drift_by_lang(web_pages(sf_dir),
+                                     snapshots.snapshot2(sf_dir))
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1150,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token tables are all in-slot this round; rotate in for r4 rows)
         "dedup_tier_eval": _q_dedup_tier_eval,
         "crawl_drift": _q_crawl_drift,
+        "crawl_drift_by_lang": _q_crawl_drift_by_lang,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1304,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "ensemble_clusters": oracles.ensemble_clusters_sql(),
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         "crawl_drift": _drift.crawl_drift_sql(),
+        "crawl_drift_by_lang": _drift.crawl_drift_by_lang_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(
             "SELECT url, min(url) OVER (PARTITION BY text) AS cluster_id,"

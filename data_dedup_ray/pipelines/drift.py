@@ -156,6 +156,185 @@ def crawl_drift(
     }, schema=_DRIFT_SCHEMA))
 
 
+_LANG_DRIFT_SCHEMA = pa.schema([("lang", pa.string())]
+                               + list(_DRIFT_SCHEMA))
+
+_LANG_PARTIAL_IN = pa.schema([
+    ("lang", pa.string()), ("tok", pa.int64()), ("c", pa.int64()),
+])
+
+_LANG_FREQ_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("tok", pa.int64()),
+    ("c_a", pa.int64()), ("c_b", pa.int64()),
+])
+
+
+def crawl_drift_by_lang(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-LANGUAGE drift rows — the CCNet-shaped variant: a rolling
+    multilingual pipeline shards by language, so the shift gate must
+    too (aggregate drift hides a single language collapsing).  One row
+    per language present in either crawl, same metrics as
+    ``crawl_drift`` with per-language totals.
+
+    Same scale shape: the exchange is keyed on the token hash (same
+    token ⇒ same partition ⇒ every ``(lang, tok)`` pair co-located),
+    vocabulary-sized; the driver sees language-count-sized rollups
+    only."""
+    P = num_partitions
+
+    def count_by_lang(t: pa.Table) -> pa.Table:
+        from data_dedup_ray.stages.minhash import tokenize_batch
+
+        hashes, counts = tokenize_batch(t[text_col].combine_chunks())
+        langs = np.repeat(
+            t[lang_col].to_numpy(zero_copy_only=False), counts)
+        df = pd.DataFrame({"lang": langs,
+                           "tok": hashes.view(np.int64)})
+        g = df.groupby(["lang", "tok"], sort=False,
+                       as_index=False).size()
+        toks = g["tok"].to_numpy()
+        return pa.table({
+            "lang": g["lang"].astype(str),
+            "tok": toks,
+            "c": g["size"].astype(np.int64),
+            "_part": (toks.view(np.uint64)
+                      % np.uint64(P)).astype(np.int64),
+        })
+
+    def merge(da: pd.DataFrame, db: pd.DataFrame) -> pd.DataFrame:
+        ca = da.groupby(["lang", "tok"], sort=False,
+                        as_index=False)["c"].sum()
+        cb = db.groupby(["lang", "tok"], sort=False,
+                        as_index=False)["c"].sum()
+        v = ca.merge(cb, on=["lang", "tok"], how="outer",
+                     suffixes=("_a", "_b"))
+        return pd.DataFrame({
+            "lang": v["lang"], "tok": v["tok"].astype(np.int64),
+            "c_a": v["c_a"].fillna(0).astype(np.int64),
+            "c_b": v["c_b"].fillna(0).astype(np.int64),
+        })
+
+    v = hash_exchange(
+        [a.map_batches(count_by_lang, batch_format="pyarrow"),
+         b.map_batches(count_by_lang, batch_format="pyarrow")],
+        merge,
+        num_partitions=P,
+        schema=_LANG_FREQ_SCHEMA,
+        in_schemas=[_LANG_PARTIAL_IN, _LANG_PARTIAL_IN],
+    ).materialize()
+
+    # pass 1: per-language totals (language-count-sized rollup)
+    def tot_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("lang", as_index=False)[
+            ["c_a", "c_b"]].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tot = (v.map_batches(tot_partial, batch_format="pyarrow")
+            .to_pandas().groupby("lang")[["c_a", "c_b"]].sum())
+    na = {l: int(r["c_a"]) for l, r in tot.iterrows()}
+    nb = {l: int(r["c_b"]) for l, r in tot.iterrows()}
+
+    # pass 2: per-(partition, language) partials with big-int TV
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for lang, g in df.groupby("lang"):
+            c_a, c_b = g["c_a"].to_numpy(), g["c_b"].to_numpy()
+            tv_num = int(np.abs(
+                c_a.astype(object) * nb[lang]
+                - c_b.astype(object) * na[lang]).sum())
+            rows.append({
+                "lang": lang,
+                "vocab_a": int((c_a > 0).sum()),
+                "vocab_b": int((c_b > 0).sum()),
+                "vocab_shared": int(((c_a > 0) & (c_b > 0)).sum()),
+                "new_vocab_b": int(((c_a == 0) & (c_b > 0)).sum()),
+                "oov_mass_b": int(c_b[c_a == 0].sum()),
+                "tv_num": str(tv_num),
+            })
+        return pa.Table.from_pylist(rows) if rows else pa.table({
+            "lang": pa.array([], pa.string()),
+            "vocab_a": pa.array([], pa.int64()),
+            "vocab_b": pa.array([], pa.int64()),
+            "vocab_shared": pa.array([], pa.int64()),
+            "new_vocab_b": pa.array([], pa.int64()),
+            "oov_mass_b": pa.array([], pa.int64()),
+            "tv_num": pa.array([], pa.string()),
+        })
+
+    p = v.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = []
+    for lang in sorted(na):
+        g = p[p["lang"] == lang]
+        tv_num = sum(int(s) for s in g["tv_num"])
+        oov = int(g["oov_mass_b"].sum()) if len(g) else 0
+        out.append({
+            "lang": lang,
+            "n_tokens_a": na[lang], "n_tokens_b": nb[lang],
+            "vocab_a": int(g["vocab_a"].sum()),
+            "vocab_b": int(g["vocab_b"].sum()),
+            "vocab_shared": int(g["vocab_shared"].sum()),
+            "new_vocab_b": int(g["new_vocab_b"].sum()),
+            "oov_mass_b_bp": 10000 * oov // max(nb[lang], 1),
+            "tv_bp": (10000 * tv_num
+                      // max(2 * na[lang] * nb[lang], 1)),
+        })
+    return ray.data.from_arrow(
+        pa.Table.from_pylist(out, schema=_LANG_DRIFT_SCHEMA)
+        if out else _LANG_DRIFT_SCHEMA.empty_table())
+
+
+def crawl_drift_by_lang_sql() -> str:
+    """DuckDB twin of ``crawl_drift_by_lang(web_pages, snapshot2)``."""
+    from data_dedup_ray.pipelines.snapshots import snapshots_sql
+
+    return snapshots_sql("""
+, ta AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+                AS tok FROM web_pages),
+tb AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+              AS tok FROM snapshot2),
+ca AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c_a
+       FROM ta GROUP BY lang, tok),
+cb AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c_b
+       FROM tb GROUP BY lang, tok),
+v AS (
+  SELECT coalesce(ca.lang, cb.lang) AS lang,
+         coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
+  FROM ca FULL JOIN cb ON ca.lang = cb.lang AND ca.tok = cb.tok),
+m AS (
+  SELECT lang, sum(c_a) AS na, sum(c_b) AS nb,
+         sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS vocab_a,
+         sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS vocab_b,
+         sum(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END)
+           AS vocab_shared,
+         sum(CASE WHEN c_a = 0 AND c_b > 0 THEN 1 ELSE 0 END)
+           AS new_vocab_b,
+         sum(CASE WHEN c_a = 0 THEN c_b ELSE 0 END) AS oov_mass_b
+  FROM v GROUP BY lang),
+tv AS (
+  SELECT v.lang, sum(abs(v.c_a * m.nb - v.c_b * m.na)) AS tv_num
+  FROM v JOIN m ON v.lang = m.lang GROUP BY v.lang)
+SELECT m.lang,
+       CAST(m.na AS BIGINT) AS n_tokens_a,
+       CAST(m.nb AS BIGINT) AS n_tokens_b,
+       CAST(m.vocab_a AS BIGINT) AS vocab_a,
+       CAST(m.vocab_b AS BIGINT) AS vocab_b,
+       CAST(m.vocab_shared AS BIGINT) AS vocab_shared,
+       CAST(m.new_vocab_b AS BIGINT) AS new_vocab_b,
+       CAST(10000 * m.oov_mass_b // greatest(m.nb, 1) AS BIGINT)
+         AS oov_mass_b_bp,
+       CAST(10000 * tv.tv_num // greatest(2 * m.na * m.nb, 1) AS BIGINT)
+         AS tv_bp
+FROM m JOIN tv ON m.lang = tv.lang""")
+
+
 def crawl_drift_sql() -> str:
     """DuckDB twin of ``crawl_drift(web_pages, snapshot2)`` — token
     strings instead of hashes, HUGEINT products, identical floor

@@ -92,6 +92,47 @@ def test_partition_invariance():
     pd.testing.assert_frame_equal(x, y)
 
 
+def _ldocs(rows):
+    return ray.data.from_arrow(pa.table({
+        "lang": [l for l, _ in rows], "text": [t for _, t in rows]}))
+
+
+def test_by_lang_matches_sql_oracle():
+    got = drift.crawl_drift_by_lang(
+        web_pages(SF), snapshots.snapshot2(SF)
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(drift.crawl_drift_by_lang_sql()).df(
+    ).sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1).astype(str),
+        exp.sort_index(axis=1).astype(str))
+    assert len(got) >= 2  # multilingual corpus: several shards graded
+
+
+def test_by_lang_one_sided_language():
+    a = _ldocs([("en", "the cat"), ("de", "der hund")])
+    b = _ldocs([("en", "the cat"), ("fr", "le chat")])
+    m = drift.crawl_drift_by_lang(a, b, num_partitions=4).to_pandas(
+    ).set_index("lang")
+    assert m.loc["en"].tv_bp == 0 and m.loc["en"].oov_mass_b_bp == 0
+    # de vanished: nb=0 -> degenerate TV 0, vocab_b 0
+    assert m.loc["de"].n_tokens_b == 0 and m.loc["de"].vocab_b == 0
+    # fr is brand new: all of b's mass is OOV
+    assert m.loc["fr"].oov_mass_b_bp == 10000
+    assert m.loc["fr"].n_tokens_a == 0
+
+
+def test_by_lang_totals_sum_to_aggregate():
+    a, b = web_pages(SF), snapshots.snapshot2(SF)
+    per = drift.crawl_drift_by_lang(a, b).to_pandas()
+    agg = drift.crawl_drift(a, b).to_pandas().iloc[0]
+    assert per.n_tokens_a.sum() == agg.n_tokens_a
+    assert per.n_tokens_b.sum() == agg.n_tokens_b
+
+
 def test_freq_table_is_usable_standalone():
     v = drift.token_freq_table(
         _docs(["a b b"]), _docs(["b c"]), num_partitions=4).to_pandas()
