@@ -913,6 +913,24 @@ def _q_crawl_drift_by_lang(sf_dir: str):
                                      snapshots.snapshot2(sf_dir))
 
 
+def _q_store_audit(sf_dir: str):
+    """Per-crawl dedup accounting from the 32 B/doc store ladder alone
+    (pipelines/storeops.py) — text never re-read."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import fpstore, snapshots, storeops
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    s1 = f"/tmp/dedup_audit_s1_{base}"
+    s2 = f"/tmp/dedup_audit_s2_{base}"
+    for p in (s1, s2):
+        shutil.rmtree(p, ignore_errors=True)
+    fpstore.build_content_hash_store(web_pages(sf_dir), s1)
+    fpstore.build_content_hash_store(snapshots.snapshot2(sf_dir), s2)
+    return storeops.store_audit([s1, s2])
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1161,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_tier_eval": _q_dedup_tier_eval,
         "crawl_drift": _q_crawl_drift,
         "crawl_drift_by_lang": _q_crawl_drift_by_lang,
+        "store_audit": _q_store_audit,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1362,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_tiered_dedup":
             _incrfunnel.incremental_tiered_dedup_sql(0.7),
         "compact_hash_store": _storeops.compact_hash_store_sql(),
+        "store_audit": _storeops.store_audit_sql(),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":

@@ -57,6 +57,43 @@ def test_compacted_dir_is_a_readable_store():
     assert meta["config"]["n_sources"] == 2
 
 
+def test_store_audit_matches_sql():
+    if not os.path.isdir(S1):
+        _stores()
+    got = storeops.store_audit([S1, S2]).to_pandas(
+    ).sort_values("crawl").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(storeops.store_audit_sql()).df(
+    ).sort_values("crawl").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1).astype(str),
+        exp.sort_index(axis=1).astype(str))
+    # the first crawl can never have seen anything earlier; snapshot2's
+    # byte-identical re-captures (doc_id%6==0 of the %3 revisits) make
+    # its carryover rate ~50%
+    assert got.iloc[0].n_seen_earlier == 0
+    assert 4000 < got.iloc[1].seen_earlier_bp < 6000
+
+
+def test_store_audit_order_sensitivity():
+    """Crawl order defines 'earlier': swapping the ladder moves the
+    carryover to the other side."""
+    if not os.path.isdir(S1):
+        _stores()
+    fwd = storeops.store_audit([S1, S2]).to_pandas().set_index("crawl")
+    rev = storeops.store_audit([S2, S1]).to_pandas().set_index("crawl")
+    assert fwd.loc[1].n_seen_earlier == rev.loc[1].n_seen_earlier == 0
+    # identical content seen in both directions: the repeat SET is the
+    # same pages, so both orderings find carryover on the second crawl
+    assert fwd.loc[2].n_seen_earlier > 0 and rev.loc[2].n_seen_earlier > 0
+    # totals are order-independent
+    assert (fwd.n_rows.sum() == rev.n_rows.sum()
+            and fwd.loc[1].n_distinct_payloads
+            == rev.loc[2].n_distinct_payloads)
+
+
 def test_compact_is_payload_agnostic():
     """Same kernel compacts the simhash store (int64 payload)."""
     a, b = "/tmp/test_comp_sim_s1", "/tmp/test_comp_sim_s2"
