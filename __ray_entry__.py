@@ -931,6 +931,16 @@ def _q_store_audit(sf_dir: str):
     return storeops.store_audit([s1, s2])
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc novelty of snapshot2 vs web_pages: the fraction of each
+    new page's k-shingles unseen anywhere in the reference crawl
+    (pipelines/novelty.py)."""
+    from data_dedup_ray.pipelines import novelty, snapshots
+
+    return novelty.doc_novelty(snapshots.snapshot2(sf_dir),
+                               web_pages(sf_dir))
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1180,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_drift": _q_crawl_drift,
         "crawl_drift_by_lang": _q_crawl_drift_by_lang,
         "store_audit": _q_store_audit,
+        "doc_novelty": _q_doc_novelty,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1288,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import incrfunnel as _incrfunnel
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
+    from data_dedup_ray.pipelines import novelty as _novelty
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1382,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
             _incrfunnel.incremental_tiered_dedup_sql(0.7),
         "compact_hash_store": _storeops.compact_hash_store_sql(),
         "store_audit": _storeops.store_audit_sql(),
+        "doc_novelty": _novelty.doc_novelty_sql(),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":
