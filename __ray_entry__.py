@@ -941,6 +941,17 @@ def _q_doc_novelty(sf_dir: str):
                                web_pages(sf_dir))
 
 
+def _q_corpus_overlap(sf_dir: str):
+    """Pairwise exact-content overlap matrix over the three crawls —
+    the mixing/dedup-ordering planning input (pipelines/overlap.py)."""
+    from data_dedup_ray.pipelines import overlap, snapshots
+
+    return overlap.corpus_overlap(
+        [("s1", web_pages(sf_dir)),
+         ("s2", snapshots.snapshot2(sf_dir)),
+         ("s3", snapshots.snapshot3(sf_dir))])
+
+
 def _q_rolling_incremental_clusters(sf_dir: str):
     """The operational crawl loop: flat-cluster crawl s1, fold s2 then s3
     into the standing assignment — each fold reads earlier crawls only
@@ -1191,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_drift_by_lang": _q_crawl_drift_by_lang,
         "store_audit": _q_store_audit,
         "doc_novelty": _q_doc_novelty,
+        "corpus_overlap": _q_corpus_overlap,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1300,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
+    from data_dedup_ray.pipelines import overlap as _overlap
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1395,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_hash_store": _storeops.compact_hash_store_sql(),
         "store_audit": _storeops.store_audit_sql(),
         "doc_novelty": _novelty.doc_novelty_sql(),
+        "corpus_overlap": _overlap.corpus_overlap_sql(),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":
