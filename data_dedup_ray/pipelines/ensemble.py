@@ -65,7 +65,8 @@ def ensemble_dup_edges(
         ds, id_col=id_col, text_col=text_col, weighting="tf",
         max_df=max_df, min_cos2_bp=min_cos2_bp,
         num_partitions=num_partitions,
-    ).select_columns(["id_a", "id_b"]).rename_columns(["url_a", "url_b"])
+    ).select_columns(["id_a", "id_b"]).rename_columns(
+        {"id_a": "url_a", "id_b": "url_b"})
     e_sim = near.simhash_pairs(
         ds, id_col=id_col, text_col=text_col, hash_fn="sha",
         max_hamming=max_hamming,

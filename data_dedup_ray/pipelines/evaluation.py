@@ -147,7 +147,8 @@ def dedup_tier_eval(
     p_cos = tfidf.sparse_cosine_pairs(
         ds, id_col=id_col, text_col=text_col, weighting="tf",
         max_df=max_df, min_cos2_bp=min_cos2_bp,
-    ).select_columns(["id_a", "id_b"]).rename_columns(["url_a", "url_b"])
+    ).select_columns(["id_a", "id_b"]).rename_columns(
+        {"id_a": "url_a", "id_b": "url_b"})
 
     out = None
     for tier, p in (("simhash_sha", p_sim), ("tf_cosine", p_cos)):
