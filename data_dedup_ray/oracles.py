@@ -494,6 +494,34 @@ SELECT tier, CAST(n_pred AS BIGINT) AS n_pred,
 FROM m"""
 
 
+def simhash_threshold_sweep_sql(
+    threshold: float = 0.7, max_hamming: int = 3,
+) -> str:
+    """SQL twin of evaluation.simhash_threshold_sweep: one metric row
+    per Hamming cutoff ``h0..h<max_hamming>`` against the exact
+    shingle-Jaccard truth set."""
+    cuts = ", ".join(f"({h})" for h in range(int(max_hamming) + 1))
+    return f"""
+WITH {WEB_PAGES_CTE},{_SHINGLE_CTES},
+{_simhash_edge_ctes()},
+truth AS (SELECT url_a, url_b FROM jac WHERE j >= {threshold}),
+cut(h) AS (VALUES {cuts}),
+m AS (
+  SELECT 'h' || c.h AS tier,
+         (SELECT count(*) FROM sham WHERE d <= c.h) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM sham p JOIN truth t
+            ON p.url_a = t.url_a AND p.url_b = t.url_b
+          WHERE p.d <= c.h) AS n_hit
+  FROM cut c)
+SELECT tier, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT) AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
+FROM m"""
+
+
 def ensemble_clusters_sql(
     threshold: float = 0.7, max_df: int = 256, min_cos2_bp: int = 8100,
     max_hamming: int = 3,

@@ -116,6 +116,43 @@ def dedup_pair_metrics(
     }, schema=_METRIC_SCHEMA))
 
 
+def simhash_threshold_sweep(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_hamming: int = 3,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Precision/recall CURVE over the SimHash Hamming cutoff — one
+    metric row per ``h in 0..max_hamming`` (tier ``'h<h>'``), all graded
+    against the same exact Jaccard >= ``threshold`` truth set.
+
+    This is the tuning view: the fingerprint pair set is computed ONCE
+    at the loosest cutoff (pairs carry their Hamming distance), each
+    tighter cutoff is a vectorized filter over that output-sized list,
+    and the truth set is materialized once.  Monotone by construction:
+    ``n_pred`` and ``n_hit`` are non-decreasing in h."""
+    from data_dedup_ray.pipelines import near
+
+    truth = near.minhash_dedup_pairs(
+        ds, threshold=threshold, id_col=id_col, text_col=text_col,
+    ).select_columns(["url_a", "url_b"]).materialize()
+    pairs = near.simhash_pairs(
+        ds, id_col=id_col, text_col=text_col, hash_fn="sha",
+        max_hamming=max_hamming,
+    ).materialize()
+
+    out = None
+    for h in range(max_hamming + 1):
+        pred = pairs.filter(expr=f"hamming <= {h}")
+        row = dedup_pair_metrics(pred, truth, tier=f"h{h}",
+                                 num_partitions=num_partitions)
+        out = row if out is None else out.union(row)
+    return out
+
+
 def dedup_tier_eval(
     ds: ray.data.Dataset,
     *,

@@ -82,6 +82,27 @@ def test_partition_invariance():
         b.sort_values("tier").reset_index(drop=True))
 
 
+def test_threshold_sweep_matches_sql_and_is_monotone():
+    got = evaluation.simhash_threshold_sweep(
+        web_pages(SF).select_columns(["url", "text"])
+    ).to_pandas().sort_values("tier").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(oracles.simhash_threshold_sweep_sql()).df(
+    ).sort_values("tier").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
+    # the curve behaves like a curve: looser cutoff => more predictions
+    # and at least as many hits (recall non-decreasing)
+    assert list(got.tier) == ["h0", "h1", "h2", "h3"]
+    assert got.n_pred.is_monotonic_increasing
+    assert got.n_hit.is_monotonic_increasing
+    assert got.recall_bp.is_monotonic_increasing
+    # hamming-0 = identical sha fingerprints: every such pair is a real
+    # near-dup on this corpus
+    assert got.iloc[0].precision_bp == 10000
+
+
 def test_ensemble_oracle_unchanged_by_fragment_refactor():
     """The shared-CTE extraction must leave ensemble_clusters_sql's
     result identical (regression for the oracles.py refactor)."""
