@@ -903,6 +903,15 @@ def _q_simhash_threshold_sweep(sf_dir: str):
         web_pages(sf_dir).select_columns(["url", "text"]))
 
 
+def _q_dedup_savings(sf_dir: str):
+    """Training-cost planner row: doc/token/char totals and what
+    keep-first near-dup dedup removes (evaluation.py)."""
+    from data_dedup_ray.pipelines import evaluation
+
+    return evaluation.dedup_savings(
+        web_pages(sf_dir).select_columns(["url", "text"]))
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1213,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": _q_doc_novelty,
         "corpus_overlap": _q_corpus_overlap,
         "simhash_threshold_sweep": _q_simhash_threshold_sweep,
+        "dedup_savings": _q_dedup_savings,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1420,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_novelty": _novelty.doc_novelty_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),
+        "dedup_savings": oracles.dedup_savings_sql(),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":

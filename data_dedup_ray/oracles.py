@@ -494,6 +494,42 @@ SELECT tier, CAST(n_pred AS BIGINT) AS n_pred,
 FROM m"""
 
 
+def dedup_savings_sql(threshold: float = 0.7) -> str:
+    """SQL twin of evaluation.dedup_savings: keep-first near-dup
+    savings over the closure labels (removed = url <> cluster_id)."""
+    return (
+        f"WITH RECURSIVE {WEB_PAGES_CTE},{_SHINGLE_CTES},\n"
+        f"dup AS (SELECT url_a, url_b FROM jac WHERE j >= {threshold}),\n"
+        "edges AS (SELECT url_a AS a, url_b AS b FROM dup"
+        " UNION SELECT url_b, url_a FROM dup),\n"
+        "reach(a, b) AS (SELECT a, b FROM edges"
+        " UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),\n"
+        "comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id"
+        " FROM reach GROUP BY a),\n"
+        "labels AS (SELECT w.url, coalesce(c.cluster_id, w.url)"
+        " AS cluster_id FROM web_pages w LEFT JOIN comp c"
+        " ON c.url = w.url),\n"
+        "tok AS (SELECT url, len(regexp_extract_all(text, '[a-z0-9]+'))"
+        " AS nt, length(text) AS nb FROM web_pages)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs,\n"
+        " CAST(sum(CASE WHEN l.url <> l.cluster_id THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_removed,\n"
+        " CAST(sum(nt) AS BIGINT) AS tokens_total,\n"
+        " CAST(sum(CASE WHEN l.url <> l.cluster_id THEN nt ELSE 0 END)"
+        " AS BIGINT) AS tokens_removed,\n"
+        " CAST(10000 * sum(CASE WHEN l.url <> l.cluster_id THEN nt"
+        " ELSE 0 END) // greatest(sum(nt), 1) AS BIGINT)"
+        " AS tokens_removed_bp,\n"
+        " CAST(sum(nb) AS BIGINT) AS chars_total,\n"
+        " CAST(sum(CASE WHEN l.url <> l.cluster_id THEN nb ELSE 0 END)"
+        " AS BIGINT) AS chars_removed,\n"
+        " CAST(10000 * sum(CASE WHEN l.url <> l.cluster_id THEN nb"
+        " ELSE 0 END) // greatest(sum(nb), 1) AS BIGINT)"
+        " AS chars_removed_bp\n"
+        "FROM labels l JOIN tok USING (url)"
+    )
+
+
 def simhash_threshold_sweep_sql(
     threshold: float = 0.7, max_hamming: int = 3,
 ) -> str:

@@ -69,6 +69,10 @@ def map_roots_int64(values: np.ndarray, mapping: dict) -> np.ndarray:
 def dsu_components(edges: pd.DataFrame, a: str = "url_a", b: str = "url_b",
                    max_edges: int = 20_000_000) -> dict:
     """node → min-member cluster id, driver-side union-find."""
+    if not len(edges):
+        # an empty Dataset round-trips to a column-less DataFrame, so
+        # bail before touching edges[a]: every node is its own cluster
+        return {}
     if len(edges) > max_edges:
         raise ValueError(
             f"{len(edges)} edges exceed the driver-side DSU guard; use "

@@ -153,6 +153,93 @@ def simhash_threshold_sweep(
     return out
 
 
+_SAVINGS_SCHEMA = pa.schema([
+    ("n_docs", pa.int64()), ("n_removed", pa.int64()),
+    ("tokens_total", pa.int64()), ("tokens_removed", pa.int64()),
+    ("tokens_removed_bp", pa.int64()),
+    ("chars_total", pa.int64()), ("chars_removed", pa.int64()),
+    ("chars_removed_bp", pa.int64()),
+])
+
+
+def dedup_savings(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """What keep-first near-dup dedup actually SAVES: one row of doc /
+    token / char totals and removed amounts (removed = every non-min
+    member of a near-dup component — exactly the rows
+    ``clean.near_dup_keep_first`` drops), with integer basis-point
+    ratios.  This is the number a training-cost planner reads:
+    ``tokens_removed_bp`` is compute not spent re-training on dups.
+
+    Scale shape: cluster labels and per-doc (token, char) counts meet
+    in one url-keyed exchange; everything after is a handful of integer
+    partials per partition."""
+    from data_dedup_ray.pipelines import near
+
+    labels = near.minhash_dedup_clusters(
+        ds, threshold=threshold, id_col=id_col, text_col=text_col)
+
+    def counts(t: pa.Table) -> pa.Table:
+        from data_dedup_ray.stages.minhash import tokenize_batch
+
+        texts = t[text_col].combine_chunks()
+        _, nt = tokenize_batch(texts)
+        nb = pa.compute.utf8_length(texts)
+        urls = t[id_col].combine_chunks().cast(pa.string())
+        return pa.table({
+            "url": urls, "nt": nt, "nb": nb.cast(pa.int64()),
+            "_part": pa.array(key_partition(
+                urls.to_numpy(zero_copy_only=False), num_partitions)),
+        })
+
+    def with_part(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(
+            key_partition(urls, num_partitions)))
+
+    def partials(dl: pd.DataFrame, dc: pd.DataFrame) -> pd.DataFrame:
+        m = dl.merge(dc, on="url", how="inner")
+        rm = m["url"] != m["cluster_id"]
+        return pd.DataFrame({
+            "n_docs": [len(m)], "n_removed": [int(rm.sum())],
+            "tokens_total": [int(m["nt"].sum())],
+            "tokens_removed": [int(m.loc[rm, "nt"].sum())],
+            "chars_total": [int(m["nb"].sum())],
+            "chars_removed": [int(m.loc[rm, "nb"].sum())],
+        })
+
+    p = hash_exchange(
+        [labels.map_batches(with_part, batch_format="pyarrow"),
+         ds.map_batches(counts, batch_format="pyarrow")],
+        partials, num_partitions=num_partitions,
+        schema=pa.schema([
+            ("n_docs", pa.int64()), ("n_removed", pa.int64()),
+            ("tokens_total", pa.int64()), ("tokens_removed", pa.int64()),
+            ("chars_total", pa.int64()), ("chars_removed", pa.int64())]),
+        in_schemas=[
+            pa.schema([("url", pa.string()),
+                       ("cluster_id", pa.string())]),
+            pa.schema([("url", pa.string()), ("nt", pa.int64()),
+                       ("nb", pa.int64())])],
+    ).to_pandas()  # P rows of integers
+    tt, tr = int(p["tokens_total"].sum()), int(p["tokens_removed"].sum())
+    ct, cr = int(p["chars_total"].sum()), int(p["chars_removed"].sum())
+    return ray.data.from_arrow(pa.table({
+        "n_docs": [int(p["n_docs"].sum())],
+        "n_removed": [int(p["n_removed"].sum())],
+        "tokens_total": [tt], "tokens_removed": [tr],
+        "tokens_removed_bp": [10000 * tr // max(tt, 1)],
+        "chars_total": [ct], "chars_removed": [cr],
+        "chars_removed_bp": [10000 * cr // max(ct, 1)],
+    }, schema=_SAVINGS_SCHEMA))
+
+
 def dedup_tier_eval(
     ds: ray.data.Dataset,
     *,

@@ -103,6 +103,38 @@ def test_threshold_sweep_matches_sql_and_is_monotone():
     assert got.iloc[0].precision_bp == 10000
 
 
+def test_dedup_savings_matches_sql_and_keep_first():
+    pages = web_pages(SF).select_columns(["url", "text"])
+    got = evaluation.dedup_savings(pages).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(oracles.dedup_savings_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1).astype(str),
+        exp.sort_index(axis=1).astype(str))
+    m = got.iloc[0]
+    # removed docs == exactly what near_dup_keep_first drops
+    from data_dedup_ray.pipelines import clean
+    kept = clean.near_dup_keep_first(SF).count()
+    assert m.n_docs - m.n_removed == kept
+    assert 0 < m.tokens_removed_bp < 10000
+
+
+def test_dedup_savings_no_dups_zero():
+    import pyarrow as pa
+    import ray.data
+    docs = ray.data.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(4)],
+        "text": [f"completely distinct document number {i} "
+                 f"with its own unique words w{i}a w{i}b w{i}c w{i}d"
+                 for i in range(4)]}))
+    m = evaluation.dedup_savings(docs, num_partitions=2
+                                 ).to_pandas().iloc[0]
+    assert (m.n_removed, m.tokens_removed, m.tokens_removed_bp) == (0, 0, 0)
+    assert m.n_docs == 4 and m.tokens_total > 0
+
+
 def test_ensemble_oracle_unchanged_by_fragment_refactor():
     """The shared-CTE extraction must leave ensemble_clusters_sql's
     result identical (regression for the oracles.py refactor)."""
