@@ -912,6 +912,17 @@ def _q_dedup_savings(sf_dir: str):
         web_pages(sf_dir).select_columns(["url", "text"]))
 
 
+def _q_crawl_dup_timeline(sf_dir: str):
+    """Duplication-rate-over-time dashboard row set: per capture day
+    across all three crawls, the share of captures whose exact content
+    was already captured earlier (pipelines/snapshots.py)."""
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.crawl_dup_timeline(
+        [web_pages(sf_dir), snapshots.snapshot2(sf_dir),
+         snapshots.snapshot3(sf_dir)])
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1223,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_overlap": _q_corpus_overlap,
         "simhash_threshold_sweep": _q_simhash_threshold_sweep,
         "dedup_savings": _q_dedup_savings,
+        "crawl_dup_timeline": _q_crawl_dup_timeline,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1333,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
     from data_dedup_ray.pipelines import overlap as _overlap
+    from data_dedup_ray.pipelines import snapshots as _snapshots
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1431,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),
         "dedup_savings": oracles.dedup_savings_sql(),
+        "crawl_dup_timeline": _snapshots.crawl_dup_timeline_sql(),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":

@@ -725,3 +725,110 @@ def domain_dup_stats_sql() -> str:
         "   AS dup_rate_bp"
         " FROM web_pages GROUP BY 1"
     )
+
+
+# --------------------------------------------------------------------------
+# Capture-duplication timeline across crawls
+# --------------------------------------------------------------------------
+
+_TIMELINE_SCHEMA = pa.schema([
+    ("epoch_day", pa.int64()), ("n_captures", pa.int64()),
+    ("n_dup_captures", pa.int64()), ("dup_bp", pa.int64()),
+])
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+def crawl_dup_timeline(
+    snapshots: list[ray.data.Dataset],
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Duplication rate over TIME: one row per capture day across all
+    crawls, counting captures whose exact content was already captured
+    at an earlier ``(warc_ts, url)`` — the trend line an operations
+    dashboard plots to see crawl-over-crawl redundancy grow.
+
+    A capture is a dup iff another row with the same content sha sorts
+    strictly earlier by ``(warc_ts, url)`` (url is the deterministic
+    tiebreak).  One sha-keyed exchange resolves first captures locally
+    per partition (sha co-location), emitting day-count-sized partials;
+    the driver sees only the day x partition rollup."""
+    import hashlib
+
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        shas = [hashlib.sha256(s.encode("utf-8")).hexdigest()
+                for s in texts]
+        sha_arr = pa.array(shas, pa.string())
+        return pa.table({
+            "sha": sha_arr,
+            "ts_us": t["warc_ts"].combine_chunks().cast(pa.int64()),
+            "url": t["url"].combine_chunks().cast(pa.string()),
+            "_part": pa.array(key_partition(
+                np.asarray(shas, dtype=object), P)),
+        })
+
+    ds = snapshots[0].map_batches(prep, batch_format="pyarrow")
+    for nxt in snapshots[1:]:
+        ds = ds.union(nxt.map_batches(prep, batch_format="pyarrow"))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ["epoch_day", "n", "ndup"]})
+        df = df.sort_values(["sha", "ts_us", "url"], kind="stable")
+        dup = (df["sha"] == df["sha"].shift()).to_numpy()
+        df = df.assign(
+            epoch_day=(df["ts_us"] // _US_PER_DAY).astype(np.int64),
+            _dup=dup.astype(np.int64))
+        g = df.groupby("epoch_day").agg(
+            n=("sha", "size"), ndup=("_dup", "sum")).reset_index()
+        return g.astype(np.int64)
+
+    p = hash_exchange(
+        [ds], partials, num_partitions=P,
+        schema=pa.schema([("epoch_day", pa.int64()), ("n", pa.int64()),
+                          ("ndup", pa.int64())]),
+        in_schemas=[pa.schema([("sha", pa.string()),
+                               ("ts_us", pa.int64()),
+                               ("url", pa.string())])],
+    ).to_pandas()  # days x P rows
+    g = (p.groupby("epoch_day")[["n", "ndup"]].sum().reset_index()
+          .sort_values("epoch_day"))
+    return ray.data.from_arrow(pa.table({
+        "epoch_day": g["epoch_day"].astype(np.int64),
+        "n_captures": g["n"].astype(np.int64),
+        "n_dup_captures": g["ndup"].astype(np.int64),
+        "dup_bp": (10000 * g["ndup"] // g["n"]).astype(np.int64),
+    }, schema=_TIMELINE_SCHEMA))
+
+
+def crawl_dup_timeline_sql() -> str:
+    """DuckDB twin over the three crawls (web_pages + snapshot2 +
+    snapshot3)."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    day = "CAST(86400 AS BIGINT) * 1000000"
+    return f"""
+WITH {WEB_PAGES_CTE},
+{SNAPSHOT2_CTE},
+{SNAPSHOT3_CTE},
+u AS (
+  SELECT url, warc_ts, sha256(text) AS sha FROM web_pages
+  UNION ALL SELECT url, warc_ts, sha256(text) FROM snapshot2
+  UNION ALL SELECT url, warc_ts, sha256(text) FROM snapshot3),
+r AS (
+  SELECT epoch_us(warc_ts) // ({day}) AS epoch_day,
+         row_number() OVER (PARTITION BY sha
+                            ORDER BY warc_ts, url) AS rn
+  FROM u)
+SELECT CAST(epoch_day AS BIGINT) AS epoch_day,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_captures,
+       CAST(10000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS dup_bp
+FROM r GROUP BY epoch_day"""

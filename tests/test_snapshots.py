@@ -169,3 +169,46 @@ def test_domain_dup_stats_mirror_is_all_dup(sf_dir):
     assert got.loc["mirror.example", "dup_rate_bp"] >= 0
     assert (got["n_distinct"] <= got["n_pages"]).all()
     assert ((got["dup_rate_bp"] >= 0) & (got["dup_rate_bp"] < 10000)).all()
+
+
+def test_crawl_dup_timeline_matches_sql():
+    import duckdb
+    import pandas as pd
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import snapshots as sn
+
+    sf = "/root/testdata/sf0.001"
+    got = sn.crawl_dup_timeline(
+        [web_pages(sf), sn.snapshot2(sf), sn.snapshot3(sf)]
+    ).to_pandas().sort_values("epoch_day").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(sn.crawl_dup_timeline_sql()).df(
+    ).sort_values("epoch_day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1).astype(str),
+        exp.sort_index(axis=1).astype(str))
+    # the first capture day can contain no dups of EARLIER captures
+    # beyond same-day repeats; the re-crawl days (+30d, +60d) sit at
+    # ~50% by construction (doc_id%6 / %10 byte-identical re-captures)
+    last2 = got.tail(2)
+    assert ((last2.dup_bp - 5000).abs() < 500).all()
+    # totals: every capture counted exactly once
+    assert got.n_captures.sum() == (
+        web_pages(sf).count() + sn.snapshot2(sf).count()
+        + sn.snapshot3(sf).count())
+
+
+def test_crawl_dup_timeline_partition_invariance():
+    import pandas as pd
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import snapshots as sn
+
+    sf = "/root/testdata/sf0.001"
+    crawls = [web_pages(sf), sn.snapshot2(sf)]
+    a = sn.crawl_dup_timeline(crawls, num_partitions=1).to_pandas()
+    b = sn.crawl_dup_timeline(crawls, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
