@@ -923,6 +923,15 @@ def _q_crawl_dup_timeline(sf_dir: str):
          snapshots.snapshot3(sf_dir)])
 
 
+def _q_cluster_aware_split(sf_dir: str):
+    """Leak-free train/val/test split at near-dup cluster granularity:
+    split key = md5(cluster_id), so no near-dup pair straddles splits
+    (pipelines/stats.py)."""
+    from data_dedup_ray.pipelines import stats
+
+    return stats.cluster_aware_split(sf_dir)
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1235,6 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_threshold_sweep": _q_simhash_threshold_sweep,
         "dedup_savings": _q_dedup_savings,
         "crawl_dup_timeline": _q_crawl_dup_timeline,
+        "cluster_aware_split": _q_cluster_aware_split,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1346,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import novelty as _novelty
     from data_dedup_ray.pipelines import overlap as _overlap
     from data_dedup_ray.pipelines import snapshots as _snapshots
+    from data_dedup_ray.pipelines import stats as _stats
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1445,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),
         "dedup_savings": oracles.dedup_savings_sql(),
         "crawl_dup_timeline": _snapshots.crawl_dup_timeline_sql(),
+        "cluster_aware_split": _stats.cluster_aware_split_sql(),
         "incremental_simhash_pairs_sha":
             _fpstore.incremental_simhash_pairs_sql(3),
         "near_dup_clusters_by_lang":

@@ -218,6 +218,55 @@ def train_val_test_split_sql() -> str:
     )
 
 
+def cluster_aware_split(
+    sf_dir: str, *, threshold: float = 0.7,
+) -> ray.data.Dataset:
+    """Leak-FREE train/val/test split at near-dup CLUSTER granularity —
+    ``(url, split)`` where the split key is ``md5(cluster_id)``, so
+    every member of a near-dup component lands in the SAME split by
+    construction.  ``train_val_test_split`` hashes the doc id, which
+    lets two near-identical pages straddle train and test (the
+    Lee et al. 2022 contamination mechanism: near-dup leakage inflates
+    eval scores); hashing the component's canonical min-url closes it.
+
+    Scale shape: the cluster assignment is the corpus-shaped output of
+    the gated closure (near.minhash_dedup_clusters); the split itself is
+    one stateless vectorized map over it — no extra shuffle."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    pages = web_pages(sf_dir).select_columns(["url", "text"])
+    labels = near.minhash_dedup_clusters(pages, threshold=threshold)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cids = t["cluster_id"].to_pylist()
+        split = []
+        for c in cids:
+            h = hashlib.md5(str(c).encode()).hexdigest()
+            split.append(
+                "val" if h < SPLIT_VAL_BELOW
+                else "test" if h < SPLIT_TEST_BELOW else "train"
+            )
+        return pa.table({
+            "url": t["url"].combine_chunks().cast(pa.string()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return labels.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_aware_split_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+
+    return (
+        "SELECT url, CASE"
+        f" WHEN md5(cluster_id) < '{SPLIT_VAL_BELOW}' THEN 'val'"
+        f" WHEN md5(cluster_id) < '{SPLIT_TEST_BELOW}' THEN 'test'"
+        " ELSE 'train' END AS split FROM ("
+        + near_dup_clusters_sql(threshold) + ") q"
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-dup cluster-size histogram (dedup analytics)
 # --------------------------------------------------------------------------

@@ -154,3 +154,28 @@ def test_token_shards_partition_invariance(sf_dir):
     # offsets are a true prefix sum: consecutive docs tile the token line
     assert (a["tok_offset"].to_numpy()[1:]
             == (a["tok_offset"] + a["n_tokens"]).to_numpy()[:-1]).all()
+
+
+def test_cluster_aware_split_matches_sql_and_never_straddles():
+    import duckdb
+    import pandas as pd
+
+    from data_dedup_ray.pipelines import near, stats
+    from data_dedup_ray.corpus import web_pages
+
+    sf = "/root/testdata/sf0.001"
+    got = stats.cluster_aware_split(sf).to_pandas(
+    ).sort_values("url").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(stats.cluster_aware_split_sql()).df(
+    ).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
+    # the leak-free law: NO verified near-dup pair straddles splits
+    pages = web_pages(sf).select_columns(["url", "text"])
+    pairs = near.minhash_dedup_pairs(pages).to_pandas()
+    s = got.set_index("url")["split"]
+    assert (s[pairs.url_a].to_numpy() == s[pairs.url_b].to_numpy()).all()
+    # all three splits are populated at this scale
+    assert set(got.split.unique()) == {"train", "val", "test"}
