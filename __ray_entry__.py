@@ -932,6 +932,22 @@ def _q_cluster_aware_split(sf_dir: str):
     return stats.cluster_aware_split(sf_dir)
 
 
+def _q_incremental_drift(sf_dir: str):
+    """The standing drift gate: snapshot2 graded against web_pages'
+    PERSISTED vocab store (4th ladder tier) — byte-identical to the
+    live crawl_drift, at vocabulary-sized read cost."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import drift, snapshots
+
+    vs = (f"/tmp/dedup_vocab_store_"
+          f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(vs, ignore_errors=True)
+    drift.build_vocab_store(web_pages(sf_dir), vs)
+    return drift.incremental_drift(snapshots.snapshot2(sf_dir), vs)
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1245,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_savings": _q_dedup_savings,
         "crawl_dup_timeline": _q_crawl_dup_timeline,
         "cluster_aware_split": _q_cluster_aware_split,
+        "incremental_drift": _q_incremental_drift,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1403,6 +1420,9 @@ def oracle_sql() -> dict[str, str]:
         "ensemble_clusters": oracles.ensemble_clusters_sql(),
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         "crawl_drift": _drift.crawl_drift_sql(),
+        # the store path must be byte-identical to the live pipeline,
+        # so it shares crawl_drift's oracle verbatim
+        "incremental_drift": _drift.crawl_drift_sql(),
         "crawl_drift_by_lang": _drift.crawl_drift_by_lang_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(

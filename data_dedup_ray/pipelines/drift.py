@@ -75,16 +75,10 @@ def _count_batches(text_col: str, P: int):
     return fn
 
 
-def token_freq_table(
-    a: ray.data.Dataset,
-    b: ray.data.Dataset,
-    *,
-    text_col: str = "text",
-    num_partitions: int = 64,
-) -> ray.data.Dataset:
-    """Merged per-token occurrence counts ``(tok, c_a, c_b)`` for two
-    crawls — full outer over the two hashed vocabularies."""
-    P = num_partitions
+def _merged_freqs(stage_a: ray.data.Dataset,
+                  stage_b: ray.data.Dataset,
+                  P: int) -> ray.data.Dataset:
+    """Full-outer merge of two ``(tok, c, _part)`` count streams."""
 
     def merge(da: pd.DataFrame, db: pd.DataFrame) -> pd.DataFrame:
         # per-split-group combiners mean partial rows repeat per token:
@@ -99,15 +93,27 @@ def token_freq_table(
         })
 
     return hash_exchange(
-        [a.map_batches(_count_batches(text_col, P),
-                       batch_format="pyarrow"),
-         b.map_batches(_count_batches(text_col, P),
-                       batch_format="pyarrow")],
-        merge,
-        num_partitions=P,
-        schema=_FREQ_SCHEMA,
-        in_schemas=[_PARTIAL_IN, _PARTIAL_IN],
+        [stage_a, stage_b], merge, num_partitions=P,
+        schema=_FREQ_SCHEMA, in_schemas=[_PARTIAL_IN, _PARTIAL_IN],
     )
+
+
+def token_freq_table(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Merged per-token occurrence counts ``(tok, c_a, c_b)`` for two
+    crawls — full outer over the two hashed vocabularies."""
+    P = num_partitions
+    return _merged_freqs(
+        a.map_batches(_count_batches(text_col, P),
+                      batch_format="pyarrow"),
+        b.map_batches(_count_batches(text_col, P),
+                      batch_format="pyarrow"),
+        P)
 
 
 def crawl_drift(
@@ -119,10 +125,13 @@ def crawl_drift(
 ) -> ray.data.Dataset:
     """One drift row (``_DRIFT_SCHEMA``) grading crawl ``b`` against
     reference crawl ``a``."""
-    v = token_freq_table(
+    return _drift_row(token_freq_table(
         a, b, text_col=text_col, num_partitions=num_partitions,
-    ).materialize()
+    ).materialize())
 
+
+def _drift_row(v: ray.data.Dataset) -> ray.data.Dataset:
+    """Metric row over a materialized ``(tok, c_a, c_b)`` table."""
     tot = v.sum(["c_a", "c_b"]) or {"sum(c_a)": 0, "sum(c_b)": 0}
     na, nb = int(tot["sum(c_a)"] or 0), int(tot["sum(c_b)"] or 0)
 
@@ -154,6 +163,71 @@ def crawl_drift(
         "oov_mass_b_bp": [10000 * oov_b // max(nb, 1)],
         "tv_bp": [10000 * tv_num // max(2 * na * nb, 1)],
     }, schema=_DRIFT_SCHEMA))
+
+
+def build_vocab_store(
+    ds: ray.data.Dataset,
+    path: str,
+    *,
+    text_col: str = "text",
+    num_partitions: int = 32,
+):
+    """Persist a crawl's token-frequency vocabulary ``(tok, c)`` as a
+    resumable store — the 4th tier of the incremental state ladder
+    (content-sha 32 B, simhash 8 B, minhash signatures ~1 KB, and now
+    the vocab table: VOCABULARY-sized, not corpus-sized).  A standing
+    drift gate then grades every new crawl against it without ever
+    re-reading the old crawl's text (``incremental_drift``)."""
+    from data_dedup_ray.state.sink import resumable_write_parquet
+
+    P = num_partitions
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", sort=False, as_index=False)["c"].sum()
+
+    counts = hash_exchange(
+        [ds.map_batches(_count_batches(text_col, P),
+                        batch_format="pyarrow")],
+        agg, num_partitions=P,
+        schema=pa.schema([("tok", pa.int64()), ("c", pa.int64())]),
+        in_schemas=[_PARTIAL_IN],
+    )
+    return resumable_write_parquet(
+        counts, path, key_col="tok", num_partitions=P,
+        config={"kind": "vocab_store", "text_col": text_col},
+    )
+
+
+def incremental_drift(
+    new_ds: ray.data.Dataset,
+    store_path: str | list[str],
+    *,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``crawl_drift`` with the REFERENCE side read from a persisted
+    vocab store instead of re-tokenizing the old crawl — byte-identical
+    output to the live pipeline (the store holds exact counts), at
+    vocabulary-sized read cost."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+
+    P = num_partitions
+
+    def from_store(t: pa.Table) -> pa.Table:
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tok": toks, "c": t["c"].combine_chunks(),
+            "_part": (toks.view(np.uint64)
+                      % np.uint64(P)).astype(np.int64),
+        })
+
+    return _drift_row(_merged_freqs(
+        _read_store(store_path if isinstance(store_path, list)
+                    else [store_path])
+        .map_batches(from_store, batch_format="pyarrow"),
+        new_ds.map_batches(_count_batches(text_col, P),
+                           batch_format="pyarrow"),
+        P).materialize())
 
 
 _LANG_DRIFT_SCHEMA = pa.schema([("lang", pa.string())]

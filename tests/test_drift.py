@@ -139,3 +139,27 @@ def test_freq_table_is_usable_standalone():
     assert len(v) == 3
     assert set(v.columns) == {"tok", "c_a", "c_b"}
     assert v["c_a"].sum() == 3 and v["c_b"].sum() == 2
+
+
+def test_incremental_drift_equals_live_and_store_layout():
+    import json
+    import os
+    import shutil
+
+    vs = "/tmp/test_vocab_store"
+    shutil.rmtree(vs, ignore_errors=True)
+    drift.build_vocab_store(web_pages(SF), vs)
+    got = drift.incremental_drift(snapshots.snapshot2(SF), vs
+                                  ).to_pandas()
+    live = drift.crawl_drift(web_pages(SF), snapshots.snapshot2(SF)
+                             ).to_pandas()
+    pd.testing.assert_frame_equal(got, live)
+    # store lineage records the tier kind
+    part = [d for d in os.listdir(vs) if d.startswith("part=")][0]
+    meta = json.load(open(os.path.join(vs, part, "_META.json")))
+    assert meta["config"]["kind"] == "vocab_store"
+    # the store is vocabulary-sized: distinct token hashes, exact counts
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    v = _read_store([vs]).to_pandas()
+    assert v["tok"].is_unique
+    assert v["c"].sum() == live.iloc[0].n_tokens_a
