@@ -1250,7 +1250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
-        # token tables are all in-slot this round; rotate in for r4 rows)
+        # token tables are all in-slot this round; ROTATE THESE TEN
+        # (dedup_tier_eval .. incremental_drift) INTO SLOTS 1-50 IN
+        # ROUND 4 — every one has a full SQL oracle and was replayed
+        # green against DuckDB at sf0.01 when built)
         "dedup_tier_eval": _q_dedup_tier_eval,
         "crawl_drift": _q_crawl_drift,
         "crawl_drift_by_lang": _q_crawl_drift_by_lang,
