@@ -948,6 +948,19 @@ def _q_incremental_drift(sf_dir: str):
     return drift.incremental_drift(snapshots.snapshot2(sf_dir), vs)
 
 
+def _q_sig_estimator_eval(sf_dir: str):
+    """Can dedup run from stored 1 KB/doc signatures alone?  Grades the
+    sha-chain signature estimator's pairs against exact cross-corpus
+    Jaccard truth (evaluation.estimator_pair_eval)."""
+    from data_dedup_ray.pipelines import evaluation, near, snapshots
+
+    pred = _q_incremental_sig_pairs(sf_dir, token_hash="sha")
+    truth = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7)
+    return evaluation.estimator_pair_eval(pred, truth,
+                                          tier="sig_estimate")
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1265,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dup_timeline": _q_crawl_dup_timeline,
         "cluster_aware_split": _q_cluster_aware_split,
         "incremental_drift": _q_incremental_drift,
+        "sig_estimator_eval": _q_sig_estimator_eval,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1426,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         # the store path must be byte-identical to the live pipeline,
         # so it shares crawl_drift's oracle verbatim
         "incremental_drift": _drift.crawl_drift_sql(),
+        "sig_estimator_eval": oracles.sig_estimator_eval_sql(),
         "crawl_drift_by_lang": _drift.crawl_drift_by_lang_sql(),
         # Bloom collision filter must reproduce exact blocks bit-for-bit
         "exact_dedup_bloom": web_pages_sql(

@@ -494,6 +494,38 @@ SELECT tier, CAST(n_pred AS BIGINT) AS n_pred,
 FROM m"""
 
 
+def sig_estimator_eval_sql(threshold: float = 0.7) -> str:
+    """SQL twin of grading the 1 KB/doc SIGNATURE estimator
+    (sigstore.incremental_sig_near_pairs, sha token hash) against the
+    exact cross-corpus Jaccard truth — the 'can dedup run from stored
+    signatures alone?' quality row.  Both pair sets are the standing
+    oracles, MATERIALIZED once each."""
+    from data_dedup_ray.pipelines.near import cross_corpus_near_pairs_sql
+    from data_dedup_ray.pipelines.sigstore import (
+        incremental_sig_near_pairs_sql,
+    )
+
+    pred = incremental_sig_near_pairs_sql(threshold)
+    tru = cross_corpus_near_pairs_sql(threshold)
+    return f"""
+WITH pred AS MATERIALIZED (
+  SELECT new_url, index_url FROM ({pred}) p),
+tru AS MATERIALIZED (
+  SELECT new_url, index_url FROM ({tru}) t),
+m AS (SELECT
+  (SELECT count(*) FROM pred) AS n_pred,
+  (SELECT count(*) FROM tru) AS n_true,
+  (SELECT count(*) FROM pred p JOIN tru t
+     ON p.new_url = t.new_url AND p.index_url = t.index_url) AS n_hit)
+SELECT 'sig_estimate' AS tier,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT) AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
+FROM m"""
+
+
 def dedup_savings_sql(threshold: float = 0.7) -> str:
     """SQL twin of evaluation.dedup_savings: keep-first near-dup
     savings over the closure labels (removed = url <> cluster_id)."""

@@ -116,6 +116,25 @@ def dedup_pair_metrics(
     }, schema=_METRIC_SCHEMA))
 
 
+def estimator_pair_eval(
+    pred_pairs: ray.data.Dataset,
+    true_pairs: ray.data.Dataset,
+    *,
+    tier: str,
+    pair_cols: tuple[str, str] = ("new_url", "index_url"),
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """``dedup_pair_metrics`` over pair tables with arbitrary column
+    names (e.g. the cross-corpus ``(new_url, index_url)`` orientation
+    of the incremental pipelines)."""
+    a, b = pair_cols
+    ren = {a: "url_a", b: "url_b"}
+    return dedup_pair_metrics(
+        pred_pairs.select_columns([a, b]).rename_columns(ren),
+        true_pairs.select_columns([a, b]).rename_columns(ren),
+        tier=tier, num_partitions=num_partitions)
+
+
 def simhash_threshold_sweep(
     ds: ray.data.Dataset,
     *,

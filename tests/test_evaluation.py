@@ -135,6 +135,36 @@ def test_dedup_savings_no_dups_zero():
     assert m.n_docs == 4 and m.tokens_total > 0
 
 
+def test_sig_estimator_eval_matches_sql_and_recall_bar():
+    import shutil
+
+    from data_dedup_ray.pipelines import near, sigstore, snapshots
+    from data_dedup_ray.pipelines import evaluation as ev
+
+    store = "/tmp/test_sigeval_store"
+    shutil.rmtree(store, ignore_errors=True)
+    sigstore.build_signature_store(web_pages(SF), store,
+                                   token_hash="sha")
+    pred = sigstore.incremental_sig_near_pairs(
+        snapshots.snapshot2(SF), store, threshold=0.7,
+        token_hash="sha")
+    truth = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(SF), web_pages(SF), threshold=0.7)
+    got = ev.estimator_pair_eval(pred, truth,
+                                 tier="sig_estimate").to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(oracles.sig_estimator_eval_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1).astype(str),
+        exp.sort_index(axis=1).astype(str))
+    # the north-rule bar: dup-pair recall >= 0.99 from stored
+    # signatures alone (and precision stays high)
+    m = got.iloc[0]
+    assert m.recall_bp >= 9900 and m.precision_bp >= 9900
+
+
 def test_ensemble_oracle_unchanged_by_fragment_refactor():
     """The shared-CTE extraction must leave ensemble_clusters_sql's
     result identical (regression for the oracles.py refactor)."""
