@@ -961,6 +961,22 @@ def _q_sig_estimator_eval(sf_dir: str):
                                           tier="sig_estimate")
 
 
+def _q_incremental_novelty(sf_dir: str):
+    """Per-doc novelty with the reference side read from the persisted
+    shingle store — reference text never re-read; shares doc_novelty's
+    oracle verbatim (the store holds the exact shingle blobs)."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import index, novelty, snapshots
+
+    ss = (f"/tmp/dedup_novelty_shstore_"
+          f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(ss, ignore_errors=True)
+    index.build_shingle_store(web_pages(sf_dir), ss)
+    return novelty.incremental_novelty(snapshots.snapshot2(sf_dir), ss)
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1279,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_aware_split": _q_cluster_aware_split,
         "incremental_drift": _q_incremental_drift,
         "sig_estimator_eval": _q_sig_estimator_eval,
+        "incremental_novelty": _q_incremental_novelty,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1490,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_hash_store": _storeops.compact_hash_store_sql(),
         "store_audit": _storeops.store_audit_sql(),
         "doc_novelty": _novelty.doc_novelty_sql(),
+        "incremental_novelty": _novelty.doc_novelty_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),
         "dedup_savings": oracles.dedup_savings_sql(),

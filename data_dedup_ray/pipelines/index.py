@@ -65,8 +65,10 @@ def read_shingle_store(path: str | list[str]) -> ray.data.Dataset:
         for p in path:
             files += sorted(glob.glob(os.path.join(p, "part=*",
                                                    "*.parquet")))
-        return ray.data.read_parquet(files)
-    return ray.data.read_parquet(path)
+        # partitioning=None: the hive part= directory key is a sink
+        # sharding detail, never a payload column of the store
+        return ray.data.read_parquet(files, partitioning=None)
+    return ray.data.read_parquet(path, partitioning=None)
 
 
 def incremental_near_pairs(

@@ -85,7 +85,36 @@ def doc_novelty(
                           shingle_k=shingle_k)
     ref_sh = shingle_rows(ref_ds, id_col=id_col, text_col=text_col,
                           shingle_k=shingle_k)
+    return _novelty_from_shingles(new_sh, ref_sh, id_col, P)
 
+
+def incremental_novelty(
+    new_ds: ray.data.Dataset,
+    store_path: str | list[str],
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``doc_novelty`` with the REFERENCE side read from a persisted
+    shingle store (index.build_shingle_store) — the reference crawl's
+    text is never re-read or re-tokenized; byte-identical output to the
+    live pipeline (the store holds the exact shingle-hash blobs)."""
+    from data_dedup_ray.pipelines.index import read_shingle_store
+    from data_dedup_ray.pipelines.near import shingle_rows
+
+    P = num_partitions
+    new_sh = shingle_rows(new_ds, id_col=id_col, text_col=text_col,
+                          shingle_k=shingle_k)
+    ref_sh = read_shingle_store(
+        store_path if isinstance(store_path, list) else [store_path])
+    return _novelty_from_shingles(new_sh, ref_sh, id_col, P)
+
+
+def _novelty_from_shingles(new_sh: ray.data.Dataset,
+                           ref_sh: ray.data.Dataset,
+                           id_col: str, P: int) -> ray.data.Dataset:
     postings = new_sh.map_batches(_explode(id_col, P, True),
                                   batch_format="pyarrow")
     ref_grams = ref_sh.map_batches(_explode(id_col, P, False),

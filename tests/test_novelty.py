@@ -93,3 +93,20 @@ def test_empty_reference_everything_novel():
         _docs([("u", "one two three four five six")]),
         _docs([]), num_partitions=2).to_pandas()
     assert len(got) == 1 and got.iloc[0].novelty_bp == 10000
+
+
+def test_incremental_novelty_equals_live():
+    import shutil
+
+    from data_dedup_ray.pipelines import index
+
+    ss = "/tmp/test_novelty_shstore"
+    shutil.rmtree(ss, ignore_errors=True)
+    index.build_shingle_store(web_pages(SF), ss)
+    got = novelty.incremental_novelty(snapshots.snapshot2(SF), ss
+                                      ).to_pandas().sort_values("url"
+                                      ).reset_index(drop=True)
+    live = novelty.doc_novelty(snapshots.snapshot2(SF), web_pages(SF)
+                               ).to_pandas().sort_values("url"
+                               ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, live)
