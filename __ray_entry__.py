@@ -1279,10 +1279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
-        # token tables are all in-slot this round; ROTATE THESE TEN
-        # (dedup_tier_eval .. incremental_drift) INTO SLOTS 1-50 IN
-        # ROUND 4 — every one has a full SQL oracle and was replayed
-        # green against DuckDB at sf0.01 when built)
+        # token tables are all in-slot this round; ROTATE THESE
+        # THIRTEEN (dedup_tier_eval .. incremental_novelty, slots
+        # 53-65) INTO SLOTS 1-50 IN ROUND 4 — every one has a full SQL
+        # oracle and was replayed green against DuckDB at sf0.01 when
+        # built, plus a full-contract replay of ALL 139 queries)
         "dedup_tier_eval": _q_dedup_tier_eval,
         "crawl_drift": _q_crawl_drift,
         "crawl_drift_by_lang": _q_crawl_drift_by_lang,
