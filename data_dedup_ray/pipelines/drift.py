@@ -271,6 +271,10 @@ def crawl_drift_by_lang(
             t[lang_col].to_numpy(zero_copy_only=False), counts)
         df = pd.DataFrame({"lang": langs,
                            "tok": hashes.view(np.int64)})
+        # NULL langs go to the lang-id module's unknown tag on BOTH
+        # sides (SQL: coalesce(lang,'und')); a plain groupby would
+        # silently DROP them (pandas dropna default)
+        df["lang"] = df["lang"].fillna("und")
         g = df.groupby(["lang", "tok"], sort=False,
                        as_index=False).size()
         toks = g["tok"].to_numpy()
@@ -370,9 +374,11 @@ def crawl_drift_by_lang_sql() -> str:
     from data_dedup_ray.pipelines.snapshots import snapshots_sql
 
     return snapshots_sql("""
-, ta AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+, ta AS (SELECT coalesce(lang, 'und') AS lang,
+                unnest(regexp_extract_all(text, '[a-z0-9]+'))
                 AS tok FROM web_pages),
-tb AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+tb AS (SELECT coalesce(lang, 'und') AS lang,
+              unnest(regexp_extract_all(text, '[a-z0-9]+'))
               AS tok FROM snapshot2),
 ca AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c_a
        FROM ta GROUP BY lang, tok),

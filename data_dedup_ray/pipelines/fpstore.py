@@ -47,14 +47,20 @@ from data_dedup_ray.util import stage_task
 # --------------------------------------------------------------------------
 
 
+def sha256_hex(texts) -> list[str]:
+    """THE 32 B content identity of the store ladder — hex sha256 of
+    the exact utf-8 text bytes.  One definition so the hash stores,
+    audits, and timelines can never drift apart."""
+    return [hashlib.sha256(s.encode("utf-8")).hexdigest()
+            for s in texts]
+
+
 def content_hash_rows(ds: ray.data.Dataset, *, id_col: str = "url",
                       text_col: str = "text") -> ray.data.Dataset:
     """``(id, sha)`` — hex sha256 of the exact text bytes."""
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        shas = [hashlib.sha256(s.encode("utf-8")).hexdigest()
-                for s in texts]
+        shas = sha256_hex(t[text_col].to_pylist())
         return pa.table({
             id_col: t[id_col].combine_chunks().cast(pa.string()),
             "sha": pa.array(shas, pa.string()),

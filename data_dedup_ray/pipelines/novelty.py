@@ -49,8 +49,6 @@ _PARTIAL = pa.schema([
 
 
 def _explode(id_col: str, P: int, with_url: bool):
-    from data_dedup_ray.pipelines.near import shingle_rows  # noqa: F401
-
     def fn(t: pa.Table) -> pa.Table:
         blobs = t["sh"].to_pylist()
         grams = [np.frombuffer(b, dtype=np.uint64) for b in blobs]

@@ -759,9 +759,9 @@ def crawl_dup_timeline(
     P = num_partitions
 
     def prep(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        shas = [hashlib.sha256(s.encode("utf-8")).hexdigest()
-                for s in texts]
+        from data_dedup_ray.pipelines.fpstore import sha256_hex
+
+        shas = sha256_hex(t["text"].to_pylist())
         sha_arr = pa.array(shas, pa.string())
         return pa.table({
             "sha": sha_arr,

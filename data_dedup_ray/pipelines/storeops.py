@@ -40,6 +40,8 @@ def compact_store(
     ``out_path`` is given, also persists it as a resumable store."""
     from data_dedup_ray.pipelines.fpstore import _read_store
 
+    if not paths:
+        raise ValueError("compact_store needs at least one store path")
     P = num_partitions
 
     def tag(k: int):
@@ -56,13 +58,14 @@ def compact_store(
 
     # list-read form: explicit part=*/ *.parquet files, so the hive
     # `part` directory key never becomes a phantom payload column
-    parts = [_read_store([p]).map_batches(tag(k), batch_format="pyarrow")
-             for k, p in enumerate(paths)]
+    stores = [_read_store([p]) for p in paths]
+    parts = [s.map_batches(tag(k), batch_format="pyarrow")
+             for k, s in enumerate(stores)]
     ds = parts[0]
     for nxt in parts[1:]:
         ds = ds.union(nxt)
 
-    base = _read_store([paths[0]]).schema().base_schema
+    base = stores[0].schema().base_schema
     out_schema = pa.schema([base.field(n) for n in base.names])
     in_schema = out_schema.append(pa.field("_crawl", pa.int64()))
     payload = [n for n in base.names if n != id_col]
@@ -71,14 +74,16 @@ def compact_store(
         if not len(df):
             return pd.DataFrame({c: pd.Series([], dtype=object)
                                  for c in base.names})
-        win = (df.sort_values("_crawl").drop_duplicates(id_col,
-                                                        keep="last"))
+        # stable sort: within-crawl duplicate ids tie on _crawl, so
+        # input (file) order must break the tie deterministically
+        win = (df.sort_values("_crawl", kind="stable")
+                 .drop_duplicates(id_col, keep="last"))
         return win[[id_col, *payload]].reset_index(drop=True)
 
     def pre_latest(t: pa.Table) -> pa.Table:
         # map-side combiner: latest per id within the split group
         df = t.to_pandas()
-        win = df.sort_values("_crawl").drop_duplicates(
+        win = df.sort_values("_crawl", kind="stable").drop_duplicates(
             [id_col, "_part"], keep="last")
         return pa.Table.from_pandas(win, preserve_index=False)
 
@@ -127,6 +132,8 @@ def store_audit(
     additive), emitting crawl-count-sized partials."""
     from data_dedup_ray.pipelines.fpstore import _read_store
 
+    if not paths:
+        raise ValueError("store_audit needs at least one store path")
     P = num_partitions
 
     def tag(k: int):

@@ -163,3 +163,19 @@ def test_incremental_drift_equals_live_and_store_layout():
     v = _read_store([vs]).to_pandas()
     assert v["tok"].is_unique
     assert v["c"].sum() == live.iloc[0].n_tokens_a
+
+
+def test_by_lang_null_lang_becomes_und():
+    """NULL langs must not be silently dropped (pandas groupby dropna);
+    both sides normalize to 'und'."""
+    a = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["en", None], pa.string()),
+        "text": ["the cat", "mystery words here"]}))
+    b = ray.data.from_arrow(pa.table({
+        "lang": pa.array([None], pa.string()),
+        "text": ["mystery words here"]}))
+    m = drift.crawl_drift_by_lang(a, b, num_partitions=2).to_pandas(
+    ).set_index("lang")
+    assert "und" in m.index
+    assert m.loc["und"].n_tokens_a == 3 and m.loc["und"].n_tokens_b == 3
+    assert m.loc["und"].tv_bp == 0
