@@ -272,8 +272,9 @@ def latest_by_url_sql() -> str:
 
 def _sha_prep(P: int, keep_url: bool):
     def fn(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        shas = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in texts]
+        from data_dedup_ray.pipelines.fpstore import sha256_hex
+
+        shas = sha256_hex(t["text"].to_pylist())
         part = [int(s[:8], 16) % P for s in shas]
         cols = {"sha": pa.array(shas, pa.string())}
         if keep_url:
@@ -565,9 +566,10 @@ def new_content_bloom(
     m = bloom_bits
 
     def partial_bitmap(t: pa.Table) -> pa.Table:
+        from data_dedup_ray.pipelines.fpstore import sha256_hex
+
         bits = np.zeros(m // 8, dtype=np.uint8)
-        for s in t["text"].to_pylist():
-            sha = hashlib.sha256(s.encode("utf-8")).hexdigest()
+        for sha in sha256_hex(t["text"].to_pylist()):
             for p in _bloom_positions(sha, m):
                 bits[p >> 3] |= 1 << (p & 7)
         return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
@@ -586,11 +588,12 @@ def new_content_bloom(
             self.bits = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            from data_dedup_ray.pipelines.fpstore import sha256_hex
+
             texts = t["text"].to_pylist()
-            shas, maybe = [], np.zeros(len(texts), dtype=bool)
-            for i, s in enumerate(texts):
-                sha = hashlib.sha256(s.encode("utf-8")).hexdigest()
-                shas.append(sha)
+            shas = sha256_hex(texts)
+            maybe = np.zeros(len(texts), dtype=bool)
+            for i, sha in enumerate(shas):
                 maybe[i] = all(
                     self.bits[p >> 3] & (1 << (p & 7))
                     for p in _bloom_positions(sha, m)
@@ -670,10 +673,9 @@ def domain_dup_stats(
     def prep(t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
         domains = [domain_of(u) for u in urls]
-        shas = [
-            hashlib.sha256(s.encode("utf-8")).hexdigest()
-            for s in t["text"].to_pylist()
-        ]
+        from data_dedup_ray.pipelines.fpstore import sha256_hex
+
+        shas = sha256_hex(t["text"].to_pylist())
         out = pa.table({
             "domain": pa.array(domains, pa.string()),
             "sha": pa.array(shas, pa.string()),
