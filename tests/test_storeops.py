@@ -109,3 +109,36 @@ def test_compact_is_payload_agnostic():
            .sort_values("_k").drop_duplicates("url", keep="last")
            [["url", "fp"]].sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_compact_handles_binary_blob_payload():
+    """Payload-agnostic includes large_binary: compacting two shingle
+    stores (url -> uint64-blob) keeps the LATER crawl's blob."""
+    from data_dedup_ray.pipelines import index
+
+    a, b = "/tmp/test_comp_blob_s1", "/tmp/test_comp_blob_s2"
+    for p in (a, b):
+        shutil.rmtree(p, ignore_errors=True)
+    index.build_shingle_store(web_pages(SF), a)
+    index.build_shingle_store(snapshots.snapshot2(SF), b)
+    got = storeops.compact_store([a, b]).to_pandas(
+    ).sort_values("url").reset_index(drop=True)
+    da = index.read_shingle_store(a).to_pandas()
+    db = index.read_shingle_store(b).to_pandas()
+    exp = (pd.concat([da.assign(_k=0), db.assign(_k=1)])
+           .sort_values("_k", kind="stable")
+           .drop_duplicates("url", keep="last")
+           [["url", "sh"]].sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # a revisited url whose text changed carries a different blob
+    m = got.merge(da, on="url", suffixes=("", "_old"))
+    assert (m["sh"] != m["sh_old"]).any()
+
+
+def test_compact_rejects_empty_paths():
+    import pytest
+
+    with pytest.raises(ValueError):
+        storeops.compact_store([])
+    with pytest.raises(ValueError):
+        storeops.store_audit([])
