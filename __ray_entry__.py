@@ -977,6 +977,14 @@ def _q_incremental_novelty(sf_dir: str):
     return novelty.incremental_novelty(snapshots.snapshot2(sf_dir), ss)
 
 
+def _q_url_template_stats(sf_dir: str):
+    """Crawler-trap signal: digit-normalized url templates with their
+    content-duplication rates (pipelines/urls.py)."""
+    from data_dedup_ray.pipelines import urls
+
+    return urls.url_template_stats(web_pages(sf_dir))
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1297,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_drift": _q_incremental_drift,
         "sig_estimator_eval": _q_sig_estimator_eval,
         "incremental_novelty": _q_incremental_novelty,
+        "url_template_stats": _q_url_template_stats,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1408,7 +1417,6 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import novelty as _novelty
     from data_dedup_ray.pipelines import overlap as _overlap
     from data_dedup_ray.pipelines import snapshots as _snapshots
-    from data_dedup_ray.pipelines import stats as _stats
     from data_dedup_ray.pipelines import multilingual as _multilingual
     from data_dedup_ray.pipelines import packing as _packing
     from data_dedup_ray.pipelines import shuffle as _shuffle
@@ -1509,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "store_audit": _storeops.store_audit_sql(),
         "doc_novelty": _novelty.doc_novelty_sql(),
         "incremental_novelty": _novelty.doc_novelty_sql(),
+        "url_template_stats": _urls.url_template_stats_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),
         "dedup_savings": oracles.dedup_savings_sql(),

@@ -239,3 +239,110 @@ def canonical_collapse_sql() -> str:
         "SELECT canonical_url, min(url) AS url, count(*) AS n_aliases"
         " FROM canon GROUP BY canonical_url"
     )
+
+
+# --------------------------------------------------------------------------
+# URL template mining (crawler-trap / crawl-budget signal)
+# --------------------------------------------------------------------------
+
+_TEMPLATE_SCHEMA = pa.schema([
+    ("domain", pa.string()), ("template", pa.string()),
+    ("n_pages", pa.int64()), ("n_distinct_content", pa.int64()),
+    ("dup_rate_bp", pa.int64()),
+])
+
+
+def url_template_stats(
+    ds: ray.data.Dataset,
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Digit-normalized URL TEMPLATES and their content-duplication
+    rates — the crawl-budget pruning signal: a template whose pages are
+    mostly byte-identical (calendars, pagination shells, session-id
+    mirrors) is a crawler trap to deprioritize.
+
+    ``template = regexp_replace(url, '[0-9]+', 'N', 'g')`` (identical
+    Python/DuckDB semantics); one row per (domain, template) with page
+    count, distinct content-sha count, and ``dup_rate_bp = 10^4 *
+    (n_pages - n_distinct) // n_pages``.
+
+    Scale shape: the exchange is keyed on the template and carries one
+    pre-deduped (template, sha) row per batch occurrence (map-side
+    combiner); per-partition nunique is globally additive because a
+    template's rows co-locate.  Driver sees nothing — output is
+    template-count-sized."""
+    import re
+
+    from data_dedup_ray.pipelines.fpstore import sha256_hex
+    from data_dedup_ray.pipelines.snapshots import domain_of
+
+    P = num_partitions
+    digits = re.compile("[0-9]+")
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        templates = [digits.sub("N", u) for u in urls]
+        tarr = np.asarray(templates, dtype=object)
+        return pa.table({
+            "domain": pa.array([domain_of(u) for u in urls],
+                               pa.string()),
+            "template": pa.array(templates, pa.string()),
+            "sha": pa.array(sha256_hex(t["text"].to_pylist()),
+                            pa.string()),
+            "n": pa.array(np.ones(len(urls), np.int64)),
+            "_part": pa.array(key_partition(tarr, P)),
+        })
+
+    part_schema = pa.schema([
+        ("domain", pa.string()), ("template", pa.string()),
+        ("sha", pa.string()), ("n", pa.int64()),
+    ])
+
+    def combine(t: pa.Table) -> pa.Table:
+        # map-side: one row per (domain, template, sha) with its count
+        df = t.to_pandas()
+        g = df.groupby(["domain", "template", "sha", "_part"],
+                       sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "domain": pd.Series(dtype=str),
+                "template": pd.Series(dtype=str),
+                "n_pages": pd.Series(dtype=np.int64),
+                "n_distinct_content": pd.Series(dtype=np.int64),
+                "dup_rate_bp": pd.Series(dtype=np.int64)})
+        g = df.groupby(["domain", "template"], sort=False).agg(
+            n_pages=("n", "sum"), n_distinct_content=("sha", "nunique")
+        ).reset_index()
+        g["dup_rate_bp"] = (
+            10000 * (g["n_pages"] - g["n_distinct_content"])
+            // g["n_pages"])
+        return g
+
+    return hash_exchange(
+        [ds.map_batches(prep, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=_TEMPLATE_SCHEMA,
+        in_schemas=[part_schema],
+        pre=[combine],
+    )
+
+
+def url_template_stats_sql() -> str:
+    """DuckDB twin over web_pages."""
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(
+        "SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,"
+        " regexp_replace(url, '[0-9]+', 'N', 'g') AS template,"
+        " CAST(count(*) AS BIGINT) AS n_pages,"
+        " CAST(count(DISTINCT sha256(text)) AS BIGINT)"
+        "   AS n_distinct_content,"
+        " CAST(10000 * (count(*) - count(DISTINCT sha256(text)))"
+        "   // count(*) AS BIGINT) AS dup_rate_bp"
+        " FROM web_pages GROUP BY 1, 2"
+    )

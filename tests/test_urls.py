@@ -83,3 +83,44 @@ def test_collapse_groups_aliases(sf_dir):
     want_min = aliases.groupby("canonical_url")["url"].min()
     by_canon = got.set_index("canonical_url")["url"]
     assert (by_canon == want_min.loc[by_canon.index]).all()
+
+
+def test_url_template_stats_matches_sql():
+    import duckdb
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import urls as u
+
+    sf = "/root/testdata/sf0.001"
+    got = u.url_template_stats(web_pages(sf)).to_pandas(
+    ).sort_values(["domain", "template"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(u.url_template_stats_sql()).df(
+    ).sort_values(["domain", "template"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1).astype(str),
+        exp.sort_index(axis=1).astype(str))
+    # every url in the corpus is digit-templated -> template rows
+    # aggregate whole id families; total page count is conserved
+    assert got.n_pages.sum() == web_pages(sf).count()
+    assert (got.dup_rate_bp >= 0).all() and (got.dup_rate_bp < 10000).all()
+
+
+def test_url_template_stats_flags_trap():
+    import pyarrow as pa
+    import ray.data
+
+    from data_dedup_ray.pipelines import urls as u
+
+    # a calendar-shaped trap: 6 urls, one identical page
+    docs = ray.data.from_arrow(pa.table({
+        "url": [f"https://trap.example/cal/2024/{i}" for i in range(6)]
+        + ["https://real.example/a", "https://real.example/b"],
+        "text": ["same shell"] * 6 + ["page a", "page b"]}))
+    got = u.url_template_stats(docs, num_partitions=4).to_pandas(
+    ).set_index("template")
+    trap = got.loc["https://trap.example/cal/N/N"]
+    assert trap.n_pages == 6 and trap.n_distinct_content == 1
+    assert trap.dup_rate_bp == 10000 * 5 // 6
