@@ -985,6 +985,45 @@ def _q_url_template_stats(sf_dir: str):
     return urls.url_template_stats(web_pages(sf_dir))
 
 
+def _q_link_edges(sf_dir: str):
+    """Outlink edge list regex-parsed from the linked corpus' html bytes
+    (pipelines/linkgraph.py); oracle re-derives targets arithmetically."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.link_edges(sf_dir)
+
+
+def _q_host_graph(sf_dir: str):
+    """Host-pair rollup (link counts + distinct pages per side) — the
+    mirror-host detection input."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.host_graph(linkgraph.link_edges(sf_dir))
+
+
+def _q_host_degree(sf_dir: str):
+    """Per-host in/out degree + distinct peer hosts (one tagged
+    exchange)."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.host_degree(linkgraph.link_edges(sf_dir))
+
+
+def _q_top_linked_pages(sf_dir: str):
+    """Top-20 pages by inlink count, deterministic ties."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.top_linked_pages(linkgraph.link_edges(sf_dir))
+
+
+def _q_pagerank_hosts(sf_dir: str):
+    """Exact-integer PageRank (3 iterations, damping 85//100) over the
+    host graph — bit-identical to the unrolled DuckDB CTE twin."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.pagerank_hosts(linkgraph.link_edges(sf_dir))
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1306,6 +1345,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_estimator_eval": _q_sig_estimator_eval,
         "incremental_novelty": _q_incremental_novelty,
         "url_template_stats": _q_url_template_stats,
+        # session-9 link-graph family (all 5 SQL-oracle-backed, replayed
+        # green at sf0.001/sf0.01 when built — ROTATE INTO SLOTS 1-50 IN
+        # ROUND 4 together with the thirteen above)
+        "link_edges": _q_link_edges,
+        "host_graph": _q_host_graph,
+        "host_degree": _q_host_degree,
+        "top_linked_pages": _q_top_linked_pages,
+        "pagerank_hosts": _q_pagerank_hosts,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1434,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import stats as _stats
     from data_dedup_ray.pipelines import text as _text
     from data_dedup_ray.pipelines import urls as _urls
+    from data_dedup_ray.pipelines import linkgraph as _linkgraph
 
     return {
         # doc_fingerprints / ann_lsh_topk intentionally omitted (64-bit
@@ -1518,6 +1566,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_novelty": _novelty.doc_novelty_sql(),
         "incremental_novelty": _novelty.doc_novelty_sql(),
         "url_template_stats": _urls.url_template_stats_sql(),
+        "link_edges": _linkgraph.link_edges_sql(),
+        "host_graph": _linkgraph.host_graph_sql(),
+        "host_degree": _linkgraph.host_degree_sql(),
+        "top_linked_pages": _linkgraph.top_linked_pages_sql(),
+        "pagerank_hosts": _linkgraph.pagerank_hosts_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),
         "dedup_savings": oracles.dedup_savings_sql(),

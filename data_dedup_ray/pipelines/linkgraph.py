@@ -1,0 +1,471 @@
+"""Link-graph analytics over the web corpus — outlink extraction, host
+rollups, and an exact-integer PageRank.
+
+The reference dedups file trees and has no hyperlink notion
+(/root/reference/lib/Data/Dedup/Files.pm walks a directory, not a web
+graph); a Common-Crawl-scale pipeline, though, needs the link graph for
+crawl scheduling, host-authority weighting and dedup prioritisation
+(mirror hosts show up as near-clique host pairs).  This module:
+
+- derives a deterministic LINKED corpus: every base page carries three
+  ``<a href>`` anchors whose targets are a pure function of ``doc_id``
+  (``(doc_id * M_k + A_k) % n_docs`` for three fixed ``(M_k, A_k)``
+  pairs — same synthesis discipline as corpus.py's duplicate families);
+- parses the anchors back out of the html BYTES with one compiled regex
+  (the honest extraction operator; the DuckDB oracle re-derives the
+  targets arithmetically instead of parsing, so the two sides meet only
+  if the regex extraction is faithful);
+- rolls the edge list up into host-pair weights, per-host degrees and
+  a top-k inlink table;
+- runs an EXACT-INTEGER PageRank over the host graph: every operation
+  is int64 (``(w * 85 // 100) // out_weight`` per unit link, plus a
+  constant teleport term), so the result is order-independent and
+  restatable bit-for-bit in DuckDB via unrolled CTE iterations.
+
+Scale shape: html bytes never enter a shuffle — edges (two short url
+strings) are extracted in the same streaming pass that reads the pages;
+host rollups key their exchange on the host (or host-pair) string; the
+PageRank iteration moves only ``(host, w)`` rows, with the host-pair
+edge table and the host list bucketized ONCE and reused by all
+``iters`` rounds (engine/exchange.Bucketed).  Dangling hosts (no
+outlinks — absent under this derivation) would simply drop their
+non-teleport mass; W0/TELEPORT are sized for ≤~10^5 hosts before int64
+overflow and should scale down with host count beyond that.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import HTML_PRE_A, HTML_PRE_B
+from data_dedup_ray.engine.exchange import (bucketize, hash_exchange,
+                                            key_partition)
+
+#: (multiplier, offset) per outlink slot: target_k = (doc_id*M + A) % n.
+LINK_KS = ((7919, 17), (104729, 389), (1299709, 4049))
+
+#: Exact-integer PageRank constants (damping 0.85 as 85//100).
+PAGERANK_W0 = 1_000_000_000_000
+PAGERANK_TELEPORT = 150_000_000_000
+
+_HREF = re.compile(rb'href="([^"]+)"')
+
+_EDGE_SCHEMA = pa.schema([
+    ("src_url", pa.string()), ("dst_url", pa.string()),
+    ("src_host", pa.string()), ("dst_host", pa.string()),
+])
+
+
+def _base_url(ids: pd.Series) -> pd.Series:
+    return ("https://site" + (ids % 20).astype(str)
+            + ".example/p/" + ids.astype(str))
+
+
+def _n_docs(sf_dir: str) -> int:
+    """``max(doc_id) + 1`` — the modulus both sides share.  A pruned
+    single-column aggregate (metadata-cheap); 0 for an empty table."""
+    mx = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).max("doc_id")
+    return 0 if mx is None else int(mx) + 1
+
+
+def linked_pages(sf_dir: str) -> ray.data.Dataset:
+    """``(url, html)`` base pages whose html embeds the three anchors."""
+    n = _n_docs(sf_dir)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"]
+        anchors = None
+        for m, a in LINK_KS:
+            t = (ids * m + a) % n
+            piece = '<a href="' + _base_url(t) + '">more</a>'
+            anchors = piece if anchors is None else anchors + piece
+        html = (
+            HTML_PRE_A + ids.astype(str) + HTML_PRE_B + batch["text"]
+            + "</p>" + anchors + "</body></html>"
+        ).str.encode("utf-8")
+        return pd.DataFrame({"url": _base_url(ids), "html": html})
+
+    return docs.map_batches(derive, batch_format="pandas")
+
+
+def _extract_edges(t: pa.Table) -> pa.Table:
+    """Regex-parse every ``href`` out of the html bytes (compiled once at
+    module import; per-row loop is inherent to variable-count anchor
+    extraction — the html column never leaves this stage)."""
+    src = t["url"].to_numpy(zero_copy_only=False)
+    htmls = t["html"].to_pylist()
+    counts = np.empty(len(htmls), np.int64)
+    dsts: list[str] = []
+    for i, h in enumerate(htmls):
+        found = _HREF.findall(h)
+        counts[i] = len(found)
+        dsts.extend(x.decode("utf-8") for x in found)
+    src_rep = np.repeat(src, counts)
+    dst = np.asarray(dsts, dtype=object)
+    host = lambda s: pd.Series(s, dtype=object).str.split("/").str[2]
+    return pa.table({
+        "src_url": pa.array(src_rep, pa.string()),
+        "dst_url": pa.array(dst, pa.string()),
+        "src_host": pa.array(host(src_rep), pa.string()),
+        "dst_host": pa.array(host(dst), pa.string()),
+    })
+
+
+def link_edges(sf_dir: str) -> ray.data.Dataset:
+    """The full outlink edge list: ``(src_url, dst_url, src_host,
+    dst_host)``, one row per anchor (3 per base page)."""
+    return linked_pages(sf_dir).map_batches(
+        _extract_edges, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SQL twins — arithmetic re-derivation of the anchors (no parsing).
+# --------------------------------------------------------------------------
+
+def _links_cte() -> str:
+    ks = ", ".join(f"({m}, {a})" for m, a in LINK_KS)
+    return f"""links AS (
+  SELECT 'https://site' || (d.doc_id % 20) || '.example/p/' || d.doc_id AS src_url,
+         'https://site' || (((d.doc_id * k.m + k.a) % nn.n) % 20)
+           || '.example/p/' || ((d.doc_id * k.m + k.a) % nn.n) AS dst_url
+  FROM documents d,
+       (SELECT max(doc_id) + 1 AS n FROM documents) nn,
+       (VALUES {ks}) k(m, a)
+)"""
+
+
+def _edges_cte() -> str:
+    """links + host columns (split_part mirrors the Ray-side split)."""
+    return (_links_cte() + """,
+edges AS (
+  SELECT src_url, dst_url,
+         split_part(src_url, '/', 3) AS src_host,
+         split_part(dst_url, '/', 3) AS dst_host
+  FROM links
+)""")
+
+
+def link_edges_sql() -> str:
+    return f"WITH {_edges_cte()}\nSELECT * FROM edges"
+
+
+# --------------------------------------------------------------------------
+# Host rollups.
+# --------------------------------------------------------------------------
+
+_HG_SCHEMA = pa.schema([
+    ("src_host", pa.string()), ("dst_host", pa.string()),
+    ("n_links", pa.int64()),
+    ("n_src_pages", pa.int64()), ("n_dst_pages", pa.int64()),
+])
+
+
+def host_graph(edges: ray.data.Dataset, *,
+               num_partitions: int = 16) -> ray.data.Dataset:
+    """Host-pair rollup: link count + distinct page counts per side.
+    Exchange keyed on the host-pair string, so each pair's rows land in
+    one partition and the distinct counts are exact."""
+    P = num_partitions
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = (t["src_host"].to_pandas().astype(object)
+               + "|" + t["dst_host"].to_pandas().astype(object))
+        return t.append_column(
+            "_part", pa.array(key_partition(key.to_numpy(object), P)))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src_host", "dst_host"], sort=False).agg(
+            n_links=("src_url", "size"),
+            n_src_pages=("src_url", "nunique"),
+            n_dst_pages=("dst_url", "nunique"),
+        ).reset_index()
+        return g
+
+    return hash_exchange(
+        [edges.map_batches(keyed, batch_format="pyarrow")], agg,
+        num_partitions=P, schema=_HG_SCHEMA, in_schemas=[_EDGE_SCHEMA])
+
+
+def host_graph_sql() -> str:
+    return f"""WITH {_edges_cte()}
+SELECT src_host, dst_host,
+       count(*) AS n_links,
+       count(DISTINCT src_url) AS n_src_pages,
+       count(DISTINCT dst_url) AS n_dst_pages
+FROM edges GROUP BY src_host, dst_host"""
+
+
+_HD_SCHEMA = pa.schema([
+    ("host", pa.string()),
+    ("out_links", pa.int64()), ("in_links", pa.int64()),
+    ("out_hosts", pa.int64()), ("in_hosts", pa.int64()),
+])
+
+_TAG_SCHEMA = pa.schema([
+    ("host", pa.string()), ("peer", pa.string()), ("is_out", pa.int64()),
+])
+
+
+def host_degree(edges: ray.data.Dataset, *,
+                num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-host degree table: out/in link counts + distinct peer hosts.
+    Each edge is emitted twice (once per endpoint, tagged), then ONE
+    exchange keyed on the host folds both directions."""
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        sh = t["src_host"].to_numpy(zero_copy_only=False)
+        dh = t["dst_host"].to_numpy(zero_copy_only=False)
+        host = np.concatenate([sh, dh])
+        peer = np.concatenate([dh, sh])
+        is_out = np.concatenate([
+            np.ones(len(sh), np.int64), np.zeros(len(dh), np.int64)])
+        return pa.table({
+            "host": pa.array(host, pa.string()),
+            "peer": pa.array(peer, pa.string()),
+            "is_out": pa.array(is_out),
+            "_part": pa.array(key_partition(host, P)),
+        })
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "out_links": pd.Series([], dtype=np.int64),
+                "in_links": pd.Series([], dtype=np.int64),
+                "out_hosts": pd.Series([], dtype=np.int64),
+                "in_hosts": pd.Series([], dtype=np.int64)})
+        out = df[df["is_out"] == 1].groupby("host", sort=False)
+        inn = df[df["is_out"] == 0].groupby("host", sort=False)
+        hosts = pd.Index(df["host"].unique())
+        return pd.DataFrame({
+            "host": hosts.to_numpy(dtype=object),
+            "out_links": out.size().reindex(hosts).fillna(0).astype(np.int64).to_numpy(),
+            "in_links": inn.size().reindex(hosts).fillna(0).astype(np.int64).to_numpy(),
+            "out_hosts": out["peer"].nunique().reindex(hosts).fillna(0).astype(np.int64).to_numpy(),
+            "in_hosts": inn["peer"].nunique().reindex(hosts).fillna(0).astype(np.int64).to_numpy(),
+        })
+
+    return hash_exchange(
+        [edges.select_columns(["src_host", "dst_host"]).map_batches(
+            tag, batch_format="pyarrow")],
+        agg, num_partitions=P, schema=_HD_SCHEMA,
+        in_schemas=[_TAG_SCHEMA])
+
+
+def host_degree_sql() -> str:
+    return f"""WITH {_edges_cte()},
+o AS (SELECT src_host AS host, count(*) AS out_links,
+             count(DISTINCT dst_host) AS out_hosts
+      FROM edges GROUP BY 1),
+i AS (SELECT dst_host AS host, count(*) AS in_links,
+             count(DISTINCT src_host) AS in_hosts
+      FROM edges GROUP BY 1)
+SELECT COALESCE(o.host, i.host) AS host,
+       COALESCE(o.out_links, 0) AS out_links,
+       COALESCE(i.in_links, 0) AS in_links,
+       COALESCE(o.out_hosts, 0) AS out_hosts,
+       COALESCE(i.in_hosts, 0) AS in_hosts
+FROM o FULL OUTER JOIN i ON o.host = i.host"""
+
+
+_TOP_SCHEMA = pa.schema([("dst_url", pa.string()), ("n_inlinks", pa.int64())])
+
+
+def top_linked_pages(edges: ray.data.Dataset, *, k: int = 20,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """Top-k pages by inlink count (ties broken by url ascending).
+    Map-side partial counts → exchange keyed on dst_url → per-partition
+    top-k → driver-side final k over P·k candidate rows."""
+    P = num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["dst_url"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({
+            "dst_url": pa.array(u, pa.string()),
+            "n": pa.array(c.astype(np.int64)),
+            "_part": pa.array(key_partition(u, P)),
+        })
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst_url", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "dst_url"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.rename(columns={"n": "n_inlinks"})
+
+    cand = hash_exchange(
+        [edges.select_columns(["dst_url"]).map_batches(
+            partial, batch_format="pyarrow")],
+        topk, num_partitions=P, schema=_TOP_SCHEMA,
+        in_schemas=[pa.schema([("dst_url", pa.string()),
+                               ("n", pa.int64())])],
+    ).to_pandas()  # ≤ P·k candidate rows — output-sized collect
+    out = cand.sort_values(["n_inlinks", "dst_url"],
+                           ascending=[False, True],
+                           kind="mergesort").head(k)
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out, schema=_TOP_SCHEMA, preserve_index=False))
+
+
+def top_linked_pages_sql(k: int = 20) -> str:
+    return f"""WITH {_edges_cte()}
+SELECT dst_url, count(*) AS n_inlinks
+FROM edges GROUP BY dst_url
+ORDER BY n_inlinks DESC, dst_url LIMIT {k}"""
+
+
+# --------------------------------------------------------------------------
+# Exact-integer PageRank over the host graph.
+# --------------------------------------------------------------------------
+
+_W_SCHEMA_P = pa.schema([
+    ("host", pa.string()), ("w", pa.int64()), ("_part", pa.int64())])
+_W_IN = pa.schema([("host", pa.string()), ("w", pa.int64())])
+_HE_SCHEMA = pa.schema([
+    ("src_host", pa.string()), ("dst_host", pa.string()),
+    ("nl", pa.int64()), ("ow", pa.int64()), ("_part", pa.int64())])
+_HE_IN = pa.schema([
+    ("src_host", pa.string()), ("dst_host", pa.string()),
+    ("nl", pa.int64()), ("ow", pa.int64())])
+_HOST_SCHEMA_P = pa.schema([("host", pa.string()), ("_part", pa.int64())])
+_HOST_IN = pa.schema([("host", pa.string())])
+_C_SCHEMA_P = pa.schema([
+    ("host", pa.string()), ("c", pa.int64()), ("_part", pa.int64())])
+_C_IN = pa.schema([("host", pa.string()), ("c", pa.int64())])
+_PR_SCHEMA = pa.schema([("host", pa.string()), ("pagerank", pa.int64())])
+
+
+def pagerank_hosts(edges: ray.data.Dataset, *, iters: int = 3,
+                   num_partitions: int = 8) -> ray.data.Dataset:
+    """``(host, pagerank)`` after ``iters`` exact-integer power
+    iterations over the host-pair graph.
+
+    Per unit link from host h: ``(w[h] * 85 // 100) // out_weight[h]``;
+    per edge, that times the edge multiplicity; each host's new weight
+    is ``TELEPORT + sum(in-contributions)``.  All int64 → the result is
+    independent of summation order, hence identical to the unrolled
+    DuckDB CTE twin.  Each iteration is two exchanges moving only
+    ``(host, int)`` rows; the host-pair edge table and host list are
+    bucketized once and reused across all rounds."""
+    P = num_partitions
+
+    def pair_keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t["src_host"].to_numpy(zero_copy_only=False), P)))
+
+    def pair_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # keyed on src_host → every out-edge of a host is local, so the
+        # per-source total out-weight ow is exact here
+        g = (df.groupby(["src_host", "dst_host"], sort=False)
+             .size().rename("nl").reset_index())
+        if len(g):
+            g["ow"] = g.groupby("src_host", sort=False)["nl"].transform("sum")
+        else:
+            g["ow"] = pd.Series([], dtype=np.int64)
+        g["_part"] = key_partition(g["src_host"].to_numpy(object), P)
+        return g
+
+    hedges = hash_exchange(
+        [edges.select_columns(["src_host", "dst_host"]).map_batches(
+            pair_keyed, batch_format="pyarrow")],
+        pair_agg, num_partitions=P, schema=_HE_SCHEMA,
+        in_schemas=[pa.schema([("src_host", pa.string()),
+                               ("dst_host", pa.string())])])
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        h = np.unique(np.concatenate([
+            t["src_host"].to_numpy(zero_copy_only=False),
+            t["dst_host"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"host": pa.array(h, pa.string()),
+                         "_part": pa.array(key_partition(h, P))})
+
+    def distinct_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": pd.unique(df["host"])})
+
+    hosts = hash_exchange(
+        [edges.select_columns(["src_host", "dst_host"]).map_batches(
+            host_rows, batch_format="pyarrow")],
+        distinct_hosts, num_partitions=P,
+        schema=pa.schema([("host", pa.string())]),
+        in_schemas=[_HOST_IN])
+
+    # pair_agg already emitted _part keyed on src_host — bucketize as-is
+    e_b = bucketize(hedges, num_partitions=P, in_schema=_HE_SCHEMA)
+    hosts_p = hosts.map_batches(
+        lambda t: t.append_column("_part", pa.array(key_partition(
+            t["host"].to_numpy(zero_copy_only=False), P))),
+        batch_format="pyarrow")
+    h_b = bucketize(hosts_p, num_partitions=P, in_schema=_HOST_SCHEMA_P)
+
+    w = hosts_p.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "w": pa.array(np.full(t.num_rows, PAGERANK_W0, np.int64)),
+            "_part": t["_part"]}),
+        batch_format="pyarrow")
+
+    def contrib(wdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        m = edf.merge(wdf, left_on="src_host", right_on="host")
+        if not len(m):
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int64)})
+        c = (m["w"].to_numpy(np.int64) * 85 // 100
+             // m["ow"].to_numpy(np.int64)) * m["nl"].to_numpy(np.int64)
+        g = (pd.DataFrame({"host": m["dst_host"], "c": c})
+             .groupby("host", sort=False)["c"].sum().reset_index())
+        g["_part"] = key_partition(g["host"].to_numpy(object), P)
+        return g
+
+    def renew(hdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        s = cdf.groupby("host", sort=False)["c"].sum()
+        w_new = (PAGERANK_TELEPORT
+                 + hdf["host"].map(s).fillna(0).astype(np.int64))
+        out = pd.DataFrame({"host": hdf["host"], "w": w_new})
+        out["_part"] = key_partition(out["host"].to_numpy(object), P)
+        return out
+
+    for _ in range(iters):
+        contribs = hash_exchange(
+            [w, e_b], contrib, num_partitions=P,
+            schema=_C_SCHEMA_P, in_schemas=[_W_IN, _HE_IN])
+        w = hash_exchange(
+            [h_b, contribs], renew, num_partitions=P,
+            schema=_W_SCHEMA_P, in_schemas=[_HOST_IN, _C_IN])
+
+    return w.map_batches(
+        lambda t: pa.table({"host": t["host"],
+                            "pagerank": t["w"]}),
+        batch_format="pyarrow")
+
+
+def pagerank_hosts_sql(iters: int = 3) -> str:
+    parts = [f"""{_edges_cte()},
+hedges AS (SELECT src_host AS sh, dst_host AS dh, count(*) AS nl
+           FROM edges GROUP BY 1, 2),
+hosts AS (SELECT sh AS host FROM hedges UNION SELECT dh FROM hedges),
+outw AS (SELECT sh AS host, CAST(sum(nl) AS BIGINT) AS ow
+         FROM hedges GROUP BY 1),
+w0 AS (SELECT host, CAST({PAGERANK_W0} AS BIGINT) AS w FROM hosts)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""w{i} AS (
+  SELECT h.host,
+         CAST({PAGERANK_TELEPORT}
+              + COALESCE(SUM(((p.w * 85 // 100) // o.ow) * e.nl), 0)
+           AS BIGINT) AS w
+  FROM hosts h
+  LEFT JOIN hedges e ON e.dh = h.host
+  LEFT JOIN w{i - 1} p ON p.host = e.sh
+  LEFT JOIN outw o ON o.host = e.sh
+  GROUP BY h.host)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT host, w AS pagerank FROM w{iters}")
