@@ -1024,6 +1024,38 @@ def _q_pagerank_hosts(sf_dir: str):
     return linkgraph.pagerank_hosts(linkgraph.link_edges(sf_dir))
 
 
+def _q_mirror_host_pairs(sf_dir: str):
+    """Host pairs ranked by shared distinct content (mirror detection);
+    sha-keyed then pair-keyed exchanges, text never shuffled."""
+    from data_dedup_ray.pipelines import mirrors
+
+    return mirrors.mirror_host_pairs(web_pages(sf_dir))
+
+
+def _q_dup_locality_stats(sf_dir: str):
+    """Intra-host vs cross-host split of all exact-dup page pairs
+    (template noise vs true mirroring) — one exact-integer row."""
+    from data_dedup_ray.pipelines import mirrors
+
+    return mirrors.dup_locality_stats(web_pages(sf_dir))
+
+
+def _q_mirror_host_clusters(sf_dir: str):
+    """Connected components over the >=2-shared-blobs host-pair graph
+    (mirror farms); recursive-CTE closure twin."""
+    from data_dedup_ray.pipelines import mirrors
+
+    return mirrors.mirror_host_clusters(web_pages(sf_dir))
+
+
+def _q_crawl_budget_allocation(sf_dir: str):
+    """Exact largest-remainder apportionment of a 100k fetch budget by
+    per-host distinct-content yield (sum(alloc) == budget exactly)."""
+    from data_dedup_ray.pipelines import mirrors
+
+    return mirrors.crawl_budget_allocation(web_pages(sf_dir))
+
+
 def _q_crawl_drift(sf_dir: str):
     """Distribution-shift gate between crawls (pipelines/drift.py):
     exact integer TV distance + OOV mass of snapshot2 vs web_pages."""
@@ -1353,6 +1385,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree": _q_host_degree,
         "top_linked_pages": _q_top_linked_pages,
         "pagerank_hosts": _q_pagerank_hosts,
+        # session-10 mirror-host intelligence (all 4 SQL-oracle-backed,
+        # replayed green at sf0.001/sf0.01 — same round-4 rotation batch)
+        "mirror_host_pairs": _q_mirror_host_pairs,
+        "dup_locality_stats": _q_dup_locality_stats,
+        "mirror_host_clusters": _q_mirror_host_clusters,
+        "crawl_budget_allocation": _q_crawl_budget_allocation,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
         # flat clustering it displaced below stays transitively in-slot;
@@ -1482,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import text as _text
     from data_dedup_ray.pipelines import urls as _urls
     from data_dedup_ray.pipelines import linkgraph as _linkgraph
+    from data_dedup_ray.pipelines import mirrors as _mirrors
 
     return {
         # doc_fingerprints / ann_lsh_topk intentionally omitted (64-bit
@@ -1571,6 +1610,10 @@ def oracle_sql() -> dict[str, str]:
         "host_degree": _linkgraph.host_degree_sql(),
         "top_linked_pages": _linkgraph.top_linked_pages_sql(),
         "pagerank_hosts": _linkgraph.pagerank_hosts_sql(),
+        "mirror_host_pairs": _mirrors.mirror_host_pairs_sql(),
+        "dup_locality_stats": _mirrors.dup_locality_stats_sql(),
+        "mirror_host_clusters": _mirrors.mirror_host_clusters_sql(),
+        "crawl_budget_allocation": _mirrors.crawl_budget_allocation_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),
         "dedup_savings": oracles.dedup_savings_sql(),

@@ -1,0 +1,388 @@
+"""Mirror-host intelligence over the web corpus — which HOSTS duplicate
+each other, not just which pages.
+
+The reference reports duplicate files and their groups
+(/root/reference/lib/Data/Dedup/CLI.pm:286-321); at Common-Crawl scale
+the operational question one level up is *which hosts are mirrors of
+which* — the host-pair view drives crawl scheduling (skip a mirror
+farm), dedup prioritisation (co-partition known-mirror hosts) and
+budget allocation (spend fetches where unique content lives).  This
+module derives all of that from exact content identity (sha256 of
+``text``, the same key the exact-dedup family groups on):
+
+- ``mirror_host_pairs``   — unordered host pairs ranked by how many
+  distinct content blobs they share, with each side's distinct-content
+  count and an overlap rate in basis points;
+- ``dup_locality_stats``  — the intra-host vs cross-host split of all
+  exact-duplicate page pairs (template noise vs true mirroring);
+- ``mirror_host_clusters``— connected components over the
+  ``n_shared >= min_shared`` host-pair graph (mirror farms);
+- ``crawl_budget_allocation`` — exact largest-remainder (Hamilton)
+  apportionment of a global fetch budget across hosts proportional to
+  each host's distinct-content yield.
+
+Scale shape: page text never enters a shuffle — every exchange moves
+``(host, sha)`` or smaller.  The sha-keyed exchange co-locates all
+copies of one content blob, so per-content host sets and per-content
+pair counts are exact with NO global sort; the pair rollup is keyed on
+the host-pair string.  Host-level tables (pair list, per-host counts,
+allocations) are output-sized — hosts number in the millions where
+pages number in the trillions — so collecting THEM on the driver is the
+documented small-side pattern, never the page table.  A content blob
+mirrored across a huge number of hosts would make its pair emission
+quadratic; ``max_hosts_per_content`` drops such blobs (they are
+boilerplate, not mirroring) — ``None`` keeps the exact all-pairs
+semantics the SQL twin states.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import WEB_PAGES_CTE
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+from data_dedup_ray.pipelines.components import dsu_components
+from data_dedup_ray.pipelines.fpstore import sha256_hex
+
+#: SQL host expression — must match ``_hosts_of`` (split on '/', take the
+#: authority component).
+_SQL_HOST = "split_part(split_part(url, '//', 2), '/', 1)"
+
+
+def _hosts_of(urls: pd.Series) -> pd.Series:
+    return urls.astype(object).str.split("/").str[2]
+
+
+def _host_sha_prep(P: int, *, counted: bool):
+    """Per-batch ``(host, sha[, n])`` partials keyed on sha.  ``counted``
+    keeps per-(host, sha) page counts (for pair arithmetic); otherwise
+    rows are distinct (host, sha) memberships."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist(), dtype=object)
+        host = _hosts_of(urls)
+        sha = pd.Series(sha256_hex(t["text"].to_pylist()), dtype=object)
+        df = pd.DataFrame({"host": host, "sha": sha})
+        g = df.groupby(["host", "sha"], sort=False).size().rename("n")
+        g = g.reset_index()
+        if not counted:
+            g = g.drop(columns=["n"])
+        g["_part"] = key_partition(g["sha"].to_numpy(object), P)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return prep
+
+
+def _distinct_member(t: pa.Table) -> pa.Table:
+    """Map-side combiner: collapse repeated (host, sha) memberships."""
+    return t.group_by(["host", "sha", "_part"]).aggregate([])
+
+
+def _sum_counts(t: pa.Table) -> pa.Table:
+    return (t.group_by(["host", "sha", "_part"]).aggregate([("n", "sum")])
+            .rename_columns(["host", "sha", "_part", "n"]))
+
+
+_MEMBER_SCHEMA = pa.schema([("host", pa.string()), ("sha", pa.string())])
+_COUNTED_SCHEMA = pa.schema([
+    ("host", pa.string()), ("sha", pa.string()), ("n", pa.int64())])
+
+_PAIR_PART_SCHEMA = pa.schema([
+    ("host_a", pa.string()), ("host_b", pa.string()), ("n", pa.int64())])
+_PAIR_SCHEMA = pa.schema([
+    ("host_a", pa.string()), ("host_b", pa.string()),
+    ("n_shared", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+    ("overlap_bp", pa.int64()),
+])
+
+
+def host_content_counts(ds: ray.data.Dataset, *,
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """``(host, n_pages, n_distinct)`` — per-host page and distinct-sha
+    counts via ONE host-keyed exchange (each host fully local, so the
+    nunique is exact)."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist(), dtype=object)
+        host = _hosts_of(urls)
+        sha = pd.Series(sha256_hex(t["text"].to_pylist()), dtype=object)
+        g = (pd.DataFrame({"host": host, "sha": sha})
+             .groupby(["host", "sha"], sort=False).size().rename("n")
+             .reset_index())
+        g["_part"] = key_partition(g["host"].to_numpy(object), P)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("host", sort=False).agg(
+            n_pages=("n", "sum"), n_distinct=("sha", "nunique")
+        ).reset_index()
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        return out
+
+    return hash_exchange(
+        [ds.map_batches(prep, batch_format="pyarrow")],
+        final, num_partitions=P,
+        schema=pa.schema([("host", pa.string()), ("n_pages", pa.int64()),
+                          ("n_distinct", pa.int64())]),
+        in_schemas=[_COUNTED_SCHEMA], pre=[_sum_counts])
+
+
+def mirror_host_pairs(
+    ds: ray.data.Dataset, *, num_partitions: int = 16,
+    max_hosts_per_content: int | None = None,
+) -> ray.data.Dataset:
+    """Host pairs ranked by shared distinct content: ``(host_a, host_b,
+    n_shared, n_a, n_b, overlap_bp)`` with ``host_a < host_b`` and
+    ``overlap_bp = n_shared * 10000 // min(n_a, n_b)``.
+
+    Sha-keyed exchange → per-content host set → pair emission (self-merge
+    within the sha-local partition) → pair-keyed exchange summing across
+    content blobs.  Per-host denominators come from
+    ``host_content_counts`` (host-count-sized) broadcast into the final
+    vectorized map."""
+    P = num_partitions
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["host", "sha"])
+        if max_hosts_per_content is not None:
+            sizes = df.groupby("sha", sort=False)["host"].transform("size")
+            df = df[sizes <= max_hosts_per_content]
+        m = df.merge(df, on="sha", suffixes=("_a", "_b"))
+        m = m[m["host_a"] < m["host_b"]]
+        if not len(m):
+            return pd.DataFrame({"host_a": pd.Series([], dtype=object),
+                                 "host_b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int64)})
+        g = (m.groupby(["host_a", "host_b"], sort=False)
+             .size().rename("n").reset_index())
+        key = g["host_a"].astype(object) + "|" + g["host_b"].astype(object)
+        g["_part"] = key_partition(key.to_numpy(object), P)
+        return g
+
+    partial = hash_exchange(
+        [ds.map_batches(_host_sha_prep(P, counted=False),
+                        batch_format="pyarrow")],
+        emit_pairs, num_partitions=P,
+        schema=pa.schema([("host_a", pa.string()), ("host_b", pa.string()),
+                          ("n", pa.int64()), ("_part", pa.int64())]),
+        in_schemas=[_MEMBER_SCHEMA], pre=[_distinct_member])
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["host_a", "host_b"], sort=False)["n"].sum()
+                .rename("n_shared").reset_index())
+
+    pairs = hash_exchange(
+        [partial], sum_pairs, num_partitions=P,
+        schema=pa.schema([("host_a", pa.string()), ("host_b", pa.string()),
+                          ("n_shared", pa.int64())]),
+        in_schemas=[_PAIR_PART_SCHEMA])
+
+    # per-host distinct counts: host-count-sized small side (the pattern:
+    # collect the HOST table, never the page table; at extreme host
+    # counts this becomes a ray.put broadcast into the same map)
+    hc = host_content_counts(ds, num_partitions=P).to_pandas()
+    # empty Datasets round-trip to column-less DataFrames — guard len
+    n_of = (dict(zip(hc["host"], hc["n_distinct"].astype(np.int64)))
+            if len(hc) else {})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["host_a"].map(n_of).astype(np.int64)
+        nb = df["host_b"].map(n_of).astype(np.int64)
+        out = pd.DataFrame({
+            "host_a": df["host_a"], "host_b": df["host_b"],
+            "n_shared": df["n_shared"].astype(np.int64),
+            "n_a": na, "n_b": nb,
+            "overlap_bp": (df["n_shared"].astype(np.int64) * 10000
+                           // np.minimum(na, nb)),
+        })
+        return out
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+def mirror_host_pairs_sql() -> str:
+    return (
+        f"""WITH {WEB_PAGES_CTE},
+ph AS (SELECT DISTINCT {_SQL_HOST} AS host, text
+           FROM web_pages),
+hp AS (SELECT a.host AS host_a, b.host AS host_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM ph a JOIN ph b ON a.text = b.text AND a.host < b.host
+       GROUP BY 1, 2),
+hc AS (SELECT host, CAST(count(*) AS BIGINT) AS n_distinct
+       FROM ph GROUP BY 1)
+SELECT host_a, host_b, n_shared,
+       x.n_distinct AS n_a, y.n_distinct AS n_b,
+       n_shared * 10000 // least(x.n_distinct, y.n_distinct) AS overlap_bp
+FROM hp JOIN hc x ON x.host = host_a JOIN hc y ON y.host = host_b"""
+    )
+
+
+_LOCALITY_SCHEMA = pa.schema([
+    ("n_dup_pairs", pa.int64()), ("n_intra_host", pa.int64()),
+    ("n_cross_host", pa.int64()), ("cross_bp", pa.int64()),
+])
+
+
+def dup_locality_stats(ds: ray.data.Dataset, *,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """ONE row: of all exact-duplicate page pairs, how many are
+    intra-host (template / self-duplication) vs cross-host (mirroring /
+    syndication) — ``(n_dup_pairs, n_intra_host, n_cross_host,
+    cross_bp)``.  Per content blob with ``k`` pages of which ``k_h`` sit
+    on host ``h``: pairs = C(k,2), intra = Σ_h C(k_h,2).  The sha-keyed
+    exchange makes both exact per partition; the driver sums P tiny
+    partial rows."""
+    P = num_partitions
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pairs": pd.Series([], dtype=np.int64),
+                                 "intra": pd.Series([], dtype=np.int64)})
+        hs = (df.groupby(["sha", "host"], sort=False)["n"].sum()
+              .reset_index())
+        c = hs["n"].to_numpy(np.int64)
+        intra = int((c * (c - 1) // 2).sum())
+        k = hs.groupby("sha", sort=False)["n"].sum().to_numpy(np.int64)
+        pairs = int((k * (k - 1) // 2).sum())
+        return pd.DataFrame({"pairs": [pairs], "intra": [intra]})
+
+    parts = hash_exchange(
+        [ds.map_batches(_host_sha_prep(P, counted=True),
+                        batch_format="pyarrow")],
+        partial, num_partitions=P,
+        schema=pa.schema([("pairs", pa.int64()), ("intra", pa.int64())]),
+        in_schemas=[_COUNTED_SCHEMA], pre=[_sum_counts],
+    ).to_pandas()  # P one-row partials — trivially output-sized
+    pairs = int(parts["pairs"].sum()) if len(parts) else 0
+    intra = int(parts["intra"].sum()) if len(parts) else 0
+    cross = pairs - intra
+    return ray.data.from_arrow(pa.table({
+        "n_dup_pairs": pa.array([pairs], pa.int64()),
+        "n_intra_host": pa.array([intra], pa.int64()),
+        "n_cross_host": pa.array([cross], pa.int64()),
+        "cross_bp": pa.array([cross * 10000 // max(pairs, 1)], pa.int64()),
+    }))
+
+
+def dup_locality_stats_sql() -> str:
+    return (
+        f"""WITH {WEB_PAGES_CTE},
+th AS (SELECT {_SQL_HOST} AS host, text,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM web_pages GROUP BY 1, 2),
+t AS (SELECT text, CAST(sum(c) AS BIGINT) AS k,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS intra
+      FROM th GROUP BY 1),
+s AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS pairs,
+             CAST(sum(intra) AS BIGINT) AS intra FROM t)
+SELECT pairs AS n_dup_pairs, intra AS n_intra_host,
+       pairs - intra AS n_cross_host,
+       (pairs - intra) * 10000 // greatest(pairs, 1) AS cross_bp
+FROM s"""
+    )
+
+
+def mirror_host_clusters(ds: ray.data.Dataset, *, min_shared: int = 2,
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """``(host, cluster_id)`` — connected components over the host-pair
+    graph restricted to pairs sharing ≥ ``min_shared`` distinct content
+    blobs; cluster_id is the component's min host, singletons label
+    themselves.  The edge list and host list are HOST-scale (output-
+    sized), so the driver union-find is the honest tool here — this is
+    the small graph distilled FROM the page-scale exchanges above, not a
+    page graph."""
+    pairs = mirror_host_pairs(ds, num_partitions=num_partitions).to_pandas()
+    edges = (pairs.loc[pairs["n_shared"] >= min_shared,
+                       ["host_a", "host_b"]]
+             if len(pairs) else pd.DataFrame(columns=["host_a", "host_b"]))
+    hc = host_content_counts(ds, num_partitions=num_partitions).to_pandas()
+    hosts = hc["host"] if len(hc) else pd.Series([], dtype=object)
+    label = dsu_components(
+        edges.rename(columns={"host_a": "url_a", "host_b": "url_b"}))
+    out = pd.DataFrame({
+        "host": hosts.astype(object),
+        "cluster_id": hosts.map(lambda h: label.get(h, h)).astype(object),
+    })
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out, schema=pa.schema([("host", pa.string()),
+                               ("cluster_id", pa.string())]),
+        preserve_index=False))
+
+
+def mirror_host_clusters_sql(min_shared: int = 2) -> str:
+    body = f"""ph AS (SELECT DISTINCT {_SQL_HOST} AS host, text
+       FROM web_pages),
+hp AS (SELECT a.host AS host_a, b.host AS host_b
+       FROM ph a JOIN ph b ON a.text = b.text AND a.host < b.host
+       GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
+edges AS (SELECT host_a AS a, host_b AS b FROM hp
+          UNION SELECT host_b, host_a FROM hp),
+reach(a, b) AS (SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS host, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+hosts AS (SELECT DISTINCT {_SQL_HOST} AS host FROM web_pages)
+SELECT h.host, coalesce(c.cluster_id, h.host) AS cluster_id
+FROM hosts h LEFT JOIN comp c ON c.host = h.host"""
+    return f"WITH RECURSIVE {WEB_PAGES_CTE},\n{body}"
+
+
+_BUDGET_SCHEMA = pa.schema([
+    ("host", pa.string()), ("n_distinct", pa.int64()),
+    ("alloc", pa.int64()),
+])
+
+
+def crawl_budget_allocation(ds: ray.data.Dataset, *,
+                            budget: int = 100_000,
+                            num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact largest-remainder (Hamilton) apportionment of ``budget``
+    fetches across hosts proportional to distinct-content yield:
+    ``(host, n_distinct, alloc)`` with ``sum(alloc) == budget`` exactly.
+    Floor share = ``budget * n_h // S``; the ``budget - Σfloor`` leftover
+    goes to the largest remainders (ties broken by host ascending) — all
+    int64, so bit-identical to the window-function SQL twin.  The
+    apportionment itself runs on the HOST table (output-sized); only the
+    distinct-count exchange touches pages."""
+    hc = host_content_counts(ds, num_partitions=num_partitions).to_pandas()
+    if not len(hc):
+        return ray.data.from_arrow(_BUDGET_SCHEMA.empty_table())
+    hc = hc.sort_values("host", kind="mergesort").reset_index(drop=True)
+    n = hc["n_distinct"].to_numpy(np.int64)
+    total = int(n.sum())
+    floor = budget * n // total
+    rem = budget * n % total
+    extra = budget - int(floor.sum())
+    order = np.lexsort((hc["host"].to_numpy(object), -rem))
+    alloc = floor.copy()
+    alloc[order[:extra]] += 1
+    return ray.data.from_arrow(pa.table({
+        "host": pa.array(hc["host"].to_numpy(object), pa.string()),
+        "n_distinct": pa.array(n),
+        "alloc": pa.array(alloc),
+    }))
+
+
+def crawl_budget_allocation_sql(budget: int = 100_000) -> str:
+    return (
+        f"""WITH {WEB_PAGES_CTE},
+hc AS (SELECT {_SQL_HOST} AS host,
+                 CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+          FROM web_pages GROUP BY 1),
+tot AS (SELECT CAST(sum(n_distinct) AS BIGINT) AS s FROM hc),
+q AS (SELECT host, n_distinct,
+             {budget} * n_distinct // s AS fl,
+             {budget} * n_distinct % s AS rem
+      FROM hc, tot),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn FROM q),
+k AS (SELECT {budget} - CAST(sum(fl) AS BIGINT) AS extra FROM q)
+SELECT host, n_distinct,
+       CAST(fl + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r, k"""
+    )

@@ -1,0 +1,103 @@
+"""Mirror-host intelligence: pair counts, locality split, host
+components, and exact Hamilton budget apportionment — each vs its
+DuckDB twin plus structural invariants."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.pipelines import mirrors as mi
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    return con
+
+
+def _cmp(ds, sql):
+    a = ds.to_pandas()
+    con = _con()
+    b = con.sql(sql).df()
+    con.close()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = b[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return a
+
+
+def test_mirror_host_pairs_matches_sql():
+    got = _cmp(mi.mirror_host_pairs(web_pages(SF)),
+               mi.mirror_host_pairs_sql())
+    assert (got.host_a < got.host_b).all()
+    # mirror family (doc_id%10==0) only lands on site0/site10 shards, so
+    # mirror.example pairs with exactly those two base hosts
+    mp = got[(got.host_a == "mirror.example")
+             | (got.host_b == "mirror.example")]
+    peers = set(mp.host_a) | set(mp.host_b) - {"mirror.example"}
+    assert {"site0.example", "site10.example"} <= peers
+    assert (got.overlap_bp <= 10000).all()
+
+
+def test_mirror_host_pairs_cap_drops_hot_content():
+    # a blob on 3 hosts emits 3 pairs exactly; capped at 2 it emits none
+    t = pa.table({
+        "url": [f"https://h{i}.example/p/1" for i in range(3)]
+        + ["https://h0.example/p/2", "https://h1.example/p/2"],
+        "text": ["same"] * 3 + ["other"] * 2,
+    })
+    ds = ray.data.from_arrow(t)
+    full = mi.mirror_host_pairs(ds).to_pandas()
+    assert len(full) == 3 + 0  # C(3,2) for 'same' + the 'other' pair merges
+    capped = mi.mirror_host_pairs(ds, max_hosts_per_content=2).to_pandas()
+    # only the 2-host 'other' blob survives the cap
+    assert set(zip(capped.host_a, capped.host_b)) == {
+        ("h0.example", "h1.example")}
+    assert capped.n_shared.tolist() == [1]
+
+
+def test_dup_locality_stats_matches_sql_and_identity():
+    got = _cmp(mi.dup_locality_stats(web_pages(SF)),
+               mi.dup_locality_stats_sql())
+    r = got.iloc[0]
+    assert r.n_dup_pairs == r.n_intra_host + r.n_cross_host
+    # planted mirror/alias families are cross-host by construction
+    assert r.n_cross_host > 0
+
+
+def test_mirror_host_clusters_matches_sql():
+    got = _cmp(mi.mirror_host_clusters(web_pages(SF)),
+               mi.mirror_host_clusters_sql())
+    lab = dict(zip(got.host, got.cluster_id))
+    # alias.example shares full content with many site shards -> same
+    # component as mirror.example (both connect through base hosts)
+    assert lab["alias.example"] == lab["mirror.example"]
+    # quote.example content is unique to it -> singleton
+    assert lab["quote.example"] == "quote.example"
+
+
+def test_crawl_budget_allocation_matches_sql_and_sums_exactly():
+    got = _cmp(mi.crawl_budget_allocation(web_pages(SF), budget=99_991),
+               mi.crawl_budget_allocation_sql(budget=99_991))
+    assert got.alloc.sum() == 99_991
+    # proportionality sandwich: floor <= alloc <= floor + 1
+    total = got.n_distinct.sum()
+    fl = 99_991 * got.n_distinct.to_numpy(np.int64) // total
+    assert ((got.alloc.to_numpy(np.int64) - fl) <= 1).all()
+    assert ((got.alloc.to_numpy(np.int64) - fl) >= 0).all()
+
+
+def test_budget_allocation_empty_corpus(tmp_path):
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([], pa.string()), "text": pa.array([], pa.string())}))
+    assert mi.crawl_budget_allocation(ds).count() == 0
+    loc = mi.dup_locality_stats(ds).to_pandas()
+    assert loc.n_dup_pairs.tolist() == [0] and loc.cross_bp.tolist() == [0]
