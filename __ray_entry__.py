@@ -1024,6 +1024,15 @@ def _q_pagerank_hosts(sf_dir: str):
     return linkgraph.pagerank_hosts(linkgraph.link_edges(sf_dir))
 
 
+def _q_link_fingerprint_groups(sf_dir: str):
+    """Link-structure dedup: pages grouped by the ordered outlink set
+    regex-parsed from html — catches text-mutated variants content
+    hashing misses; oracle re-derives targets arithmetically."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.link_fingerprint_groups(sf_dir)
+
+
 def _q_mirror_host_pairs(sf_dir: str):
     """Host pairs ranked by shared distinct content (mirror detection);
     sha-keyed then pair-keyed exchanges, text never shuffled."""
@@ -1385,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree": _q_host_degree,
         "top_linked_pages": _q_top_linked_pages,
         "pagerank_hosts": _q_pagerank_hosts,
+        "link_fingerprint_groups": _q_link_fingerprint_groups,
         # session-10 mirror-host intelligence (all 4 SQL-oracle-backed,
         # replayed green at sf0.001/sf0.01 — same round-4 rotation batch)
         "mirror_host_pairs": _q_mirror_host_pairs,
@@ -1610,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "host_degree": _linkgraph.host_degree_sql(),
         "top_linked_pages": _linkgraph.top_linked_pages_sql(),
         "pagerank_hosts": _linkgraph.pagerank_hosts_sql(),
+        "link_fingerprint_groups": _linkgraph.link_fingerprint_groups_sql(),
         "mirror_host_pairs": _mirrors.mirror_host_pairs_sql(),
         "dup_locality_stats": _mirrors.dup_locality_stats_sql(),
         "mirror_host_clusters": _mirrors.mirror_host_clusters_sql(),

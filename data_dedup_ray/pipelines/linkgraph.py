@@ -448,6 +448,92 @@ def pagerank_hosts(edges: ray.data.Dataset, *, iters: int = 3,
         batch_format="pyarrow")
 
 
+# --------------------------------------------------------------------------
+# Link-structure dedup: group pages by their ordered outlink target set.
+# --------------------------------------------------------------------------
+
+_FP_SCHEMA = pa.schema([
+    ("url", pa.string()), ("link_cluster_id", pa.string())])
+_FP_IN = pa.schema([("url", pa.string()), ("fp", pa.string())])
+
+
+def linked_web_pages(sf_dir: str) -> ray.data.Dataset:
+    """The FULL web_pages corpus (all six duplicate families) with the
+    three doc_id-keyed anchors inserted into each page's body — every
+    family variant of one document carries the IDENTICAL ordered outlink
+    set, the link-structure fixture content hashing can't see (near /
+    quote / empty variants have different text but the same links)."""
+    from data_dedup_ray.corpus import HTML_POST, web_pages
+
+    n = _n_docs(sf_dir)
+
+    def add_anchors(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["url"].str.split("/p/").str[1].astype(np.int64)
+        anchors = None
+        for m, a in LINK_KS:
+            t = (ids * m + a) % n
+            piece = '<a href="' + _base_url(t) + '">more</a>'
+            anchors = piece if anchors is None else anchors + piece
+        html = (df["html"].str.decode("utf-8").str[: -len(HTML_POST)]
+                + "</p>" + anchors + "</body></html>").str.encode("utf-8")
+        out = df.copy()
+        out["html"] = html
+        return out
+
+    return web_pages(sf_dir).map_batches(add_anchors, batch_format="pandas")
+
+
+def link_fingerprint_groups(sf_dir: str, *,
+                            num_partitions: int = 16) -> ray.data.Dataset:
+    """``(url, link_cluster_id)`` — pages grouped by the chr(1)-joined
+    ORDERED list of href targets regex-parsed from their html bytes;
+    cluster id is the group's min url.  Link-structure near-dup
+    detection: boilerplate-nav mirrors and text-mutated variants group
+    together even when content hashes differ.  The fingerprint-keyed
+    exchange moves only ``(url, fp)`` rows — html never shuffles — and
+    the oracle re-derives the target list arithmetically, so the two
+    sides meet only if the regex parse is faithful."""
+    P = num_partitions
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        fps = [b"\x01".join(_HREF.findall(h)).decode("utf-8")
+               for h in t["html"].to_pylist()]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "fp": pa.array(fps, pa.string()),
+            "_part": pa.array(key_partition(
+                np.asarray(fps, dtype=object), P)),
+        })
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 "link_cluster_id": pd.Series([], dtype=object)})
+        lab = df.groupby("fp", sort=False)["url"].transform("min")
+        return pd.DataFrame({"url": df["url"], "link_cluster_id": lab})
+
+    return hash_exchange(
+        [linked_web_pages(sf_dir).map_batches(
+            fp_rows, batch_format="pyarrow")],
+        label, num_partitions=P, schema=_FP_SCHEMA, in_schemas=[_FP_IN])
+
+
+def link_fingerprint_groups_sql() -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    targets = " || chr(1) || ".join(
+        f"('https://site' || (((p.id * {m} + {a}) % nn.n) % 20)"
+        f" || '.example/p/' || ((p.id * {m} + {a}) % nn.n))"
+        for m, a in LINK_KS)
+    return f"""WITH {WEB_PAGES_CTE},
+p AS (SELECT url, CAST(split_part(url, '/p/', 2) AS BIGINT) AS id
+      FROM web_pages),
+nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+fp AS (SELECT p.url, {targets} AS f FROM p, nn)
+SELECT url, min(url) OVER (PARTITION BY f) AS link_cluster_id FROM fp"""
+
+
 def pagerank_hosts_sql(iters: int = 3) -> str:
     parts = [f"""{_edges_cte()},
 hedges AS (SELECT src_host AS sh, dst_host AS dh, count(*) AS nl

@@ -122,3 +122,24 @@ def test_linked_pages_empty_documents_table(tmp_path):
         "text": pa.array([], pa.string())}),
         str(tmp_path / "documents.parquet"))
     assert lg.link_edges(str(tmp_path)).count() == 0
+
+
+def test_link_fingerprint_groups_matches_sql_and_groups_families():
+    got = _cmp(lg.link_fingerprint_groups(SF),
+               lg.link_fingerprint_groups_sql())
+    lab = dict(zip(got.url, got.link_cluster_id))
+    # all family variants of doc 0 (base/mirror/alias/empty/near/quote
+    # at sf0.001 doc_id 0 hits every modulus) share one link cluster
+    fams = [u for u in lab if u.endswith("/p/0")]
+    assert len(fams) == 6
+    assert len({lab[u] for u in fams}) == 1
+    # two different docs never share a link cluster (targets injective
+    # in doc_id for these moduli at this n)
+    assert lab["https://site1.example/p/1"] != lab[fams[0]]
+
+
+def test_linked_web_pages_preserves_text_and_adds_anchors():
+    row = lg.linked_web_pages(SF).take(1)[0]
+    html = row["html"]
+    assert html.count(b"<a href=") == 3
+    assert row["text"].encode("utf-8") in html
