@@ -1057,6 +1057,15 @@ def _q_mirror_host_clusters(sf_dir: str):
     return mirrors.mirror_host_clusters(web_pages(sf_dir))
 
 
+def _q_near_host_pairs(sf_dir: str):
+    """Host-pair rollup of VERIFIED MinHash near-dup pairs (intra-host
+    template noise vs cross-host syndication the sha view can't see)."""
+    from data_dedup_ray.pipelines import mirrors, near
+
+    return mirrors.near_host_pairs(
+        near.minhash_dedup_pairs(web_pages(sf_dir), threshold=0.7))
+
+
 def _q_crawl_budget_allocation(sf_dir: str):
     """Exact largest-remainder apportionment of a 100k fetch budget by
     per-host distinct-content yield (sum(alloc) == budget exactly)."""
@@ -1400,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_host_pairs": _q_mirror_host_pairs,
         "dup_locality_stats": _q_dup_locality_stats,
         "mirror_host_clusters": _q_mirror_host_clusters,
+        "near_host_pairs": _q_near_host_pairs,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
@@ -1624,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_host_pairs": _mirrors.mirror_host_pairs_sql(),
         "dup_locality_stats": _mirrors.dup_locality_stats_sql(),
         "mirror_host_clusters": _mirrors.mirror_host_clusters_sql(),
+        "near_host_pairs": _mirrors.near_host_pairs_sql(0.7),
         "crawl_budget_allocation": _mirrors.crawl_budget_allocation_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),

@@ -333,6 +333,61 @@ FROM hosts h LEFT JOIN comp c ON c.host = h.host"""
     return f"WITH RECURSIVE {WEB_PAGES_CTE},\n{body}"
 
 
+_NEAR_HP_SCHEMA = pa.schema([
+    ("host_a", pa.string()), ("host_b", pa.string()),
+    ("n_pairs", pa.int64()),
+])
+
+
+def near_host_pairs(pairs: ray.data.Dataset, *,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Host-pair rollup of VERIFIED near-dup page pairs: ``(host_a,
+    host_b, n_pairs)`` with ``host_a <= host_b`` (equal = intra-host
+    template duplication; distinct = cross-host syndication the exact-sha
+    mirror view can't see).  Input is the output-sized verified pair list
+    (e.g. ``near.minhash_dedup_pairs``); one pair-keyed exchange sums the
+    per-batch partials."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        ha = _hosts_of(pd.Series(t["url_a"].to_pylist(), dtype=object))
+        hb = _hosts_of(pd.Series(t["url_b"].to_pylist(), dtype=object))
+        lo = np.minimum(ha.to_numpy(object), hb.to_numpy(object))
+        hi = np.maximum(ha.to_numpy(object), hb.to_numpy(object))
+        g = (pd.DataFrame({"host_a": lo, "host_b": hi})
+             .groupby(["host_a", "host_b"], sort=False)
+             .size().rename("n").reset_index())
+        key = g["host_a"].astype(object) + "|" + g["host_b"].astype(object)
+        g["_part"] = key_partition(key.to_numpy(object), P)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["host_a", "host_b"], sort=False)["n"].sum()
+                .rename("n_pairs").reset_index())
+
+    return hash_exchange(
+        [pairs.map_batches(prep, batch_format="pyarrow")],
+        final, num_partitions=P, schema=_NEAR_HP_SCHEMA,
+        in_schemas=[pa.schema([("host_a", pa.string()),
+                               ("host_b", pa.string()),
+                               ("n", pa.int64())])])
+
+
+def near_host_pairs_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.oracles import _SHINGLE_CTES
+
+    ha = "split_part(split_part(url_a, '//', 2), '/', 1)"
+    hb = "split_part(split_part(url_b, '//', 2), '/', 1)"
+    return (
+        f"WITH {WEB_PAGES_CTE},{_SHINGLE_CTES},\n"
+        f"d AS (SELECT least({ha}, {hb}) AS host_a,"
+        f" greatest({ha}, {hb}) AS host_b"
+        f" FROM jac WHERE j >= {threshold})\n"
+        f"SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_pairs"
+        f" FROM d GROUP BY 1, 2"
+    )
+
+
 _BUDGET_SCHEMA = pa.schema([
     ("host", pa.string()), ("n_distinct", pa.int64()),
     ("alloc", pa.int64()),

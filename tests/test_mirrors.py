@@ -101,3 +101,13 @@ def test_budget_allocation_empty_corpus(tmp_path):
     assert mi.crawl_budget_allocation(ds).count() == 0
     loc = mi.dup_locality_stats(ds).to_pandas()
     assert loc.n_dup_pairs.tolist() == [0] and loc.cross_bp.tolist() == [0]
+
+
+def test_near_host_pairs_matches_sql():
+    from data_dedup_ray.pipelines import near
+
+    pairs = near.minhash_dedup_pairs(web_pages(SF), threshold=0.7)
+    got = _cmp(mi.near_host_pairs(pairs), mi.near_host_pairs_sql(0.7))
+    assert (got.host_a <= got.host_b).all()
+    # near.example variants pair with their base hosts cross-host
+    assert ((got.host_a != got.host_b) & (got.n_pairs > 0)).any()
