@@ -1066,6 +1066,23 @@ def _q_near_host_pairs(sf_dir: str):
         near.minhash_dedup_pairs(web_pages(sf_dir), threshold=0.7))
 
 
+def _q_token_savings_by_host(sf_dir: str):
+    """Per-host training-token impact of exact dedup (total vs one copy
+    per distinct blob), shared [a-z0-9]+ tokenizer."""
+    from data_dedup_ray.pipelines import mirrors
+
+    return mirrors.token_savings_by_host(web_pages(sf_dir))
+
+
+def _q_detector_agreement(sf_dir: str):
+    """Tier-agreement matrix: pairwise overlap counts of the three
+    detectors' verified pair sets (the drop-a-tier calibration table)."""
+    from data_dedup_ray.pipelines import ensemble
+
+    return ensemble.detector_agreement(
+        web_pages(sf_dir).select_columns(["url", "text"]))
+
+
 def _q_crawl_budget_allocation(sf_dir: str):
     """Exact largest-remainder apportionment of a 100k fetch budget by
     per-host distinct-content yield (sum(alloc) == budget exactly)."""
@@ -1410,6 +1427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_locality_stats": _q_dup_locality_stats,
         "mirror_host_clusters": _q_mirror_host_clusters,
         "near_host_pairs": _q_near_host_pairs,
+        "token_savings_by_host": _q_token_savings_by_host,
+        "detector_agreement": _q_detector_agreement,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
@@ -1635,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_locality_stats": _mirrors.dup_locality_stats_sql(),
         "mirror_host_clusters": _mirrors.mirror_host_clusters_sql(),
         "near_host_pairs": _mirrors.near_host_pairs_sql(0.7),
+        "token_savings_by_host": _mirrors.token_savings_by_host_sql(),
+        "detector_agreement": oracles.detector_agreement_sql(),
         "crawl_budget_allocation": _mirrors.crawl_budget_allocation_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),

@@ -622,3 +622,32 @@ comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a)
 SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id
 FROM web_pages w LEFT JOIN comp c ON c.url = w.url"""
+
+
+def detector_agreement_sql(
+    threshold: float = 0.7,
+    max_df: int = 256,
+    min_cos2_bp: int = 8100,
+    max_hamming: int = 3,
+) -> str:
+    """SQL twin of pipelines/ensemble.detector_agreement: tag each edge
+    set with its detector name, self-join on the pair, count unordered
+    detector combos (diagonal = per-detector pair counts)."""
+    return f"""
+WITH {WEB_PAGES_CTE},{_SHINGLE_CTES},
+{_tf_edge_ctes(max_df)},
+{_simhash_edge_ctes()},
+tagged AS (
+  SELECT 'jaccard' AS det, url_a, url_b FROM jac WHERE j >= {threshold}
+  UNION ALL
+  SELECT 'tfcos', d.url_a, d.url_b FROM tdots d
+  JOIN tnorms na ON na.url = d.url_a
+  JOIN tnorms nb ON nb.url = d.url_b
+  WHERE d.dot*d.dot*10000 >= {int(min_cos2_bp)} * na.n2 * nb.n2
+  UNION ALL
+  SELECT 'simhash', url_a, url_b FROM sham WHERE d <= {int(max_hamming)})
+SELECT a.det AS detector_a, b.det AS detector_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM tagged a JOIN tagged b USING (url_a, url_b)
+WHERE a.det <= b.det
+GROUP BY 1, 2"""

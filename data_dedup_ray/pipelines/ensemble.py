@@ -144,6 +144,100 @@ def ensemble_dedup_clusters(
     return attach_clusters(nodes, assignment, id_col=id_col)
 
 
+def detector_agreement(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_df: int = 256,
+    min_cos2_bp: int = 8100,
+    max_hamming: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """The tier-agreement matrix: for every unordered detector combo,
+    how many verified pairs BOTH found — ``(detector_a, detector_b,
+    n_pairs)`` with ``detector_a <= detector_b`` (diagonal rows are each
+    detector's own pair count).  This is the calibration table a tiered
+    dedup deployment reads before dropping a detector: high off-diagonal
+    overlap means the cheaper tier already covers the expensive one.
+
+    Each detector's OUTPUT-SIZED pair list is tagged with its name; one
+    pair-keyed exchange gathers each pair's detector set and emits the
+    per-partition partial matrix (≤6 rows each), which the driver sums —
+    the corpus itself is touched only inside the three detectors."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+    from data_dedup_ray.pipelines import near, tfidf
+
+    P = num_partitions
+    dets = {
+        "jaccard": near.minhash_dedup_pairs(
+            ds, threshold=threshold, id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions,
+        ).select_columns(["url_a", "url_b"]),
+        "tfcos": tfidf.sparse_cosine_pairs(
+            ds, id_col=id_col, text_col=text_col, weighting="tf",
+            max_df=max_df, min_cos2_bp=min_cos2_bp,
+            num_partitions=num_partitions,
+        ).select_columns(["id_a", "id_b"]).rename_columns(
+            {"id_a": "url_a", "id_b": "url_b"}),
+        "simhash": near.simhash_pairs(
+            ds, id_col=id_col, text_col=text_col, hash_fn="sha",
+            max_hamming=max_hamming,
+        ).select_columns(["url_a", "url_b"]),
+    }
+
+    def tagger(name):
+        def tag(t: pa.Table) -> pa.Table:
+            det = pa.array([name] * t.num_rows, pa.string())
+            return t.append_column("det", det).append_column(
+                "_part", pa.array(key_partition(
+                    t["url_a"].to_numpy(zero_copy_only=False), P)))
+        return tag
+
+    tagged = None
+    for name, e in dets.items():
+        part = e.map_batches(tagger(name), batch_format="pyarrow")
+        tagged = part if tagged is None else tagged.union(part)
+
+    def partial_matrix(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"detector_a": pd.Series([], dtype=object),
+                                 "detector_b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        m = df.merge(df, on=["url_a", "url_b"])
+        m = m[m["det_x"] <= m["det_y"]]
+        g = (m.groupby(["det_x", "det_y"], sort=False)
+             .size().rename("n").reset_index())
+        return g.rename(columns={"det_x": "detector_a",
+                                 "det_y": "detector_b"})
+
+    parts = hash_exchange(
+        [tagged], partial_matrix, num_partitions=P,
+        schema=pa.schema([("detector_a", pa.string()),
+                          ("detector_b", pa.string()),
+                          ("n", pa.int64())]),
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("det", pa.string())])],
+    ).to_pandas()  # ≤ 6·P partial rows — trivially output-sized
+    if not len(parts):
+        out = pd.DataFrame({"detector_a": [], "detector_b": [], "n": []})
+    else:
+        out = (parts.groupby(["detector_a", "detector_b"], sort=False)
+               ["n"].sum().reset_index())
+    return ray.data.from_arrow(pa.table({
+        "detector_a": pa.array(out["detector_a"].astype(object),
+                               pa.string()),
+        "detector_b": pa.array(out["detector_b"].astype(object),
+                               pa.string()),
+        "n_pairs": pa.array(out["n"].astype("int64")),
+    }))
+
+
 def ensemble_clusters(sf_dir: str) -> ray.data.Dataset:
     """Driver query: 3-signal ensemble clusters over web_pages — full
     recursive-closure SQL twin in ``oracles.ensemble_clusters_sql``."""

@@ -388,6 +388,92 @@ def near_host_pairs_sql(threshold: float = 0.7) -> str:
     )
 
 
+_SAVINGS_SCHEMA = pa.schema([
+    ("host", pa.string()), ("n_pages", pa.int64()),
+    ("total_tokens", pa.int64()), ("kept_tokens", pa.int64()),
+    ("savings_bp", pa.int64()),
+])
+
+
+def token_savings_by_host(ds: ray.data.Dataset, *,
+                          num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-host training-cost impact of exact dedup: ``(host, n_pages,
+    total_tokens, kept_tokens, savings_bp)`` where ``kept_tokens`` keeps
+    ONE copy per distinct content blob within the host and
+    ``savings_bp = (total - kept) * 10000 // total``.  Token counts use
+    the shared case-folded ``[a-z0-9]+`` tokenizer (stages/minhash
+    ``token_counts`` — one vectorized polars pass), so the number means
+    the same thing here as in every other token operator.  The exchange
+    moves ``(host, sha, n_copies, n_tokens)`` partials only."""
+    from data_dedup_ray.stages.minhash import token_counts
+
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist(), dtype=object)
+        host = _hosts_of(urls)
+        sha = pd.Series(sha256_hex(t["text"].to_pylist()), dtype=object)
+        nt = token_counts(t["text"], lowercase=True)
+        g = (pd.DataFrame({"host": host, "sha": sha, "nt": nt})
+             .groupby(["host", "sha"], sort=False)
+             .agg(n=("nt", "size"), nt=("nt", "first")).reset_index())
+        g["_part"] = key_partition(g["host"].to_numpy(object), P)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pre(t: pa.Table) -> pa.Table:
+        # combiner: same (host, sha) rows carry identical nt — sum copies
+        return (t.group_by(["host", "sha", "_part"])
+                .aggregate([("n", "sum"), ("nt", "max")])
+                .rename_columns(["host", "sha", "_part", "n", "nt"]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64 if c != "host" else object)
+                 for c in _SAVINGS_SCHEMA.names})
+        # the pre combiner runs per SPLIT GROUP — re-aggregate (host, sha)
+        # here or kept_tokens double-counts blobs seen by several groups
+        df = (df.groupby(["host", "sha"], sort=False)
+              .agg(n=("n", "sum"), nt=("nt", "max")).reset_index())
+        total = (df["n"].to_numpy(np.int64) * df["nt"].to_numpy(np.int64))
+        tmp = df.assign(tot=total)
+        out = tmp.groupby("host", sort=False).agg(
+            n_pages=("n", "sum"), total_tokens=("tot", "sum"),
+            kept_tokens=("nt", "sum")).reset_index()
+        t = out["total_tokens"].to_numpy(np.int64)
+        k = out["kept_tokens"].to_numpy(np.int64)
+        out["savings_bp"] = (t - k) * 10000 // np.maximum(t, 1)
+        return out.astype({c: np.int64 for c in out.columns
+                           if c != "host"})
+
+    return hash_exchange(
+        [ds.map_batches(prep, batch_format="pyarrow")],
+        final, num_partitions=P, schema=_SAVINGS_SCHEMA,
+        in_schemas=[pa.schema([
+            ("host", pa.string()), ("sha", pa.string()),
+            ("n", pa.int64()), ("nt", pa.int64())])],
+        pre=[pre])
+
+
+def token_savings_by_host_sql() -> str:
+    nt = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    return (
+        f"""WITH {WEB_PAGES_CTE},
+th AS (SELECT {_SQL_HOST} AS host, text,
+              CAST(count(*) AS BIGINT) AS c,
+              CAST({nt} AS BIGINT) AS nt
+       FROM web_pages GROUP BY 1, 2),
+s AS (SELECT host, CAST(sum(c) AS BIGINT) AS n_pages,
+             CAST(sum(c * nt) AS BIGINT) AS total_tokens,
+             CAST(sum(nt) AS BIGINT) AS kept_tokens
+      FROM th GROUP BY 1)
+SELECT host, n_pages, total_tokens, kept_tokens,
+       (total_tokens - kept_tokens) * 10000
+         // greatest(total_tokens, 1) AS savings_bp
+FROM s"""
+    )
+
+
 _BUDGET_SCHEMA = pa.schema([
     ("host", pa.string()), ("n_distinct", pa.int64()),
     ("alloc", pa.int64()),

@@ -94,3 +94,28 @@ def test_ensemble_oracle_parity(ray_session):
     ens = got.set_index("url")["cluster_id"]
     merged = pd.DataFrame({"single": single, "ens": ens})
     assert (merged.groupby("single")["ens"].nunique() == 1).all()
+
+
+def test_detector_agreement_matches_sql():
+    import duckdb
+
+    from data_dedup_ray import oracles
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import ensemble
+
+    got = ensemble.detector_agreement(
+        web_pages(SF).select_columns(["url", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(oracles.detector_agreement_sql()).fetchdf()
+    con.close()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    m = g.set_index(["detector_a", "detector_b"])["n_pairs"]
+    # an intersection can never exceed either diagonal
+    assert m[("jaccard", "simhash")] <= min(m[("jaccard", "jaccard")],
+                                            m[("simhash", "simhash")])

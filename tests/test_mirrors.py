@@ -111,3 +111,12 @@ def test_near_host_pairs_matches_sql():
     assert (got.host_a <= got.host_b).all()
     # near.example variants pair with their base hosts cross-host
     assert ((got.host_a != got.host_b) & (got.n_pairs > 0)).any()
+
+
+def test_token_savings_by_host_matches_sql():
+    got = _cmp(mi.token_savings_by_host(web_pages(SF)),
+               mi.token_savings_by_host_sql())
+    assert (got.kept_tokens <= got.total_tokens).all()
+    # empty.example holds only zero-token pages
+    e = got.set_index("host").loc["empty.example"]
+    assert e.total_tokens == 0 and e.savings_bp == 0
