@@ -1083,6 +1083,24 @@ def _q_detector_agreement(sf_dir: str):
         web_pages(sf_dir).select_columns(["url", "text"]))
 
 
+def _q_audit_sample_pairs(sf_dir: str):
+    """Deterministic md5-keyed 1/7 QA sample of verified near-dup pairs
+    (same selection every run/engine/scale; no RNG state)."""
+    from data_dedup_ray.pipelines import mirrors, near
+
+    return mirrors.audit_sample_pairs(
+        near.minhash_dedup_pairs(web_pages(sf_dir), threshold=0.7),
+        keep_mod=7)
+
+
+def _q_frontier_scores(sf_dir: str):
+    """Crawl-frontier priorities: exact-int PageRank authority discounted
+    by per-host exact-dup rate (composition of two host-scale outputs)."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.frontier_scores(sf_dir)
+
+
 def _q_crawl_budget_allocation(sf_dir: str):
     """Exact largest-remainder apportionment of a 100k fetch budget by
     per-host distinct-content yield (sum(alloc) == budget exactly)."""
@@ -1429,6 +1447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_host_pairs": _q_near_host_pairs,
         "token_savings_by_host": _q_token_savings_by_host,
         "detector_agreement": _q_detector_agreement,
+        "audit_sample_pairs": _q_audit_sample_pairs,
+        "frontier_scores": _q_frontier_scores,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
@@ -1656,6 +1676,8 @@ def oracle_sql() -> dict[str, str]:
         "near_host_pairs": _mirrors.near_host_pairs_sql(0.7),
         "token_savings_by_host": _mirrors.token_savings_by_host_sql(),
         "detector_agreement": oracles.detector_agreement_sql(),
+        "audit_sample_pairs": _mirrors.audit_sample_pairs_sql(0.7, 7),
+        "frontier_scores": _linkgraph.frontier_scores_sql(),
         "crawl_budget_allocation": _mirrors.crawl_budget_allocation_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),

@@ -534,6 +534,57 @@ fp AS (SELECT p.url, {targets} AS f FROM p, nn)
 SELECT url, min(url) OVER (PARTITION BY f) AS link_cluster_id FROM fp"""
 
 
+_FRONTIER_SCHEMA = pa.schema([
+    ("host", pa.string()), ("pagerank", pa.int64()),
+    ("dup_rate_bp", pa.int64()), ("priority", pa.int64()),
+])
+
+
+def frontier_scores(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-frontier priority per host: exact-integer PageRank authority
+    discounted by the host's exact-content duplication rate —
+    ``priority = pagerank * (10000 - dup_rate_bp) // 10000``.  The
+    composition a crawl scheduler actually runs: spend authority-weighted
+    budget where content is NOT redundant.  Both inputs are host-scale
+    (output-sized) Datasets — PageRank over the link graph, dup rates
+    from the sha rollup — joined on the driver; pages are only touched
+    inside those two pipelines.  Hosts outside the link graph (family
+    hosts with no anchors) carry no frontier row, matching the INNER
+    join in the twin."""
+    from data_dedup_ray.pipelines.mirrors import host_content_counts
+
+    pr = pagerank_hosts(link_edges(sf_dir)).to_pandas()
+    from data_dedup_ray.corpus import web_pages
+
+    hc = host_content_counts(web_pages(sf_dir)).to_pandas()
+    if not len(pr) or not len(hc):
+        return ray.data.from_arrow(_FRONTIER_SCHEMA.empty_table())
+    hc["dup_rate_bp"] = ((hc["n_pages"] - hc["n_distinct"]) * 10000
+                         // hc["n_pages"]).astype(np.int64)
+    m = pr.merge(hc[["host", "dup_rate_bp"]], on="host")
+    m["priority"] = (m["pagerank"].astype(np.int64)
+                     * (10000 - m["dup_rate_bp"]) // 10000)
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        m[["host", "pagerank", "dup_rate_bp", "priority"]],
+        schema=_FRONTIER_SCHEMA, preserve_index=False))
+
+
+def frontier_scores_sql(iters: int = 3) -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    host = "split_part(split_part(url, '//', 2), '/', 1)"
+    dup = f"""WITH {WEB_PAGES_CTE},
+h AS (SELECT {host} AS host, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+      FROM web_pages GROUP BY 1)
+SELECT host, (n_pages - n_distinct) * 10000 // n_pages AS dup_rate_bp
+FROM h"""
+    return f"""SELECT pr.host, pr.pagerank, d.dup_rate_bp,
+       pr.pagerank * (10000 - d.dup_rate_bp) // 10000 AS priority
+FROM ({pagerank_hosts_sql(iters)}) pr
+JOIN ({dup}) d ON d.host = pr.host"""
+
+
 def pagerank_hosts_sql(iters: int = 3) -> str:
     parts = [f"""{_edges_cte()},
 hedges AS (SELECT src_host AS sh, dst_host AS dh, count(*) AS nl

@@ -474,6 +474,58 @@ FROM s"""
     )
 
 
+_AUDIT_SCHEMA = pa.schema([
+    ("url_a", pa.string()), ("url_b", pa.string()),
+    ("jaccard_bp", pa.int64()),
+])
+
+
+def audit_sample_pairs(pairs: ray.data.Dataset, *,
+                       keep_mod: int = 7) -> ray.data.Dataset:
+    """Deterministic 1/``keep_mod`` QA sample of verified near-dup pairs
+    for human audit: keep a pair iff the first 8 hex chars of
+    ``md5(url_a || chr(1) || url_b)`` parse to an int ≡ 0 mod
+    ``keep_mod`` — the same selection every run, every engine, every
+    scale (no RNG state), restated verbatim in the DuckDB twin.  A plain
+    streaming filter over the output-sized pair list; per-row hashing is
+    fine here because the input is pairs, not pages."""
+    import hashlib
+
+    def keep(t: pa.Table) -> pa.Table:
+        ua = t["url_a"].to_pylist()
+        ub = t["url_b"].to_pylist()
+        mask = np.fromiter(
+            (int(hashlib.md5((a + "\x01" + b).encode("utf-8"))
+                 .hexdigest()[:8], 16) % keep_mod == 0
+             for a, b in zip(ua, ub)),
+            dtype=bool, count=len(ua))
+        jb = np.floor(np.asarray(
+            t["jaccard"].to_numpy(zero_copy_only=False), dtype=np.float64)
+            * 10000).astype(np.int64)
+        out = pa.table({
+            "url_a": pa.array(ua, pa.string()),
+            "url_b": pa.array(ub, pa.string()),
+            "jaccard_bp": pa.array(jb),
+        })
+        return out.filter(pa.array(mask))
+
+    return pairs.map_batches(keep, batch_format="pyarrow")
+
+
+def audit_sample_pairs_sql(threshold: float = 0.7,
+                           keep_mod: int = 7) -> str:
+    from data_dedup_ray.oracles import _SHINGLE_CTES
+
+    return (
+        f"WITH {WEB_PAGES_CTE},{_SHINGLE_CTES}\n"
+        f"SELECT url_a, url_b,"
+        f" CAST(floor(j * 10000) AS BIGINT) AS jaccard_bp\n"
+        f"FROM jac WHERE j >= {threshold}\n"
+        f"AND CAST(('0x' || substr(md5(url_a || chr(1) || url_b), 1, 8))"
+        f" AS BIGINT) % {keep_mod} = 0"
+    )
+
+
 _BUDGET_SCHEMA = pa.schema([
     ("host", pa.string()), ("n_distinct", pa.int64()),
     ("alloc", pa.int64()),

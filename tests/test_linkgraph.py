@@ -143,3 +143,11 @@ def test_linked_web_pages_preserves_text_and_adds_anchors():
     html = row["html"]
     assert html.count(b"<a href=") == 3
     assert row["text"].encode("utf-8") in html
+
+
+def test_frontier_scores_matches_sql():
+    got = _cmp(lg.frontier_scores(SF), lg.frontier_scores_sql())
+    # link-graph hosts only (the 20 site shards), each with a priority
+    # no greater than its raw pagerank
+    assert len(got) == 20
+    assert (got.priority <= got.pagerank).all()

@@ -120,3 +120,13 @@ def test_token_savings_by_host_matches_sql():
     # empty.example holds only zero-token pages
     e = got.set_index("host").loc["empty.example"]
     assert e.total_tokens == 0 and e.savings_bp == 0
+
+
+def test_audit_sample_pairs_matches_sql_and_is_subset():
+    from data_dedup_ray.pipelines import near
+
+    pairs = near.minhash_dedup_pairs(web_pages(SF), threshold=0.7)
+    got = _cmp(mi.audit_sample_pairs(pairs, keep_mod=7),
+               mi.audit_sample_pairs_sql(0.7, keep_mod=7))
+    full = pairs.count()
+    assert 0 < len(got) < full  # a real sample: non-empty, proper subset
