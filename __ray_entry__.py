@@ -1101,6 +1101,23 @@ def _q_frontier_scores(sf_dir: str):
     return linkgraph.frontier_scores(sf_dir)
 
 
+def _q_host_reciprocity(sf_dir: str):
+    """Bidirectional link volume per host pair (link-structure mirror
+    signal complementing the content-sha view)."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.host_reciprocity(linkgraph.link_edges(sf_dir))
+
+
+def _q_host_change_rates(sf_dir: str):
+    """Per-host re-crawl change rate (revisit-interval input): urls in
+    both crawls whose content changed, via one url-keyed exchange."""
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.host_change_rates(web_pages(sf_dir),
+                                       snapshots.snapshot2(sf_dir))
+
+
 def _q_crawl_budget_allocation(sf_dir: str):
     """Exact largest-remainder apportionment of a 100k fetch budget by
     per-host distinct-content yield (sum(alloc) == budget exactly)."""
@@ -1449,6 +1466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detector_agreement": _q_detector_agreement,
         "audit_sample_pairs": _q_audit_sample_pairs,
         "frontier_scores": _q_frontier_scores,
+        "host_reciprocity": _q_host_reciprocity,
+        "host_change_rates": _q_host_change_rates,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
@@ -1678,6 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         "detector_agreement": oracles.detector_agreement_sql(),
         "audit_sample_pairs": _mirrors.audit_sample_pairs_sql(0.7, 7),
         "frontier_scores": _linkgraph.frontier_scores_sql(),
+        "host_reciprocity": _linkgraph.host_reciprocity_sql(),
+        "host_change_rates": _snapshots.host_change_rates_sql(),
         "crawl_budget_allocation": _mirrors.crawl_budget_allocation_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),

@@ -534,6 +534,76 @@ fp AS (SELECT p.url, {targets} AS f FROM p, nn)
 SELECT url, min(url) OVER (PARTITION BY f) AS link_cluster_id FROM fp"""
 
 
+_RECIP_SCHEMA = pa.schema([
+    ("host_a", pa.string()), ("host_b", pa.string()),
+    ("n_ab", pa.int64()), ("n_ba", pa.int64()),
+    ("reciprocity_bp", pa.int64()),
+])
+
+
+def host_reciprocity(edges: ray.data.Dataset, *,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """Bidirectional linking per unordered host pair: ``(host_a <
+    host_b, n_ab, n_ba, reciprocity_bp)`` where ``n_ab`` counts links
+    a→b, ``n_ba`` counts b→a and ``reciprocity_bp = 2 * min * 10000 //
+    (n_ab + n_ba)`` (10000 = perfectly mutual).  Mutual high-volume
+    linking is the link-structure mirror signal that complements the
+    content-sha view in ``pipelines/mirrors``.  Per-batch directed
+    partials flow through one exchange keyed on the unordered pair;
+    intra-host links are excluded."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        sh = t["src_host"].to_numpy(zero_copy_only=False)
+        dh = t["dst_host"].to_numpy(zero_copy_only=False)
+        keep = sh != dh
+        sh, dh = sh[keep], dh[keep]
+        lo = np.minimum(sh, dh)
+        hi = np.maximum(sh, dh)
+        fwd = (sh == lo).astype(np.int64)  # 1 = the a→b direction
+        g = (pd.DataFrame({"host_a": lo, "host_b": hi, "fwd": fwd,
+                           "rev": 1 - fwd})
+             .groupby(["host_a", "host_b"], sort=False)
+             .agg(n_ab=("fwd", "sum"), n_ba=("rev", "sum")).reset_index())
+        key = (g["host_a"].astype(object) + "|"
+               + g["host_b"].astype(object))
+        g["_part"] = key_partition(key.to_numpy(object), P)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["host_a", "host_b"], sort=False)
+             .agg(n_ab=("n_ab", "sum"), n_ba=("n_ba", "sum"))
+             .reset_index())
+        a = g["n_ab"].to_numpy(np.int64)
+        b = g["n_ba"].to_numpy(np.int64)
+        g["reciprocity_bp"] = 2 * np.minimum(a, b) * 10000 // (a + b)
+        return g
+
+    return hash_exchange(
+        [edges.select_columns(["src_host", "dst_host"]).map_batches(
+            prep, batch_format="pyarrow")],
+        final, num_partitions=P, schema=_RECIP_SCHEMA,
+        in_schemas=[pa.schema([
+            ("host_a", pa.string()), ("host_b", pa.string()),
+            ("n_ab", pa.int64()), ("n_ba", pa.int64())])])
+
+
+def host_reciprocity_sql() -> str:
+    return f"""WITH {_edges_cte()},
+d AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
+      FROM edges WHERE src_host <> dst_host GROUP BY 1, 2),
+p AS (SELECT least(src_host, dst_host) AS host_a,
+             greatest(src_host, dst_host) AS host_b,
+             CAST(sum(CASE WHEN src_host < dst_host THEN n ELSE 0 END)
+                  AS BIGINT) AS n_ab,
+             CAST(sum(CASE WHEN src_host > dst_host THEN n ELSE 0 END)
+                  AS BIGINT) AS n_ba
+      FROM d GROUP BY 1, 2)
+SELECT host_a, host_b, n_ab, n_ba,
+       2 * least(n_ab, n_ba) * 10000 // (n_ab + n_ba) AS reciprocity_bp
+FROM p"""
+
+
 _FRONTIER_SCHEMA = pa.schema([
     ("host", pa.string()), ("pagerank", pa.int64()),
     ("dup_rate_bp", pa.int64()), ("priority", pa.int64()),

@@ -834,3 +834,87 @@ SELECT CAST(epoch_day AS BIGINT) AS epoch_day,
        CAST(10000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
             // count(*) AS BIGINT) AS dup_bp
 FROM r GROUP BY epoch_day"""
+
+
+# --------------------------------------------------------------------------
+# Per-host content change rates between crawls (revisit scheduling)
+# --------------------------------------------------------------------------
+
+_CHANGE_SCHEMA = pa.schema([
+    ("host", pa.string()), ("n_revisited", pa.int64()),
+    ("n_changed", pa.int64()), ("change_bp", pa.int64()),
+])
+
+
+def host_change_rates(crawl1: ray.data.Dataset, crawl2: ray.data.Dataset,
+                      *, num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-host re-crawl change rate: of urls captured in BOTH crawls,
+    how many changed content — ``(host, n_revisited, n_changed,
+    change_bp)``.  The number a crawl scheduler turns into a revisit
+    interval (fast-changing hosts get short intervals; static mirrors
+    barely need re-fetching).  Each side ships ``(url, sha)`` partials
+    through ONE url-keyed exchange (text never shuffles); the matched
+    per-partition host tallies are P·hosts-sized, summed on the driver."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        from data_dedup_ray.pipelines.fpstore import sha256_hex
+
+        urls = t["url"].to_pylist()
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "sha": pa.array(sha256_hex(t["text"].to_pylist()), pa.string()),
+            "_part": pa.array(key_partition(
+                np.asarray(urls, dtype=object), P)),
+        })
+
+    def matched(d1: pd.DataFrame, d2: pd.DataFrame) -> pd.DataFrame:
+        m = d1.merge(d2, on="url", suffixes=("_1", "_2"))
+        if not len(m):
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "chg": pd.Series([], dtype=np.int64)})
+        host = m["url"].astype(object).str.split("/").str[2]
+        chg = (m["sha_1"] != m["sha_2"]).to_numpy()
+        g = (pd.DataFrame({"host": host, "chg": chg.astype(np.int64)})
+             .groupby("host", sort=False)
+             .agg(n=("chg", "size"), chg=("chg", "sum")).reset_index())
+        return g
+
+    in_schema = pa.schema([("url", pa.string()), ("sha", pa.string())])
+    parts = hash_exchange(
+        [crawl1.select_columns(["url", "text"]).map_batches(
+            prep, batch_format="pyarrow"),
+         crawl2.select_columns(["url", "text"]).map_batches(
+            prep, batch_format="pyarrow")],
+        matched, num_partitions=P,
+        schema=pa.schema([("host", pa.string()), ("n", pa.int64()),
+                          ("chg", pa.int64())]),
+        in_schemas=[in_schema, in_schema],
+    ).to_pandas()  # P·hosts partial rows — host-scale
+    if not len(parts):
+        return ray.data.from_arrow(_CHANGE_SCHEMA.empty_table())
+    out = (parts.groupby("host", sort=False)
+           .agg(n_revisited=("n", "sum"), n_changed=("chg", "sum"))
+           .reset_index())
+    n = out["n_revisited"].to_numpy(np.int64)
+    c = out["n_changed"].to_numpy(np.int64)
+    out["change_bp"] = c * 10000 // np.maximum(n, 1)
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out.astype({k: np.int64 for k in out.columns if k != "host"}),
+        schema=_CHANGE_SCHEMA, preserve_index=False))
+
+
+def host_change_rates_sql() -> str:
+    host = "split_part(split_part(w.url, '//', 2), '/', 1)"
+    return snapshots_sql(
+        f"""SELECT {host} AS host,
+       CAST(count(*) AS BIGINT) AS n_revisited,
+       CAST(sum(CASE WHEN w.text <> s.text THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN w.text <> s.text THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS change_bp
+FROM web_pages w JOIN snapshot2 s ON s.url = w.url
+GROUP BY 1"""
+    )

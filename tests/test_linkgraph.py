@@ -151,3 +151,29 @@ def test_frontier_scores_matches_sql():
     # no greater than its raw pagerank
     assert len(got) == 20
     assert (got.priority <= got.pagerank).all()
+
+
+def test_host_reciprocity_matches_sql():
+    got = _cmp(lg.host_reciprocity(lg.link_edges(SF)),
+               lg.host_reciprocity_sql())
+    assert (got.host_a < got.host_b).all()
+    assert got.reciprocity_bp.between(0, 10000).all()
+    # directed counts conserve the cross-host edge total
+    edges = lg.link_edges(SF).to_pandas()
+    cross = int((edges.src_host != edges.dst_host).sum())
+    assert int((got.n_ab + got.n_ba).sum()) == cross
+
+
+def test_host_reciprocity_micro():
+    edges = ray.data.from_arrow(pa.table({
+        "src_host": ["a", "a", "b", "c"],
+        "dst_host": ["b", "b", "a", "a"],
+        "src_url": ["u"] * 4, "dst_url": ["v"] * 4,
+    }))
+    got = (lg.host_reciprocity(edges, num_partitions=2).to_pandas()
+           .set_index(["host_a", "host_b"]))
+    ab = got.loc[("a", "b")]
+    assert (ab.n_ab, ab.n_ba) == (2, 1)
+    assert ab.reciprocity_bp == 2 * 1 * 10000 // 3
+    ac = got.loc[("a", "c")]
+    assert (ac.n_ab, ac.n_ba, ac.reciprocity_bp) == (0, 1, 0)

@@ -212,3 +212,18 @@ def test_crawl_dup_timeline_partition_invariance():
     a = sn.crawl_dup_timeline(crawls, num_partitions=1).to_pandas()
     b = sn.crawl_dup_timeline(crawls, num_partitions=16).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_host_change_rates_matches_sql(sf_dir, con):
+    got = snapshots.host_change_rates(
+        web_pages(sf_dir), snapshots.snapshot2(sf_dir)).to_pandas()
+    want = con.execute(snapshots.host_change_rates_sql()).fetchdf()
+    _cmp(got, want, ["host"])
+    # derivation law: revisits are doc_id%3==0, unchanged iff doc_id%6==0;
+    # ids on site<h> share h's parity, so EVEN hosts never change
+    # (every multiple of 3 there is a multiple of 6) and ODD hosts
+    # always do
+    idx = got.host.str.extract(r"site(\d+)")[0].astype(int)
+    assert (got.change_bp[idx % 2 == 0] == 0).all()
+    assert (got.change_bp[idx % 2 == 1] == 10000).all()
+    assert (got.n_changed <= got.n_revisited).all()
