@@ -1101,6 +1101,14 @@ def _q_frontier_scores(sf_dir: str):
     return linkgraph.frontier_scores(sf_dir)
 
 
+def _q_page_link_features(sf_dir: str):
+    """Per-page link features (link count, distinct target hosts) for
+    quality/spam classifiers; regex parse, html never shuffled."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.page_link_features(sf_dir)
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Bidirectional link volume per host pair (link-structure mirror
     signal complementing the content-sha view)."""
@@ -1447,9 +1455,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_estimator_eval": _q_sig_estimator_eval,
         "incremental_novelty": _q_incremental_novelty,
         "url_template_stats": _q_url_template_stats,
-        # session-9 link-graph family (all 5 SQL-oracle-backed, replayed
-        # green at sf0.001/sf0.01 when built — ROTATE INTO SLOTS 1-50 IN
-        # ROUND 4 together with the thirteen above)
+        # session-7 link-graph + mirror-host families (slots 66-82; ALL
+        # SQL-oracle-backed, each replayed green vs DuckDB at sf0.01 when
+        # built, plus a full-contract replay of all queries this
+        # session — ROTATE INTO SLOTS 1-50 IN ROUND 4 together with the
+        # thirteen above; thirty new-oracle queries total queued)
         "link_edges": _q_link_edges,
         "host_graph": _q_host_graph,
         "host_degree": _q_host_degree,
@@ -1466,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detector_agreement": _q_detector_agreement,
         "audit_sample_pairs": _q_audit_sample_pairs,
         "frontier_scores": _q_frontier_scores,
+        "page_link_features": _q_page_link_features,
         "host_reciprocity": _q_host_reciprocity,
         "host_change_rates": _q_host_change_rates,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
@@ -1697,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "detector_agreement": oracles.detector_agreement_sql(),
         "audit_sample_pairs": _mirrors.audit_sample_pairs_sql(0.7, 7),
         "frontier_scores": _linkgraph.frontier_scores_sql(),
+        "page_link_features": _linkgraph.page_link_features_sql(),
         "host_reciprocity": _linkgraph.host_reciprocity_sql(),
         "host_change_rates": _snapshots.host_change_rates_sql(),
         "crawl_budget_allocation": _mirrors.crawl_budget_allocation_sql(),

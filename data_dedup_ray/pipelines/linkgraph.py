@@ -47,7 +47,13 @@ from data_dedup_ray.engine.exchange import (bucketize, hash_exchange,
                                             key_partition)
 
 #: (multiplier, offset) per outlink slot: target_k = (doc_id*M + A) % n.
-LINK_KS = ((7919, 17), (104729, 389), (1299709, 4049))
+#: Slot moduli are chosen so the per-page TARGET-HOST pattern varies:
+#: hosts are target%20, so slots 1/2 (M%20 = 19/9) always differ, while
+#: slot 3 (M%20 = 10) collides with slot 1 on doc_id≡8 and slot 2 on
+#: doc_id≡0 (mod 20) — page_link_features' distinct-host count is 2 or 3
+#: depending on the page, and slot 3's gcd(M%n, n) > 1 makes a minority
+#: of pages genuine inlink hubs (non-uniform top_linked_pages).
+LINK_KS = ((7919, 17), (104729, 389), (1299710, 4049))
 
 #: Exact-integer PageRank constants (damping 0.85 as 85//100).
 PAGERANK_W0 = 1_000_000_000_000
@@ -532,6 +538,56 @@ p AS (SELECT url, CAST(split_part(url, '/p/', 2) AS BIGINT) AS id
 nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
 fp AS (SELECT p.url, {targets} AS f FROM p, nn)
 SELECT url, min(url) OVER (PARTITION BY f) AS link_cluster_id FROM fp"""
+
+
+_PLF_SCHEMA = pa.schema([
+    ("url", pa.string()), ("n_links", pa.int64()),
+    ("n_target_hosts", pa.int64()),
+])
+
+
+def page_link_features(sf_dir: str) -> ray.data.Dataset:
+    """Per-page link features for quality / spam classifiers: ``(url,
+    n_links, n_target_hosts)`` — a page whose links all hit ONE host is
+    a nav shell / doorway; broad-host linkers look editorial.  One
+    streaming pass over the linked corpus: regex parse + per-page
+    distinct-host count, html never leaves the stage.  Oracle re-derives
+    the three targets arithmetically per family url.  (A same-host
+    "internal link" ratio would be the classic companion feature, but on
+    this corpus derivation it is provably constant-zero — the anchor
+    moduli make ``target%20 == doc_id%20`` unsolvable — so the varying
+    distinct-host count is the honest fixture-backed feature.)"""
+
+    def feats(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        n = np.empty(len(urls), np.int64)
+        nh = np.empty(len(urls), np.int64)
+        for i, h in enumerate(t["html"].to_pylist()):
+            found = _HREF.findall(h)
+            n[i] = len(found)
+            nh[i] = len({f.split(b"/")[2] for f in found})
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "n_links": pa.array(n),
+            "n_target_hosts": pa.array(nh),
+        })
+
+    return linked_web_pages(sf_dir).map_batches(
+        feats, batch_format="pyarrow")
+
+
+def page_link_features_sql() -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    hosts = ", ".join(
+        f"((p.id * {m} + {a}) % nn.n) % 20" for m, a in LINK_KS)
+    return f"""WITH {WEB_PAGES_CTE},
+p AS (SELECT url, CAST(split_part(url, '/p/', 2) AS BIGINT) AS id
+      FROM web_pages),
+nn AS (SELECT max(doc_id) + 1 AS n FROM documents)
+SELECT p.url, CAST(3 AS BIGINT) AS n_links,
+       CAST(len(list_distinct([{hosts}])) AS BIGINT) AS n_target_hosts
+FROM p, nn"""
 
 
 _RECIP_SCHEMA = pa.schema([

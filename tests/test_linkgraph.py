@@ -177,3 +177,11 @@ def test_host_reciprocity_micro():
     assert ab.reciprocity_bp == 2 * 1 * 10000 // 3
     ac = got.loc[("a", "c")]
     assert (ac.n_ab, ac.n_ba, ac.reciprocity_bp) == (0, 1, 0)
+
+
+def test_page_link_features_matches_sql():
+    got = _cmp(lg.page_link_features(SF), lg.page_link_features_sql())
+    assert (got.n_links == 3).all()
+    assert got.n_target_hosts.between(1, 3).all()
+    # the distinct-host count genuinely varies across pages
+    assert got.n_target_hosts.nunique() >= 2
