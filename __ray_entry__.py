@@ -1126,6 +1126,23 @@ def _q_host_change_rates(sf_dir: str):
                                        snapshots.snapshot2(sf_dir))
 
 
+def _q_host_url_churn(sf_dir: str):
+    """Per-host URL turnover between crawls (discovery-vs-refresh
+    planner); bare (url,) rows through one url-keyed exchange."""
+    from data_dedup_ray.pipelines import snapshots
+
+    return snapshots.host_url_churn(web_pages(sf_dir),
+                                    snapshots.snapshot2(sf_dir))
+
+
+def _q_markup_stats(sf_dir: str):
+    """Per-host html-vs-extracted-text byte overhead (storage and
+    extraction-cost planner view)."""
+    from data_dedup_ray.pipelines import urls
+
+    return urls.markup_stats(web_pages(sf_dir))
+
+
 def _q_crawl_budget_allocation(sf_dir: str):
     """Exact largest-remainder apportionment of a 100k fetch budget by
     per-host distinct-content yield (sum(alloc) == budget exactly)."""
@@ -1479,6 +1496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_link_features": _q_page_link_features,
         "host_reciprocity": _q_host_reciprocity,
         "host_change_rates": _q_host_change_rates,
+        "host_url_churn": _q_host_url_churn,
+        "markup_stats": _q_markup_stats,
         "crawl_budget_allocation": _q_crawl_budget_allocation,
         # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
         # largestar CC shares near_dup_clusters' closure oracle, so the
@@ -1711,6 +1730,8 @@ def oracle_sql() -> dict[str, str]:
         "page_link_features": _linkgraph.page_link_features_sql(),
         "host_reciprocity": _linkgraph.host_reciprocity_sql(),
         "host_change_rates": _snapshots.host_change_rates_sql(),
+        "host_url_churn": _snapshots.host_url_churn_sql(),
+        "markup_stats": _urls.markup_stats_sql(),
         "crawl_budget_allocation": _mirrors.crawl_budget_allocation_sql(),
         "corpus_overlap": _overlap.corpus_overlap_sql(),
         "simhash_threshold_sweep": oracles.simhash_threshold_sweep_sql(),

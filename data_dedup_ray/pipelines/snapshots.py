@@ -918,3 +918,80 @@ def host_change_rates_sql() -> str:
 FROM web_pages w JOIN snapshot2 s ON s.url = w.url
 GROUP BY 1"""
     )
+
+
+_CHURN_SCHEMA = pa.schema([
+    ("host", pa.string()), ("n_common", pa.int64()),
+    ("n_gone", pa.int64()), ("n_new", pa.int64()),
+])
+
+
+def host_url_churn(crawl1: ray.data.Dataset, crawl2: ray.data.Dataset,
+                   *, num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-host URL turnover between crawls: ``(host, n_common, n_gone,
+    n_new)`` — urls captured in both, only in crawl 1 (disappeared), and
+    only in crawl 2 (appeared).  Together with ``host_change_rates``
+    this is the full revisit-policy input: churny hosts need discovery
+    crawls, stable-but-changing hosts need refresh crawls.  Each side
+    ships bare ``(url,)`` rows through one url-keyed exchange; the
+    per-partition host tallies are P·hosts-sized and summed driver-side."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "_part": pa.array(key_partition(
+                np.asarray(urls, dtype=object), P)),
+        })
+
+    def tally(d1: pd.DataFrame, d2: pd.DataFrame) -> pd.DataFrame:
+        m = pd.merge(d1.assign(a=1), d2.assign(b=1), on="url", how="outer")
+        if not len(m):
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n_common": pd.Series([], dtype=np.int64),
+                "n_gone": pd.Series([], dtype=np.int64),
+                "n_new": pd.Series([], dtype=np.int64)})
+        host = m["url"].astype(object).str.split("/").str[2]
+        ina = m["a"].notna().to_numpy()
+        inb = m["b"].notna().to_numpy()
+        g = (pd.DataFrame({
+                "host": host,
+                "n_common": (ina & inb).astype(np.int64),
+                "n_gone": (ina & ~inb).astype(np.int64),
+                "n_new": (~ina & inb).astype(np.int64)})
+             .groupby("host", sort=False).sum().reset_index())
+        return g
+
+    in_schema = pa.schema([("url", pa.string())])
+    parts = hash_exchange(
+        [crawl1.select_columns(["url"]).map_batches(
+            prep, batch_format="pyarrow"),
+         crawl2.select_columns(["url"]).map_batches(
+            prep, batch_format="pyarrow")],
+        tally, num_partitions=P, schema=_CHURN_SCHEMA,
+        in_schemas=[in_schema, in_schema],
+    ).to_pandas()
+    if not len(parts):
+        return ray.data.from_arrow(_CHURN_SCHEMA.empty_table())
+    out = parts.groupby("host", sort=False).sum().reset_index()
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out.astype({k: np.int64 for k in out.columns if k != "host"}),
+        schema=_CHURN_SCHEMA, preserve_index=False))
+
+
+def host_url_churn_sql() -> str:
+    host = ("split_part(split_part(coalesce(w.url, s.url), '//', 2),"
+            " '/', 1)")
+    return snapshots_sql(
+        f"""SELECT {host} AS host,
+       CAST(sum(CASE WHEN w.url IS NOT NULL AND s.url IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       CAST(sum(CASE WHEN s.url IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gone,
+       CAST(sum(CASE WHEN w.url IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new
+FROM web_pages w FULL OUTER JOIN snapshot2 s ON s.url = w.url
+GROUP BY 1"""
+    )

@@ -346,3 +346,72 @@ def url_template_stats_sql() -> str:
         "   // count(*) AS BIGINT) AS dup_rate_bp"
         " FROM web_pages GROUP BY 1, 2"
     )
+
+
+# --------------------------------------------------------------------------
+# Extraction overhead: html markup vs extracted-text bytes per host
+# --------------------------------------------------------------------------
+
+_MARKUP_SCHEMA = pa.schema([
+    ("host", pa.string()), ("n_pages", pa.int64()),
+    ("html_bytes", pa.int64()), ("text_bytes", pa.int64()),
+    ("markup_bp", pa.int64()),
+])
+
+
+def markup_stats(ds: ray.data.Dataset, *,
+                 num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-host extraction overhead: ``(host, n_pages, html_bytes,
+    text_bytes, markup_bp)`` with ``markup_bp = (html - text) * 10000 //
+    html`` — which hosts are mostly markup (ads/nav chrome) vs mostly
+    payload, the storage- and extraction-cost planner view.  Byte
+    lengths are computed in the same streaming pass that reads the
+    pages; only 3-int partials per (host, batch) enter the exchange."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist(), dtype=object)
+        host = urls.str.split("/").str[2]
+        hb = np.fromiter((len(h) for h in t["html"].to_pylist()),
+                         np.int64, len(urls))
+        tb = np.fromiter(
+            (len(s.encode("utf-8")) for s in t["text"].to_pylist()),
+            np.int64, len(urls))
+        g = (pd.DataFrame({"host": host, "hb": hb, "tb": tb})
+             .groupby("host", sort=False)
+             .agg(n=("hb", "size"), hb=("hb", "sum"), tb=("tb", "sum"))
+             .reset_index())
+        g["_part"] = key_partition(g["host"].to_numpy(object),
+                                   num_partitions)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("host", sort=False)
+               .agg(n_pages=("n", "sum"), html_bytes=("hb", "sum"),
+                    text_bytes=("tb", "sum")).reset_index())
+        h = out["html_bytes"].to_numpy(np.int64)
+        t = out["text_bytes"].to_numpy(np.int64)
+        out["markup_bp"] = (h - t) * 10000 // np.maximum(h, 1)
+        return out.astype({c: np.int64 for c in out.columns
+                           if c != "host"})
+
+    return hash_exchange(
+        [ds.map_batches(prep, batch_format="pyarrow")],
+        final, num_partitions=num_partitions, schema=_MARKUP_SCHEMA,
+        in_schemas=[pa.schema([
+            ("host", pa.string()), ("n", pa.int64()),
+            ("hb", pa.int64()), ("tb", pa.int64())])])
+
+
+def markup_stats_sql() -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+
+    return web_pages_sql(
+        "SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,"
+        " CAST(count(*) AS BIGINT) AS n_pages,"
+        " CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes,"
+        " CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,"
+        " CAST((sum(octet_length(html)) - sum(octet_length(encode(text))))"
+        " * 10000 // greatest(sum(octet_length(html)), 1) AS BIGINT)"
+        "   AS markup_bp"
+        " FROM web_pages GROUP BY 1"
+    )

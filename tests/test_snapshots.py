@@ -227,3 +227,15 @@ def test_host_change_rates_matches_sql(sf_dir, con):
     assert (got.change_bp[idx % 2 == 0] == 0).all()
     assert (got.change_bp[idx % 2 == 1] == 10000).all()
     assert (got.n_changed <= got.n_revisited).all()
+
+
+def test_host_url_churn_matches_sql(sf_dir, con):
+    got = snapshots.host_url_churn(
+        web_pages(sf_dir), snapshots.snapshot2(sf_dir)).to_pandas()
+    want = con.execute(snapshots.host_url_churn_sql()).fetchdf()
+    _cmp(got, want, ["host"])
+    # snapshot2 revisits a subset of crawl-1 base urls and adds nothing
+    assert got.n_new.sum() == 0
+    # family hosts are gone entirely in the re-crawl
+    fam = got[~got.host.str.startswith("site")]
+    assert len(fam) and (fam.n_common == 0).all()

@@ -124,3 +124,26 @@ def test_url_template_stats_flags_trap():
     trap = got.loc["https://trap.example/cal/N/N"]
     assert trap.n_pages == 6 and trap.n_distinct_content == 1
     assert trap.dup_rate_bp == 10000 * 5 // 6
+
+
+def test_markup_stats_matches_sql():
+    import duckdb
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import urls as u
+
+    sf = "/root/testdata/sf0.001"
+    got = u.markup_stats(web_pages(sf)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(u.markup_stats_sql()).fetchdf()
+    con.close()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values("host").reset_index(drop=True)
+    w = want[cols].sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # empty.example pages are ALL markup (zero-byte text)
+    assert g.set_index("host").loc["empty.example", "markup_bp"] == 10000
+    assert (g.text_bytes <= g.html_bytes).all()
