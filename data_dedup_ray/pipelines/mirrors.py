@@ -474,6 +474,83 @@ FROM s"""
     )
 
 
+_TOPDUP_SCHEMA = pa.schema([
+    ("sha", pa.string()), ("n_copies", pa.int64()),
+    ("n_hosts", pa.int64()), ("first_url", pa.string()),
+])
+
+
+def top_dup_content(ds: ray.data.Dataset, *, k: int = 20,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """The "what IS all this duplication" ops view: top-``k`` content
+    blobs by copy count — ``(sha, n_copies, n_hosts, first_url)`` with
+    deterministic ties (count desc, sha asc) and ``first_url`` = min url
+    of the blob (the canonical exemplar to eyeball).  Sha-keyed exchange
+    makes per-blob counts/host-sets/min-url exact per partition; each
+    partition prunes to its own top-k, so the driver sees ≤ P·k rows."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist(), dtype=object)
+        sha = pd.Series(sha256_hex(t["text"].to_pylist()), dtype=object)
+        host = _hosts_of(urls)
+        g = (pd.DataFrame({"sha": sha, "host": host, "url": urls})
+             .groupby(["sha", "host"], sort=False)
+             .agg(n=("url", "size"), url=("url", "min")).reset_index())
+        g["_part"] = key_partition(g["sha"].to_numpy(object), P)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (t.group_by(["sha", "host", "_part"])
+                .aggregate([("n", "sum"), ("url", "min")])
+                .rename_columns(["sha", "host", "_part", "n", "url"]))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "sha": pd.Series([], dtype=object),
+                "n_copies": pd.Series([], dtype=np.int64),
+                "n_hosts": pd.Series([], dtype=np.int64),
+                "first_url": pd.Series([], dtype=object)})
+        # re-aggregate (sha, host): the combiner ran per split group
+        df = (df.groupby(["sha", "host"], sort=False)
+              .agg(n=("n", "sum"), url=("url", "min")).reset_index())
+        g = df.groupby("sha", sort=False).agg(
+            n_copies=("n", "sum"), n_hosts=("host", "nunique"),
+            first_url=("url", "min")).reset_index()
+        g = g.sort_values(["n_copies", "sha"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["n_copies"] = g["n_copies"].astype(np.int64)
+        g["n_hosts"] = g["n_hosts"].astype(np.int64)
+        return g
+
+    cand = hash_exchange(
+        [ds.map_batches(prep, batch_format="pyarrow")],
+        topk, num_partitions=P, schema=_TOPDUP_SCHEMA,
+        in_schemas=[pa.schema([
+            ("sha", pa.string()), ("host", pa.string()),
+            ("n", pa.int64()), ("url", pa.string())])],
+        pre=[pre],
+    ).to_pandas()  # ≤ P·k candidate rows
+    out = cand.sort_values(["n_copies", "sha"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out, schema=_TOPDUP_SCHEMA, preserve_index=False))
+
+
+def top_dup_content_sql(k: int = 20) -> str:
+    return (
+        f"""WITH {WEB_PAGES_CTE},
+g AS (SELECT sha256(text) AS sha,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT {_SQL_HOST}) AS BIGINT) AS n_hosts,
+             min(url) AS first_url
+      FROM web_pages GROUP BY text)
+SELECT sha, n_copies, n_hosts, first_url FROM g
+ORDER BY n_copies DESC, sha LIMIT {k}"""
+    )
+
+
 _AUDIT_SCHEMA = pa.schema([
     ("url_a", pa.string()), ("url_b", pa.string()),
     ("jaccard_bp", pa.int64()),

@@ -130,3 +130,20 @@ def test_audit_sample_pairs_matches_sql_and_is_subset():
                mi.audit_sample_pairs_sql(0.7, keep_mod=7))
     full = pairs.count()
     assert 0 < len(got) < full  # a real sample: non-empty, proper subset
+
+
+def test_top_dup_content_matches_sql():
+    got = _cmp(mi.top_dup_content(web_pages(SF), k=20),
+               mi.top_dup_content_sql(k=20))
+    # deterministic order law re-sorted by _cmp; check content facts:
+    # the top blob is the planted alias/mirror family content
+    assert got.n_copies.max() >= 3
+    assert (got.n_hosts <= got.n_copies).all()
+
+
+def test_top_dup_content_partition_invariance():
+    a = (mi.top_dup_content(web_pages(SF), k=10, num_partitions=3)
+         .to_pandas().reset_index(drop=True))
+    b = (mi.top_dup_content(web_pages(SF), k=10, num_partitions=16)
+         .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
