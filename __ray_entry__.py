@@ -1126,6 +1126,14 @@ def _q_host_change_rates(sf_dir: str):
                                        snapshots.snapshot2(sf_dir))
 
 
+def _q_pagerank_pages(sf_dir: str):
+    """Exact-integer PageRank at PAGE granularity (same machinery as the
+    host variant, url-keyed — nothing assumes a small graph)."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.pagerank_pages(linkgraph.link_edges(sf_dir))
+
+
 def _q_top_dup_content(sf_dir: str):
     """Top-20 content blobs by copy count with host spread and a
     canonical exemplar url — the duplication triage view."""
@@ -1504,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_link_features": _q_page_link_features,
         "host_reciprocity": _q_host_reciprocity,
         "host_change_rates": _q_host_change_rates,
+        "pagerank_pages": _q_pagerank_pages,
         "top_dup_content": _q_top_dup_content,
         "host_url_churn": _q_host_url_churn,
         "markup_stats": _q_markup_stats,
@@ -1739,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "page_link_features": _linkgraph.page_link_features_sql(),
         "host_reciprocity": _linkgraph.host_reciprocity_sql(),
         "host_change_rates": _snapshots.host_change_rates_sql(),
+        "pagerank_pages": _linkgraph.pagerank_pages_sql(),
         "top_dup_content": _mirrors.top_dup_content_sql(20),
         "host_url_churn": _snapshots.host_url_churn_sql(),
         "markup_stats": _urls.markup_stats_sql(),

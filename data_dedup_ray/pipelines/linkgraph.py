@@ -711,6 +711,43 @@ FROM ({pagerank_hosts_sql(iters)}) pr
 JOIN ({dup}) d ON d.host = pr.host"""
 
 
+def pagerank_pages(edges: ray.data.Dataset, *, iters: int = 3,
+                   num_partitions: int = 8) -> ray.data.Dataset:
+    """``(url, pagerank)`` — the same exact-integer power iteration at
+    PAGE granularity (nodes = urls, one row per page).  Reuses the host
+    machinery verbatim by projecting the url endpoints into the node
+    columns; the exchange/bucketize shapes are identical, only the key
+    cardinality grows — which is the point: nothing in the operator
+    assumed a small graph."""
+    nodes = edges.select_columns(["src_url", "dst_url"]).rename_columns(
+        {"src_url": "src_host", "dst_url": "dst_host"})
+    pr = pagerank_hosts(nodes, iters=iters, num_partitions=num_partitions)
+    return pr.rename_columns({"host": "url"})
+
+
+def pagerank_pages_sql(iters: int = 3) -> str:
+    parts = [f"""{_links_cte()},
+hedges AS (SELECT src_url AS sh, dst_url AS dh, count(*) AS nl
+           FROM links GROUP BY 1, 2),
+hosts AS (SELECT sh AS host FROM hedges UNION SELECT dh FROM hedges),
+outw AS (SELECT sh AS host, CAST(sum(nl) AS BIGINT) AS ow
+         FROM hedges GROUP BY 1),
+w0 AS (SELECT host, CAST({PAGERANK_W0} AS BIGINT) AS w FROM hosts)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""w{i} AS (
+  SELECT h.host,
+         CAST({PAGERANK_TELEPORT}
+              + COALESCE(SUM(((p.w * 85 // 100) // o.ow) * e.nl), 0)
+           AS BIGINT) AS w
+  FROM hosts h
+  LEFT JOIN hedges e ON e.dh = h.host
+  LEFT JOIN w{i - 1} p ON p.host = e.sh
+  LEFT JOIN outw o ON o.host = e.sh
+  GROUP BY h.host)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT host AS url, w AS pagerank FROM w{iters}")
+
+
 def pagerank_hosts_sql(iters: int = 3) -> str:
     parts = [f"""{_edges_cte()},
 hedges AS (SELECT src_host AS sh, dst_host AS dh, count(*) AS nl

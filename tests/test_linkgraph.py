@@ -185,3 +185,12 @@ def test_page_link_features_matches_sql():
     assert got.n_target_hosts.between(1, 3).all()
     # the distinct-host count genuinely varies across pages
     assert got.n_target_hosts.nunique() >= 2
+
+
+def test_pagerank_pages_matches_sql_and_mass():
+    got = _cmp(lg.pagerank_pages(lg.link_edges(SF)),
+               lg.pagerank_pages_sql())
+    assert len(got) == 500  # one node per base page at sf0.001
+    assert (got.pagerank >= lg.PAGERANK_TELEPORT).all()
+    # slot-3 hub pages (gcd structure) must out-rank the minimum
+    assert got.pagerank.max() > got.pagerank.min()
