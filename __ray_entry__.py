@@ -1134,6 +1134,15 @@ def _q_pagerank_pages(sf_dir: str):
     return linkgraph.pagerank_pages(linkgraph.link_edges(sf_dir))
 
 
+def _q_anchor_text_agg(sf_dir: str):
+    """Per-target anchor-text rollup (inbound link counts, distinct
+    anchors, deterministic top anchor); html parsed in the read pass,
+    only (url, anchor, count) partials shuffle."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.anchor_text_agg(sf_dir)
+
+
 def _q_top_dup_content(sf_dir: str):
     """Top-20 content blobs by copy count with host spread and a
     canonical exemplar url — the duplication triage view."""
@@ -1513,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": _q_host_reciprocity,
         "host_change_rates": _q_host_change_rates,
         "pagerank_pages": _q_pagerank_pages,
+        "anchor_text_agg": _q_anchor_text_agg,
         "top_dup_content": _q_top_dup_content,
         "host_url_churn": _q_host_url_churn,
         "markup_stats": _q_markup_stats,
@@ -1749,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "host_reciprocity": _linkgraph.host_reciprocity_sql(),
         "host_change_rates": _snapshots.host_change_rates_sql(),
         "pagerank_pages": _linkgraph.pagerank_pages_sql(),
+        "anchor_text_agg": _linkgraph.anchor_text_agg_sql(),
         "top_dup_content": _mirrors.top_dup_content_sql(20),
         "host_url_churn": _snapshots.host_url_churn_sql(),
         "markup_stats": _urls.markup_stats_sql(),

@@ -72,6 +72,15 @@ def _base_url(ids: pd.Series) -> pd.Series:
             + ".example/p/" + ids.astype(str))
 
 
+def _anchor_text(t: pd.Series, slot: int) -> pd.Series:
+    """Anchor text as a pure function of (target id, link slot) —
+    ``t<t%97>s<slot>`` — so inlinks arriving via different slots carry
+    DIFFERENT anchor strings for the same target (non-degenerate
+    distinct-anchor counts) while staying arithmetic, i.e. restatable in
+    the DuckDB oracle without parsing html."""
+    return "t" + (t % 97).astype(str) + "s" + str(slot)
+
+
 def _n_docs(sf_dir: str) -> int:
     """``max(doc_id) + 1`` — the modulus both sides share.  A pruned
     single-column aggregate (metadata-cheap); 0 for an empty table."""
@@ -89,9 +98,10 @@ def linked_pages(sf_dir: str) -> ray.data.Dataset:
     def derive(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"]
         anchors = None
-        for m, a in LINK_KS:
+        for slot, (m, a) in enumerate(LINK_KS):
             t = (ids * m + a) % n
-            piece = '<a href="' + _base_url(t) + '">more</a>'
+            piece = ('<a href="' + _base_url(t) + '">'
+                     + _anchor_text(t, slot) + "</a>")
             anchors = piece if anchors is None else anchors + piece
         html = (
             HTML_PRE_A + ids.astype(str) + HTML_PRE_B + batch["text"]
@@ -769,3 +779,104 @@ w0 AS (SELECT host, CAST({PAGERANK_W0} AS BIGINT) AS w FROM hosts)"""]
   GROUP BY h.host)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT host, w AS pagerank FROM w{iters}")
+
+
+# --------------------------------------------------------------------------
+# Anchor-text aggregation per target page.
+# --------------------------------------------------------------------------
+
+_AT_SCHEMA = pa.schema([
+    ("url", pa.string()), ("n_inlinks", pa.int64()),
+    ("n_anchors", pa.int64()), ("top_anchor", pa.string()),
+])
+
+_AT_IN = pa.schema([
+    ("url", pa.string()), ("anchor", pa.string()),
+    ("n", pa.int64()),
+])
+
+_ANCHOR = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+
+
+def anchor_text_agg(sf_dir: str, *,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-TARGET anchor-text rollup — the classic web-search / quality
+    feature (what the web *calls* a page, independent of what the page
+    says about itself): ``(url, n_inlinks, n_anchors, top_anchor)`` with
+    ``top_anchor`` = the most frequent inbound anchor string, ties
+    broken lexicographically (deterministic).
+
+    Scale shape: anchors are regex-parsed out of the html BYTES in the
+    same streaming pass that reads the pages and immediately combined to
+    per-batch ``(target url, anchor, count)`` partials — html never
+    enters the shuffle, and the one exchange is keyed on the target url
+    so each target's counts are exact in its owning partition.  The
+    oracle re-derives every (target, anchor) pair arithmetically (see
+    ``_anchor_text``), so the two sides meet only if the byte-level
+    anchor parse is faithful."""
+    P = num_partitions
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        anchors: list[str] = []
+        for h in t["html"].to_pylist():
+            for u, a in _ANCHOR.findall(h):
+                urls.append(u.decode("utf-8"))
+                anchors.append(a.decode("utf-8"))
+        g = (pd.DataFrame({"url": urls, "anchor": anchors})
+             .groupby(["url", "anchor"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "url": pa.array(g["url"], pa.string()),
+            "anchor": pa.array(g["anchor"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "_part": pa.array(key_partition(g["url"].to_numpy(object), P)),
+        })
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "n_inlinks": pd.Series([], dtype=np.int64),
+                "n_anchors": pd.Series([], dtype=np.int64),
+                "top_anchor": pd.Series([], dtype=object)})
+        c = (df.groupby(["url", "anchor"], sort=False)["n"]
+             .sum().reset_index()
+             .sort_values(["url", "n", "anchor"],
+                          ascending=[True, False, True]))
+        tot = c.groupby("url", sort=False).agg(
+            n_inlinks=("n", "sum"), n_anchors=("anchor", "size"),
+            top_anchor=("anchor", "first")).reset_index()
+        return tot
+
+    return hash_exchange(
+        [linked_pages(sf_dir).map_batches(parse, batch_format="pyarrow")],
+        agg, num_partitions=P, schema=_AT_SCHEMA, in_schemas=[_AT_IN])
+
+
+def anchor_text_agg_sql() -> str:
+    ks = ", ".join(f"({m}, {a}, {s})"
+                   for s, (m, a) in enumerate(LINK_KS))
+    return f"""WITH tgt AS (
+  SELECT ((d.doc_id * k.m + k.a) % nn.n) AS t, k.s AS slot
+  FROM documents d,
+       (SELECT max(doc_id) + 1 AS n FROM documents) nn,
+       (VALUES {ks}) k(m, a, s)
+), anch AS (
+  SELECT 'https://site' || (t % 20) || '.example/p/' || t AS url,
+         't' || (t % 97) || 's' || slot AS anchor
+  FROM tgt
+), cnt AS (
+  SELECT url, anchor, count(*) AS n FROM anch GROUP BY url, anchor
+), tot AS (
+  SELECT url, CAST(sum(n) AS BIGINT) AS n_inlinks,
+         count(*) AS n_anchors
+  FROM cnt GROUP BY url
+), top AS (
+  SELECT url, anchor,
+         row_number() OVER (PARTITION BY url ORDER BY n DESC, anchor)
+           AS rn
+  FROM cnt
+)
+SELECT t.url, t.n_inlinks, t.n_anchors, top.anchor AS top_anchor
+FROM tot t JOIN top ON top.url = t.url AND top.rn = 1"""

@@ -194,3 +194,43 @@ def test_pagerank_pages_matches_sql_and_mass():
     assert (got.pagerank >= lg.PAGERANK_TELEPORT).all()
     # slot-3 hub pages (gcd structure) must out-rank the minimum
     assert got.pagerank.max() > got.pagerank.min()
+
+
+def test_anchor_text_agg_matches_sql():
+    got = _cmp(lg.anchor_text_agg(SF), lg.anchor_text_agg_sql())
+    # inlinks conserve the edge total (3 per base page)
+    assert int(got.n_inlinks.sum()) == 1500
+    # distinct-anchor counts are non-degenerate and bounded by the slots
+    assert got.n_anchors.between(1, 3).all()
+    assert got.n_anchors.max() > 1
+    # anchor strings follow the arithmetic derivation
+    assert got.top_anchor.str.fullmatch(r"t\d+s[012]").all()
+
+
+def test_anchor_parse_reads_bytes_not_arithmetic():
+    t = pa.table({
+        "url": ["https://x.example/p/1"],
+        "html": [(b'<html><a href="https://a.example/p/2">hello</a>'
+                  b'<p>n</p><a href="https://a.example/p/2">world</a>'
+                  b'<a href="https://b.example/p/3">hello</a></html>')],
+    })
+    pairs = lg._ANCHOR.findall(t["html"][0].as_py())
+    assert [(u.decode(), a.decode()) for u, a in pairs] == [
+        ("https://a.example/p/2", "hello"),
+        ("https://a.example/p/2", "world"),
+        ("https://b.example/p/3", "hello"),
+    ]
+
+
+def test_anchor_top_tie_breaks_lexicographically():
+    # two anchors with equal counts for one target: min string wins
+    df = pd.DataFrame({
+        "url": ["u", "u", "u", "u"],
+        "anchor": ["zz", "aa", "zz", "aa"],
+        "n": [1, 1, 1, 1],
+    })
+    c = (df.groupby(["url", "anchor"], sort=False)["n"].sum()
+         .reset_index()
+         .sort_values(["url", "n", "anchor"], ascending=[True, False, True]))
+    top = c.groupby("url", sort=False)["anchor"].first()
+    assert top["u"] == "aa"
