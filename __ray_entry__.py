@@ -1134,6 +1134,18 @@ def _q_pagerank_pages(sf_dir: str):
     return linkgraph.pagerank_pages(linkgraph.link_edges(sf_dir))
 
 
+def _q_nearest_dup_attribution(sf_dir: str):
+    """Per new-crawl page, the argmax-Jaccard existing-index match with
+    deterministic ties — the audit/provenance row incremental ingest
+    logs; runs over the output-sized verified pair list."""
+    from data_dedup_ray.pipelines import near, snapshots
+
+    pairs = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7
+    )
+    return near.nearest_dup_attribution(pairs)
+
+
 def _q_anchor_text_agg(sf_dir: str):
     """Per-target anchor-text rollup (inbound link counts, distinct
     anchors, deterministic top anchor); html parsed in the read pass,
@@ -1523,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_change_rates": _q_host_change_rates,
         "pagerank_pages": _q_pagerank_pages,
         "anchor_text_agg": _q_anchor_text_agg,
+        "nearest_dup_attribution": _q_nearest_dup_attribution,
         "top_dup_content": _q_top_dup_content,
         "host_url_churn": _q_host_url_churn,
         "markup_stats": _q_markup_stats,
@@ -1760,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "host_change_rates": _snapshots.host_change_rates_sql(),
         "pagerank_pages": _linkgraph.pagerank_pages_sql(),
         "anchor_text_agg": _linkgraph.anchor_text_agg_sql(),
+        "nearest_dup_attribution": _near.nearest_dup_attribution_sql(0.7),
         "top_dup_content": _mirrors.top_dup_content_sql(20),
         "host_url_churn": _snapshots.host_url_churn_sql(),
         "markup_stats": _urls.markup_stats_sql(),

@@ -1146,6 +1146,97 @@ WHERE j >= {threshold}""")
 
 
 # --------------------------------------------------------------------------
+# Nearest-duplicate attribution: per new page, the argmax-Jaccard match
+# --------------------------------------------------------------------------
+
+_ATTR_SCHEMA = pa.schema([
+    ("new_url", pa.string()), ("best_index_url", pa.string()),
+    ("jaccard_bp", pa.int64()), ("n_matches", pa.int64()),
+])
+
+_ATTR_IN = pa.schema([
+    ("new_url", pa.string()), ("index_url", pa.string()),
+    ("jaccard_bp", pa.int64()), ("n", pa.int64()),
+])
+
+
+def nearest_dup_attribution(pairs: ray.data.Dataset, *,
+                            num_partitions: int = 16) -> ray.data.Dataset:
+    """Provenance view over ``cross_corpus_near_pairs`` output: for each
+    new-crawl page with at least one verified match, the single BEST
+    existing-index page — ``(new_url, best_index_url, jaccard_bp,
+    n_matches)`` with deterministic ties (jaccard_bp desc, index_url
+    asc).  This is what an audit UI or a "near-dup of X" dedup log line
+    shows, and what incremental ingest uses to pick the canonical
+    ancestor of an edited re-capture.
+
+    Scale shape: input is the OUTPUT-sized verified pair list, never the
+    corpus.  Per-batch combiner keeps one best row + a match count per
+    new_url before the one new_url-keyed exchange; the partition fn
+    re-aggregates partials (split groups may divide a url's rows), so
+    counts stay exact.  Jaccard is compared in floor-basis-points — the
+    exact representation the SQL twin uses — so tie order is identical
+    on both sides."""
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        bp = np.floor(
+            t["jaccard"].to_numpy(zero_copy_only=False) * 10000
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "new_url": t["new_url"].to_pandas().astype(object),
+            "index_url": t["index_url"].to_pandas().astype(object),
+            "jaccard_bp": bp,
+        }).sort_values(["new_url", "jaccard_bp", "index_url"],
+                       ascending=[True, False, True])
+        g = df.groupby("new_url", sort=False)
+        out = g.first().reset_index()
+        out["n"] = g.size().to_numpy(np.int64)
+        return pa.table({
+            "new_url": pa.array(out["new_url"], pa.string()),
+            "index_url": pa.array(out["index_url"], pa.string()),
+            "jaccard_bp": pa.array(out["jaccard_bp"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "_part": pa.array(key_partition(
+                out["new_url"].to_numpy(object), P)),
+        })
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "new_url": pd.Series([], dtype=object),
+                "best_index_url": pd.Series([], dtype=object),
+                "jaccard_bp": pd.Series([], dtype=np.int64),
+                "n_matches": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["new_url", "jaccard_bp", "index_url"],
+                            ascending=[True, False, True])
+        g = df.groupby("new_url", sort=False)
+        out = g.agg(best_index_url=("index_url", "first"),
+                    jaccard_bp=("jaccard_bp", "first"),
+                    n_matches=("n", "sum")).reset_index()
+        return out
+
+    return hash_exchange(
+        [pairs.map_batches(prep, batch_format="pyarrow")], agg,
+        num_partitions=P, schema=_ATTR_SCHEMA, in_schemas=[_ATTR_IN])
+
+
+def nearest_dup_attribution_sql(threshold: float = 0.7) -> str:
+    """The full cross-corpus statement nested as a subquery, argmax via
+    row_number with the same (bp desc, url asc) tie order."""
+    inner = cross_corpus_near_pairs_sql(threshold)
+    return f"""SELECT new_url, index_url AS best_index_url, jaccard_bp,
+       CAST(n_matches AS BIGINT) AS n_matches
+FROM (
+  SELECT new_url, index_url, jaccard_bp,
+         row_number() OVER (PARTITION BY new_url
+                            ORDER BY jaccard_bp DESC, index_url) AS rn,
+         count(*) OVER (PARTITION BY new_url) AS n_matches
+  FROM ({inner}) pairs)
+WHERE rn = 1"""
+
+
+# --------------------------------------------------------------------------
 # Skew-split candidate generation: hot bands never enter the shuffle
 # --------------------------------------------------------------------------
 

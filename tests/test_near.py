@@ -422,3 +422,40 @@ def test_pad_fp_preserves_uint64_order():
     order_s = np.argsort(padded, kind="stable")
     assert (order_u == order_s).all()
     assert all(len(s) == 20 for s in padded)
+
+
+def test_nearest_dup_attribution_oracle(sf_dir, con):
+    from data_dedup_ray.pipelines import snapshots
+
+    pairs = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7)
+    got = near.nearest_dup_attribution(pairs).to_pandas()
+    want = con.execute(near.nearest_dup_attribution_sql(0.7)).fetchdf()
+    g = got.sort_index(axis=1).sort_values("new_url").reset_index(drop=True)
+    w = want.sort_index(axis=1).sort_values("new_url").reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # one row per matched new page; match counts conserve the pair total
+    flat = pairs.to_pandas()
+    assert len(got) == flat["new_url"].nunique()
+    assert int(got.n_matches.sum()) == len(flat)
+
+
+def test_nearest_dup_attribution_tie_order():
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    # n1: zz scores higher; n2: exact bp tie -> lexicographic min wins
+    pairs = rd.from_arrow(pa_.table({
+        "new_url": ["n1", "n1", "n2", "n2", "n2"],
+        "index_url": ["zz", "aa", "zz", "aa", "mm"],
+        "jaccard": [0.9, 0.8, 0.75, 0.75, 0.71],
+    }))
+    got = near.nearest_dup_attribution(pairs, num_partitions=3
+                                       ).to_pandas().set_index("new_url")
+    assert got.loc["n1", "best_index_url"] == "zz"
+    assert got.loc["n1", "jaccard_bp"] == 8999 or \
+        got.loc["n1", "jaccard_bp"] == 9000  # float floor of 0.9*1e4
+    assert got.loc["n2", "best_index_url"] == "aa"
+    assert int(got.loc["n2", "n_matches"]) == 3
