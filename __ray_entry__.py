@@ -1134,6 +1134,15 @@ def _q_pagerank_pages(sf_dir: str):
     return linkgraph.pagerank_pages(linkgraph.link_edges(sf_dir))
 
 
+def _q_near_dup_keep_authoritative(sf_dir: str):
+    """Per near-dup cluster, the member the web points at — argmax
+    page-level exact-integer PageRank (ties min url); the link-structure
+    complement to near_dup_keep_best's content signal."""
+    from data_dedup_ray.pipelines import clean
+
+    return clean.near_dup_keep_authoritative(sf_dir)
+
+
 def _q_nearest_dup_attribution(sf_dir: str):
     """Per new-crawl page, the argmax-Jaccard existing-index match with
     deterministic ties — the audit/provenance row incremental ingest
@@ -1536,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_pages": _q_pagerank_pages,
         "anchor_text_agg": _q_anchor_text_agg,
         "nearest_dup_attribution": _q_nearest_dup_attribution,
+        "near_dup_keep_authoritative": _q_near_dup_keep_authoritative,
         "top_dup_content": _q_top_dup_content,
         "host_url_churn": _q_host_url_churn,
         "markup_stats": _q_markup_stats,
@@ -1774,6 +1784,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_pages": _linkgraph.pagerank_pages_sql(),
         "anchor_text_agg": _linkgraph.anchor_text_agg_sql(),
         "nearest_dup_attribution": _near.nearest_dup_attribution_sql(0.7),
+        "near_dup_keep_authoritative":
+            _clean.near_dup_keep_authoritative_sql(0.7),
         "top_dup_content": _mirrors.top_dup_content_sql(20),
         "host_url_churn": _snapshots.host_url_churn_sql(),
         "markup_stats": _urls.markup_stats_sql(),

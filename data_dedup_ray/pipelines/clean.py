@@ -623,6 +623,130 @@ SELECT cluster_id, url, n_tokens FROM (
 WHERE rn = 1"""
 
 
+def near_dup_keep_authoritative(
+    sf_dir: str, *, threshold: float = 0.7, iters: int = 3,
+    num_partitions: int = 16
+) -> ray.data.Dataset:
+    """The most AUTHORITATIVE member of each near-dup cluster:
+    ``(cluster_id, url, pagerank)`` — best = highest page-level
+    exact-integer PageRank (pipelines/linkgraph), ties broken by min
+    url.  The link-structure complement to ``near_dup_keep_best``'s
+    content signal: among syndicated copies a search/crawl stack keeps
+    the page the web points AT, not the longest capture.  Pages outside
+    the link graph (family variants that carry no anchors) rank 0, so
+    they are kept only when a cluster has no linked member.
+
+    Shape: identical to ``near_dup_keep_best`` — cluster labels and the
+    per-page signal co-partition on hash(url) in one exchange (LEFT
+    join, missing rank → 0), then the argmax co-partitions on
+    hash(cluster_id) with a per-split-group combiner that collapses to
+    one candidate row per cluster.  PageRank itself moves only
+    ``(url, w)`` rows; no stage touches page text."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import linkgraph, near
+
+    P = num_partitions
+    pages = web_pages(sf_dir)
+    clusters = near.minhash_dedup_clusters(pages, threshold=threshold)
+    pr = linkgraph.pagerank_pages(linkgraph.link_edges(sf_dir), iters=iters)
+
+    def _upart(t: pa.Table, col: str) -> pa.Array:
+        return pa.array(key_partition(t[col].to_pylist(), P))
+
+    def prep_clusters(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "cluster_id": t["cluster_id"].combine_chunks(),
+            "_part": _upart(t, "url"),
+        })
+
+    def prep_pr(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "url": t["url"].combine_chunks(),
+            "pagerank": t["pagerank"].combine_chunks(),
+        })
+        return out.append_column("_part", _upart(out, "url"))
+
+    def join_pr(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = cdf.merge(pdf, on="url", how="left")
+        m["pagerank"] = m["pagerank"].fillna(0).astype(np.int64)
+        return m
+
+    joined_schema = pa.schema([
+        ("url", pa.string()), ("cluster_id", pa.string()),
+        ("pagerank", pa.int64()),
+    ])
+    joined = hash_exchange(
+        [
+            clusters.map_batches(prep_clusters, batch_format="pyarrow"),
+            pr.map_batches(prep_pr, batch_format="pyarrow"),
+        ],
+        join_pr,
+        num_partitions=P,
+        schema=joined_schema,
+        in_schemas=[
+            pa.schema([("url", pa.string()), ("cluster_id", pa.string())]),
+            pa.schema([("url", pa.string()), ("pagerank", pa.int64())]),
+        ],
+    )
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_id", "pagerank", "url"],
+            ascending=[True, False, True], kind="stable",
+        )
+        return df.groupby("cluster_id", sort=False).head(1)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _upart(t, "cluster_id"))
+
+    def combine_best(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_best(t.to_pandas()),
+                                    preserve_index=False)
+
+    out_schema = pa.schema([
+        ("cluster_id", pa.string()), ("url", pa.string()),
+        ("pagerank", pa.int64()),
+    ])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return _best(df)[["cluster_id", "url", "pagerank"]]
+
+    rekeyed_schema = pa.schema([
+        ("url", pa.string()), ("cluster_id", pa.string()),
+        ("pagerank", pa.int64()),
+    ])
+    return hash_exchange(
+        [joined.map_batches(rekey, batch_format="pyarrow")],
+        per_part,
+        num_partitions=P,
+        schema=out_schema,
+        in_schemas=[rekeyed_schema],
+        pre=[combine_best],
+    )
+
+
+def near_dup_keep_authoritative_sql(threshold: float = 0.7,
+                                    iters: int = 3) -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+    from data_dedup_ray.pipelines.linkgraph import pagerank_pages_sql
+
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+clusters AS (
+{near_dup_clusters_sql(threshold)}
+)
+SELECT cluster_id, url, pagerank FROM (
+  SELECT c.cluster_id, c.url, COALESCE(p.pagerank, 0) AS pagerank,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY COALESCE(p.pagerank, 0) DESC, c.url)
+           AS rn
+  FROM clusters c LEFT JOIN ({pagerank_pages_sql(iters)}) p
+    ON p.url = c.url)
+WHERE rn = 1"""
+
+
 # --------------------------------------------------------------------------
 # Flagship composition: the cleaned training corpus end-to-end
 # --------------------------------------------------------------------------

@@ -237,3 +237,33 @@ def test_passage_keep_first_fallback_path_equal(sf_dir):
         sf_dir, broadcast_max_removals=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_near_dup_keep_authoritative_oracle(sf_dir, con):
+    got = clean.near_dup_keep_authoritative(sf_dir)
+    _cmp(got, con.execute(clean.near_dup_keep_authoritative_sql()).fetchdf(),
+         ["cluster_id"])
+
+
+def test_near_dup_keep_authoritative_is_argmax(sf_dir):
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import linkgraph, near
+
+    best = clean.near_dup_keep_authoritative(sf_dir).to_pandas()
+    clusters = near.minhash_dedup_clusters(
+        web_pages(sf_dir), threshold=0.7
+    ).to_pandas()
+    pr = linkgraph.pagerank_pages(
+        linkgraph.link_edges(sf_dir)).to_pandas()
+    joined = clusters.merge(pr, on="url", how="left").fillna(
+        {"pagerank": 0})
+    # one representative per cluster, and its rank is the cluster max
+    assert len(best) == clusters["cluster_id"].nunique()
+    want_max = joined.groupby("cluster_id")["pagerank"].max()
+    got_by_cluster = best.set_index("cluster_id")["pagerank"]
+    assert (got_by_cluster == want_max.loc[got_by_cluster.index]).all()
+    # link-graph members (base pages) outrank 0-rank family variants:
+    # every cluster containing a base page keeps a nonzero rank
+    has_base = joined[joined.pagerank > 0]["cluster_id"].unique()
+    kept = best.set_index("cluster_id")
+    assert (kept.loc[has_base, "pagerank"] > 0).all()
