@@ -1134,6 +1134,15 @@ def _q_pagerank_pages(sf_dir: str):
     return linkgraph.pagerank_pages(linkgraph.link_edges(sf_dir))
 
 
+def _q_hits_hosts(sf_dir: str):
+    """Exact-integer HITS hubs & authorities over the host graph
+    (Kleinberg 1999) — the directory-vs-source signal pair frontier
+    scheduling reads next to PageRank."""
+    from data_dedup_ray.pipelines import linkgraph
+
+    return linkgraph.hits_hosts(linkgraph.link_edges(sf_dir))
+
+
 def _q_near_dup_keep_authoritative(sf_dir: str):
     """Per near-dup cluster, the member the web points at — argmax
     page-level exact-integer PageRank (ties min url); the link-structure
@@ -1543,9 +1552,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": _q_host_reciprocity,
         "host_change_rates": _q_host_change_rates,
         "pagerank_pages": _q_pagerank_pages,
+        # session-12 additions (all 3 SQL-oracle-backed, replayed green
+        # at sf0.001/sf0.01 — same round-4 rotation batch)
         "anchor_text_agg": _q_anchor_text_agg,
         "nearest_dup_attribution": _q_nearest_dup_attribution,
         "near_dup_keep_authoritative": _q_near_dup_keep_authoritative,
+        "hits_hosts": _q_hits_hosts,
         "top_dup_content": _q_top_dup_content,
         "host_url_churn": _q_host_url_churn,
         "markup_stats": _q_markup_stats,
@@ -1786,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_dup_attribution": _near.nearest_dup_attribution_sql(0.7),
         "near_dup_keep_authoritative":
             _clean.near_dup_keep_authoritative_sql(0.7),
+        "hits_hosts": _linkgraph.hits_hosts_sql(),
         "top_dup_content": _mirrors.top_dup_content_sql(20),
         "host_url_churn": _snapshots.host_url_churn_sql(),
         "markup_stats": _urls.markup_stats_sql(),

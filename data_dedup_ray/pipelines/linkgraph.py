@@ -465,6 +465,180 @@ def pagerank_hosts(edges: ray.data.Dataset, *, iters: int = 3,
 
 
 # --------------------------------------------------------------------------
+# HITS hubs & authorities (exact-integer, Kleinberg 1999)
+# --------------------------------------------------------------------------
+
+#: initial hub score and per-round hub down-scale (a power of two so the
+#: floor division is a bit shift).  Magnitude bound: after one round
+#: ``a ≤ E·H0`` and ``h ≤ E²·H0 // SCALE`` — with H0=2²⁰ and SCALE=2²⁰,
+#: ``iters=2`` stays inside int64 for graphs up to ~10⁵ weighted edges
+#: per host pair; scale H0 down with graph size beyond that (same
+#: documented discipline as PAGERANK_W0).
+HITS_H0 = 1 << 20
+HITS_SCALE = 1 << 20
+
+_HITS_SCHEMA = pa.schema([
+    ("host", pa.string()), ("hub", pa.int64()), ("authority", pa.int64())])
+
+
+def hits_hosts(edges: ray.data.Dataset, *, iters: int = 2,
+               num_partitions: int = 8) -> ray.data.Dataset:
+    """``(host, hub, authority)`` after ``iters`` exact-integer HITS
+    rounds (Kleinberg 1999): ``a_i = Σ_{j→i} h_j·nl`` then ``h_i =
+    (Σ_{i→j} a_j·nl) // HITS_SCALE`` — sum BEFORE the floor division, so
+    every value is an order-independent int64 and the result is
+    restatable bit-for-bit in DuckDB.  Directories/portals surface as
+    hubs, syndication sources as authorities — the pair of signals
+    frontier scheduling reads next to PageRank's single one.
+
+    Same scale shape as ``pagerank_hosts``: the host-pair edge table is
+    rolled up once and bucketized TWICE (keyed by src for the hub→
+    authority half, by dst for the authority→hub half); each half-round
+    is two exchanges moving only ``(host, int)`` rows."""
+    P = num_partitions
+
+    def pair_keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t["src_host"].to_numpy(zero_copy_only=False), P)))
+
+    def pair_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["src_host", "dst_host"], sort=False)
+             .size().rename("nl").reset_index())
+        g["_part"] = key_partition(g["src_host"].to_numpy(object), P)
+        return g
+
+    he_schema = pa.schema([
+        ("src_host", pa.string()), ("dst_host", pa.string()),
+        ("nl", pa.int64()), ("_part", pa.int64())])
+    he_in = pa.schema([
+        ("src_host", pa.string()), ("dst_host", pa.string()),
+        ("nl", pa.int64())])
+    hedges = hash_exchange(
+        [edges.select_columns(["src_host", "dst_host"]).map_batches(
+            pair_keyed, batch_format="pyarrow")],
+        pair_agg, num_partitions=P, schema=he_schema,
+        in_schemas=[pa.schema([("src_host", pa.string()),
+                               ("dst_host", pa.string())])])
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        h = np.unique(np.concatenate([
+            t["src_host"].to_numpy(zero_copy_only=False),
+            t["dst_host"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"host": pa.array(h, pa.string()),
+                         "_part": pa.array(key_partition(h, P))})
+
+    hosts = hash_exchange(
+        [edges.select_columns(["src_host", "dst_host"]).map_batches(
+            host_rows, batch_format="pyarrow")],
+        lambda df: pd.DataFrame({"host": pd.unique(df["host"])}),
+        num_partitions=P, schema=pa.schema([("host", pa.string())]),
+        in_schemas=[_HOST_IN])
+
+    e_src = bucketize(hedges, num_partitions=P, in_schema=he_schema)
+    e_dst = bucketize(
+        hedges.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("_part"), "_part",
+                pa.array(key_partition(
+                    t["dst_host"].to_numpy(zero_copy_only=False), P))),
+            batch_format="pyarrow"),
+        num_partitions=P, in_schema=he_schema)
+
+    hosts_p = hosts.map_batches(
+        lambda t: t.append_column("_part", pa.array(key_partition(
+            t["host"].to_numpy(zero_copy_only=False), P))),
+        batch_format="pyarrow")
+    h_b = bucketize(hosts_p, num_partitions=P, in_schema=_HOST_SCHEMA_P)
+
+    h = hosts_p.map_batches(
+        lambda t: pa.table({
+            "host": t["host"],
+            "w": pa.array(np.full(t.num_rows, HITS_H0, np.int64)),
+            "_part": t["_part"]}),
+        batch_format="pyarrow")
+
+    def _push(src_key: str, dst_key: str):
+        # contributions w[src_key]·nl delivered to dst_key's partition
+        def fn(wdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+            m = edf.merge(wdf, left_on=src_key, right_on="host")
+            if not len(m):
+                return pd.DataFrame({
+                    "host": pd.Series([], dtype=object),
+                    "c": pd.Series([], dtype=np.int64),
+                    "_part": pd.Series([], dtype=np.int64)})
+            c = m["w"].to_numpy(np.int64) * m["nl"].to_numpy(np.int64)
+            g = (pd.DataFrame({"host": m[dst_key], "c": c})
+                 .groupby("host", sort=False)["c"].sum().reset_index())
+            g["_part"] = key_partition(g["host"].to_numpy(object), P)
+            return g
+        return fn
+
+    def _sum(div: int):
+        def fn(hdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+            s = cdf.groupby("host", sort=False)["c"].sum()
+            w_new = (hdf["host"].map(s).fillna(0).astype(np.int64)
+                     // div)
+            out = pd.DataFrame({"host": hdf["host"], "w": w_new})
+            out["_part"] = key_partition(out["host"].to_numpy(object), P)
+            return out
+        return fn
+
+    a = h  # placeholder; overwritten in round 1
+    for _ in range(iters):
+        ca = hash_exchange(
+            [h, e_src], _push("src_host", "dst_host"), num_partitions=P,
+            schema=_C_SCHEMA_P, in_schemas=[_W_IN, he_in])
+        a = hash_exchange(
+            [h_b, ca], _sum(1), num_partitions=P,
+            schema=_W_SCHEMA_P, in_schemas=[_HOST_IN, _C_IN])
+        ch = hash_exchange(
+            [a, e_dst], _push("dst_host", "src_host"), num_partitions=P,
+            schema=_C_SCHEMA_P, in_schemas=[_W_IN, he_in])
+        h = hash_exchange(
+            [h_b, ch], _sum(HITS_SCALE), num_partitions=P,
+            schema=_W_SCHEMA_P, in_schemas=[_HOST_IN, _C_IN])
+
+    def zip_scores(hdf: pd.DataFrame, adf: pd.DataFrame) -> pd.DataFrame:
+        m = hdf.merge(adf, on="host", suffixes=("_h", "_a"))
+        return pd.DataFrame({"host": m["host"],
+                             "hub": m["w_h"].astype(np.int64),
+                             "authority": m["w_a"].astype(np.int64)})
+
+    return hash_exchange(
+        [h, a], zip_scores, num_partitions=P,
+        schema=_HITS_SCHEMA, in_schemas=[_W_IN, _W_IN])
+
+
+def hits_hosts_sql(iters: int = 2) -> str:
+    parts = [f"""{_edges_cte()},
+hedges AS (SELECT src_host AS sh, dst_host AS dh, count(*) AS nl
+           FROM edges GROUP BY 1, 2),
+hosts AS (SELECT sh AS host FROM hedges UNION SELECT dh FROM hedges),
+h0 AS (SELECT host, CAST({HITS_H0} AS BIGINT) AS w FROM hosts)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT h.host,
+         CAST(COALESCE(SUM(p.w * e.nl), 0) AS BIGINT) AS w
+  FROM hosts h
+  LEFT JOIN hedges e ON e.dh = h.host
+  LEFT JOIN h{i - 1} p ON p.host = e.sh
+  GROUP BY h.host)""")
+        parts.append(f"""h{i} AS (
+  SELECT h.host,
+         CAST(COALESCE(SUM(p.w * e.nl), 0) // {HITS_SCALE}
+           AS BIGINT) AS w
+  FROM hosts h
+  LEFT JOIN hedges e ON e.sh = h.host
+  LEFT JOIN a{i} p ON p.host = e.dh
+  GROUP BY h.host)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h.host, h{iters}.w AS hub, a{iters}.w AS authority"
+            f"\nFROM hosts h"
+            f"\nJOIN h{iters} ON h{iters}.host = h.host"
+            f"\nJOIN a{iters} ON a{iters}.host = h.host")
+
+
+# --------------------------------------------------------------------------
 # Link-structure dedup: group pages by their ordered outlink target set.
 # --------------------------------------------------------------------------
 

@@ -234,3 +234,37 @@ def test_anchor_top_tie_breaks_lexicographically():
          .sort_values(["url", "n", "anchor"], ascending=[True, False, True]))
     top = c.groupby("url", sort=False)["anchor"].first()
     assert top["u"] == "aa"
+
+
+def test_hits_hosts_matches_sql():
+    got = _cmp(lg.hits_hosts(lg.link_edges(SF)), lg.hits_hosts_sql())
+    assert len(got) == 20
+    # both signals non-degenerate on the corpus graph
+    assert got.hub.nunique() > 1 and got.authority.nunique() > 1
+
+
+def test_hits_hosts_micro_hand_computed():
+    edges = ray.data.from_arrow(pa.table({
+        "src_host": ["a", "a", "b"],
+        "dst_host": ["b", "c", "c"],
+    }))
+    got = (lg.hits_hosts(edges, iters=1, num_partitions=3)
+           .to_pandas().set_index("host"))
+    H0 = lg.HITS_H0
+    # a1: a<-0, b<-h(a)=H0, c<-h(a)+h(b)=2*H0
+    assert got.loc["a", "authority"] == 0
+    assert got.loc["b", "authority"] == H0
+    assert got.loc["c", "authority"] == 2 * H0
+    # h1 = floor(sum of dst authorities / SCALE)
+    assert got.loc["a", "hub"] == (H0 + 2 * H0) // lg.HITS_SCALE
+    assert got.loc["b", "hub"] == (2 * H0) // lg.HITS_SCALE
+    assert got.loc["c", "hub"] == 0
+
+
+def test_hits_hosts_partition_invariance():
+    e = lg.link_edges(SF)
+    a = lg.hits_hosts(e, num_partitions=3).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+    b = lg.hits_hosts(e, num_partitions=11).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
