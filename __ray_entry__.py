@@ -1134,6 +1134,15 @@ def _q_pagerank_pages(sf_dir: str):
     return linkgraph.pagerank_pages(linkgraph.link_edges(sf_dir))
 
 
+def _q_host_shard_plan(sf_dir: str):
+    """Deterministic md5 host→shard placement + skew report — the table
+    read before sizing an index/store partitioning; text bytes counted
+    in the read pass, one host-keyed exchange."""
+    from data_dedup_ray.pipelines import mirrors
+
+    return mirrors.host_shard_plan(web_pages(sf_dir))
+
+
 def _q_hits_hosts(sf_dir: str):
     """Exact-integer HITS hubs & authorities over the host graph
     (Kleinberg 1999) — the directory-vs-source signal pair frontier
@@ -1558,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_dup_attribution": _q_nearest_dup_attribution,
         "near_dup_keep_authoritative": _q_near_dup_keep_authoritative,
         "hits_hosts": _q_hits_hosts,
+        "host_shard_plan": _q_host_shard_plan,
         "top_dup_content": _q_top_dup_content,
         "host_url_churn": _q_host_url_churn,
         "markup_stats": _q_markup_stats,
@@ -1799,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_keep_authoritative":
             _clean.near_dup_keep_authoritative_sql(0.7),
         "hits_hosts": _linkgraph.hits_hosts_sql(),
+        "host_shard_plan": _mirrors.host_shard_plan_sql(),
         "top_dup_content": _mirrors.top_dup_content_sql(20),
         "host_url_churn": _snapshots.host_url_churn_sql(),
         "markup_stats": _urls.markup_stats_sql(),

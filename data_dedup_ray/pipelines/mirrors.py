@@ -656,3 +656,122 @@ SELECT host, n_distinct,
        CAST(fl + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM r, k"""
     )
+
+
+# --------------------------------------------------------------------------
+# Host-shard placement plan: deterministic hash sharding + skew report
+# --------------------------------------------------------------------------
+
+_SHARD_SCHEMA = pa.schema([
+    ("shard_id", pa.int64()), ("n_hosts", pa.int64()),
+    ("n_pages", pa.int64()), ("text_bytes", pa.int64()),
+    ("load_bp", pa.int64()),
+])
+
+_SHARD_IN = pa.schema([
+    ("host", pa.string()), ("n_pages", pa.int64()),
+    ("text_bytes", pa.int64()),
+])
+
+_SHARD_MID = pa.schema([
+    ("shard_id", pa.int64()), ("n_hosts", pa.int64()),
+    ("n_pages", pa.int64()), ("text_bytes", pa.int64()),
+])
+
+
+def host_shard_plan(ds: ray.data.Dataset, *, n_shards: int = 8,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Deterministic host→shard placement plan + its skew report:
+    ``(shard_id, n_hosts, n_pages, text_bytes, load_bp)`` where
+    ``shard_id = int(md5(host)[:8], 16) % n_shards`` (stable across
+    runs, engines and cluster sizes — the co-location key an index or a
+    dedup store would partition on, since same-host pages MUST land
+    together for politeness and template locality) and ``load_bp =
+    n_pages * 10000 * n_shards // total_pages`` (10000 = perfectly
+    balanced).  The table an operator reads before picking ``n_shards``:
+    a hot host shows up as a shard with load_bp ≫ 10000.
+
+    Shape: per-batch (host, pages, bytes) partials → ONE host-keyed
+    exchange makes per-host totals exact → shard rollup keyed on
+    shard_id (host-count-sized rows, S exact rows out); the total for
+    load_bp folds in driver-side from the S-row table — text never
+    shuffles, byte lengths are computed in the read pass."""
+    import hashlib
+
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["url"].to_pylist(), dtype=object)
+        host = _hosts_of(urls)
+        tb = np.fromiter(
+            (len(s.encode("utf-8")) for s in t["text"].to_pylist()),
+            np.int64, len(urls))
+        g = (pd.DataFrame({"host": host, "text_bytes": tb})
+             .groupby("host", sort=False)
+             .agg(n_pages=("text_bytes", "size"),
+                  text_bytes=("text_bytes", "sum")).reset_index())
+        return pa.table({
+            "host": pa.array(g["host"], pa.string()),
+            "n_pages": pa.array(g["n_pages"].to_numpy(np.int64)),
+            "text_bytes": pa.array(g["text_bytes"].to_numpy(np.int64)),
+            "_part": pa.array(key_partition(
+                g["host"].to_numpy(object), P)),
+        })
+
+    def per_host(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("host", sort=False)
+             .agg(n_pages=("n_pages", "sum"),
+                  text_bytes=("text_bytes", "sum")).reset_index())
+        g["shard_id"] = [
+            int(hashlib.md5(h.encode("utf-8")).hexdigest()[:8], 16)
+            % n_shards for h in g["host"]]
+        s = (g.groupby("shard_id", sort=False)
+             .agg(n_hosts=("host", "size"), n_pages=("n_pages", "sum"),
+                  text_bytes=("text_bytes", "sum")).reset_index())
+        s["_part"] = s["shard_id"].to_numpy(np.int64) % P
+        return s
+
+    hosts = hash_exchange(
+        [ds.map_batches(prep, batch_format="pyarrow")], per_host,
+        num_partitions=P,
+        schema=pa.schema(list(_SHARD_MID) + [("_part", pa.int64())]),
+        in_schemas=[_SHARD_IN])
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("shard_id", sort=False)
+                .agg(n_hosts=("n_hosts", "sum"),
+                     n_pages=("n_pages", "sum"),
+                     text_bytes=("text_bytes", "sum")).reset_index())
+
+    shards = hash_exchange(
+        [hosts], per_shard, num_partitions=P,
+        schema=_SHARD_MID, in_schemas=[_SHARD_MID]).to_pandas()
+    total = int(shards["n_pages"].sum()) if len(shards) else 0
+    if total:
+        shards["load_bp"] = (shards["n_pages"].to_numpy(np.int64)
+                             * 10000 * n_shards // total)
+    else:
+        shards["load_bp"] = pd.Series([], dtype=np.int64)
+    return ray.data.from_pandas(
+        shards[["shard_id", "n_hosts", "n_pages", "text_bytes",
+                "load_bp"]])
+
+
+def host_shard_plan_sql(n_shards: int = 8) -> str:
+    return f"""WITH {WEB_PAGES_CTE},
+h AS (
+  SELECT {_SQL_HOST} AS host, count(*) AS n_pages,
+         CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+  FROM web_pages GROUP BY 1
+), s AS (
+  SELECT CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % {n_shards}
+           AS shard_id,
+         count(*) AS n_hosts,
+         CAST(sum(n_pages) AS BIGINT) AS n_pages,
+         CAST(sum(text_bytes) AS BIGINT) AS text_bytes
+  FROM h GROUP BY 1
+)
+SELECT shard_id, n_hosts, n_pages, text_bytes,
+       CAST(n_pages * 10000 * {n_shards}
+            // (SELECT sum(n_pages) FROM s) AS BIGINT) AS load_bp
+FROM s"""

@@ -147,3 +147,28 @@ def test_top_dup_content_partition_invariance():
     b = (mi.top_dup_content(web_pages(SF), k=10, num_partitions=16)
          .to_pandas().reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_host_shard_plan_matches_sql():
+    pages = web_pages(SF)
+    got = _cmp(mi.host_shard_plan(pages), mi.host_shard_plan_sql())
+    # conservation: every page and every host lands in exactly one shard
+    assert int(got.n_pages.sum()) == pages.count()
+    urls = pages.to_pandas()["url"]
+    assert int(got.n_hosts.sum()) == urls.str.split("/").str[2].nunique()
+    # load_bp is the exact integer share: sum over shards ~= 10000 * S
+    S = 8
+    assert 10000 * S - S < int(got.load_bp.sum()) <= 10000 * S
+
+
+def test_host_shard_plan_deterministic_and_partition_invariant():
+    pages = web_pages(SF)
+    a = mi.host_shard_plan(pages, num_partitions=3).to_pandas(
+    ).sort_values("shard_id").reset_index(drop=True)
+    b = mi.host_shard_plan(pages, num_partitions=13).to_pandas(
+    ).sort_values("shard_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # stable across n_shards too: a host's placement is a pure function
+    # of md5(host) % S, so S=1 degenerates to one shard with all pages
+    one = mi.host_shard_plan(pages, n_shards=1).to_pandas()
+    assert len(one) == 1 and int(one.load_bp.iloc[0]) == 10000
