@@ -1561,7 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": _q_host_reciprocity,
         "host_change_rates": _q_host_change_rates,
         "pagerank_pages": _q_pagerank_pages,
-        # session-12 additions (all 3 SQL-oracle-backed, replayed green
+        # session-12 additions (all 5 SQL-oracle-backed, replayed green
         # at sf0.001/sf0.01 — same round-4 rotation batch)
         "anchor_text_agg": _q_anchor_text_agg,
         "nearest_dup_attribution": _q_nearest_dup_attribution,
