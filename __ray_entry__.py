@@ -1445,6 +1445,20 @@ def _q_bigram_lm_scores(sf_dir: str):
     return lm.bigram_lm_scores(sf_dir)
 
 
+def _q_soft_dedup_weights(sf_dir: str):
+    from data_dedup_ray.pipelines import policy
+
+    return policy.soft_dedup_weights(
+        web_pages(sf_dir).select_columns(["url", "text"]))
+
+
+def _q_dedup_threshold_sweep(sf_dir: str):
+    from data_dedup_ray.pipelines import policy
+
+    return policy.dedup_threshold_sweep(
+        web_pages(sf_dir).select_columns(["url", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_dedup_ray.pipelines import text
 
@@ -1478,6 +1492,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_jpeg": _q_image_meta_jpeg,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_keep": _q_semdedup_keep,
+        # session-13 dedup-policy planners (both SQL-oracle-backed;
+        # top_quality_per_domain + image_meta_gif shift past slot 50 and
+        # join the round-4 rotation batch)
+        "soft_dedup_weights": _q_soft_dedup_weights,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "ann_lsh_planted_top1": _q_ann_lsh_planted_top1,
         "ann_ivf_planted_top1": _q_ann_ivf_planted_top1,
         "doc_fingerprints_sha": _q_doc_fingerprints_sha,
@@ -1698,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import search as _search
     from data_dedup_ray.pipelines import snapshots as _snap
     from data_dedup_ray.pipelines import stats as _stats
+    from data_dedup_ray.pipelines import policy as _policy
     from data_dedup_ray.pipelines import text as _text
     from data_dedup_ray.pipelines import urls as _urls
     from data_dedup_ray.pipelines import linkgraph as _linkgraph
@@ -1730,6 +1750,10 @@ def oracle_sql() -> dict[str, str]:
         # of the Jaccard / tf-cosine / sha-simhash edge sets
         "ensemble_clusters": oracles.ensemble_clusters_sql(),
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
+        # dedup-policy planners: per-cluster soft-sampling weights and
+        # the per-cutoff threshold tuning curve (pipelines/policy.py)
+        "soft_dedup_weights": _policy.soft_dedup_weights_sql(),
+        "dedup_threshold_sweep": _policy.dedup_threshold_sweep_sql(),
         "crawl_drift": _drift.crawl_drift_sql(),
         # the store path must be byte-identical to the live pipeline,
         # so it shares crawl_drift's oracle verbatim
