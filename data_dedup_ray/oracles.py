@@ -376,6 +376,35 @@ def chunk_delta_snap2_sql(chunk_size: int = 512) -> str:
     )
 
 
+def chunk_gc_snap2_sql(chunk_size: int = 512) -> str:
+    """SQL twin of pipelines/chunks.chunk_gc_snap2: the base corpus's
+    distinct chunk set (= the persisted chunk store's provable contents)
+    anti-joined against the re-crawl's distinct chunk hashes — stored
+    chunks no live page references.  Same hex-slice chunk identity as
+    ``chunk_dedup_fixed_sql``."""
+    from data_dedup_ray.pipelines.snapshots import snapshots_sql
+
+    L = int(chunk_size)
+    slice_ = (f"substring(hex(html), CAST(1 + i*{2 * L} AS BIGINT),"
+              f" {2 * L})")
+    rng = (f"unnest(range(CAST(ceil(octet_length(html) / {L}.0)"
+           " AS BIGINT))) AS i")
+    return snapshots_sql(
+        ", store AS (\n"
+        "  SELECT sha256(lower(hx)) AS chunk_hash,\n"
+        "    CAST(length(hx) // 2 AS BIGINT) AS chunk_len\n"
+        f"  FROM (SELECT {slice_} AS hx\n"
+        f"    FROM (SELECT html, {rng} FROM web_pages))\n"
+        "  GROUP BY hx),\n"
+        "live AS (\n"
+        f"  SELECT DISTINCT sha256(lower({slice_})) AS ch\n"
+        f"  FROM (SELECT html, {rng} FROM snapshot2))\n"
+        "SELECT s.chunk_hash, s.chunk_len\n"
+        "FROM store s LEFT JOIN live l ON s.chunk_hash = l.ch\n"
+        "WHERE l.ch IS NULL"
+    )
+
+
 def tf_cosine_pairs_sql(max_df: int = 256, min_cos2_bp: int = 8100) -> str:
     """SQL twin of pipelines/tfidf.tf_cosine_pairs: exact integer
     TF-cosine pairs over the df-pruned vocabulary.  Everything stays in

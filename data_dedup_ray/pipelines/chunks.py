@@ -408,3 +408,140 @@ def cdc_chunk_stats(
     rows = cdc_chunk_rows(pages, min_size=min_size, avg_size=avg_size,
                           max_size=max_size)
     return _dup_chunk_groups(rows)
+
+
+_STORE_SCHEMA = pa.schema(
+    [("chunk_hash", pa.string()), ("chunk_len", pa.int64())]
+)
+
+
+def build_chunk_store(
+    pages: ray.data.Dataset, path: str, *, chunker=fixed_chunk_rows,
+    num_partitions: int = 32, **chunk_kw,
+):
+    """Persist a crawl's DISTINCT chunk set as ``(chunk_hash,
+    chunk_len)`` — the content-addressed index a chunk store keeps
+    (~40 B/chunk regardless of chunk bytes), the sub-file tier of the
+    fingerprint-store ladder (pipelines/fpstore.py; the reference
+    re-hashes every file on every scan, Files.pm:24-44 — a persisted
+    store is the scan it never has to repeat).
+
+    One ``chunk_hash``-keyed exchange with a map-side pre-distinct;
+    duplicates collapse in their owning partition, so the resumable
+    sink receives each chunk identity exactly once.  Chunk BYTES never
+    move — only hashes and lengths."""
+    from data_dedup_ray.state.sink import resumable_write_parquet
+
+    P = num_partitions
+    rows = chunker(pages, **chunk_kw)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["chunk_hash", "chunk_len"])
+        part = key_partition(
+            t["chunk_hash"].to_numpy(zero_copy_only=False), P)
+        return t.append_column("_part", pa.array(part))
+
+    def pre_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["chunk_hash", "chunk_len", "_part"]) \
+            .aggregate([])
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "chunk_hash": pd.Series(dtype=object),
+                "chunk_len": pd.Series(dtype=np.int64)})
+        return df.drop_duplicates("chunk_hash")[
+            ["chunk_hash", "chunk_len"]]
+
+    store_rows = hash_exchange(
+        [rows.map_batches(prep, batch_format="pyarrow")],
+        distinct, num_partitions=P, schema=_STORE_SCHEMA,
+        in_schemas=[_STORE_SCHEMA], pre=[pre_distinct],
+    )
+    chunk_cfg = {k: v for k, v in sorted(chunk_kw.items())}
+    return resumable_write_parquet(
+        store_rows, path, key_col="chunk_hash", num_partitions=P,
+        config={"kind": "chunk_store", "chunker": chunker.__name__,
+                **chunk_cfg},
+    )
+
+
+def chunk_store_gc(
+    store_path: str, live_pages: ray.data.Dataset, *,
+    chunker=fixed_chunk_rows, num_partitions: int = 16, **chunk_kw,
+) -> ray.data.Dataset:
+    """Mark-and-sweep over a persisted chunk store: ``(chunk_hash,
+    chunk_len)`` for every stored chunk referenced by ZERO live pages —
+    the orphan list a GC pass deletes (and ``sum(chunk_len)`` = the
+    bytes it reclaims).
+
+    The reverse direction of ``chunk_delta`` (which asks what a new
+    crawl ADDS; GC asks what a superseded crawl LEAVES BEHIND once the
+    live corpus moves on).  The store side is read from parquet — the
+    old corpus's bytes are never re-chunked — and both sides meet in one
+    ``chunk_hash``-keyed exchange: live pages ship per-batch-distinct
+    hashes only (map-side pre), the anti-join resolves inside each
+    partition, and the output is orphan-sized."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+
+    P = num_partitions
+    store = _read_store(store_path)
+
+    def store_prep(t: pa.Table) -> pa.Table:
+        t = t.select(["chunk_hash", "chunk_len"])
+        part = key_partition(
+            t["chunk_hash"].to_numpy(zero_copy_only=False), P)
+        return t.append_column("_part", pa.array(part))
+
+    live_schema = pa.schema([("chunk_hash", pa.string())])
+
+    def live_prep(t: pa.Table) -> pa.Table:
+        t = t.select(["chunk_hash"])
+        part = key_partition(
+            t["chunk_hash"].to_numpy(zero_copy_only=False), P)
+        return t.append_column("_part", pa.array(part))
+
+    def live_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["chunk_hash", "_part"]).aggregate([])
+
+    def sweep(store_df: pd.DataFrame,
+              live_df: pd.DataFrame) -> pd.DataFrame:
+        if not len(store_df):
+            return pd.DataFrame({
+                "chunk_hash": pd.Series(dtype=object),
+                "chunk_len": pd.Series(dtype=np.int64)})
+        orphan = ~store_df["chunk_hash"].isin(set(live_df["chunk_hash"]))
+        return store_df.loc[orphan, ["chunk_hash", "chunk_len"]]
+
+    live_rows = chunker(live_pages, **chunk_kw)
+    return hash_exchange(
+        [
+            store.map_batches(store_prep, batch_format="pyarrow"),
+            live_rows.map_batches(live_prep, batch_format="pyarrow"),
+        ],
+        sweep, num_partitions=P, schema=_STORE_SCHEMA,
+        in_schemas=[_STORE_SCHEMA, live_schema],
+        pre=[None, live_distinct],
+    )
+
+
+def chunk_gc_snap2(sf_dir: str, *, chunk_size: int = 512,
+                   store_path: str | None = None) -> ray.data.Dataset:
+    """Driver query: the GC pass after the month-later re-crawl
+    (snapshots.snapshot2) replaces the base corpus — store built from
+    web_pages, live = snapshot2; orphans = base-corpus chunks no live
+    page references.  Full SQL twin in ``oracles.chunk_gc_snap2_sql``."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+
+    if store_path is None:
+        store_path = (f"/tmp/dedup_chunk_store_"
+                      f"{os.path.basename(sf_dir.rstrip('/'))}")
+        shutil.rmtree(store_path, ignore_errors=True)
+    build_chunk_store(
+        web_pages(sf_dir).select_columns(["url", "html"]), store_path,
+        chunk_size=chunk_size)
+    live = snapshot2(sf_dir).select_columns(["url", "html"])
+    return chunk_store_gc(store_path, live, chunk_size=chunk_size)

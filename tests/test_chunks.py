@@ -159,3 +159,95 @@ def test_chunk_delta_cdc_resync(ray_session):
     edited = got[ids % 6 != 0]
     assert len(edited) > 0
     assert (edited["new_bytes"] <= 1024 + 64).all()
+
+
+def _pages(items):
+    import ray.data
+
+    return ray.data.from_items(
+        [{"url": u, "html": h} for u, h in items])
+
+
+def test_chunk_store_build_and_gc_micro(ray_session, tmp_path):
+    """Hand-checked mark-and-sweep: store = chunks of {A, B}, live
+    corpus keeps A's bytes and drops B → B's chunks are the orphans."""
+    a = b"x" * 512 + b"y" * 512           # 2 chunks
+    b_ = b"z" * 512 + b"w" * 100          # 2 chunks (one short tail)
+    store = str(tmp_path / "store")
+    chunks.build_chunk_store(
+        _pages([("a", a), ("b", b_)]), store, chunk_size=512)
+    got = (chunks.chunk_store_gc(store, _pages([("a2", a)]),
+                                 chunk_size=512)
+           .to_pandas().sort_values("chunk_hash").reset_index(drop=True))
+    want = sorted([_hash(b"z" * 512), _hash(b"w" * 100)])
+    assert list(got["chunk_hash"]) == want
+    assert sorted(got["chunk_len"]) == [100, 512]
+
+
+def test_chunk_store_layout_and_lineage(ray_session, tmp_path):
+    import json
+    import os
+
+    store = str(tmp_path / "store")
+    chunks.build_chunk_store(
+        _pages([("a", b"q" * 700)]), store, chunk_size=512,
+        num_partitions=4)
+    parts = [d for d in os.listdir(store) if d.startswith("part=")]
+    assert parts, "hash-partitioned part= dirs expected"
+    meta = json.load(open(os.path.join(store, parts[0], "_META.json")))
+    assert meta["config"]["kind"] == "chunk_store"
+    assert meta["config"]["chunk_size"] == 512
+    # the store holds each chunk identity exactly once
+    import ray.data
+
+    rows = ray.data.read_parquet(
+        [os.path.join(store, p, "data.parquet") for p in parts],
+        partitioning=None).to_pandas()
+    assert rows["chunk_hash"].is_unique
+    assert set(rows["chunk_hash"]) == {_hash(b"q" * 512),
+                                       _hash(b"q" * 188)}
+
+
+def test_chunk_gc_laws(ray_session, tmp_path):
+    """Identical live corpus → zero orphans; empty live corpus → the
+    whole store is orphaned; orphans never intersect live chunks."""
+    pages = [("a", b"m" * 1000), ("b", b"n" * 300)]
+    store = str(tmp_path / "store")
+    chunks.build_chunk_store(_pages(pages), store, chunk_size=512)
+    same = chunks.chunk_store_gc(store, _pages(pages), chunk_size=512)
+    assert same.count() == 0
+    all_gone = (chunks.chunk_store_gc(store, _pages([("z", b"")]),
+                                      chunk_size=512).to_pandas())
+    assert len(all_gone) == 3  # m×512, m×488, n×300
+    assert int(all_gone["chunk_len"].sum()) == 1300
+
+
+def test_chunk_gc_snap2_oracle_parity(ray_session, tmp_path):
+    from data_dedup_ray.oracles import chunk_gc_snap2_sql
+
+    got = (chunks.chunk_gc_snap2(
+        SF, store_path=str(tmp_path / "store")).to_pandas()
+        .sort_values("chunk_hash").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (con.execute(chunk_gc_snap2_sql()).fetchdf()
+            .sort_values("chunk_hash").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for c in ["chunk_hash", "chunk_len"]:
+        assert (got[c].astype(str).values == want[c].astype(str).values).all()
+
+
+def test_chunk_gc_partition_invariance(ray_session, tmp_path):
+    pages = [("a", b"x" * 900), ("b", b"y" * 512), ("c", b"x" * 900)]
+    live = [("k", b"y" * 512)]
+    outs = []
+    for p in (1, 5):
+        store = str(tmp_path / f"store{p}")
+        chunks.build_chunk_store(_pages(pages), store, chunk_size=512,
+                                 num_partitions=p)
+        outs.append(chunks.chunk_store_gc(
+            store, _pages(live), chunk_size=512, num_partitions=p)
+            .to_pandas().sort_values("chunk_hash")
+            .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
