@@ -1445,6 +1445,30 @@ def _q_bigram_lm_scores(sf_dir: str):
     return lm.bigram_lm_scores(sf_dir)
 
 
+def _q_chunk_gc_snap2(sf_dir: str):
+    """Mark-and-sweep GC of the persisted chunk store after the
+    re-crawl replaces the base corpus (pipelines/chunks.py) — the
+    maintenance counterpart of chunk_delta_snap2's ingest direction."""
+    from data_dedup_ray.pipelines import chunks
+
+    return chunks.chunk_gc_snap2(sf_dir)
+
+
+def _q_clustering_agreement(sf_dir: str):
+    """Exact Rand/ARI between the minhash clusterings at two Jaccard
+    cutoffs (pipelines/evaluation.py) — the partition-level agreement
+    companion to detector_agreement's pair-set view."""
+    from data_dedup_ray.pipelines import evaluation
+
+    return evaluation.clustering_agreement(sf_dir)
+
+
+def _q_ppl_buckets(sf_dir: str):
+    from data_dedup_ray.pipelines import lm
+
+    return lm.ppl_buckets(sf_dir)
+
+
 def _q_soft_dedup_weights(sf_dir: str):
     from data_dedup_ray.pipelines import policy
 
@@ -1533,6 +1557,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora": _q_mix_corpora,
         "top_quality_per_domain": _q_top_quality_per_domain,
         "image_meta_gif": _q_image_meta_gif,
+        # session-14 additions (SQL-oracle-backed, replayed green vs
+        # DuckDB at sf0.001/sf0.01 when built — round-4 rotation batch)
+        "ppl_buckets": _q_ppl_buckets,
+        "chunk_gc_snap2": _q_chunk_gc_snap2,
+        "clustering_agreement": _q_clustering_agreement,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
@@ -1709,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import mixing as _mixing
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import lm as _lm
+    from data_dedup_ray.pipelines import evaluation as _evaluation
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import sampling as _sampling
@@ -1742,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         # chunk_delta_cdc intentionally omitted (gear boundaries) →
         # rows-only, with chunk_delta_snap2 as the oracle-backed sibling
         "chunk_delta_snap2": oracles.chunk_delta_snap2_sql(),
+        "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with
         # tf_cosine_pairs as the oracle-backed sibling)
@@ -1750,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         # of the Jaccard / tf-cosine / sha-simhash edge sets
         "ensemble_clusters": oracles.ensemble_clusters_sql(),
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
+        "clustering_agreement": _evaluation.clustering_agreement_sql(),
         # dedup-policy planners: per-cluster soft-sampling weights and
         # the per-cutoff threshold tuning curve (pipelines/policy.py)
         "soft_dedup_weights": _policy.soft_dedup_weights_sql(),
@@ -1913,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": web_pages_sql(_sketches.hll_registers_sql()),
         "cms_token_counts": _sketches.cms_token_counts_sql(),
         "bigram_lm_scores": _lm.bigram_lm_scores_sql(),
+        "ppl_buckets": _lm.ppl_buckets_sql(),
         "substring_dedup_remove": web_pages_sql(
             _spandedup.substring_dedup_remove_sql(50)),
         "weighted_sample_docs": _sampling.weighted_sample_docs_sql(100),

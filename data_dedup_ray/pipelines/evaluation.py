@@ -299,3 +299,227 @@ def dedup_tier_eval(
                                  num_partitions=num_partitions)
         out = row if out is None else out.union(row)
     return out
+
+
+_AGREE_SCHEMA = pa.schema([
+    ("n_docs", pa.int64()),
+    ("s_a", pa.string()), ("s_b", pa.string()), ("s_ab", pa.string()),
+    ("rand_bp", pa.int64()), ("ari_bp", pa.int64()),
+])
+
+_CT_SCHEMA = pa.schema([
+    ("la", pa.string()), ("lb", pa.string()), ("c", pa.int64()),
+])
+
+_SUM_SCHEMA = pa.schema([("s", pa.string()), ("n", pa.int64())])
+
+
+def _comb2_sum(counts) -> int:
+    """Σ C(c, 2) in arbitrary precision (object dtype keeps Python
+    ints elementwise — 10¹²-doc clusters can't overflow int64)."""
+    o = np.asarray(counts, dtype=object)
+    return int((o * (o - 1) // 2).sum()) if len(o) else 0
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward ZERO — DuckDB ``//``
+    semantics, so negative ARI numerators agree bit-for-bit with the
+    SQL twin (Python ``//`` floors instead)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def clustering_rand_index(
+    assign_a: ray.data.Dataset, assign_b: ray.data.Dataset, *,
+    id_col: str = "url", label_col: str = "cluster_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact Rand index + Adjusted Rand Index between two clusterings of
+    the same corpus, in integer basis points — the PARTITION-level
+    agreement measure complementing ``detector_agreement``'s pair-set
+    overlap view (Hubert & Arabie 1985; pair-counting via the
+    contingency-table identity, never by materializing pairs).
+
+    One row: ``(n_docs, s_a, s_b, s_ab, rand_bp, ari_bp)`` where
+    ``s_a = Σ_i C(a_i,2)`` (co-clustered pairs in A), ``s_b`` likewise,
+    ``s_ab = Σ_ij C(n_ij,2)`` (co-clustered in BOTH), and with
+    ``C = C(n,2)``: ``RI = (C − s_a − s_b + 2·s_ab) / C``,
+    ``ARI = 2·(C·s_ab − s_a·s_b) / (C·(s_a+s_b) − 2·s_a·s_b)``
+    (truncated toward zero at 10⁴ — DuckDB ``//`` parity; the
+    degenerate 0-denominator means both partitions are trivial and
+    identical, reported as 10000).  ``s_*`` are decimal STRINGS: at
+    10¹² docs the pair counts pass int64 (the drift.py convention).
+
+    Scale shape: one ``id``-keyed exchange co-partitions the two
+    corpus-sized ``(url, label)`` assignments and reduces each
+    partition to contingency partials ``(la, lb, c)``; one pair-keyed
+    exchange totals them (map-side combine); marginals re-key the
+    CONTINGENCY table (≤ one row per co-cluster combination, never the
+    corpus) on each side's label.  Every driver collect is a P-row
+    partial-sum table."""
+    P = num_partitions
+
+    def prep(label_out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t[id_col].combine_chunks().cast(pa.string())
+            out = pa.table({
+                "url": ids,
+                label_out: t[label_col].combine_chunks()
+                .cast(pa.string()),
+            })
+            return out.append_column("_part", pa.array(key_partition(
+                ids.to_numpy(zero_copy_only=False), P)))
+        return fn
+
+    def join_ct(da: pd.DataFrame, db: pd.DataFrame) -> pd.DataFrame:
+        if not len(da) or not len(db):
+            return pd.DataFrame({"la": pd.Series(dtype=object),
+                                 "lb": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype=np.int64)})
+        m = da.merge(db, on="url")
+        return m.groupby(["la", "lb"], sort=False, as_index=False) \
+            .size().rename(columns={"size": "c"})
+
+    ct_partials = hash_exchange(
+        [
+            assign_a.map_batches(prep("la"), batch_format="pyarrow"),
+            assign_b.map_batches(prep("lb"), batch_format="pyarrow"),
+        ],
+        join_ct, num_partitions=P, schema=_CT_SCHEMA,
+        in_schemas=[
+            pa.schema([("url", pa.string()), ("la", pa.string())]),
+            pa.schema([("url", pa.string()), ("lb", pa.string())]),
+        ],
+    )
+
+    def ct_part(t: pa.Table) -> pa.Table:
+        key = np.array(
+            [f"{a}|{b}" for a, b in zip(
+                t["la"].to_numpy(zero_copy_only=False),
+                t["lb"].to_numpy(zero_copy_only=False))], dtype=object)
+        return t.append_column("_part", pa.array(key_partition(key, P)))
+
+    def ct_pre(t: pa.Table) -> pa.Table:
+        return t.group_by(["la", "lb", "_part"]) \
+            .aggregate([("c", "sum")]).rename_columns(
+            ["la", "lb", "_part", "c"])
+
+    def ct_total(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"la": pd.Series(dtype=object),
+                                 "lb": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype=np.int64)})
+        return df.groupby(["la", "lb"], sort=False, as_index=False)["c"] \
+            .sum()
+
+    ct = hash_exchange(
+        [ct_partials.map_batches(ct_part, batch_format="pyarrow")],
+        ct_total, num_partitions=P, schema=_CT_SCHEMA,
+        in_schemas=[_CT_SCHEMA],
+        pre=[ct_pre],
+    ).materialize()
+
+    def sab_partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        return pa.table({"s": [str(_comb2_sum(c))],
+                         "n": [int(c.sum())]})
+
+    sab = ct.map_batches(sab_partial, batch_format="pyarrow").to_pandas()
+    s_ab = sum(int(x) for x in sab["s"]) if len(sab) else 0
+    n = int(sab["n"].sum()) if len(sab) else 0
+
+    def marginal_sum(side: str):
+        def with_part(t: pa.Table) -> pa.Table:
+            t = t.select([side, "c"])
+            return t.append_column("_part", pa.array(key_partition(
+                t[side].to_numpy(zero_copy_only=False), P)))
+
+        def reduce_m(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"s": pd.Series(dtype=object),
+                                     "n": pd.Series(dtype=np.int64)})
+            m = df.groupby(side, sort=False)["c"].sum()
+            return pd.DataFrame({"s": [str(_comb2_sum(m.to_numpy()))],
+                                 "n": [int(m.sum())]})
+
+        p = hash_exchange(
+            [ct.map_batches(with_part, batch_format="pyarrow")],
+            reduce_m, num_partitions=P, schema=_SUM_SCHEMA,
+            in_schemas=[pa.schema([(side, pa.string()),
+                                   ("c", pa.int64())])],
+        ).to_pandas()
+        return sum(int(x) for x in p["s"]) if len(p) else 0
+
+    s_a = marginal_sum("la")
+    s_b = marginal_sum("lb")
+
+    big_c = n * (n - 1) // 2
+    if big_c == 0:
+        rand_bp = 10000
+    else:
+        rand_bp = 10000 * (big_c - s_a - s_b + 2 * s_ab) // big_c
+    ari_den = big_c * (s_a + s_b) - 2 * s_a * s_b
+    if ari_den == 0:
+        ari_bp = 10000
+    else:
+        ari_bp = _trunc_div(
+            10000 * 2 * (big_c * s_ab - s_a * s_b), ari_den)
+    return ray.data.from_arrow(pa.table({
+        "n_docs": [n], "s_a": [str(s_a)], "s_b": [str(s_b)],
+        "s_ab": [str(s_ab)], "rand_bp": [rand_bp], "ari_bp": [ari_bp],
+    }, schema=_AGREE_SCHEMA))
+
+
+def clustering_agreement(
+    sf_dir: str, *, t_loose: float = 0.7, t_tight: float = 0.85,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Driver query: how much does tightening the Jaccard knob reshuffle
+    the near-dup PARTITION?  Rand/ARI between the minhash clusterings at
+    ``t_loose`` and ``t_tight`` over web_pages — the partition-level
+    companion to ``policy.dedup_threshold_sweep``'s count curve."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    pages = web_pages(sf_dir)
+    a = near.minhash_dedup_clusters(pages, threshold=t_loose)
+    b = near.minhash_dedup_clusters(pages, threshold=t_tight)
+    return clustering_rand_index(a, b, num_partitions=num_partitions)
+
+
+def clustering_agreement_sql(t_loose: float = 0.7,
+                             t_tight: float = 0.85) -> str:
+    """DuckDB twin: both threshold closures verbatim, the contingency
+    identity in HUGEINT (test-scale-bounded; the engine side carries
+    arbitrary-precision partials), ``//`` truncation shared exactly."""
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+
+    return (
+        "WITH la AS (" + near_dup_clusters_sql(t_loose) + "),\n"
+        "lb AS (" + near_dup_clusters_sql(t_tight) + "),\n"
+        "ct AS (SELECT la.cluster_id AS a, lb.cluster_id AS b,\n"
+        "  CAST(count(*) AS HUGEINT) AS c\n"
+        "  FROM la JOIN lb USING (url) GROUP BY 1, 2),\n"
+        "ma AS (SELECT a, sum(c) AS c FROM ct GROUP BY 1),\n"
+        "mb AS (SELECT b, sum(c) AS c FROM ct GROUP BY 1),\n"
+        "t AS (SELECT\n"
+        "  (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT) FROM ct) AS n,\n"
+        "  (SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS HUGEINT)"
+        " FROM ma) AS s_a,\n"
+        "  (SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS HUGEINT)"
+        " FROM mb) AS s_b,\n"
+        "  (SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS HUGEINT)"
+        " FROM ct) AS s_ab)\n"
+        "SELECT CAST(n AS BIGINT) AS n_docs,\n"
+        "  CAST(s_a AS VARCHAR) AS s_a, CAST(s_b AS VARCHAR) AS s_b,\n"
+        "  CAST(s_ab AS VARCHAR) AS s_ab,\n"
+        "  CASE WHEN n*(n-1)//2 = 0 THEN CAST(10000 AS BIGINT)\n"
+        "    ELSE CAST(10000*(n*(n-1)//2 - s_a - s_b + 2*s_ab)\n"
+        "      // (n*(n-1)//2) AS BIGINT) END AS rand_bp,\n"
+        "  CASE WHEN (n*(n-1)//2)*(s_a+s_b) - 2*s_a*s_b = 0\n"
+        "    THEN CAST(10000 AS BIGINT)\n"
+        "    ELSE CAST(10000*2*((n*(n-1)//2)*s_ab - s_a*s_b)\n"
+        "      // ((n*(n-1)//2)*(s_a+s_b) - 2*s_a*s_b) AS BIGINT)\n"
+        "    END AS ari_bp\n"
+        "FROM t"
+    )

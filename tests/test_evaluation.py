@@ -177,3 +177,95 @@ def test_ensemble_oracle_unchanged_by_fragment_refactor():
         "SELECT count(*) AS n FROM web_pages")).fetchone()[0]
     assert len(df) == n > 0 and set(df.columns) == {"url", "cluster_id"}
     assert (df.cluster_id <= df.url).all()
+
+
+def _assign(items):
+    return ray.data.from_items(
+        [{"url": u, "cluster_id": c} for u, c in items])
+
+
+def _brute_rand(a: dict, b: dict):
+    """Pair-counting reference: iterate all unordered doc pairs."""
+    from itertools import combinations
+
+    ids = sorted(a)
+    n = len(ids)
+    big_c = n * (n - 1) // 2
+    s_a = s_b = s_ab = 0
+    for x, y in combinations(ids, 2):
+        ta, tb = a[x] == a[y], b[x] == b[y]
+        s_a += ta
+        s_b += tb
+        s_ab += ta and tb
+    rand_bp = 10000 * (big_c - s_a - s_b + 2 * s_ab) // big_c
+    num = 10000 * 2 * (big_c * s_ab - s_a * s_b)
+    den = big_c * (s_a + s_b) - 2 * s_a * s_b
+    if den == 0:
+        ari_bp = 10000
+    else:
+        q = abs(num) // abs(den)
+        ari_bp = -q if (num < 0) != (den < 0) else q
+    return n, s_a, s_b, s_ab, rand_bp, ari_bp
+
+
+def test_rand_index_micro():
+    a = {"1": "x", "2": "x", "3": "x", "4": "y", "5": "y", "6": "z"}
+    b = {"1": "p", "2": "p", "3": "q", "4": "q", "5": "q", "6": "r"}
+    got = evaluation.clustering_rand_index(
+        _assign(a.items()), _assign(b.items()),
+        num_partitions=4).to_pandas().iloc[0]
+    n, s_a, s_b, s_ab, rand_bp, ari_bp = _brute_rand(a, b)
+    assert got["n_docs"] == n
+    assert (int(got["s_a"]), int(got["s_b"]), int(got["s_ab"])) \
+        == (s_a, s_b, s_ab)
+    assert got["rand_bp"] == rand_bp
+    assert got["ari_bp"] == ari_bp
+
+
+def test_rand_index_laws():
+    a = {str(i): f"c{i % 3}" for i in range(12)}
+    # identical partitions (relabeled): RI = ARI = 1
+    b = {k: v.replace("c", "k") for k, v in a.items()}
+    got = evaluation.clustering_rand_index(
+        _assign(a.items()), _assign(b.items()),
+        num_partitions=3).to_pandas().iloc[0]
+    assert got["rand_bp"] == 10000 and got["ari_bp"] == 10000
+    # all-singletons vs all-singletons: degenerate-identical → 10000
+    s = {str(i): str(i) for i in range(5)}
+    got = evaluation.clustering_rand_index(
+        _assign(s.items()), _assign(s.items()),
+        num_partitions=2).to_pandas().iloc[0]
+    assert got["rand_bp"] == 10000 and got["ari_bp"] == 10000
+    # independent-looking split: ARI can go negative; engine must agree
+    # with the brute-force reference exactly (trunc-toward-zero)
+    a2 = {"1": "x", "2": "x", "3": "y", "4": "y"}
+    b2 = {"1": "p", "2": "q", "3": "p", "4": "q"}
+    got = evaluation.clustering_rand_index(
+        _assign(a2.items()), _assign(b2.items()),
+        num_partitions=2).to_pandas().iloc[0]
+    _, _, _, _, rand_bp, ari_bp = _brute_rand(a2, b2)
+    assert got["rand_bp"] == rand_bp
+    assert got["ari_bp"] == ari_bp and ari_bp < 0
+
+
+def test_rand_index_partition_invariance():
+    a = {str(i): f"c{i % 4}" for i in range(40)}
+    b = {str(i): f"k{i % 5}" for i in range(40)}
+    outs = [evaluation.clustering_rand_index(
+        _assign(a.items()), _assign(b.items()),
+        num_partitions=p).to_pandas() for p in (1, 7)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_clustering_agreement_matches_sql_oracle():
+    got = evaluation.clustering_agreement(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(evaluation.clustering_agreement_sql()).fetchdf()
+    assert len(got) == len(want) == 1
+    for c in got.columns:
+        assert str(got[c].iloc[0]) == str(want[c].iloc[0]), c
+    # tightening the threshold only splits clusters (refinement):
+    # every pair co-clustered in B is co-clustered in A
+    assert int(got["s_ab"].iloc[0]) == int(got["s_b"].iloc[0])
