@@ -1454,6 +1454,26 @@ def _q_chunk_gc_snap2(sf_dir: str):
     return chunks.chunk_gc_snap2(sf_dir)
 
 
+def _q_incremental_bbit_pairs(sf_dir: str, token_hash=None):
+    """Estimated near-dup pairs against the 16 B/doc b-bit MinHash
+    index (pipelines/bbit.py, Li & König 2010) — the estimation tier of
+    the fingerprint-store ladder at 1/64 the signature store's state.
+    token_hash="sha" is the bit-for-bit SQL-pinned variant; the default
+    polars token hash is rows-only (same split as incremental_sig_pairs)."""
+    import os
+    import shutil
+
+    from data_dedup_ray.pipelines import bbit, snapshots
+
+    suffix = "sha" if token_hash else "fast"
+    idx = (f"/tmp/dedup_bbit_idx_{suffix}_"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(idx, ignore_errors=True)
+    bbit.build_bbit_index(web_pages(sf_dir), idx, token_hash=token_hash)
+    return bbit.incremental_bbit_pairs(
+        snapshots.snapshot2(sf_dir), idx, token_hash=token_hash)
+
+
 def _q_clustering_agreement(sf_dir: str):
     """Exact Rand/ARI between the minhash clusterings at two Jaccard
     cutoffs (pipelines/evaluation.py) — the partition-level agreement
@@ -1562,6 +1582,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
+        "incremental_bbit_pairs_sha":
+            lambda sf: _q_incremental_bbit_pairs(sf, token_hash="sha"),
+        "incremental_bbit_pairs": _q_incremental_bbit_pairs,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
@@ -1739,6 +1762,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import lm as _lm
     from data_dedup_ray.pipelines import evaluation as _evaluation
+    from data_dedup_ray.pipelines import bbit as _bbit
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import sampling as _sampling
@@ -1782,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "ensemble_clusters": oracles.ensemble_clusters_sql(),
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         "clustering_agreement": _evaluation.clustering_agreement_sql(),
+        "incremental_bbit_pairs_sha": _bbit.incremental_bbit_pairs_sql(),
         # dedup-policy planners: per-cluster soft-sampling weights and
         # the per-cutoff threshold tuning curve (pipelines/policy.py)
         "soft_dedup_weights": _policy.soft_dedup_weights_sql(),

@@ -281,6 +281,60 @@ def incremental_sig_near_pairs(
     )
 
 
+def sig_chain_ctes(*, n_perm: int = 126, shingle_k: int = 5,
+                   seed: int = 42) -> str:
+    """The shared SQL restatement of the MinHash signature chain over
+    the tagged web_pages ('i|') × snapshot2 ('n|') union — CTE fragment
+    from the corpus derivations through ``msig(id, p, v)`` (per-perm
+    minima).  Both the signature-agreement oracle below and the b-bit
+    oracle (pipelines/bbit.py) append their own tails to it."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.pipelines.snapshots import SNAPSHOT2_CTE
+    from data_dedup_ray.stages.minhash import MinHashLSH
+
+    m = MinHashLSH(n_perm=n_perm, band_r=1 if n_perm % 3 else 3,
+                   shingle_k=shingle_k, seed=seed)
+    a = m.A[:, 0].astype(object)  # python ints: no uint64 overflow
+    b = m.B[:, 0].astype(object)
+    perms = ",\n    ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(n_perm))
+    C = 0x100000001B3
+    M = 1 << 64
+    k = shingle_k
+    # rolling combine ((((h1·c + h2)·c + h3)·c + h4)·c + h5) mod 2⁶⁴,
+    # built for any k
+    expr = "h1::HUGEINT"
+    for j in range(2, k + 1):
+        expr = f"(({expr} * {C} + h{j}) % {M}::HUGEINT)"
+    leads = ",\n         ".join(
+        f"lead(h, {j - 1}) OVER w AS h{j}" for j in range(2, k + 1))
+    return f"""{WEB_PAGES_CTE},
+{SNAPSHOT2_CTE},
+mall AS (
+  SELECT 'i|' || url AS id, text FROM web_pages
+  UNION ALL SELECT 'n|' || url, text FROM snapshot2),
+mtok AS (SELECT id, g.i AS pos, t[g.i] AS tok
+         FROM (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t
+               FROM mall) u,
+              UNNEST(generate_series(1, len(t))) AS g(i)),
+mh AS (SELECT id, pos,
+              CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+       FROM mtok),
+mw AS (SELECT id, h AS h1,
+         {leads}
+       FROM mh WINDOW w AS (PARTITION BY id ORDER BY pos)),
+msh AS (SELECT DISTINCT id, {expr} AS s
+        FROM mw WHERE h{k} IS NOT NULL),
+perms(p, pa, pb) AS (VALUES
+    {perms}),
+msig AS (SELECT id, p,
+                min((((pa % 4294967296) * s) % {M}::HUGEINT
+                     + (((pa // 4294967296) * s) % 4294967296) * 4294967296
+                     + pb) % {M}::HUGEINT) AS v
+         FROM msh CROSS JOIN perms GROUP BY id, p)"""
+
+
 def incremental_sig_near_pairs_sql(
     threshold: float = 0.7, *, n_perm: int = 126, shingle_k: int = 5,
     seed: int = 42,
@@ -305,53 +359,9 @@ def incremental_sig_near_pairs_sql(
     only — a pair at est ≥ t with NO fully-agreeing band would differ,
     with probability (1-t^r)^(n_perm/r) ≈ 2e-8 at t=0.7 (deterministic
     per corpus; pinned empirically by the driver run and a pytest)."""
-    from data_dedup_ray.corpus import WEB_PAGES_CTE
-    from data_dedup_ray.pipelines.snapshots import SNAPSHOT2_CTE
-    from data_dedup_ray.stages.minhash import MinHashLSH
-
-    m = MinHashLSH(n_perm=n_perm, band_r=1 if n_perm % 3 else 3,
-                   shingle_k=shingle_k, seed=seed)
-    a = m.A[:, 0].astype(object)  # python ints: no uint64 overflow
-    b = m.B[:, 0].astype(object)
-    perms = ",\n    ".join(
-        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
-        for p in range(n_perm))
-    C = 0x100000001B3
-    M = 1 << 64
-    k = shingle_k
     min_agree = int(np.ceil(threshold * n_perm))
-    # rolling combine ((((h1·c + h2)·c + h3)·c + h4)·c + h5) mod 2⁶⁴,
-    # built for any k
-    expr = "h1::HUGEINT"
-    for j in range(2, k + 1):
-        expr = f"(({expr} * {C} + h{j}) % {M}::HUGEINT)"
-    leads = ",\n         ".join(
-        f"lead(h, {j - 1}) OVER w AS h{j}" for j in range(2, k + 1))
     return f"""
-WITH {WEB_PAGES_CTE},
-{SNAPSHOT2_CTE},
-mall AS (
-  SELECT 'i|' || url AS id, text FROM web_pages
-  UNION ALL SELECT 'n|' || url, text FROM snapshot2),
-mtok AS (SELECT id, g.i AS pos, t[g.i] AS tok
-         FROM (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t
-               FROM mall) u,
-              UNNEST(generate_series(1, len(t))) AS g(i)),
-mh AS (SELECT id, pos,
-              CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
-       FROM mtok),
-mw AS (SELECT id, h AS h1,
-         {leads}
-       FROM mh WINDOW w AS (PARTITION BY id ORDER BY pos)),
-msh AS (SELECT DISTINCT id, {expr} AS s
-        FROM mw WHERE h{k} IS NOT NULL),
-perms(p, pa, pb) AS (VALUES
-    {perms}),
-msig AS (SELECT id, p,
-                min((((pa % 4294967296) * s) % {M}::HUGEINT
-                     + (((pa // 4294967296) * s) % 4294967296) * 4294967296
-                     + pb) % {M}::HUGEINT) AS v
-         FROM msh CROSS JOIN perms GROUP BY id, p),
+WITH {sig_chain_ctes(n_perm=n_perm, shingle_k=shingle_k, seed=seed)},
 magree AS (SELECT a.id AS id_a, b.id AS id_b,
                   CAST(count(*) AS BIGINT) AS n_agree
            FROM msig a JOIN msig b ON a.p = b.p AND a.v = b.v
