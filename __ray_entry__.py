@@ -1474,6 +1474,18 @@ def _q_incremental_bbit_pairs(sf_dir: str, token_hash=None):
         snapshots.snapshot2(sf_dir), idx, token_hash=token_hash)
 
 
+def _q_embedding_dup_int8(sf_dir: str):
+    """Int8-quantized embedding dup pairs (pipelines/search.py) — the
+    1 B/dim memory tier of the exact block-pair join (FAISS-SQ8 shape);
+    planted exact copies score cos2_bp = 10000 loss-free."""
+    from data_dedup_ray.pipelines.search import (
+        augmented_embeddings,
+        embedding_dup_pairs_int8,
+    )
+
+    return embedding_dup_pairs_int8(augmented_embeddings(sf_dir))
+
+
 def _q_clustering_agreement(sf_dir: str):
     """Exact Rand/ARI between the minhash clusterings at two Jaccard
     cutoffs (pipelines/evaluation.py) — the partition-level agreement
@@ -1585,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_bbit_pairs_sha":
             lambda sf: _q_incremental_bbit_pairs(sf, token_hash="sha"),
         "incremental_bbit_pairs": _q_incremental_bbit_pairs,
+        "embedding_dup_pairs_int8": _q_embedding_dup_int8,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
@@ -1807,6 +1820,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         "clustering_agreement": _evaluation.clustering_agreement_sql(),
         "incremental_bbit_pairs_sha": _bbit.incremental_bbit_pairs_sql(),
+        "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         # dedup-policy planners: per-cluster soft-sampling weights and
         # the per-cutoff threshold tuning curve (pipelines/policy.py)
         "soft_dedup_weights": _policy.soft_dedup_weights_sql(),

@@ -144,6 +144,40 @@ FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 
+def embedding_dup_int8_sql(min_cos2_bp: int = 9801) -> str:
+    """SQL twin of pipelines/search.embedding_dup_pairs_int8 over the
+    augmented table: the per-vector int8 quantization rule restated in
+    DOUBLE (``floor(v · 127 / max|v|)`` — the same IEEE multiply/divide/
+    floor sequence numpy runs after the exact float32→float64 cast),
+    then exact-integer dot/norm arithmetic in HUGEINT with the
+    cross-multiplied floor-division predicate shared with tf_cosine."""
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+x AS (
+  SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM emb, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+mx AS (SELECT vec_id, max(abs(v)) AS m FROM x GROUP BY 1),
+q AS (
+  SELECT x.vec_id, i,
+         CAST(floor(v * 127 / CASE WHEN m = 0 THEN 1 ELSE m END)
+              AS BIGINT) AS q
+  FROM x JOIN mx USING (vec_id)),
+n2 AS (SELECT vec_id, CAST(sum(q*q) AS HUGEINT) AS n2 FROM q GROUP BY 1),
+d AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         CAST(sum(a.q * b.q) AS HUGEINT) AS dot
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT vec_id_a, vec_id_b,
+       CAST(dot*dot*10000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_bp
+FROM d JOIN n2 na ON na.vec_id = d.vec_id_a
+       JOIN n2 nb ON nb.vec_id = d.vec_id_b
+WHERE dot > 0 AND dot*dot*10000 >= {int(min_cos2_bp)} * na.n2 * nb.n2"""
+
+
 def near_dup_clusters_sql(threshold: float = 0.7) -> str:
     """Connected components of the verified near-dup pair graph via a
     recursive transitive closure; singletons keep their own url."""

@@ -170,6 +170,37 @@ _PAIR_SCHEMA = pa.schema([
 ])
 
 
+def _block_pair_emit(id_col: str, emb_col: str, B: int):
+    """The triangular block-pair EMIT stage shared by the exact float
+    join and the int8 variant: each row is sent to the ``B`` bucket
+    pairs its id-hash block belongs to, with the partition's (lo, hi)
+    packed into ``_lohi`` so the join side derives the block pair from
+    the PARTITION identity, never from the data it happens to receive
+    (a mixed partition fed rows from only one side must emit nothing,
+    not fall back to a duplicate diagonal join)."""
+    from data_dedup_ray.engine.exchange import key_partition
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return t.append_column("_blk", pa.array([], pa.int64())) \
+                    .append_column("_part", pa.array([], pa.int64()))
+        blk = key_partition(ids, B)
+        rep = np.repeat(np.arange(n), B)
+        peer = np.tile(np.arange(B, dtype=np.int64), n)
+        myb = blk[rep]
+        lo = np.minimum(myb, peer)
+        hi = np.maximum(myb, peer)
+        part = lo * B - lo * (lo - 1) // 2 + (hi - lo)
+        sub = t.select([id_col, emb_col]).take(pa.array(rep))
+        return sub.append_column("_blk", pa.array(myb)) \
+                  .append_column("_lohi", pa.array((lo << 32) | hi)) \
+                  .append_column("_part", pa.array(part))
+
+    return emit
+
+
 def _emit_pairs(ids: np.ndarray, X: np.ndarray, jds: np.ndarray,
                 Y: np.ndarray, threshold: float, *,
                 diagonal: bool, chunk: int = 4096) -> pa.Table:
@@ -227,30 +258,8 @@ def embedding_dup_pairs(
 
     B = num_blocks
     P = B * (B + 1) // 2
-
-    def emit(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        if n == 0:
-            return t.append_column("_blk", pa.array([], pa.int64())) \
-                    .append_column("_part", pa.array([], pa.int64()))
-        blk = key_partition(ids, B)
-        rep = np.repeat(np.arange(n), B)
-        peer = np.tile(np.arange(B, dtype=np.int64), n)
-        myb = blk[rep]
-        lo = np.minimum(myb, peer)
-        hi = np.maximum(myb, peer)
-        part = lo * B - lo * (lo - 1) // 2 + (hi - lo)
-        sub = t.select([id_col, emb_col]).take(pa.array(rep))
-        # the block pair this row serves, packed — pair_part derives its
-        # (lo, hi) from THIS column, never from the data it happens to
-        # receive: a mixed partition fed rows from only one side must
-        # emit nothing, not fall back to a (duplicate) diagonal join
-        return sub.append_column("_blk", pa.array(myb)) \
-                  .append_column("_lohi", pa.array((lo << 32) | hi)) \
-                  .append_column("_part", pa.array(part))
-
-    emitted = emb.map_batches(emit, batch_format="pyarrow")
+    emitted = emb.map_batches(_block_pair_emit(id_col, emb_col, B),
+                              batch_format="pyarrow")
 
     def pair_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -739,3 +748,114 @@ comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a)
 SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id
 FROM emb e LEFT JOIN comp c ON c.vec_id = e.vec_id"""
+
+
+_PAIR_I8_SCHEMA = pa.schema([
+    ("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()),
+    ("cos2_bp", pa.int64()),
+])
+
+
+def quantize_int8(X: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 quantization: ``q_i = floor(x_i · 127 /
+    max|x|)`` ∈ [−127, 127] — the FAISS-SQ8-style scalar quantizer as a
+    DETERMINISTIC rule DuckDB can restate (all arithmetic in float64:
+    the float32→float64 cast is exact, and both sides evaluate the same
+    multiply-then-divide-then-floor IEEE sequence).  Zero vectors stay
+    zero."""
+    X = X.astype(np.float64)
+    mx = np.abs(X).max(axis=1, keepdims=True)
+    safe = np.where(mx == 0, 1.0, mx)
+    return np.floor(X * 127.0 / safe).astype(np.int64)
+
+
+def _emit_pairs_int8(ids: np.ndarray, Qx: np.ndarray, jds: np.ndarray,
+                     Qy: np.ndarray, min_cos2_bp: int, *,
+                     diagonal: bool, chunk: int = 4096) -> pa.Table:
+    """Integer-exact quantized-cosine pairs: keep (a, b) iff the int
+    dot is positive and ``dot²·10⁴ ≥ min_cos2_bp · n2a · n2b`` — the
+    same cross-multiplied floor-division predicate as tf_cosine.
+
+    The matmul runs in float64 (exact while every dot < 2⁵³ — true for
+    any dim ≤ 5·10⁸ at |q| ≤ 127); the final square/scale returns to
+    int64, so the reported ``cos2_bp = dot²·10⁴ // (n2a·n2b)`` is
+    bit-reproducible (int64-bounded for dim ≤ ~2000)."""
+    n2x = (Qx * Qx).sum(axis=1)
+    n2y = (Qy * Qy).sum(axis=1)
+    Fy = Qy.astype(np.float64).T
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, len(ids), chunk):
+        e = min(s + chunk, len(ids))
+        dot = (Qx[s:e].astype(np.float64) @ Fy).astype(np.int64)
+        den = n2x[s:e, None] * n2y[None, :]
+        num = dot * dot * 10000
+        ok = (dot > 0) & (num >= min_cos2_bp * den)
+        ii, jj = np.nonzero(ok)
+        if diagonal:
+            keep = (s + ii) < jj
+            ii, jj = ii[keep], jj[keep]
+        a, b = ids[s + ii], jds[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ns = lo < hi
+        ii, jj = ii[ns], jj[ns]
+        out_a.append(lo[ns])
+        out_b.append(hi[ns])
+        out_c.append(num[ii, jj] // den[ii, jj])
+    if not out_a:
+        return _PAIR_I8_SCHEMA.empty_table()
+    return pa.table({
+        "vec_id_a": np.concatenate(out_a),
+        "vec_id_b": np.concatenate(out_b),
+        "cos2_bp": np.concatenate(out_c),
+    })
+
+
+def embedding_dup_pairs_int8(
+    emb: ray.data.Dataset,
+    *,
+    min_cos2_bp: int = 9801,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_blocks: int = 8,
+) -> ray.data.Dataset:
+    """``(vec_id_a < vec_id_b, cos2_bp)`` over int8-QUANTIZED vectors —
+    the memory tier of the exact block-pair join: 1 B/dim instead of
+    4–8, so each of the B(B+1)/2 partitions holds 4–8× more rows per
+    byte (the vector analogue of the b-bit MinHash tier; FAISS's SQ8).
+
+    Same triangular partitioning as ``embedding_dup_pairs`` (every
+    unordered pair in exactly ONE partition, O((N/B)·d) task memory, no
+    driver involvement) with the quantized integer scorer; the default
+    ``min_cos2_bp = 9801`` is the cos ≥ 0.99 bar squared.  Quantization
+    moves the measured similarity — planted EXACT copies still score
+    cos² = 1 exactly (identical int vectors), so the dedup contract on
+    true duplicates is loss-free; near-pairs shift by O(1/127) and the
+    threshold semantics are 'quantized cosine', stated, not hidden."""
+    from data_dedup_ray.engine.exchange import hash_exchange
+
+    B = num_blocks
+    P = B * (B + 1) // 2
+    emitted = emb.map_batches(_block_pair_emit(id_col, emb_col, B),
+                              batch_format="pyarrow")
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_I8_SCHEMA.empty_table()
+        lohi = int(t["_lohi"][0].as_py())
+        lo, hi = lohi >> 32, lohi & 0xFFFFFFFF
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        blk = t["_blk"].to_numpy(zero_copy_only=False)
+        Q = quantize_int8(_matrix(t, emb_col))
+        if lo == hi:
+            return _emit_pairs_int8(ids, Q, ids, Q, min_cos2_bp,
+                                    diagonal=True)
+        mi, mj = blk == lo, blk == hi
+        if not mi.any() or not mj.any():
+            return _PAIR_I8_SCHEMA.empty_table()
+        return _emit_pairs_int8(ids[mi], Q[mi], ids[mj], Q[mj],
+                                min_cos2_bp, diagonal=False)
+
+    return hash_exchange(
+        [emitted], pair_part, num_partitions=P,
+        schema=_PAIR_I8_SCHEMA, apply_format="pyarrow",
+    )

@@ -398,3 +398,46 @@ def test_fingerprints_sha_oracle(ray_session, sf_dir):
         want["fingerprint_sha"].tolist()
     # every real doc has >= 5 tokens in the synthetic corpus
     assert (got["fingerprint_sha"].str.len() == 16).all()
+
+
+def test_quantize_int8_rule():
+    import numpy as np
+
+    from data_dedup_ray.pipelines.search import quantize_int8
+
+    X = np.array([[0.5, -1.0, 0.25, 0.0],
+                  [0.0, 0.0, 0.0, 0.0],
+                  [2.0, 2.0, 2.0, 2.0]], dtype=np.float32)
+    q = quantize_int8(X)
+    # floor(x*127/max|x|): max element hits ±127 exactly; zero rows stay 0
+    assert list(q[0]) == [63, -127, 31, 0]
+    assert list(q[1]) == [0, 0, 0, 0]
+    assert list(q[2]) == [127, 127, 127, 127]
+
+
+def test_embedding_dup_pairs_int8(sf_dir, con):
+    from data_dedup_ray.pipelines.search import embedding_dup_pairs_int8
+
+    got = embedding_dup_pairs_int8(
+        augmented_embeddings(sf_dir)).to_pandas()
+    want = con.execute(oracles.embedding_dup_int8_sql()).fetchdf()
+    _cmp(got, want, ["vec_id_a", "vec_id_b"])
+    # planted EXACT copies quantize identically → cos² exactly 1:
+    # quantization is loss-free on true duplicates
+    assert (got["cos2_bp"] == 10000).all()
+    assert len(got) == 50
+    # and the int8 tier finds the same pair set as the float join here
+    f = embedding_dup_pairs(
+        augmented_embeddings(sf_dir), threshold=0.99).to_pandas()
+    assert set(zip(got["vec_id_a"], got["vec_id_b"])) \
+        == set(zip(f["vec_id_a"], f["vec_id_b"]))
+
+
+def test_embedding_dup_pairs_int8_block_invariance(sf_dir):
+    from data_dedup_ray.pipelines.search import embedding_dup_pairs_int8
+
+    outs = [embedding_dup_pairs_int8(
+        augmented_embeddings(sf_dir), num_blocks=b).to_pandas()
+        .sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+        for b in (3, 11)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
