@@ -1486,6 +1486,15 @@ def _q_embedding_dup_int8(sf_dir: str):
     return embedding_dup_pairs_int8(augmented_embeddings(sf_dir))
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Token-occurrence coverage per candidate vocabulary size
+    (pipelines/text.py) — the Zipf curve a tokenizer budget is read
+    from; driver sees only the (count-value, n_terms) histogram."""
+    from data_dedup_ray.pipelines import text as _text
+
+    return _text.vocab_coverage(sf_dir)
+
+
 def _q_clustering_agreement(sf_dir: str):
     """Exact Rand/ARI between the minhash clusterings at two Jaccard
     cutoffs (pipelines/evaluation.py) — the partition-level agreement
@@ -1598,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _q_incremental_bbit_pairs(sf, token_hash="sha"),
         "incremental_bbit_pairs": _q_incremental_bbit_pairs,
         "embedding_dup_pairs_int8": _q_embedding_dup_int8,
+        "vocab_coverage": _q_vocab_coverage,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
@@ -1821,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_agreement": _evaluation.clustering_agreement_sql(),
         "incremental_bbit_pairs_sha": _bbit.incremental_bbit_pairs_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
+        "vocab_coverage": _text.vocab_coverage_sql(),
         # dedup-policy planners: per-cluster soft-sampling weights and
         # the per-cutoff threshold tuning curve (pipelines/policy.py)
         "soft_dedup_weights": _policy.soft_dedup_weights_sql(),

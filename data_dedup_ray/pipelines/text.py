@@ -477,3 +477,132 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{esc(BPE_PATTERN)}'))
          AS n_bpe_tokens
 FROM documents"""
+
+
+# spans both regimes: the synthetic corpus's ~31-term vocabulary
+# (so the test-scale curve is non-trivial) and real budgets
+DEFAULT_VOCAB_CUTS = (4, 16, 1000, 64000)
+
+
+def vocab_coverage(sf_dir: str, *, cutoffs=DEFAULT_VOCAB_CUTS,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Tokenizer-budget planner: for each candidate vocabulary size N,
+    what fraction of all token OCCURRENCES the top-N terms (by count,
+    ties lexicographic) cover — ``(vocab_size, n_distinct, covered,
+    total, coverage_bp)``, the curve read before fixing a vocab/merge
+    budget (the Zipf-coverage table of Sennrich 2016 §5 / any
+    BPE-budget discussion).
+
+    Scale shape: per-batch occurrence counts enter ONE term-keyed
+    exchange (combiner bounds shuffle volume by vocabulary, the
+    ``top_terms`` shape), each partition reduces its terms to a
+    (count-value → n_terms) HISTOGRAM — coverage needs only sums, and
+    every term with the same count contributes identically, so the
+    tie-break order never matters — and the driver walks the tiny
+    merged histogram (≤ distinct count values ≤ 2·√total rows).  No
+    global sort, no top-N materialization."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_dedup_ray.engine.exchange import hash_exchange
+
+    P = num_partitions
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(textstats.TOKEN_RE.findall(s.lower()))
+        if not c:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64()),
+            })
+        terms = np.asarray(list(c.keys()), dtype=object)
+        part = (pd.util.hash_array(terms) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "c": pa.array(np.fromiter(c.values(), np.int64, len(c))),
+            "_part": pa.array(part),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["term", "_part"]).aggregate([("c", "sum")])
+            .rename_columns(["term", "_part", "c"])
+        )
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c": pd.Series(dtype=np.int64),
+                                 "n_terms": pd.Series(dtype=np.int64)})
+        tot = df.groupby("term", sort=False)["c"].sum()
+        h = tot.value_counts()
+        return pd.DataFrame({"c": h.index.to_numpy(np.int64),
+                             "n_terms": h.to_numpy(np.int64)})
+
+    hist = hash_exchange(
+        [docs.map_batches(partial, batch_format="pyarrow")],
+        hist_part, num_partitions=P,
+        schema=pa.schema([("c", pa.int64()), ("n_terms", pa.int64())]),
+        in_schemas=[pa.schema([("term", pa.string()),
+                               ("c", pa.int64())])],
+        pre=[combine],
+    ).to_pandas()  # histogram-sized: ≤ distinct count values × P rows
+
+    hist = hist.groupby("c", as_index=False)["n_terms"].sum() \
+        .sort_values("c", ascending=False).reset_index(drop=True)
+    total = int((hist["c"] * hist["n_terms"]).sum()) if len(hist) else 0
+    n_distinct = int(hist["n_terms"].sum()) if len(hist) else 0
+
+    rows = []
+    for n in sorted(int(x) for x in cutoffs):
+        slots, covered = n, 0
+        for cv, g in zip(hist["c"], hist["n_terms"]):
+            take = min(slots, int(g))
+            covered += int(cv) * take
+            slots -= take
+            if slots == 0:
+                break
+        rows.append({
+            "vocab_size": n, "n_distinct": n_distinct,
+            "covered": covered, "total": total,
+            "coverage_bp": 10000 * covered // max(total, 1),
+        })
+    schema = pa.schema([
+        ("vocab_size", pa.int64()), ("n_distinct", pa.int64()),
+        ("covered", pa.int64()), ("total", pa.int64()),
+        ("coverage_bp", pa.int64()),
+    ])
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=[f.name for f in schema]),
+        schema=schema, preserve_index=False))
+
+
+def vocab_coverage_sql(cutoffs=DEFAULT_VOCAB_CUTS) -> str:
+    """DuckDB twin: rank terms by (count desc, term) and sum the top-N
+    counts per cutoff — ties share a count value, so the rank order
+    inside a tie never changes the sum and both sides agree exactly."""
+    cuts = ", ".join(f"({int(n)})" for n in sorted(cutoffs))
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tf),
+tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_distinct FROM tf),
+cuts(vocab_size) AS (VALUES {cuts})
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size, t.n_distinct,
+       CAST(coalesce((SELECT sum(c) FROM r WHERE rn <= vocab_size), 0)
+            AS BIGINT) AS covered,
+       t.total,
+       CAST(10000 * coalesce((SELECT sum(c) FROM r
+                              WHERE rn <= vocab_size), 0)
+            // greatest(t.total, 1) AS BIGINT) AS coverage_bp
+FROM cuts, tot t"""

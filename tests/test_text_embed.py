@@ -441,3 +441,34 @@ def test_embedding_dup_pairs_int8_block_invariance(sf_dir):
         .sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
         for b in (3, 11)]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_vocab_coverage_oracle_and_laws(sf_dir, con):
+    got = (text.vocab_coverage(sf_dir).to_pandas()
+           .sort_values("vocab_size").reset_index(drop=True))
+    want = (con.execute(text.vocab_coverage_sql()).fetchdf()
+            .sort_values("vocab_size").reset_index(drop=True))
+    _cmp(got, want, ["vocab_size"])
+    # monotone in the budget; saturates at 10000 once N ≥ n_distinct
+    assert (got["coverage_bp"].diff().dropna() >= 0).all()
+    sat = got[got["vocab_size"] >= got["n_distinct"]]
+    assert (sat["coverage_bp"] == 10000).all()
+    assert (sat["covered"] == sat["total"]).all()
+    # total is the corpus occurrence count, constant across rows
+    assert got["total"].nunique() == 1
+
+
+def test_vocab_coverage_bruteforce(sf_dir):
+    import re
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    c = Counter()
+    for s in docs["text"]:
+        c.update(re.findall(r"[a-z0-9]+", s.lower()))
+    ordered = sorted(c.values(), reverse=True)
+    got = (text.vocab_coverage(sf_dir, cutoffs=(1, 5, 10**6))
+           .to_pandas().set_index("vocab_size"))
+    for n in (1, 5, 10**6):
+        assert got.loc[n, "covered"] == sum(ordered[:n])
+    assert got["n_distinct"].iloc[0] == len(c)
