@@ -1486,6 +1486,16 @@ def _q_embedding_dup_int8(sf_dir: str):
     return embedding_dup_pairs_int8(augmented_embeddings(sf_dir))
 
 
+def _q_oph_pairs(sf_dir: str, token_hash=None):
+    """One-permutation-hashing near-dup pairs (pipelines/oph.py,
+    Li-Owen-Zhang 2012 + rotation densification) — the ~n_perm×-cheaper
+    signature pass.  token_hash="sha" is the bit-for-bit SQL-pinned
+    variant; the default polars hash is rows-only."""
+    from data_dedup_ray.pipelines import oph as _oph
+
+    return _oph.oph_pairs_web(sf_dir, token_hash=token_hash)
+
+
 def _q_vocab_coverage(sf_dir: str):
     """Token-occurrence coverage per candidate vocabulary size
     (pipelines/text.py) — the Zipf curve a tokenizer budget is read
@@ -1608,6 +1618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_bbit_pairs": _q_incremental_bbit_pairs,
         "embedding_dup_pairs_int8": _q_embedding_dup_int8,
         "vocab_coverage": _q_vocab_coverage,
+        "oph_pairs_sha": lambda sf: _q_oph_pairs(sf, token_hash="sha"),
+        "oph_pairs": _q_oph_pairs,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
@@ -1786,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import lm as _lm
     from data_dedup_ray.pipelines import evaluation as _evaluation
     from data_dedup_ray.pipelines import bbit as _bbit
+    from data_dedup_ray.pipelines import oph as _oph
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import sampling as _sampling
@@ -1832,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_bbit_pairs_sha": _bbit.incremental_bbit_pairs_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
+        "oph_pairs_sha": _oph.oph_pairs_sql(),
         # dedup-policy planners: per-cluster soft-sampling weights and
         # the per-cutoff threshold tuning curve (pipelines/policy.py)
         "soft_dedup_weights": _policy.soft_dedup_weights_sql(),

@@ -282,12 +282,17 @@ def incremental_sig_near_pairs(
 
 
 def sig_chain_ctes(*, n_perm: int = 126, shingle_k: int = 5,
-                   seed: int = 42) -> str:
+                   seed: int = 42, single_corpus: bool = False) -> str:
     """The shared SQL restatement of the MinHash signature chain over
     the tagged web_pages ('i|') × snapshot2 ('n|') union — CTE fragment
     from the corpus derivations through ``msig(id, p, v)`` (per-perm
     minima).  Both the signature-agreement oracle below and the b-bit
-    oracle (pipelines/bbit.py) append their own tails to it."""
+    oracle (pipelines/bbit.py) append their own tails to it.
+
+    ``single_corpus=True`` drops the snapshot2 side (``mall`` = bare
+    web_pages urls, no tag) — the shape the one-permutation-hashing
+    oracle (pipelines/oph.py) builds on; it stops at ``msh`` (distinct
+    shingle hashes), whose derivation is the part worth sharing."""
     from data_dedup_ray.corpus import WEB_PAGES_CTE
     from data_dedup_ray.pipelines.snapshots import SNAPSHOT2_CTE
     from data_dedup_ray.stages.minhash import MinHashLSH
@@ -309,11 +314,16 @@ def sig_chain_ctes(*, n_perm: int = 126, shingle_k: int = 5,
         expr = f"(({expr} * {C} + h{j}) % {M}::HUGEINT)"
     leads = ",\n         ".join(
         f"lead(h, {j - 1}) OVER w AS h{j}" for j in range(2, k + 1))
-    return f"""{WEB_PAGES_CTE},
+    if single_corpus:
+        corpus = f"""{WEB_PAGES_CTE},
+mall AS (SELECT url AS id, text FROM web_pages),"""
+    else:
+        corpus = f"""{WEB_PAGES_CTE},
 {SNAPSHOT2_CTE},
 mall AS (
   SELECT 'i|' || url AS id, text FROM web_pages
-  UNION ALL SELECT 'n|' || url, text FROM snapshot2),
+  UNION ALL SELECT 'n|' || url, text FROM snapshot2),"""
+    return f"""{corpus}
 mtok AS (SELECT id, g.i AS pos, t[g.i] AS tok
          FROM (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t
                FROM mall) u,
