@@ -1496,6 +1496,15 @@ def _q_oph_pairs(sf_dir: str, token_hash=None):
     return _oph.oph_pairs_web(sf_dir, token_hash=token_hash)
 
 
+def _q_span_dup_exposure(sf_dir: str):
+    """Per-doc duplicated-span token exposure (pipelines/spandedup.py)
+    — the token-granular cross-doc duplication profile feeding
+    token-level soft-dedup weighting."""
+    from data_dedup_ray.pipelines import spandedup as _span
+
+    return _span.span_dup_exposure_web(sf_dir)
+
+
 def _q_vocab_coverage(sf_dir: str):
     """Token-occurrence coverage per candidate vocabulary size
     (pipelines/text.py) — the Zipf curve a tokenizer budget is read
@@ -1608,8 +1617,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora": _q_mix_corpora,
         "top_quality_per_domain": _q_top_quality_per_domain,
         "image_meta_gif": _q_image_meta_gif,
-        # session-14 additions (SQL-oracle-backed, replayed green vs
-        # DuckDB at sf0.001/sf0.01 when built — round-4 rotation batch)
+        # session-14 additions (slots 53-62: ppl_buckets, chunk_gc_snap2,
+        # clustering_agreement, incremental_bbit_pairs_sha,
+        # embedding_dup_pairs_int8, vocab_coverage, oph_pairs_sha all
+        # SQL-oracle-backed and replayed green vs DuckDB at sf0.01 in a
+        # full 178-query contract replay; incremental_bbit_pairs /
+        # oph_pairs are the documented rows-only fast-hash siblings.
+        # ROTATE THESE INTO SLOTS 1-50 IN ROUND 4 together with the
+        # session-6 batch below.)
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1620,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": _q_vocab_coverage,
         "oph_pairs_sha": lambda sf: _q_oph_pairs(sf, token_hash="sha"),
         "oph_pairs": _q_oph_pairs,
+        "span_dup_exposure": _q_span_dup_exposure,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
@@ -1846,6 +1862,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),
+        "span_dup_exposure": web_pages_sql(
+            _spandedup.span_dup_exposure_sql()),
         # dedup-policy planners: per-cluster soft-sampling weights and
         # the per-cutoff threshold tuning curve (pipelines/policy.py)
         "soft_dedup_weights": _policy.soft_dedup_weights_sql(),

@@ -196,3 +196,140 @@ LEFT JOIN (
   FROM tok LEFT JOIN rpos ON tok.url = rpos.url AND tok.tp = rpos.tp
   GROUP BY tok.url
 ) kept USING (url)"""
+
+
+_EXP_OUT = pa.schema([
+    ("url", pa.string()), ("n_tokens", pa.int64()),
+    ("n_dup_tokens", pa.int64()), ("dup_bp", pa.int64()),
+])
+
+
+def span_dup_exposure(
+    ds: ray.data.Dataset, *, min_tokens: int = 50, id_col: str = "url",
+    text_col: str = "text", num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-doc duplicated-span EXPOSURE: ``(url, n_tokens,
+    n_dup_tokens, dup_bp)`` where ``n_dup_tokens`` is the size of the
+    union of all ``min_tokens``-token windows whose content appears in
+    ≥ 2 DISTINCT documents — the token-granular duplication profile
+    (what fraction of this page is syndicated/boilerplate material),
+    i.e. the input a token-level soft-dedup weighting or a
+    quality-filter threshold reads.  Unlike ``substring_dedup_remove``
+    this counts EVERY occurrence (the first copy is just as exposed),
+    and unlike ``clean.repetition_stats`` it measures CROSS-doc
+    duplication, not within-doc repetition.
+
+    Shape: window rows (8-byte hash + int32 pos, never text) through
+    ONE whash-keyed exchange; occurrences of cross-doc-duplicated
+    hashes come back dup-occurrence-sized and co-partition with the
+    per-doc token counts on url; the range union is one vectorized
+    diff-clip per partition."""
+    P = num_partitions
+    k = min_tokens
+    wrows = ds.map_batches(
+        _window_rows_with_pos(k, id_col, text_col, P),
+        batch_format="pyarrow")
+
+    def dup_occurrences(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int64)})
+        nun = g.groupby("whash", sort=False)["url"].transform("nunique")
+        out = g.loc[nun >= 2, ["url", "pos"]].copy()
+        out["_part"] = key_partition(out["url"].to_numpy(dtype=object), P)
+        return out
+
+    dups = hash_exchange(
+        [wrows], dup_occurrences, num_partitions=P, schema=_REM,
+        in_schemas=[_WROW],
+    )
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(t[text_col].combine_chunks())
+                .str.to_lowercase()
+                .str.count_matches(r"[a-z0-9]+"))
+        urls = t[id_col].combine_chunks().cast(pa.string())
+        out = pa.table({
+            "url": urls,
+            "n_tokens": pa.array(toks.cast(pl.Int64).to_numpy()),
+        })
+        return out.append_column("_part", pa.array(key_partition(
+            urls.to_numpy(zero_copy_only=False), P)))
+
+    counts = ds.map_batches(doc_counts, batch_format="pyarrow")
+
+    def finalize(dd: pd.DataFrame, dc: pd.DataFrame) -> pd.DataFrame:
+        if not len(dc):
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "n_dup_tokens": pd.Series([], dtype=np.int64),
+                "dup_bp": pd.Series([], dtype=np.int64)})
+        if len(dd):
+            dd = dd.sort_values(["url", "pos"], kind="stable")
+            urls = dd["url"].to_numpy(dtype=object)
+            pos = dd["pos"].to_numpy(np.int64)
+            contrib = np.full(len(dd), k, dtype=np.int64)
+            same = urls[1:] == urls[:-1]
+            contrib[:-1][same] = np.minimum(pos[1:] - pos[:-1], k)[same]
+            cov = pd.DataFrame({"url": urls, "c": contrib}) \
+                .groupby("url", sort=False)["c"].sum()
+            n_dup = dc["url"].map(cov).fillna(0).to_numpy(np.int64)
+        else:
+            n_dup = np.zeros(len(dc), np.int64)
+        nt = dc["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "url": dc["url"].to_numpy(dtype=object),
+            "n_tokens": nt,
+            "n_dup_tokens": n_dup,
+            "dup_bp": 10000 * n_dup // np.maximum(nt, 1),
+        })
+
+    return hash_exchange(
+        [dups, counts], finalize, num_partitions=P, schema=_EXP_OUT,
+        in_schemas=[_REM_IN,
+                    pa.schema([("url", pa.string()),
+                               ("n_tokens", pa.int64())])],
+    )
+
+
+def span_dup_exposure_web(sf_dir: str, *,
+                          min_tokens: int = 50) -> ray.data.Dataset:
+    """Driver query: duplicated-span exposure over web_pages."""
+    from data_dedup_ray.corpus import web_pages
+
+    return span_dup_exposure(web_pages(sf_dir), min_tokens=min_tokens)
+
+
+def span_dup_exposure_sql(min_tokens: int = 50) -> str:
+    """DuckDB twin (wrap with ``corpus.web_pages_sql``): md5 window
+    identity (the documented rolling-hash collision trade), cross-doc
+    predicate ``count(DISTINCT url) >= 2``, and the identical
+    diff-clipped range union via ``lead() OVER``."""
+    k = min_tokens
+    return f""", toks AS (
+  SELECT url, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM web_pages),
+w AS (
+  SELECT url, g.i AS pos,
+         md5(array_to_string(t[g.i : g.i + {k - 1}], ' ')) AS wkey
+  FROM toks, UNNEST(generate_series(1, len(t) - {k} + 1)) AS g(i)
+  WHERE len(t) >= {k}),
+d AS (SELECT wkey FROM w GROUP BY wkey
+      HAVING count(DISTINCT url) >= 2),
+dw AS (SELECT url, pos FROM w JOIN d USING (wkey)),
+cov AS (
+  SELECT url,
+         CAST(sum(CASE WHEN nxt IS NULL THEN {k}
+                       ELSE least(nxt - pos, {k}) END) AS BIGINT) AS nd
+  FROM (SELECT url, pos,
+               lead(pos) OVER (PARTITION BY url ORDER BY pos) AS nxt
+        FROM dw)
+  GROUP BY url),
+tok AS (SELECT url, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+SELECT t.url, t.n_tokens,
+       CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(10000 * coalesce(c.nd, 0) // greatest(t.n_tokens, 1)
+            AS BIGINT) AS dup_bp
+FROM tok t LEFT JOIN cov c USING (url)"""
