@@ -1496,6 +1496,15 @@ def _q_oph_pairs(sf_dir: str, token_hash=None):
     return _oph.oph_pairs_web(sf_dir, token_hash=token_hash)
 
 
+def _q_cluster_provenance(sf_dir: str):
+    """Near-dup family provenance: members, distinct hosts, and the
+    epoch_us capture window per multi-member cluster
+    (pipelines/mirrors.py)."""
+    from data_dedup_ray.pipelines import mirrors as _mirrors
+
+    return _mirrors.cluster_provenance(sf_dir)
+
+
 def _q_span_dup_exposure(sf_dir: str):
     """Per-doc duplicated-span token exposure (pipelines/spandedup.py)
     — the token-granular cross-doc duplication profile feeding
@@ -1636,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oph_pairs_sha": lambda sf: _q_oph_pairs(sf, token_hash="sha"),
         "oph_pairs": _q_oph_pairs,
         "span_dup_exposure": _q_span_dup_exposure,
+        "cluster_provenance": _q_cluster_provenance,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
         # session-6 additions past the window (component pair sets /
@@ -1864,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         "oph_pairs_sha": _oph.oph_pairs_sql(),
         "span_dup_exposure": web_pages_sql(
             _spandedup.span_dup_exposure_sql()),
+        "cluster_provenance": _mirrors.cluster_provenance_sql(),
         # dedup-policy planners: per-cluster soft-sampling weights and
         # the per-cutoff threshold tuning curve (pipelines/policy.py)
         "soft_dedup_weights": _policy.soft_dedup_weights_sql(),

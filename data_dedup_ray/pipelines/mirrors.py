@@ -775,3 +775,140 @@ SELECT shard_id, n_hosts, n_pages, text_bytes,
        CAST(n_pages * 10000 * {n_shards}
             // (SELECT sum(n_pages) FROM s) AS BIGINT) AS load_bp
 FROM s"""
+
+
+_PROV_SCHEMA = pa.schema([
+    ("cluster_id", pa.string()), ("n_members", pa.int64()),
+    ("n_hosts", pa.int64()), ("first_us", pa.int64()),
+    ("last_us", pa.int64()), ("span_days", pa.int64()),
+])
+
+_PROV_PARTIAL = pa.schema([
+    ("cluster_id", pa.string()), ("host", pa.string()),
+    ("n", pa.int64()), ("min_us", pa.int64()), ("max_us", pa.int64()),
+])
+
+
+def cluster_provenance(
+    sf_dir: str, *, threshold: float = 0.7, num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per multi-member near-dup cluster: ``(cluster_id, n_members,
+    n_hosts, first_us, last_us, span_days)`` — the PROVENANCE view of a
+    duplicate family (how broadly is this content syndicated, how long
+    has it been circulating), the row a crawl-policy or takedown
+    review reads per family.  ``first_us/last_us`` are epoch
+    microseconds of the earliest/latest capture.
+
+    Shape: the (url, cluster_id) assignment co-partitions with the
+    page metadata on url (one exchange; two short columns + one int64
+    per page — text never moves), reduced to per-(cluster, host)
+    partials; a second cluster-keyed exchange rolls families up whole
+    (distinct-host counts are local because members co-locate).
+    Output is multi-member-cluster-sized."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    P = num_partitions
+    clusters = near.minhash_dedup_clusters(web_pages(sf_dir),
+                                           threshold=threshold)
+
+    def prep_assign(t: pa.Table) -> pa.Table:
+        urls = t["url"].combine_chunks().cast(pa.string())
+        out = pa.table({"url": urls,
+                        "cluster_id": t["cluster_id"].combine_chunks()
+                        .cast(pa.string())})
+        return out.append_column("_part", pa.array(key_partition(
+            urls.to_numpy(zero_copy_only=False), P)))
+
+    def prep_meta(t: pa.Table) -> pa.Table:
+        urls = t["url"].combine_chunks().cast(pa.string())
+        ts = t["warc_ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        out = pa.table({"url": urls, "ts_us": ts})
+        return out.append_column("_part", pa.array(key_partition(
+            urls.to_numpy(zero_copy_only=False), P)))
+
+    meta = web_pages(sf_dir).select_columns(["url", "warc_ts"]) \
+        .map_batches(prep_meta, batch_format="pyarrow")
+
+    def join_partials(da: pd.DataFrame, dm: pd.DataFrame) -> pd.DataFrame:
+        if not len(da):
+            return pd.DataFrame({
+                "cluster_id": pd.Series([], dtype=object),
+                "host": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "min_us": pd.Series([], dtype=np.int64),
+                "max_us": pd.Series([], dtype=np.int64)})
+        m = da.merge(dm, on="url")
+        m["host"] = _hosts_of(m["url"])
+        g = m.groupby(["cluster_id", "host"], sort=False,
+                      as_index=False).agg(
+            n=("url", "size"), min_us=("ts_us", "min"),
+            max_us=("ts_us", "max"))
+        return g
+
+    partials = hash_exchange(
+        [clusters.map_batches(prep_assign, batch_format="pyarrow"),
+         meta],
+        join_partials, num_partitions=P, schema=_PROV_PARTIAL,
+        in_schemas=[
+            pa.schema([("url", pa.string()),
+                       ("cluster_id", pa.string())]),
+            pa.schema([("url", pa.string()), ("ts_us", pa.int64())]),
+        ],
+    )
+
+    def with_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t["cluster_id"].combine_chunks()
+            .to_numpy(zero_copy_only=False), P)))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "cluster_id": pd.Series([], dtype=object),
+                "n_members": pd.Series([], dtype=np.int64),
+                "n_hosts": pd.Series([], dtype=np.int64),
+                "first_us": pd.Series([], dtype=np.int64),
+                "last_us": pd.Series([], dtype=np.int64),
+                "span_days": pd.Series([], dtype=np.int64)})
+        g = df.groupby("cluster_id", sort=False).agg(
+            n_members=("n", "sum"), n_hosts=("host", "nunique"),
+            first_us=("min_us", "min"), last_us=("max_us", "max"))
+        g = g[g["n_members"] >= 2].reset_index()
+        g["span_days"] = (g["last_us"] - g["first_us"]) \
+            .to_numpy(np.int64) // 86_400_000_000
+        return g[["cluster_id", "n_members", "n_hosts", "first_us",
+                  "last_us", "span_days"]]
+
+    return hash_exchange(
+        [partials.map_batches(with_part, batch_format="pyarrow")],
+        rollup, num_partitions=P, schema=_PROV_SCHEMA,
+        in_schemas=[_PROV_PARTIAL],
+    )
+
+
+def cluster_provenance_sql(threshold: float = 0.7) -> str:
+    """DuckDB twin: the near-dup closure labels (nested full statement,
+    the keep_best pattern) + per-cluster member / distinct-host /
+    epoch_us capture-window aggregates over multi-member clusters."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+clusters AS (
+{near_dup_clusters_sql(threshold)}
+),
+m AS (
+  SELECT c.cluster_id,
+         {_SQL_HOST.replace("url", "w.url")} AS host,
+         epoch_us(w.warc_ts) AS ts_us
+  FROM clusters c JOIN web_pages w ON w.url = c.url)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(min(ts_us) AS BIGINT) AS first_us,
+       CAST(max(ts_us) AS BIGINT) AS last_us,
+       CAST((max(ts_us) - min(ts_us)) // 86400000000 AS BIGINT)
+         AS span_days
+FROM m GROUP BY cluster_id HAVING count(*) >= 2"""

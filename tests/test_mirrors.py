@@ -172,3 +172,38 @@ def test_host_shard_plan_deterministic_and_partition_invariant():
     # of md5(host) % S, so S=1 degenerates to one shard with all pages
     one = mi.host_shard_plan(pages, n_shards=1).to_pandas()
     assert len(one) == 1 and int(one.load_bp.iloc[0]) == 10000
+
+
+def test_cluster_provenance_oracle_parity(ray_session):
+    import duckdb
+
+    got = (mi.cluster_provenance(SF).to_pandas()
+           .sort_values("cluster_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = (con.execute(mi.cluster_provenance_sql()).fetchdf()
+            .sort_values("cluster_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_cluster_provenance_laws(ray_session):
+    got = mi.cluster_provenance(SF).to_pandas()
+    # multi-member only; hosts never exceed members; window well-formed
+    assert (got["n_members"] >= 2).all()
+    assert (got["n_hosts"] <= got["n_members"]).all()
+    assert (got["n_hosts"] >= 1).all()
+    assert (got["last_us"] >= got["first_us"]).all()
+    assert (got["span_days"]
+            == (got["last_us"] - got["first_us"]) // 86_400_000_000).all()
+    # family structure: the corpus plants cross-host syndication (mirror
+    # family lives under a different host), so some cluster spans hosts
+    assert (got["n_hosts"] >= 2).any()
+
+
+def test_cluster_provenance_partition_invariance(ray_session):
+    outs = [mi.cluster_provenance(SF, num_partitions=p).to_pandas()
+            .sort_values("cluster_id").reset_index(drop=True)
+            for p in (2, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
