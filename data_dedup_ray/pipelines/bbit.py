@@ -57,6 +57,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+from data_dedup_ray.stages.minhash import band_partition
 from data_dedup_ray.pipelines.sigstore import (
     SignatureBands,
     sig_chain_ctes,
@@ -140,10 +141,20 @@ def build_bbit_index(
     return path
 
 
-def _read_tier(path: str, sub: str) -> ray.data.Dataset:
+def _read_tier(path: str, sub: str,
+               expect: dict | None = None) -> ray.data.Dataset:
+    """Read one persisted tier; when ``expect`` is given, validate the
+    caller's signature parameters against the store's ``_META.json``
+    lineage config — a query whose (n_perm, band_r, shingle_k, seed,
+    token_hash, b) tuple differs from the index's would silently produce
+    garbage estimates, so it fails loudly instead."""
     import glob
     import os
 
+    from data_dedup_ray.state.sink import validate_store_config
+
+    if expect:
+        validate_store_config(os.path.join(path, sub), expect)
     files = sorted(glob.glob(os.path.join(path, sub, "part=*",
                                           "*.parquet")))
     return ray.data.read_parquet(files, partitioning=None)
@@ -189,8 +200,14 @@ def incremental_bbit_pairs(
                                 tagged)
         return fn
 
+    expect_cfg = {"n_perm": n_perm, "band_r": band_r,
+                  "shingle_k": shingle_k, "seed": seed,
+                  "token_hash": token_hash, "b": 1}
+
     # new side: ONE signature pass feeds both the band rows and the
-    # 16 B estimation rows (the same two-tier derivation as the index)
+    # 16 B estimation rows (the same two-tier derivation as the index);
+    # num_partitions=P makes the band stage emit the coarse shuffle key
+    # in-stage — no separate re-keying pass over the exploded band rows
     sig_new = signature_rows(
         new_ds, id_col=id_col, text_col=text_col, n_perm=n_perm,
         band_r=band_r, shingle_k=shingle_k, seed=seed,
@@ -199,7 +216,8 @@ def incremental_bbit_pairs(
         .materialize()
     new_bands = sig_new.map_batches(
         stage_task(SignatureBands, n_perm=n_perm, band_r=band_r,
-                   shingle_k=shingle_k, seed=seed, id_col=id_col),
+                   shingle_k=shingle_k, seed=seed, id_col=id_col,
+                   num_partitions=P),
         batch_format="pyarrow", batch_size=1024,
     )
     new_bsig = sig_new.map_batches(
@@ -207,7 +225,7 @@ def incremental_bbit_pairs(
         batch_format="pyarrow",
     )
 
-    idx_bands = _read_tier(index_path, "bands").map_batches(
+    idx_bands = _read_tier(index_path, "bands", expect_cfg).map_batches(
         _tag_col("i|", id_col), batch_format="pyarrow")
 
     def _prep_idx_bsig(t: pa.Table) -> pa.Table:
@@ -218,16 +236,15 @@ def incremental_bbit_pairs(
             t.schema.get_field_index("bsig"), "bsig",
             t["bsig"].combine_chunks().cast(pa.large_binary()))
 
-    idx_bsig = _read_tier(index_path, "bsig").map_batches(
+    idx_bsig = _read_tier(index_path, "bsig", expect_cfg).map_batches(
         _prep_idx_bsig, batch_format="pyarrow")
 
     def band_part(t: pa.Table) -> pa.Table:
-        bh = t["band_hash"].to_numpy().view(np.uint64)
-        bi = t["band_id"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = bh * np.uint64(0x100000001B3) + bi
-        return t.append_column("_part", pa.array(
-            (h % np.uint64(P)).astype(np.int64)))
+        # index-tier rows come back from parquet without _part; re-key
+        # with the SAME shared formula the in-stage path uses
+        return t.append_column("_part", pa.array(band_partition(
+            t["band_hash"].to_numpy().view(np.uint64),
+            t["band_id"].to_numpy(), P)))
 
     def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
         return _pairs_in_partition(
@@ -235,7 +252,7 @@ def incremental_bbit_pairs(
             group_cap=group_cap)
 
     cand = hash_exchange(
-        [new_bands.map_batches(band_part, batch_format="pyarrow"),
+        [new_bands,
          idx_bands.map_batches(band_part, batch_format="pyarrow")],
         lambda dn, di: emit_partition(pd.concat([dn, di])),
         num_partitions=P,

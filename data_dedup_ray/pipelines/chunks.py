@@ -531,17 +531,216 @@ def chunk_gc_snap2(sf_dir: str, *, chunk_size: int = 512,
     (snapshots.snapshot2) replaces the base corpus — store built from
     web_pages, live = snapshot2; orphans = base-corpus chunks no live
     page references.  Full SQL twin in ``oracles.chunk_gc_snap2_sql``."""
-    import os
-    import shutil
-
     from data_dedup_ray.pipelines.snapshots import snapshot2
+    from data_dedup_ray.util import scratch_dir
 
     if store_path is None:
-        store_path = (f"/tmp/dedup_chunk_store_"
-                      f"{os.path.basename(sf_dir.rstrip('/'))}")
-        shutil.rmtree(store_path, ignore_errors=True)
+        store_path = scratch_dir("chunk_store", sf_dir)
     build_chunk_store(
         web_pages(sf_dir).select_columns(["url", "html"]), store_path,
         chunk_size=chunk_size)
     live = snapshot2(sf_dir).select_columns(["url", "html"])
     return chunk_store_gc(store_path, live, chunk_size=chunk_size)
+
+
+# --------------------------------------------------------------------------
+# Chunk-overlap similarity: which PAGES share raw chunks
+# --------------------------------------------------------------------------
+
+_OVERLAP_SCHEMA = pa.schema([
+    ("url_a", pa.string()), ("url_b", pa.string()),
+    ("n_shared", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+    ("containment_bp", pa.int64()),
+])
+
+
+def chunk_overlap_pairs(
+    pages: ray.data.Dataset, *, chunk_size: int = 512,
+    min_shared: int = 2, hot_cap: int = 64, num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(url_a < url_b, n_shared, n_a, n_b, containment_bp)`` — page
+    pairs sharing ≥ ``min_shared`` distinct raw chunks, the
+    dedup-appliance "files that share blocks" similarity view: catches
+    pages that EMBED each other's byte ranges (templated wrappers,
+    partial syndication) that whole-content hashing can't see and
+    token-level Jaccard only sees diluted.
+
+    ``containment_bp = n_shared·10⁴ // min(n_a, n_b)`` — 10000 means
+    the smaller page's chunk set is entirely inside the larger's.
+
+    Chunks occurring on more than ``hot_cap`` pages are excluded from
+    the overlap definition (the boilerplate guard — a site-wide footer
+    chunk on 10⁶ pages must not emit C(10⁶,2) pairs); the SQL twin
+    restates the same cutoff, so the cap is part of the metric, not an
+    approximation.
+
+    100 TB shape: chunk bytes never shuffle — only ``(url, chunk_hash)``
+    rows keyed on the hash, with a map-side distinct combiner; pair
+    emission per chunk is C(m≤hot_cap, 2)-bounded; per-page distinct
+    counts are computed MAP-SIDE (each page's html lives in exactly one
+    input row, so its distinct-chunk count is already global) and attach
+    through the two output-sized pair-keyed rounds (bbit's attach
+    shape)."""
+    P = num_partitions
+    rows = fixed_chunk_rows(pages, chunk_size=chunk_size)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["url", "chunk_hash"])
+        part = key_partition(
+            t["chunk_hash"].to_numpy(zero_copy_only=False), P)
+        return t.append_column("_part", pa.array(part))
+
+    def pre_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["url", "chunk_hash", "_part"]).aggregate([])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"url_a": pd.Series(dtype=object),
+                              "url_b": pd.Series(dtype=object),
+                              "n_shared": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        df = df.drop_duplicates(["chunk_hash", "url"]) \
+            .sort_values(["chunk_hash", "url"], kind="stable")
+        ch = df["chunk_hash"].to_numpy()
+        urls = df["url"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ch[1:] != ch[:-1]])
+        ends = np.r_[starts[1:], len(ch)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > hot_cap:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            out_a.append(urls[s + ii])
+            out_b.append(urls[s + jj])
+        if not out_a:
+            return empty
+        p = pd.DataFrame({"url_a": np.concatenate(out_a),
+                          "url_b": np.concatenate(out_b)})
+        g = p.groupby(["url_a", "url_b"], sort=False,
+                      as_index=False).size()
+        return g.rename(columns={"size": "n_shared"})
+
+    partials = hash_exchange(
+        [rows.map_batches(prep, batch_format="pyarrow")],
+        pair_partial, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()),
+                          ("url_b", pa.string()),
+                          ("n_shared", pa.int64())]),
+        in_schemas=[pa.schema([("url", pa.string()),
+                               ("chunk_hash", pa.string())])],
+        pre=[pre_distinct],
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        # each page's html is one input row → its distinct-chunk count
+        # is already global map-side
+        df = t.select(["url", "chunk_hash"]).to_pandas()
+        g = df.drop_duplicates().groupby(
+            "url", sort=False, as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["_part"] = key_partition(g["url"].to_numpy(), P)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = rows.map_batches(counts, batch_format="pyarrow")
+    cnt_schema = pa.schema([("url", pa.string()), ("n", pa.int64())])
+
+    def part_on(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_part", pa.array(key_partition(
+                t[col].to_numpy(zero_copy_only=False), P)))
+        return fn
+
+    a_schema = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("n_shared", pa.int64()), ("n_a", pa.int64())])
+
+    def round_a(pp: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if not len(pp):
+            return pd.DataFrame({"url_a": pd.Series(dtype=object),
+                                 "url_b": pd.Series(dtype=object),
+                                 "n_shared": pd.Series(dtype=np.int64),
+                                 "n_a": pd.Series(dtype=np.int64)})
+        g = pp.groupby(["url_a", "url_b"], sort=False,
+                       as_index=False)["n_shared"].sum()
+        g = g[g["n_shared"] >= min_shared]
+        return g.merge(c.rename(columns={"url": "url_a", "n": "n_a"}),
+                       on="url_a", how="inner")
+
+    with_a = hash_exchange(
+        [partials.map_batches(part_on("url_a"), batch_format="pyarrow"),
+         cnt],
+        round_a, num_partitions=P, schema=a_schema,
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("n_shared", pa.int64())]), cnt_schema],
+    )
+
+    def round_b(pp: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if not len(pp):
+            return pd.DataFrame({
+                "url_a": pd.Series(dtype=object),
+                "url_b": pd.Series(dtype=object),
+                "n_shared": pd.Series(dtype=np.int64),
+                "n_a": pd.Series(dtype=np.int64),
+                "n_b": pd.Series(dtype=np.int64),
+                "containment_bp": pd.Series(dtype=np.int64)})
+        m = pp.merge(c.rename(columns={"url": "url_b", "n": "n_b"}),
+                     on="url_b", how="inner")
+        m["containment_bp"] = (m["n_shared"] * 10000
+                               // np.minimum(m["n_a"], m["n_b"]))
+        return m[["url_a", "url_b", "n_shared", "n_a", "n_b",
+                  "containment_bp"]]
+
+    return hash_exchange(
+        [with_a.map_batches(part_on("url_b"), batch_format="pyarrow"),
+         cnt],
+        round_b, num_partitions=P, schema=_OVERLAP_SCHEMA,
+        in_schemas=[a_schema, cnt_schema],
+    )
+
+
+def chunk_overlap_web(sf_dir: str, *, chunk_size: int = 512,
+                      min_shared: int = 2,
+                      hot_cap: int = 64) -> ray.data.Dataset:
+    """Driver query: chunk-overlap pairs over web_pages' html blobs."""
+    return chunk_overlap_pairs(
+        web_pages(sf_dir).select_columns(["url", "html"]),
+        chunk_size=chunk_size, min_shared=min_shared, hot_cap=hot_cap)
+
+
+def chunk_overlap_pairs_sql(chunk_size: int = 512, min_shared: int = 2,
+                            hot_cap: int = 64) -> str:
+    """DuckDB twin of ``chunk_overlap_web``: the same hex-slice chunk
+    identity as ``oracles.chunk_dedup_fixed_sql``, per-url DISTINCT
+    chunk sets, the identical hot-chunk cutoff, and BIGINT floor
+    containment."""
+    from data_dedup_ray.corpus import web_pages_sql
+
+    L = int(chunk_size)
+    return web_pages_sql(
+        ", chunks AS (\n"
+        "  SELECT url,\n"
+        f"    substring(hex(html), CAST(1 + i*{2 * L} AS BIGINT),"
+        f" {2 * L}) AS hx\n"
+        "  FROM (SELECT url, html,\n"
+        "    unnest(range(CAST(ceil(octet_length(html)"
+        f" / {L}.0) AS BIGINT))) AS i\n"
+        "    FROM web_pages)),\n"
+        "pc AS (SELECT DISTINCT url, sha256(lower(hx)) AS ch"
+        " FROM chunks),\n"
+        "cnt AS (SELECT url, CAST(count(*) AS BIGINT) AS n FROM pc"
+        " GROUP BY 1),\n"
+        "ok AS (SELECT ch FROM pc GROUP BY ch\n"
+        f"       HAVING count(*) BETWEEN 2 AND {int(hot_cap)}),\n"
+        "sh AS (SELECT a.url AS ua, b.url AS ub,"
+        " CAST(count(*) AS BIGINT) AS ns\n"
+        "       FROM pc a JOIN pc b USING (ch)\n"
+        "       WHERE a.url < b.url AND ch IN (SELECT ch FROM ok)\n"
+        "       GROUP BY 1, 2)\n"
+        "SELECT ua AS url_a, ub AS url_b, ns AS n_shared,\n"
+        "       ca.n AS n_a, cb.n AS n_b,\n"
+        "       CAST(ns * 10000 // least(ca.n, cb.n) AS BIGINT)"
+        " AS containment_bp\n"
+        "FROM sh JOIN cnt ca ON ca.url = ua JOIN cnt cb ON cb.url = ub\n"
+        f"WHERE ns >= {int(min_shared)}"
+    )

@@ -44,7 +44,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
 
 _FREQ_SCHEMA = pa.schema([
     ("tok", pa.int64()), ("c_a", pa.int64()), ("c_b", pa.int64()),
@@ -426,6 +426,112 @@ def crawl_drift_sql() -> str:
          FROM web_pages),
 tb AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
        FROM snapshot2),
+ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_a FROM ta GROUP BY tok),
+cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_b FROM tb GROUP BY tok),
+v AS (
+  SELECT coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
+  FROM ca FULL JOIN cb ON ca.tok = cb.tok),
+m AS (
+  SELECT sum(c_a) AS na, sum(c_b) AS nb,
+         sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS vocab_a,
+         sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS vocab_b,
+         sum(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END)
+           AS vocab_shared,
+         sum(CASE WHEN c_a = 0 AND c_b > 0 THEN 1 ELSE 0 END)
+           AS new_vocab_b,
+         sum(CASE WHEN c_a = 0 THEN c_b ELSE 0 END) AS oov_mass_b
+  FROM v),
+tv AS (SELECT sum(abs(v.c_a * m.nb - v.c_b * m.na)) AS tv_num FROM v, m)
+SELECT CAST(m.na AS BIGINT) AS n_tokens_a,
+       CAST(m.nb AS BIGINT) AS n_tokens_b,
+       CAST(m.vocab_a AS BIGINT) AS vocab_a,
+       CAST(m.vocab_b AS BIGINT) AS vocab_b,
+       CAST(m.vocab_shared AS BIGINT) AS vocab_shared,
+       CAST(m.new_vocab_b AS BIGINT) AS new_vocab_b,
+       CAST(10000 * m.oov_mass_b // greatest(m.nb, 1) AS BIGINT)
+         AS oov_mass_b_bp,
+       CAST(10000 * tv.tv_num // greatest(2 * m.na * m.nb, 1) AS BIGINT)
+         AS tv_bp
+FROM m, tv""")
+
+
+# --------------------------------------------------------------------------
+# Dedup distribution shift: what keep-first removal does to the corpus
+# --------------------------------------------------------------------------
+
+
+def dedup_drift(
+    sf_dir: str, *, threshold: float = 0.7, num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """One drift row grading the KEEP-FIRST-DEDUPED corpus against the
+    raw crawl — the audit a data team reads before shipping a dedup
+    config: how much token mass does removal delete (``n_tokens_b`` vs
+    ``n_tokens_a``), does any vocabulary vanish (``vocab_b`` vs
+    ``vocab_a``), and how far does the token DISTRIBUTION move
+    (``tv_bp`` — SoftDedup's motivation: aggressive dedup reshapes the
+    distribution, not just the volume).  ``new_vocab_b`` and
+    ``oov_mass_b_bp`` are structurally 0 (survivors ⊆ corpus) — the
+    oracle pins that law too.
+
+    Composition: MinHash/LSH clusters → keep-first survivors (min-url
+    representative, the near_dup_keep_first contract) → ONE url-keyed
+    semi-join exchange attaches survivor text → the shared drift
+    machinery.  The semi-join is the one place survivor TEXT transits
+    the object store (unavoidable: the survivor distribution must be
+    re-counted); everything else is the vocabulary-sized drift shuffle."""
+    import pyarrow.compute as pc
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    P = num_partitions
+    pages = web_pages(sf_dir).select_columns(["url", "text"])
+    clusters = near.minhash_dedup_clusters(web_pages(sf_dir),
+                                           threshold=threshold)
+    keep = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["url"], t["cluster_id"]))
+        .select(["url"]),
+        batch_format="pyarrow",
+    )
+
+    def part_on_url(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t["url"].to_numpy(zero_copy_only=False), P)))
+
+    def semi(pg: pd.DataFrame, kp: pd.DataFrame) -> pd.DataFrame:
+        if not len(pg) or not len(kp):
+            return pd.DataFrame({"url": pd.Series(dtype=object),
+                                 "text": pd.Series(dtype=object)})
+        return pg[pg["url"].isin(set(kp["url"]))]
+
+    kept_pages = hash_exchange(
+        [pages.map_batches(part_on_url, batch_format="pyarrow"),
+         keep.map_batches(part_on_url, batch_format="pyarrow")],
+        semi, num_partitions=P,
+        schema=pa.schema([("url", pa.string()), ("text", pa.string())]),
+        in_schemas=[pa.schema([("url", pa.string()),
+                               ("text", pa.string())]),
+                    pa.schema([("url", pa.string())])],
+    )
+    return crawl_drift(pages, kept_pages, num_partitions=P)
+
+
+def dedup_drift_sql(threshold: float = 0.7) -> str:
+    """DuckDB twin of ``dedup_drift``: the keep-first survivor set
+    (``clean.near_dup_keep_first_sql`` nested as a subquery, its own
+    recursive closure in scope) semi-joined to web_pages for the B
+    side, then the exact token-string drift tail shared with
+    ``crawl_drift_sql``."""
+    from data_dedup_ray.corpus import web_pages_sql
+    from data_dedup_ray.pipelines.clean import near_dup_keep_first_sql
+
+    keep = near_dup_keep_first_sql(threshold)
+    return web_pages_sql(f"""
+, keep AS (SELECT url FROM ({keep}) k),
+ta AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+       FROM web_pages),
+tb AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+       FROM web_pages JOIN keep USING (url)),
 ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_a FROM ta GROUP BY tok),
 cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_b FROM tb GROUP BY tok),
 v AS (

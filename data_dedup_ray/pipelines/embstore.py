@@ -1,0 +1,293 @@
+"""Persisted int8 embedding index — the SEMANTIC tier of the
+fingerprint-store ladder (SURVEY §8): 32 B content sha (exact
+re-capture) → 8 B SimHash → 16 B b-bit MinHash → 1 KB signatures →
+**d B quantized embedding (cosine near-dup, 1 B/dim — the FAISS-SQ8
+storage shape)** → full shingle blobs (exact verify).
+
+``build_embedding_index`` quantizes each vector ONCE with the
+deterministic symmetric rule (``search.quantize_int8`` —
+``floor(x·127/max|x|)``, SQL-restatable) and persists
+``(vec_id, q8 blob, n2)`` rows through the resumable sink: the float
+vectors are never written, the squared norm is precomputed so the query
+path never re-reduces the blob, and the quantizer identity is lineage
+(``validate_store_config`` rejects a query whose rule could drift).
+
+``incremental_embedding_dup_pairs`` joins a new crawl's vectors against
+the stored tier with a bipartite GRID block join — the cross-corpus
+analogue of ``search.embedding_dup_pairs``'s triangular self-join:
+index rows hash into ``B`` blocks, new rows into ``C`` blocks, each
+(index-block, new-block) cell is ONE of ``B·C`` exchange partitions, so
+every cross pair is scored in exactly one task with
+O(|idx|/B + |new|/C) rows in memory and zero driver involvement.
+Scoring is the int64-exact quantized-cosine predicate
+(``dot²·10⁴ ≥ min_cos2_bp·n2_i·n2_n``, dot > 0) shared with
+``embedding_dup_pairs_int8`` — dim-guarded (≤ 1883) so numpy can never
+silently wrap where the HUGEINT SQL twin stays exact.  Quantization is
+loss-free on exact copies: an unchanged re-embedded page scores
+``cos2_bp = 10000`` and recall on true duplicates is 1.
+
+At 100 TB: the index is ~d bytes/doc (64 B at dim 64 — between the
+b-bit and signature tiers), append-only per crawl (a list of store
+dirs reads as one index), and the grid join's shuffle volume is
+``|idx|·C + |new|·B`` fixed-width rows — size B and C so a cell's two
+sides fit one worker; floats never shuffle, nothing re-embeds.
+
+Reference anchor: the same store-ladder generalization of Data-Dedup's
+cheapest-digest-first cascade (lib/Data/Dedup/Engine.pm:558-566) as
+pipelines/bbit.py, at the semantic-similarity rung.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.engine.exchange import hash_exchange, key_partition
+from data_dedup_ray.pipelines.search import (
+    _INT8_MAX_DIM,
+    _matrix,
+    quantize_int8,
+)
+
+_STORE_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                           ("q8", pa.large_binary()),
+                           ("n2", pa.int64())])
+_PAIR_OUT = pa.schema([("new_id", pa.int64()), ("index_id", pa.int64()),
+                       ("cos2_bp", pa.int64())])
+
+_CONFIG = {"kind": "embedding_index", "b": 8, "quantizer": "sym127"}
+
+
+def quantized_rows(emb: ray.data.Dataset, *, id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> ray.data.Dataset:
+    """``(vec_id, q8, n2)`` — per-vector int8 blob (d bytes, two's
+    complement) + precomputed squared norm."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        X = _matrix(t, emb_col)
+        if X.shape[1] > _INT8_MAX_DIM:
+            raise ValueError(
+                f"embedding dim {X.shape[1]} exceeds the int64-exact "
+                f"bound ({_INT8_MAX_DIM}) for the quantized predicate")
+        Q = quantize_int8(X) if X.size else X.astype(np.int64)
+        n2 = (Q * Q).sum(axis=1).astype(np.int64) if X.size else \
+            np.zeros(len(t), np.int64)
+        blobs = [q.astype(np.int8).tobytes() for q in Q] if X.size \
+            else [b""] * len(t)
+        return pa.table({
+            "vec_id": t[id_col].combine_chunks().cast(pa.int64()),
+            "q8": pa.array(blobs, pa.large_binary()),
+            "n2": pa.array(n2),
+        })
+
+    return emb.map_batches(fn, batch_format="pyarrow")
+
+
+def build_embedding_index(
+    emb: ray.data.Dataset, path: str, *, id_col: str = "vec_id",
+    emb_col: str = "embedding", num_partitions: int = 32,
+):
+    """Quantize once, persist the d-byte/vector tier (resumable sink +
+    quantizer lineage).  Floats never reach disk."""
+    from data_dedup_ray.state.sink import resumable_write_parquet
+
+    return resumable_write_parquet(
+        quantized_rows(emb, id_col=id_col, emb_col=emb_col), path,
+        key_col="vec_id", num_partitions=num_partitions,
+        config=dict(_CONFIG),
+    )
+
+
+def read_embedding_index(path) -> ray.data.Dataset:
+    """The stored ``(vec_id, q8, n2)`` table; a list reads several
+    crawls' stores as one append-only index."""
+    import glob
+    import os
+
+    from data_dedup_ray.state.sink import validate_store_config
+
+    validate_store_config(path, dict(_CONFIG))
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    files: list[str] = []
+    for p in paths:
+        files += sorted(glob.glob(os.path.join(p, "part=*",
+                                               "*.parquet")))
+    return ray.data.read_parquet(files, partitioning=None)
+
+
+def _blobs_to_matrix(blobs, d: int) -> np.ndarray:
+    return np.frombuffer(b"".join(blobs), dtype=np.int8) \
+        .reshape(-1, d).astype(np.int64)
+
+
+def _score_cross(ids_i: np.ndarray, Qi: np.ndarray, n2i: np.ndarray,
+                 ids_n: np.ndarray, Qn: np.ndarray, n2n: np.ndarray,
+                 min_cos2_bp: int, chunk: int = 4096) -> pa.Table:
+    """Bipartite int64-exact quantized-cosine pairs: keep (new, index)
+    iff ``dot > 0`` and ``dot²·10⁴ ≥ min_cos2_bp·n2_i·n2_n`` — the
+    sides are NOT lo/hi-normalized (unlike the self-join emitter): the
+    output row says which corpus each endpoint came from."""
+    out_n, out_i, out_c = [], [], []
+    Fi = Qi.astype(np.float64).T
+    for s in range(0, len(ids_n), chunk):
+        e = min(s + chunk, len(ids_n))
+        dot = (Qn[s:e].astype(np.float64) @ Fi).astype(np.int64)
+        den = n2n[s:e, None] * n2i[None, :]
+        num = dot * dot * 10000
+        ok = (dot > 0) & (num >= min_cos2_bp * den)
+        jj, ii = np.nonzero(ok)
+        out_n.append(ids_n[s + jj])
+        out_i.append(ids_i[ii])
+        out_c.append(num[jj, ii] // den[jj, ii])
+    if not out_n:
+        return _PAIR_OUT.empty_table()
+    return pa.table({
+        "new_id": np.concatenate(out_n),
+        "index_id": np.concatenate(out_i),
+        "cos2_bp": np.concatenate(out_c),
+    })
+
+
+def incremental_embedding_dup_pairs(
+    new_emb: ray.data.Dataset, index_path, *,
+    min_cos2_bp: int = 9801, id_col: str = "vec_id",
+    emb_col: str = "embedding", num_blocks: int = 8,
+    num_new_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """``(new_id, index_id, cos2_bp)`` — semantic near-dup pairs between
+    the new crawl's vectors and the persisted int8 index at quantized
+    cos² ≥ ``min_cos2_bp`` (default 9801 = the cos ≥ 0.99 bar squared).
+
+    Bipartite grid block join (see module docstring): every cross pair
+    scored in exactly one of B·C partitions, no dedup pass, no driver
+    collect.  The new side quantizes live through the same rule the
+    index persisted — ``validate_store_config`` pins that identity."""
+    B = num_blocks
+    C = num_new_blocks or max(1, num_blocks // 2)
+
+    idx = read_embedding_index(index_path)
+
+    def emit_idx(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        blk = key_partition(ids, B)
+        rep = np.repeat(np.arange(n), C)
+        peer = np.tile(np.arange(C, dtype=np.int64), n)
+        part = blk[rep] * C + peer
+        return t.take(pa.array(rep)).append_column(
+            "_part", pa.array(part))
+
+    def emit_new(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        blk = key_partition(ids, C)
+        rep = np.repeat(np.arange(n), B)
+        peer = np.tile(np.arange(B, dtype=np.int64), n)
+        part = peer * C + blk[rep]
+        return t.take(pa.array(rep)).append_column(
+            "_part", pa.array(part))
+
+    new_rows = quantized_rows(new_emb, id_col=id_col, emb_col=emb_col) \
+        .map_batches(emit_new, batch_format="pyarrow")
+    idx_rows = idx.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("q8"), "q8",
+            t["q8"].combine_chunks().cast(pa.large_binary())),
+        batch_format="pyarrow",
+    ).map_batches(emit_idx, batch_format="pyarrow")
+
+    def _side(t: pa.Table):
+        import pyarrow.compute as pc
+
+        lens = pc.binary_length(t["q8"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        dims = set(np.unique(lens)) - {0}
+        if len(dims) > 1:
+            raise ValueError(
+                f"mixed embedding dims in one index: {sorted(dims)}")
+        d = dims.pop() if dims else 0
+        mask = lens == d if d else np.zeros(len(lens), dtype=bool)
+        blobs = [b for b in t["q8"].to_pylist() if len(b) == d] \
+            if d else []
+        return (t["vec_id"].to_numpy(zero_copy_only=False)[mask],
+                _blobs_to_matrix(blobs, d) if d
+                else np.zeros((0, 1), np.int64),
+                t["n2"].to_numpy(zero_copy_only=False)[mask], d)
+
+    def score(ti: pa.Table, tn: pa.Table) -> pa.Table:
+        ids_i, Qi, n2i, di = _side(ti)
+        ids_n, Qn, n2n, dn = _side(tn)
+        if not len(ids_i) or not len(ids_n):
+            return _PAIR_OUT.empty_table()
+        if di != dn:
+            raise ValueError(
+                f"index dim {di} != new-side dim {dn}")
+        return _score_cross(ids_i, Qi, n2i, ids_n, Qn, n2n,
+                            min_cos2_bp)
+
+    return hash_exchange(
+        [idx_rows, new_rows], score, num_partitions=B * C,
+        schema=_PAIR_OUT, apply_format="pyarrow",
+        in_schemas=[_STORE_SCHEMA, _STORE_SCHEMA],
+    )
+
+
+def recrawl_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """The deterministic 'new crawl' vector set the driver query uses:
+    every third vector re-captured unchanged (vec_id % 3 == 1, tagged at
+    +200000) — each matches its source exactly (quantization loss-free ⇒
+    cos2_bp = 10000), and near-identical index vectors surface below it.
+    SQL twin restates the same projection."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 3 == 1
+        sub = t.filter(pa.array(keep))
+        return pa.table({
+            "vec_id": pa.array(
+                sub["vec_id"].to_numpy(zero_copy_only=False) + 200000),
+            "embedding": sub["embedding"],
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def incremental_embedding_dup_pairs_sql(
+        min_cos2_bp: int = 9801) -> str:
+    """DuckDB twin: quantize BOTH sides with the shared rule (DOUBLE
+    floor sequence identical to numpy's), exact HUGEINT dot/norm
+    arithmetic, the same cross-multiplied floor predicate — over
+    index = embeddings, new = the vec_id % 3 = 1 re-crawl projection."""
+    return f"""
+WITH sides AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % 3 = 1),
+x AS (
+  SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM sides, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+mx AS (SELECT vec_id, max(abs(v)) AS m FROM x GROUP BY 1),
+q AS (
+  SELECT x.vec_id, i,
+         CAST(floor(v * 127 / CASE WHEN m = 0 THEN 1 ELSE m END)
+              AS BIGINT) AS q
+  FROM x JOIN mx USING (vec_id)),
+n2 AS (SELECT vec_id, CAST(sum(q*q) AS HUGEINT) AS n2 FROM q GROUP BY 1),
+d AS (
+  SELECT n.vec_id AS new_id, i.vec_id AS index_id,
+         CAST(sum(n.q * i.q) AS HUGEINT) AS dot
+  FROM q n JOIN q i ON n.i = i.i
+  WHERE n.vec_id >= 200000 AND i.vec_id < 200000
+  GROUP BY 1, 2)
+SELECT new_id, index_id,
+       CAST(dot*dot*10000 // (nn.n2 * ni.n2) AS BIGINT) AS cos2_bp
+FROM d JOIN n2 nn ON nn.vec_id = d.new_id
+       JOIN n2 ni ON ni.vec_id = d.index_id
+WHERE dot > 0 AND dot*dot*10000 >= {int(min_cos2_bp)} * nn.n2 * ni.n2"""

@@ -196,7 +196,9 @@ def incremental_simhash_pairs(
     emission by the cross-side filter on the tag byte."""
     from data_dedup_ray.pipelines.near import (_distinct_pairs,
                                                _pairs_in_partition)
+    from data_dedup_ray.state.sink import validate_store_config
 
+    validate_store_config(store_path, {"hash_fn": hash_fn})
     P = num_partitions
 
     def _tag(prefix: str):

@@ -80,9 +80,13 @@ def incremental_near_pairs(
 
     The index side contributes ONLY its stored blobs (8 B/shingle) to the
     band emission and the verify join; its text is never read."""
+    from data_dedup_ray.state.sink import validate_store_config
+
     id_col = lsh_kwargs.get("id_col", "url")
     text_col = lsh_kwargs.get("text_col", "text")
     shingle_k = lsh_kwargs.get("shingle_k", 5)
+    validate_store_config(store_path, {"shingle_k": shingle_k,
+                                       "id_col": id_col})
 
     def _tag(prefix: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -755,6 +755,13 @@ _PAIR_I8_SCHEMA = pa.schema([
     ("cos2_bp", pa.int64()),
 ])
 
+#: largest embedding dim for which the int8 predicate is int64-exact:
+#: |dot| ≤ d·127², so dot²·10⁴ ≤ d²·127⁴·10⁴ < 2⁶³ ⇔ d ≤ 1882 — at
+#: 1883 the all-saturated dot already wraps ((1883·127²)²·10⁴ ≈
+#: 9.2239e18 > 2⁶³ ≈ 9.2234e18).  The min_cos2_bp·den side obeys the
+#: same bound since min_cos2_bp ≤ 10⁴.
+_INT8_MAX_DIM = 1882
+
 
 def quantize_int8(X: np.ndarray) -> np.ndarray:
     """Per-vector symmetric int8 quantization: ``q_i = floor(x_i · 127 /
@@ -779,7 +786,16 @@ def _emit_pairs_int8(ids: np.ndarray, Qx: np.ndarray, jds: np.ndarray,
     The matmul runs in float64 (exact while every dot < 2⁵³ — true for
     any dim ≤ 5·10⁸ at |q| ≤ 127); the final square/scale returns to
     int64, so the reported ``cos2_bp = dot²·10⁴ // (n2a·n2b)`` is
-    bit-reproducible (int64-bounded for dim ≤ ~2000)."""
+    bit-reproducible.  int64 bound ENFORCED: worst-case
+    ``dot²·10⁴ ≤ (d·127²)²·10⁴ < 2⁶³`` requires ``d ≤ 1883`` — larger
+    dims would silently wrap in numpy while the HUGEINT SQL twin stays
+    exact, so they fail loudly here instead."""
+    d = Qx.shape[1] if Qx.ndim == 2 else 0
+    if d > _INT8_MAX_DIM:
+        raise ValueError(
+            f"embedding dim {d} exceeds the int64-exact bound "
+            f"({_INT8_MAX_DIM}) for the quantized cosine predicate; "
+            "use embedding_dup_pairs (float path) for wider vectors")
     n2x = (Qx * Qx).sum(axis=1)
     n2y = (Qy * Qy).sum(axis=1)
     Fy = Qy.astype(np.float64).T

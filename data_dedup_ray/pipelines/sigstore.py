@@ -154,7 +154,11 @@ def incremental_sig_near_pairs(
     text is never read, its shingles never existed on disk."""
     from data_dedup_ray.pipelines.near import _distinct_pairs, \
         _pairs_in_partition
+    from data_dedup_ray.state.sink import validate_store_config
 
+    validate_store_config(store_path, {
+        "n_perm": n_perm, "band_r": band_r, "shingle_k": shingle_k,
+        "seed": seed, "token_hash": token_hash})
     P = num_partitions
 
     def _tag(prefix: str):

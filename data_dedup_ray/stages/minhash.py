@@ -173,6 +173,20 @@ def shingle_sets(texts, k: int, token_hash=None
     return cat, sizes
 
 
+def band_partition(band_hash: np.ndarray, band_id: np.ndarray,
+                   num_partitions: int) -> np.ndarray:
+    """THE coarse shuffle key for exploded band rows:
+    ``(band_hash · FNV + band_id) % P`` as int64.  One definition shared
+    by ``MinHashLSH.band_table``'s in-stage path and every consumer that
+    re-keys band rows read back from parquet (e.g. the b-bit index
+    tier), so co-partitioned band streams can never drift apart."""
+    with np.errstate(over="ignore"):
+        h = (band_hash.astype(np.uint64, copy=False)
+             * np.uint64(0x100000001B3)
+             + band_id.astype(np.uint64, copy=False))
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
 class MinHashLSH:
     """Actor stage: text → exploded ``(url, band_id, band_hash)`` rows.
 
@@ -226,10 +240,8 @@ class MinHashLSH:
             "band_hash": pa.array(band_hash.view(np.int64)),
         }
         if self.num_partitions is not None:
-            with np.errstate(over="ignore"):
-                h = band_hash * np.uint64(0x100000001B3) + band_id.astype(np.uint64)
             cols["_part"] = pa.array(
-                (h % np.uint64(self.num_partitions)).astype(np.int64)
+                band_partition(band_hash, band_id, self.num_partitions)
             )
         return pa.table(cols)
 

@@ -41,6 +41,34 @@ _STATUS_SCHEMA = pa.schema([
 ])
 
 
+def validate_store_config(path, expect: dict) -> None:
+    """Assert a persisted store's ``_META.json`` lineage config matches
+    the querying pipeline's parameters (ADVICE r3: a mismatched query —
+    different n_perm / seed / shingle_k / token-hash — silently produces
+    garbage estimates; fail loudly instead).  Only keys PRESENT in the
+    stored config are compared, so older stores without a field stay
+    readable.  ``path`` may be one store dir or a list (rolling form:
+    every member store must match)."""
+    import glob
+    import json
+
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    for p in paths:
+        metas = sorted(glob.glob(os.path.join(p, "part=*", "_META.json")))
+        if not metas:
+            continue
+        with open(metas[0]) as f:
+            stored = json.load(f).get("config", {})
+        bad = {k: (stored.get(k), v) for k, v in expect.items()
+               if k in stored and stored[k] != v}
+        if bad:
+            raise ValueError(
+                f"store at {p} was built with a different configuration "
+                "than the query: "
+                + ", ".join(f"{k}: stored={s!r} query={q!r}"
+                            for k, (s, q) in sorted(bad.items())))
+
+
 def finished_partitions(path: str) -> set[int]:
     """Partitions whose ``_SUCCESS`` marker exists."""
     done = set()

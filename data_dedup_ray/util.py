@@ -17,6 +17,25 @@ def autoscale_pool(lo: int = 1, cap: int = 64) -> tuple[int, int]:
     return (lo, max(4, min(cap, n)))
 
 
+def scratch_dir(name: str, sf_dir: str, *, wipe: bool = True) -> str:
+    """Per-run scratch path for a derived on-disk store (fingerprint /
+    signature / chunk stores the driver queries rebuild).  Keyed by the
+    FULL input path (md5, not basename — two corpora sharing a basename
+    must not collide) and the owning pid (two concurrent driver sessions
+    on the same corpus must not race each other's rmtree+rebuild).
+    ``wipe`` clears stale content from a previous run of THIS pid."""
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/dedup_{name}_{key}_{os.getpid()}"
+    if wipe:
+        shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 #: per-worker-process stage instance cache (see ``stage_task``)
 _WORKER_STAGE_CACHE: dict = {}
 

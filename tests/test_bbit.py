@@ -105,6 +105,42 @@ def test_index_layout_two_tiers(ray_session):
     assert widths <= {0, 16}
 
 
+def test_query_config_mismatch_fails_loudly(ray_session, tmp_path):
+    """A query whose signature parameters differ from the store's
+    _META lineage config would silently produce garbage estimates —
+    _read_tier validates and raises instead (ADVICE r3)."""
+    import pytest
+
+    docs = ray.data.from_items(
+        [{"url": f"u{i}",
+          "text": "alpha beta gamma delta epsilon zeta eta theta "
+                  f"iota kappa lambda mu number {i}"}
+         for i in range(3)])
+    path = str(tmp_path / "idx")
+    bbit.build_bbit_index(docs, path, n_perm=126, shingle_k=5)
+    for kw in ({"shingle_k": 4}, {"seed": 7}, {"token_hash": "sha"}):
+        with pytest.raises(ValueError, match="different configuration"):
+            bbit.incremental_bbit_pairs(docs, path, **kw)
+    # matching parameters still run
+    assert bbit.incremental_bbit_pairs(
+        docs, path, threshold=0.7).count() > 0
+
+
+def test_scratch_dir_isolation():
+    """Scratch stores key on the FULL input path + pid: same-basename
+    corpora and concurrent sessions can't collide (ADVICE r3)."""
+    from data_dedup_ray.util import scratch_dir
+
+    a = scratch_dir("t", "/tmp/corpA/sf0.01", wipe=False)
+    b = scratch_dir("t", "/tmp/corpB/sf0.01", wipe=False)
+    assert a != b
+    assert a == scratch_dir("t", "/tmp/corpA/sf0.01", wipe=False)
+    assert str(os.getpid()) in a
+    # wipe clears stale content
+    os.makedirs(os.path.join(a, "stale"), exist_ok=True)
+    assert not os.path.isdir(scratch_dir("t", "/tmp/corpA/sf0.01"))
+
+
 def test_planted_exact_copies_and_estimator(ray_session, tmp_path):
     """Unchanged re-crawl pages agree on every bit (est 10000, recall
     1.0); near-identical pages estimate within the binomial bound of

@@ -251,3 +251,58 @@ def test_chunk_gc_partition_invariance(ray_session, tmp_path):
             .to_pandas().sort_values("chunk_hash")
             .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_chunk_overlap_oracle_parity(ray_session):
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = chunks.chunk_overlap_web(SF).to_pandas() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    want = con.execute(chunks.chunk_overlap_pairs_sql()).fetchdf() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+
+
+def test_chunk_overlap_micro_and_laws(ray_session):
+    """Hand-built overlap: B embeds both of A's chunks (containment
+    10000); C shares one chunk with A/B — below min_shared=2 it
+    vanishes, at min_shared=1 it appears."""
+    ca, cb, cc = b"x" * 512, b"y" * 512, b"z" * 512
+    pages = [("a", ca + cb), ("b", ca + cb + cc), ("c", ca + b"w" * 512)]
+    out = chunks.chunk_overlap_pairs(
+        _pages(pages), chunk_size=512).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["url_a"], r["url_b"]) == ("a", "b")
+    assert r["n_shared"] == 2 and r["n_a"] == 2 and r["n_b"] == 3
+    assert r["containment_bp"] == 10000
+    loose = chunks.chunk_overlap_pairs(
+        _pages(pages), chunk_size=512, min_shared=1).to_pandas()
+    assert set(zip(loose["url_a"], loose["url_b"])) == {
+        ("a", "b"), ("a", "c"), ("b", "c")}
+    # hot-cap: the shared chunk sits on all 3 pages; cap 2 removes
+    # every pair that relied on it
+    capped = chunks.chunk_overlap_pairs(
+        _pages(pages), chunk_size=512, min_shared=1,
+        hot_cap=2).to_pandas()
+    assert set(zip(capped["url_a"], capped["url_b"])) == {("a", "b")}
+
+
+def test_chunk_overlap_partition_invariance(ray_session):
+    import pandas as pd
+
+    outs = [chunks.chunk_overlap_web(SF)
+            if p is None else
+            chunks.chunk_overlap_pairs(
+                chunks.web_pages(SF).select_columns(["url", "html"]),
+                num_partitions=p)
+            for p in (None, 5)]
+    dfs = [o.to_pandas().sort_values(["url_a", "url_b"])
+           .reset_index(drop=True) for o in outs]
+    pd.testing.assert_frame_equal(dfs[0], dfs[1])

@@ -179,3 +179,27 @@ def test_by_lang_null_lang_becomes_und():
     assert "und" in m.index
     assert m.loc["und"].n_tokens_a == 3 and m.loc["und"].n_tokens_b == 3
     assert m.loc["und"].tv_bp == 0
+
+
+def test_dedup_drift_matches_sql_and_laws():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = drift.dedup_drift(SF).to_pandas()
+    want = con.execute(drift.dedup_drift_sql()).fetchdf()
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    r = got.iloc[0]
+    # survivors ⊆ corpus: nothing new can appear, and dedup removed
+    # real token mass on this planted-duplicate corpus
+    assert r["new_vocab_b"] == 0 and r["oov_mass_b_bp"] == 0
+    assert r["vocab_b"] <= r["vocab_a"]
+    assert 0 < r["n_tokens_b"] < r["n_tokens_a"]
+    assert r["tv_bp"] > 0
+
+
+def test_dedup_drift_partition_invariance():
+    outs = [drift.dedup_drift(SF, num_partitions=p).to_pandas()
+            for p in (3, 8)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])

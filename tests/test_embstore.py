@@ -1,0 +1,101 @@
+"""Persisted int8 embedding index (pipelines/embstore.py) — the
+semantic tier of the fingerprint-store ladder.  The incremental
+bipartite grid join is pinned bit-for-bit against the DuckDB
+restatement of the shared quantization + HUGEINT predicate; planted
+exact re-captures must score cos2_bp = 10000 (quantization is
+loss-free on true duplicates)."""
+
+import json
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from data_dedup_ray.pipelines import embstore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW embeddings AS "
+              f"SELECT * FROM '{SF}/embeddings.parquet'")
+    return c
+
+
+def _emb(sf=SF):
+    return ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _pairs(tmp_path, **kw):
+    path = str(tmp_path / "idx")
+    embstore.build_embedding_index(_emb(), path)
+    return embstore.incremental_embedding_dup_pairs(
+        embstore.recrawl_embeddings(SF), path, **kw).to_pandas() \
+        .sort_values(["new_id", "index_id"]).reset_index(drop=True)
+
+
+def test_store_layout_and_lineage(ray_session, tmp_path):
+    path = str(tmp_path / "idx")
+    embstore.build_embedding_index(_emb(), path, num_partitions=4)
+    parts = [d for d in os.listdir(path) if d.startswith("part=")]
+    assert parts
+    meta = json.load(open(os.path.join(path, parts[0], "_META.json")))
+    assert meta["config"]["kind"] == "embedding_index"
+    assert meta["config"]["quantizer"] == "sym127"
+    assert meta["config"]["b"] == 8
+    # the tier really is d bytes per vector (dim 64 in the synthetic
+    # corpus) and norms are precomputed
+    t = embstore.read_embedding_index(path).to_pandas()
+    assert {len(b) for b in t["q8"]} == {64}
+    assert (t["n2"] > 0).all()
+    assert len(t) == _emb().count()
+
+
+def test_quantizer_mismatch_fails_loudly(ray_session, tmp_path):
+    """An index persisted under a DIFFERENT quantization rule must be
+    rejected, not silently mis-scored."""
+    path = str(tmp_path / "idx")
+    embstore.build_embedding_index(_emb(), path, num_partitions=2)
+    mp = os.path.join(path, "part=0", "_META.json")
+    meta = json.load(open(mp))
+    meta["config"]["quantizer"] = "asym255"
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="different configuration"):
+        embstore.read_embedding_index(path)
+
+
+def test_incremental_pairs_match_sql(ray_session, tmp_path, con):
+    got = _pairs(tmp_path)
+    want = con.execute(
+        embstore.incremental_embedding_dup_pairs_sql()).fetchdf() \
+        .sort_values(["new_id", "index_id"]).reset_index(drop=True)
+    assert list(got.columns) == ["new_id", "index_id", "cos2_bp"]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every re-captured vector matches its source exactly, loss-free
+    n_new = len([i for i in range(_emb().count()) if i % 3 == 1])
+    exact = got[got["new_id"] - 200000 == got["index_id"]]
+    assert len(exact) == n_new
+    assert (exact["cos2_bp"] == 10000).all()
+
+
+def test_grid_shape_invariance(ray_session, tmp_path):
+    outs = [_pairs(tmp_path / f"g{b}{c}", num_blocks=b,
+                   num_new_blocks=c)
+            for b, c in ((3, 2), (7, 5), (1, 1))]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_dim_guard(ray_session, tmp_path):
+    """Dims past the int64-exact bound fail loudly at quantize time
+    (Ray wraps the task's ValueError as a raisable subclass)."""
+    wide = ray.data.from_items(
+        [{"vec_id": i, "embedding": [0.5] * 2000} for i in range(2)])
+    with pytest.raises(Exception, match="int64-exact"):
+        embstore.quantized_rows(wide).materialize()

@@ -433,6 +433,35 @@ def test_embedding_dup_pairs_int8(sf_dir, con):
         == set(zip(f["vec_id_a"], f["vec_id_b"]))
 
 
+def test_emit_pairs_int8_rejects_overflow_dims():
+    """Dims past the int64-exact bound (1883) must fail loudly: numpy
+    would silently wrap dot²·10⁴ while the HUGEINT SQL twin stays
+    exact (ADVICE r3)."""
+    import numpy as np
+    import pytest
+
+    from data_dedup_ray.pipelines.search import (
+        _INT8_MAX_DIM,
+        _emit_pairs_int8,
+    )
+
+    d = _INT8_MAX_DIM + 1
+    Q = np.full((2, d), 127, dtype=np.int64)
+    ids = np.array([0, 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="int64-exact"):
+        _emit_pairs_int8(ids, Q, ids, Q, 9801, diagonal=True)
+    # the bound itself is the worst case that still fits: the fully
+    # saturated all-127 pair (maximal dot) scores exactly 10000 at
+    # d = _INT8_MAX_DIM, while one dim more would wrap int64
+    ok = _emit_pairs_int8(
+        ids, np.full((2, _INT8_MAX_DIM), 127, dtype=np.int64),
+        ids, np.full((2, _INT8_MAX_DIM), 127, dtype=np.int64),
+        9801, diagonal=True)
+    assert ok.num_rows == 1 and ok["cos2_bp"][0].as_py() == 10000
+    assert (_INT8_MAX_DIM * 127**2) ** 2 * 10000 < 2**63
+    assert ((_INT8_MAX_DIM + 1) * 127**2) ** 2 * 10000 >= 2**63
+
+
 def test_embedding_dup_pairs_int8_block_invariance(sf_dir):
     from data_dedup_ray.pipelines.search import embedding_dup_pairs_int8
 
