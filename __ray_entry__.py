@@ -1544,6 +1544,23 @@ def _q_incremental_embedding_pairs(sf_dir: str):
         embstore.recrawl_embeddings(sf_dir), idx)
 
 
+def _q_incremental_embedding_topk(sf_dir: str):
+    """Semantic top-k retrieval of the re-crawl vectors against the
+    persisted int8 index (embstore.incremental_embedding_topk) —
+    sign-aware integer score, deterministic tie order; every exact
+    re-capture retrieves its source at rank 1 with score 10000."""
+    import ray.data
+
+    from data_dedup_ray.pipelines import embstore
+
+    idx = scratch_dir("emb_topk_idx", sf_dir)
+    embstore.build_embedding_index(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]), idx)
+    return embstore.incremental_embedding_topk(
+        embstore.recrawl_embeddings(sf_dir), idx)
+
+
 def _q_dedup_drift(sf_dir: str):
     """Distribution-shift audit of keep-first near-dup removal
     (pipelines/drift.dedup_drift): exact-integer TV distance + token
@@ -1586,19 +1603,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Six oracle-backed keys
-        # (crawl_drift_by_lang, audit_sample_pairs, frontier_scores,
-        # host_reciprocity, pagerank_pages, markup_stats) plus the
-        # documented rows-only siblings did not fit — ROTATE THOSE INTO
-        # SLOTS 1-50 IN ROUND 5; each is pytest-pinned and its family
-        # is represented in-slot by a sibling this round.  Everything
-        # below slot 50 is r1/r2/r3-driver-proven and stays pinned by
-        # the pytest suite.
+        # the session-12 batch.  Seven oracle-backed keys
+        # (crawl_budget_allocation — displaced to slot 51 by the r4
+        # topk addition — crawl_drift_by_lang, audit_sample_pairs,
+        # frontier_scores, host_reciprocity, pagerank_pages,
+        # markup_stats) plus the documented rows-only siblings did not
+        # fit — ROTATE THOSE INTO SLOTS 1-50 IN ROUND 5; each is
+        # pytest-pinned and its family is represented in-slot by a
+        # sibling this round.  Everything below slot 50 is
+        # r1/r2/r3-driver-proven and stays pinned by the pytest suite.
 
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
         "dedup_drift": _q_dedup_drift,
+        "incremental_embedding_topk": _q_incremental_embedding_topk,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1864,6 +1883,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_band_stats": _bandstats.lsh_band_stats_sql(),
         "chunk_overlap_pairs": _chunks.chunk_overlap_pairs_sql(),
         "dedup_drift": _drift.dedup_drift_sql(),
+        "incremental_embedding_topk":
+            _embstore.incremental_embedding_topk_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),

@@ -21,7 +21,7 @@ every cross pair is scored in exactly one task with
 O(|idx|/B + |new|/C) rows in memory and zero driver involvement.
 Scoring is the int64-exact quantized-cosine predicate
 (``dot²·10⁴ ≥ min_cos2_bp·n2_i·n2_n``, dot > 0) shared with
-``embedding_dup_pairs_int8`` — dim-guarded (≤ 1883) so numpy can never
+``embedding_dup_pairs_int8`` — dim-guarded (≤ 1882) so numpy can never
 silently wrap where the HUGEINT SQL twin stays exact.  Quantization is
 loss-free on exact copies: an unchanged re-embedded page scores
 ``cos2_bp = 10000`` and recall on true duplicates is 1.
@@ -291,3 +291,188 @@ SELECT new_id, index_id,
 FROM d JOIN n2 nn ON nn.vec_id = d.new_id
        JOIN n2 ni ON ni.vec_id = d.index_id
 WHERE dot > 0 AND dot*dot*10000 >= {int(min_cos2_bp)} * nn.n2 * ni.n2"""
+
+
+_TOPK_SCHEMA = pa.schema([
+    ("new_id", pa.int64()), ("index_id", pa.int64()),
+    ("rank", pa.int64()), ("cos2_sgn_bp", pa.int64()),
+])
+
+
+def incremental_embedding_topk(
+    new_emb: ray.data.Dataset, index_path, *, k: int = 5,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    num_blocks: int = 8, num_new_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """``(new_id, index_id, rank, cos2_sgn_bp)`` — for every new
+    vector, its ``k`` nearest INDEX vectors by quantized cosine, ranked
+    with deterministic ties (score desc, index_id asc): the semantic
+    RETRIEVAL form of the incremental tier (nearest-dup attribution /
+    "what does this new page semantically duplicate"), where
+    ``incremental_embedding_dup_pairs`` is the thresholded form.
+
+    Scoring is int64-exact and SIGN-AWARE: ``cos2_sgn_bp =
+    sign(dot) · (dot²·10⁴ // (n2_n·n2_i))`` — monotone in the true
+    cosine (it equals ``10⁴·cos·|cos|`` floored), so the integer rank
+    order IS the cosine rank order, restated verbatim in the SQL twin.
+    Zero vectors (no direction) are excluded from both sides.
+
+    Same bipartite grid join as the pairs path; each of the B·C cells
+    reduces to ≤ k rows per new vector BEFORE the final per-new_id
+    top-k fold, so the all-pairs score matrix never leaves a task."""
+    B = num_blocks
+    C = num_new_blocks or max(1, num_blocks // 2)
+
+    idx = read_embedding_index(index_path)
+
+    def emit_idx(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        blk = key_partition(ids, B)
+        rep = np.repeat(np.arange(n), C)
+        peer = np.tile(np.arange(C, dtype=np.int64), n)
+        part = blk[rep] * C + peer
+        return t.take(pa.array(rep)).append_column(
+            "_part", pa.array(part))
+
+    def emit_new(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        blk = key_partition(ids, C)
+        rep = np.repeat(np.arange(n), B)
+        peer = np.tile(np.arange(B, dtype=np.int64), n)
+        part = peer * C + blk[rep]
+        return t.take(pa.array(rep)).append_column(
+            "_part", pa.array(part))
+
+    new_rows = quantized_rows(new_emb, id_col=id_col, emb_col=emb_col) \
+        .map_batches(emit_new, batch_format="pyarrow")
+    idx_rows = idx.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("q8"), "q8",
+            t["q8"].combine_chunks().cast(pa.large_binary())),
+        batch_format="pyarrow",
+    ).map_batches(emit_idx, batch_format="pyarrow")
+
+    def _side(t: pa.Table):
+        import pyarrow.compute as pc
+
+        lens = pc.binary_length(t["q8"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        n2 = t["n2"].to_numpy(zero_copy_only=False)
+        dims = set(np.unique(lens)) - {0}
+        if len(dims) > 1:
+            raise ValueError(
+                f"mixed embedding dims in one index: {sorted(dims)}")
+        d = dims.pop() if dims else 0
+        mask = (lens == d) & (n2 > 0) if d \
+            else np.zeros(len(lens), dtype=bool)
+        blobs = [b for b, m in zip(t["q8"].to_pylist(), mask) if m]
+        return (t["vec_id"].to_numpy(zero_copy_only=False)[mask],
+                _blobs_to_matrix(blobs, d) if d and blobs
+                else np.zeros((0, max(d, 1)), np.int64),
+                n2[mask], d)
+
+    def cell_topk(ti: pa.Table, tn: pa.Table) -> pa.Table:
+        ids_i, Qi, n2i, di = _side(ti)
+        ids_n, Qn, n2n, dn = _side(tn)
+        if not len(ids_i) or not len(ids_n):
+            return pa.schema([("new_id", pa.int64()),
+                              ("index_id", pa.int64()),
+                              ("cos2_sgn_bp", pa.int64())]).empty_table()
+        if di != dn:
+            raise ValueError(f"index dim {di} != new-side dim {dn}")
+        Fi = Qi.astype(np.float64).T
+        out_n, out_i, out_s = [], [], []
+        chunk = 4096
+        kk = min(k, len(ids_i))
+        for s in range(0, len(ids_n), chunk):
+            e = min(s + chunk, len(ids_n))
+            dot = (Qn[s:e].astype(np.float64) @ Fi).astype(np.int64)
+            den = n2n[s:e, None] * n2i[None, :]
+            mag = (dot * dot * 10000) // den
+            sgn = np.where(dot < 0, -mag, mag)
+            # per-row local top-k with (score desc, index_id asc) ties:
+            # lexsort on (-score, id) prefix
+            order = np.lexsort((np.broadcast_to(ids_i, sgn.shape),
+                                -sgn), axis=1)[:, :kk]
+            rows = np.repeat(np.arange(e - s), kk)
+            cols = order.reshape(-1)
+            out_n.append(ids_n[s + rows])
+            out_i.append(ids_i[cols])
+            out_s.append(sgn[rows, cols])
+        return pa.table({
+            "new_id": np.concatenate(out_n),
+            "index_id": np.concatenate(out_i),
+            "cos2_sgn_bp": np.concatenate(out_s),
+        })
+
+    partial = hash_exchange(
+        [idx_rows, new_rows], cell_topk, num_partitions=B * C,
+        schema=pa.schema([("new_id", pa.int64()),
+                          ("index_id", pa.int64()),
+                          ("cos2_sgn_bp", pa.int64())]),
+        apply_format="pyarrow",
+        in_schemas=[_STORE_SCHEMA, _STORE_SCHEMA],
+    )
+
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos2_sgn_bp", "index_id"],
+                          ascending=[False, True],
+                          kind="stable").head(k)
+        return pd.DataFrame({
+            "new_id": g["new_id"].to_numpy(),
+            "index_id": g["index_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "cos2_sgn_bp": g["cos2_sgn_bp"].to_numpy(),
+        })
+
+    return partial.groupby("new_id").map_groups(
+        final, batch_format="pandas")
+
+
+def incremental_embedding_topk_sql(k: int = 5) -> str:
+    """DuckDB twin of ``incremental_embedding_topk`` over the shared
+    re-crawl projection: quantize both sides, signed HUGEINT square
+    score, ``row_number`` with the identical tie order."""
+    return f"""
+WITH sides AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % 3 = 1),
+x AS (
+  SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM sides, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+mx AS (SELECT vec_id, max(abs(v)) AS m FROM x GROUP BY 1),
+q AS (
+  SELECT x.vec_id, i,
+         CAST(floor(v * 127 / CASE WHEN m = 0 THEN 1 ELSE m END)
+              AS BIGINT) AS q
+  FROM x JOIN mx USING (vec_id)),
+n2 AS (SELECT vec_id, CAST(sum(q*q) AS HUGEINT) AS n2 FROM q GROUP BY 1),
+d AS (
+  SELECT n.vec_id AS new_id, i.vec_id AS index_id,
+         CAST(sum(n.q * i.q) AS HUGEINT) AS dot
+  FROM q n JOIN q i ON n.i = i.i
+  WHERE n.vec_id >= 200000 AND i.vec_id < 200000
+  GROUP BY 1, 2),
+s AS (
+  SELECT new_id, index_id,
+         CASE WHEN dot >= 0
+              THEN CAST(dot*dot*10000 // (nn.n2 * ni.n2) AS BIGINT)
+              ELSE -CAST(dot*dot*10000 // (nn.n2 * ni.n2) AS BIGINT)
+         END AS cos2_sgn_bp
+  FROM d JOIN n2 nn ON nn.vec_id = d.new_id
+         JOIN n2 ni ON ni.vec_id = d.index_id
+  WHERE nn.n2 > 0 AND ni.n2 > 0)
+SELECT new_id, index_id, CAST(rank AS BIGINT) AS rank, cos2_sgn_bp
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY new_id
+        ORDER BY cos2_sgn_bp DESC, index_id) AS rank FROM s)
+WHERE rank <= {int(k)}"""

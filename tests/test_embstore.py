@@ -99,3 +99,36 @@ def test_dim_guard(ray_session, tmp_path):
         [{"vec_id": i, "embedding": [0.5] * 2000} for i in range(2)])
     with pytest.raises(Exception, match="int64-exact"):
         embstore.quantized_rows(wide).materialize()
+
+
+def test_incremental_topk_matches_sql(ray_session, tmp_path, con):
+    path = str(tmp_path / "idx")
+    embstore.build_embedding_index(_emb(), path)
+    got = embstore.incremental_embedding_topk(
+        embstore.recrawl_embeddings(SF), path).to_pandas() \
+        .sort_values(["new_id", "rank"]).reset_index(drop=True)
+    want = con.execute(
+        embstore.incremental_embedding_topk_sql()).fetchdf() \
+        .sort_values(["new_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    # every re-captured vector retrieves its exact source at rank 1
+    # with the loss-free maximal score
+    top1 = got[got["rank"] == 1]
+    assert ((top1["new_id"] - 200000) == top1["index_id"]).all()
+    assert (top1["cos2_sgn_bp"] == 10000).all()
+    # exactly k rows per new vector with contiguous ranks
+    per = got.groupby("new_id")["rank"].agg(["size", "max"])
+    assert (per["size"] == 5).all() and (per["max"] == 5).all()
+
+
+def test_incremental_topk_grid_invariance(ray_session, tmp_path):
+    path = str(tmp_path / "idx")
+    embstore.build_embedding_index(_emb(), path)
+    outs = [embstore.incremental_embedding_topk(
+        embstore.recrawl_embeddings(SF), path, k=3,
+        num_blocks=b, num_new_blocks=c).to_pandas()
+        .sort_values(["new_id", "rank"]).reset_index(drop=True)
+        for b, c in ((2, 3), (9, 1))]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
