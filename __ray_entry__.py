@@ -1544,6 +1544,18 @@ def _q_incremental_embedding_pairs(sf_dir: str):
         embstore.recrawl_embeddings(sf_dir), idx)
 
 
+def _q_incremental_substring_dup(sf_dir: str):
+    """Per new-crawl page, how many of its 50-token window fingerprints
+    already exist in the span store built from the base corpus
+    (pipelines/spanstore.py — the substring tier of the incremental
+    ladder; index text never re-read).  mode='exact' is the
+    oracle-parity flag; the library default is the winnowed scale
+    path."""
+    from data_dedup_ray.pipelines import spanstore
+
+    return spanstore.incremental_substring_dup_web(sf_dir, mode="exact")
+
+
 def _q_incremental_embedding_topk(sf_dir: str):
     """Semantic top-k retrieval of the re-crawl vectors against the
     persisted int8 index (embstore.incremental_embedding_topk) —
@@ -1603,21 +1615,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Seven oracle-backed keys
-        # (crawl_budget_allocation — displaced to slot 51 by the r4
-        # topk addition — crawl_drift_by_lang, audit_sample_pairs,
-        # frontier_scores, host_reciprocity, pagerank_pages,
-        # markup_stats) plus the documented rows-only siblings did not
-        # fit — ROTATE THOSE INTO SLOTS 1-50 IN ROUND 5; each is
-        # pytest-pinned and its family is represented in-slot by a
-        # sibling this round.  Everything below slot 50 is
-        # r1/r2/r3-driver-proven and stays pinned by the pytest suite.
+        # the session-12 batch.  Eight oracle-backed keys
+        # (top_dup_content + crawl_budget_allocation — displaced to
+        # slots 51-52 by the r4 topk/substring-store additions —
+        # crawl_drift_by_lang, audit_sample_pairs, frontier_scores,
+        # host_reciprocity, pagerank_pages, markup_stats) plus the
+        # documented rows-only siblings did not fit — ROTATE THOSE
+        # INTO SLOTS 1-50 IN ROUND 5; each is pytest-pinned and its
+        # family is represented in-slot by a sibling this round.
+        # Everything below slot 50 is r1/r2/r3-driver-proven and stays
+        # pinned by the pytest suite.
 
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
         "dedup_drift": _q_dedup_drift,
         "incremental_embedding_topk": _q_incremental_embedding_topk,
+        "incremental_substring_dup": _q_incremental_substring_dup,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1832,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import bbit as _bbit
     from data_dedup_ray.pipelines import chunks as _chunks
     from data_dedup_ray.pipelines import embstore as _embstore
+    from data_dedup_ray.pipelines import spanstore as _spanstore
     from data_dedup_ray.pipelines import oph as _oph
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -1885,6 +1900,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_drift": _drift.dedup_drift_sql(),
         "incremental_embedding_topk":
             _embstore.incremental_embedding_topk_sql(),
+        "incremental_substring_dup":
+            _spanstore.incremental_substring_dup_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),
