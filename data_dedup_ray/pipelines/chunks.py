@@ -105,31 +105,52 @@ def fixed_chunk_rows(
     chunk_size: int = 512,
     id_col: str = "url",
     html_col: str = "html",
+    distinct_per_page: bool = False,
 ) -> ray.data.Dataset:
-    """``(url, chunk_idx, chunk_len, chunk_hash)`` — fixed-offset chunks."""
+    """``(url, chunk_idx, chunk_len, chunk_hash[, url_chunks])`` —
+    fixed-offset chunks.
+
+    ``distinct_per_page=True`` emits one row per DISTINCT chunk hash of
+    each page (first occurrence's idx/len) plus the page's distinct
+    count as ``url_chunks``.  Consumers that count per-page or
+    per-(page, chunk) facts from the row stream need this form: the
+    rows become globally unique AT EMISSION, so per-batch partial
+    counts stay additive no matter how downstream stages re-batch the
+    stream (a page's rows may split across batch boundaries — nothing
+    downstream may assume they don't)."""
     L = int(chunk_size)
 
     def fn(t: pa.Table) -> pa.Table:
         data, off = _binary_buffers(t[html_col])
         ids = t[id_col].to_pylist()
-        urls, idxs, lens, hashes = [], [], [], []
+        urls, idxs, lens, hashes, counts = [], [], [], [], []
         mv = data.tobytes()  # one copy; memoryview slices after
         for r, url in enumerate(ids):
             s, e = int(off[r]), int(off[r + 1])
+            seen: dict = {}
+            n0 = len(urls)
             for ci, cs in enumerate(range(s, e, L)):
                 ce = min(cs + L, e)
+                h = _chunk_hash(mv[cs:ce])
+                if distinct_per_page:
+                    if h in seen:
+                        continue
+                    seen[h] = True
                 urls.append(url)
                 idxs.append(ci)
                 lens.append(ce - cs)
-                hashes.append(_chunk_hash(mv[cs:ce]))
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "chunk_idx": pa.array(idxs, pa.int64()),
-                "chunk_len": pa.array(lens, pa.int64()),
-                "chunk_hash": pa.array(hashes, pa.string()),
-            }
-        )
+                hashes.append(h)
+            if distinct_per_page:
+                counts.extend([len(urls) - n0] * (len(urls) - n0))
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk_len": pa.array(lens, pa.int64()),
+            "chunk_hash": pa.array(hashes, pa.string()),
+        }
+        if distinct_per_page:
+            cols["url_chunks"] = pa.array(counts, pa.int64())
+        return pa.table(cols)
 
     return pages.map_batches(fn, batch_format="pyarrow")
 
@@ -582,7 +603,10 @@ def chunk_overlap_pairs(
     through the two output-sized pair-keyed rounds (bbit's attach
     shape)."""
     P = num_partitions
-    rows = fixed_chunk_rows(pages, chunk_size=chunk_size)
+    # distinct_per_page: rows are globally unique at emission, so the
+    # per-batch partials below stay exact however the stream re-batches
+    rows = fixed_chunk_rows(pages, chunk_size=chunk_size,
+                            distinct_per_page=True)
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.select(["url", "chunk_hash"])
@@ -633,12 +657,11 @@ def chunk_overlap_pairs(
     )
 
     def counts(t: pa.Table) -> pa.Table:
-        # each page's html is one input row → its distinct-chunk count
-        # is already global map-side
-        df = t.select(["url", "chunk_hash"]).to_pandas()
-        g = df.drop_duplicates().groupby(
-            "url", sort=False, as_index=False).size() \
-            .rename(columns={"size": "n"})
+        # the per-page distinct count rides on every row (url_chunks);
+        # (url, n) rows may repeat across batches when a page's rows
+        # split — they are identical, and the join sides drop_duplicate
+        g = t.select(["url", "url_chunks"]).to_pandas() \
+            .drop_duplicates().rename(columns={"url_chunks": "n"})
         g["_part"] = key_partition(g["url"].to_numpy(), P)
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -663,6 +686,7 @@ def chunk_overlap_pairs(
         g = pp.groupby(["url_a", "url_b"], sort=False,
                        as_index=False)["n_shared"].sum()
         g = g[g["n_shared"] >= min_shared]
+        c = c.drop_duplicates()
         return g.merge(c.rename(columns={"url": "url_a", "n": "n_a"}),
                        on="url_a", how="inner")
 
@@ -684,8 +708,10 @@ def chunk_overlap_pairs(
                 "n_a": pd.Series(dtype=np.int64),
                 "n_b": pd.Series(dtype=np.int64),
                 "containment_bp": pd.Series(dtype=np.int64)})
-        m = pp.merge(c.rename(columns={"url": "url_b", "n": "n_b"}),
-                     on="url_b", how="inner")
+        m = pp.merge(
+            c.drop_duplicates().rename(
+                columns={"url": "url_b", "n": "n_b"}),
+            on="url_b", how="inner")
         m["containment_bp"] = (m["n_shared"] * 10000
                                // np.minimum(m["n_a"], m["n_b"]))
         return m[["url_a", "url_b", "n_shared", "n_a", "n_b",
@@ -743,4 +769,167 @@ def chunk_overlap_pairs_sql(chunk_size: int = 512, min_shared: int = 2,
         " AS containment_bp\n"
         "FROM sh JOIN cnt ca ON ca.url = ua JOIN cnt cb ON cb.url = ub\n"
         f"WHERE ns >= {int(min_shared)}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-host boilerplate chunk profile
+# --------------------------------------------------------------------------
+
+_TEMPLATE_SCHEMA = pa.schema([
+    ("host", pa.string()), ("chunk_hash", pa.string()),
+    ("n_pages", pa.int64()), ("host_pages", pa.int64()),
+    ("coverage_bp", pa.int64()),
+])
+
+
+def host_template_chunks(
+    pages: ray.data.Dataset, *, chunk_size: int = 512,
+    min_coverage_bp: int = 5000, min_pages: int = 2,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(host, chunk_hash, n_pages, host_pages, coverage_bp)`` — each
+    host's TEMPLATE chunks: raw byte chunks present on at least
+    ``min_coverage_bp`` basis points of the host's chunked pages (and
+    ≥ ``min_pages`` absolutely) — the storage-level boilerplate
+    profile (site chrome, nav shells, footers) complementing the
+    token-level ``remove_boilerplate`` detector.  What a crawl store
+    reads to budget per-host dedup savings or to pre-strip template
+    bytes before token-level processing.
+
+    Two exchanges, both skew-safe: per-batch ``(host, chunk_hash, n)``
+    partials (a page's html lives in ONE input row, so per-batch counts
+    are globally additive) meet on the CHUNK-level key — a hot host
+    never concentrates in one partition; the host-level join of chunk
+    counts vs host page totals moves only the already-aggregated
+    chunk-count table.  Chunk bytes never shuffle."""
+    P = num_partitions
+    # distinct_per_page: (url, chunk_hash) rows are globally unique at
+    # emission, so the per-batch counts below stay additive however the
+    # stream re-batches (a page's rows may split across batches)
+    rows = fixed_chunk_rows(pages, chunk_size=chunk_size,
+                            distinct_per_page=True)
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        df = t.select(["url", "chunk_hash"]).to_pandas()
+        df["host"] = df["url"].astype(object).str.split("/").str[2]
+        cc = df.groupby(["host", "chunk_hash"], sort=False) \
+            .size().rename("n").reset_index()
+        cc["_part"] = key_partition(
+            (cc["host"] + "\x00" + cc["chunk_hash"]).to_numpy(), P)
+        return pa.Table.from_pandas(cc, preserve_index=False)
+
+    def host_partials(t: pa.Table) -> pa.Table:
+        # ship per-batch-distinct (host, url) membership rows; a page
+        # split across batches duplicates its row, so the join side
+        # counts DISTINCT urls, never row totals
+        df = t.select(["url"]).to_pandas().drop_duplicates()
+        df["host"] = df["url"].astype(object).str.split("/").str[2]
+        df["_part"] = key_partition(df["host"].to_numpy(), P)
+        return pa.Table.from_pandas(df[["host", "url", "_part"]],
+                                    preserve_index=False)
+
+    cc_schema = pa.schema([("host", pa.string()),
+                           ("chunk_hash", pa.string()),
+                           ("n", pa.int64())])
+
+    def sum_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"host": pd.Series(dtype=object),
+                                 "chunk_hash": pd.Series(dtype=object),
+                                 "n_pages": pd.Series(dtype=np.int64)})
+        g = df.groupby(["host", "chunk_hash"], sort=False,
+                       as_index=False)["n"].sum()
+        g = g[g["n"] >= min_pages]
+        return g.rename(columns={"n": "n_pages"})
+
+    chunk_counts = hash_exchange(
+        [rows.map_batches(chunk_partials, batch_format="pyarrow")],
+        sum_chunks, num_partitions=P,
+        schema=pa.schema([("host", pa.string()),
+                          ("chunk_hash", pa.string()),
+                          ("n_pages", pa.int64())]),
+        in_schemas=[cc_schema],
+    )
+
+    def part_on_host(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t["host"].to_numpy(zero_copy_only=False), P)))
+
+    def join(cc: pd.DataFrame, hp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "host": pd.Series(dtype=object),
+            "chunk_hash": pd.Series(dtype=object),
+            "n_pages": pd.Series(dtype=np.int64),
+            "host_pages": pd.Series(dtype=np.int64),
+            "coverage_bp": pd.Series(dtype=np.int64)})
+        if not len(cc) or not len(hp):
+            return empty
+        tot = hp.drop_duplicates().groupby(
+            "host", sort=False)["url"].nunique() \
+            .rename("host_pages").reset_index()
+        m = cc.merge(tot, on="host", how="inner")
+        m["coverage_bp"] = m["n_pages"] * 10000 // m["host_pages"]
+        m = m[m["coverage_bp"] >= min_coverage_bp]
+        return m[["host", "chunk_hash", "n_pages", "host_pages",
+                  "coverage_bp"]]
+
+    return hash_exchange(
+        [chunk_counts.map_batches(part_on_host, batch_format="pyarrow"),
+         rows.map_batches(host_partials, batch_format="pyarrow")],
+        join, num_partitions=P, schema=_TEMPLATE_SCHEMA,
+        in_schemas=[pa.schema([("host", pa.string()),
+                               ("chunk_hash", pa.string()),
+                               ("n_pages", pa.int64())]),
+                    pa.schema([("host", pa.string()),
+                               ("url", pa.string())])],
+    )
+
+
+def host_template_web(sf_dir: str, *, chunk_size: int = 512,
+                      min_coverage_bp: int = 200,
+                      min_pages: int = 2) -> ray.data.Dataset:
+    """Driver query: per-host template chunks over web_pages' html.
+
+    The synthetic corpus has little fixed-offset chunk reuse inside a
+    host (bodies differ early, shifting every later chunk — the fixed
+    chunker's documented weakness), so the driver cutoff is 2% of the
+    host's pages; a real template-heavy web host saturates the library
+    default of 50%."""
+    return host_template_chunks(
+        web_pages(sf_dir).select_columns(["url", "html"]),
+        chunk_size=chunk_size, min_coverage_bp=min_coverage_bp,
+        min_pages=min_pages)
+
+
+def host_template_chunks_sql(chunk_size: int = 512,
+                             min_coverage_bp: int = 5000,
+                             min_pages: int = 2) -> str:
+    """DuckDB twin of ``host_template_web``: hex-slice chunk identity,
+    split_part host rule (mirrors convention), BIGINT floor coverage."""
+    from data_dedup_ray.corpus import web_pages_sql
+
+    L = int(chunk_size)
+    host = "split_part(split_part(url, '//', 2), '/', 1)"
+    return web_pages_sql(
+        ", chunks AS (\n"
+        "  SELECT url,\n"
+        f"    substring(hex(html), CAST(1 + i*{2 * L} AS BIGINT),"
+        f" {2 * L}) AS hx\n"
+        "  FROM (SELECT url, html,\n"
+        "    unnest(range(CAST(ceil(octet_length(html)"
+        f" / {L}.0) AS BIGINT))) AS i\n"
+        "    FROM web_pages)),\n"
+        f"pc AS (SELECT DISTINCT url, {host} AS host,"
+        " sha256(lower(hx)) AS ch FROM chunks),\n"
+        "hp AS (SELECT host, CAST(count(DISTINCT url) AS BIGINT)"
+        " AS host_pages FROM pc GROUP BY 1),\n"
+        "cc AS (SELECT host, ch, CAST(count(DISTINCT url) AS BIGINT)"
+        " AS n_pages FROM pc GROUP BY 1, 2)\n"
+        "SELECT cc.host, cc.ch AS chunk_hash, n_pages, host_pages,\n"
+        "       CAST(n_pages * 10000 // host_pages AS BIGINT)"
+        " AS coverage_bp\n"
+        "FROM cc JOIN hp USING (host)\n"
+        f"WHERE n_pages >= {int(min_pages)}\n"
+        f"  AND n_pages * 10000 // host_pages >= {int(min_coverage_bp)}"
     )

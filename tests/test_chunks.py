@@ -306,3 +306,44 @@ def test_chunk_overlap_partition_invariance(ray_session):
     dfs = [o.to_pandas().sort_values(["url_a", "url_b"])
            .reset_index(drop=True) for o in outs]
     pd.testing.assert_frame_equal(dfs[0], dfs[1])
+
+
+def test_host_template_oracle_parity(ray_session):
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = chunks.host_template_web(SF).to_pandas() \
+        .sort_values(["host", "chunk_hash"]).reset_index(drop=True)
+    want = con.execute(
+        chunks.host_template_chunks_sql(min_coverage_bp=200)).fetchdf() \
+        .sort_values(["host", "chunk_hash"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+
+
+def test_host_template_micro(ray_session):
+    """Hand-built host: a shared 512 B chunk on 3 of 4 pages is a
+    template (7500 bp); a chunk on 1 page never appears; a repeated
+    chunk WITHIN one page counts that page once."""
+    t, u = b"T" * 512, b"U" * 512
+    pages = [(f"https://a.example/p/{i}", t + bytes([65 + i]) * 512)
+             for i in range(3)]
+    pages.append(("https://a.example/p/3", u + u))  # within-page repeat
+    out = chunks.host_template_chunks(
+        _pages(pages), chunk_size=512, min_coverage_bp=5000,
+        min_pages=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["host"] == "a.example"
+    assert r["n_pages"] == 3 and r["host_pages"] == 4
+    assert r["coverage_bp"] == 7500
+    # dropping the coverage bar does NOT resurrect the within-page
+    # repeat (distinct-per-page) or singleton chunks (min_pages)
+    loose = chunks.host_template_chunks(
+        _pages(pages), chunk_size=512, min_coverage_bp=0,
+        min_pages=2).to_pandas()
+    assert len(loose) == 1
