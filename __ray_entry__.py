@@ -1583,6 +1583,17 @@ def _q_dedup_drift(sf_dir: str):
     return drift.dedup_drift(sf_dir)
 
 
+def _q_incremental_chunk_overlap(sf_dir: str):
+    """Byte-level nearest-dup attribution of the re-crawl vs the base
+    corpus (chunks.incremental_chunk_overlap): per snapshot2 page, the
+    web_pages page sharing the most raw 512 B chunks, with exact
+    integer reuse_bp — the storage-tier sibling of
+    nearest_dup_attribution's token-Jaccard view."""
+    from data_dedup_ray.pipelines import chunks
+
+    return chunks.incremental_chunk_overlap_snap2(sf_dir)
+
+
 def _q_host_template_chunks(sf_dir: str):
     """Per-host template (boilerplate) chunks: raw 512 B chunks shared
     across a host's pages (pipelines/chunks.host_template_chunks) —
@@ -1626,17 +1637,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Nine oracle-backed keys
-        # (host_shard_plan, top_dup_content, crawl_budget_allocation —
-        # displaced to slots 51-53 by the r4 topk/substring-store/
-        # host-template additions — crawl_drift_by_lang,
-        # audit_sample_pairs, frontier_scores, host_reciprocity,
-        # pagerank_pages, markup_stats) plus the documented rows-only
-        # siblings did not fit — ROTATE THOSE INTO SLOTS 1-50 IN
-        # ROUND 5; each is pytest-pinned and its family is represented
-        # in-slot by a sibling this round.  Everything below slot 50
-        # is r1/r2/r3-driver-proven and stays pinned by the pytest
-        # suite.
+        # the session-12 batch.  Ten oracle-backed keys
+        # (hits_hosts, host_shard_plan, top_dup_content,
+        # crawl_budget_allocation — displaced to slots 51-54 by the r4
+        # topk/substring-store/host-template/chunk-attribution
+        # additions — crawl_drift_by_lang, audit_sample_pairs,
+        # frontier_scores, host_reciprocity, pagerank_pages,
+        # markup_stats) plus the documented rows-only siblings did not
+        # fit — ROTATE THOSE INTO SLOTS 1-50 IN ROUND 5; each is
+        # pytest-pinned and its family is represented in-slot by a
+        # sibling this round.  Everything below slot 50 is
+        # r1/r2/r3-driver-proven and stays pinned by the pytest suite.
 
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
@@ -1645,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_embedding_topk": _q_incremental_embedding_topk,
         "incremental_substring_dup": _q_incremental_substring_dup,
         "host_template_chunks": _q_host_template_chunks,
+        "incremental_chunk_overlap": _q_incremental_chunk_overlap,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1917,6 +1929,8 @@ def oracle_sql() -> dict[str, str]:
             _spanstore.incremental_substring_dup_sql(),
         "host_template_chunks":
             _chunks.host_template_chunks_sql(min_coverage_bp=200),
+        "incremental_chunk_overlap":
+            _chunks.incremental_chunk_overlap_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),

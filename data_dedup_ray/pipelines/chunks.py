@@ -598,10 +598,11 @@ def chunk_overlap_pairs(
     100 TB shape: chunk bytes never shuffle — only ``(url, chunk_hash)``
     rows keyed on the hash, with a map-side distinct combiner; pair
     emission per chunk is C(m≤hot_cap, 2)-bounded; per-page distinct
-    counts are computed MAP-SIDE (each page's html lives in exactly one
-    input row, so its distinct-chunk count is already global) and attach
+    counts ride on the chunk rows themselves (``url_chunks``, computed
+    in the chunker where the whole page is one input row) and attach
     through the two output-sized pair-keyed rounds (bbit's attach
-    shape)."""
+    shape) — the join sides deduplicate the replicated count rows, so
+    nothing assumes a page's rows share a downstream batch."""
     P = num_partitions
     # distinct_per_page: rows are globally unique at emission, so the
     # per-batch partials below stay exact however the stream re-batches
@@ -932,4 +933,185 @@ def host_template_chunks_sql(chunk_size: int = 512,
         "FROM cc JOIN hp USING (host)\n"
         f"WHERE n_pages >= {int(min_pages)}\n"
         f"  AND n_pages * 10000 // host_pages >= {int(min_coverage_bp)}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Byte-level nearest-dup attribution: new crawl vs base corpus chunks
+# --------------------------------------------------------------------------
+
+_ATTR_SCHEMA = pa.schema([
+    ("url", pa.string()), ("index_url", pa.string()),
+    ("n_shared", pa.int64()), ("n_chunks", pa.int64()),
+    ("reuse_bp", pa.int64()),
+])
+
+
+def incremental_chunk_overlap(
+    new_pages: ray.data.Dataset, base_pages: ray.data.Dataset, *,
+    chunk_size: int = 512, hot_cap: int = 64,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(url, index_url, n_shared, n_chunks, reuse_bp)`` — per NEW
+    page, the base-corpus page it shares the most raw chunks with
+    (ties: shared count desc, then min index_url): BYTE-level
+    nearest-dup attribution, the storage-tier sibling of
+    ``near.nearest_dup_attribution`` (token Jaccard) — what a re-crawl
+    ingest logs to say "this capture is mostly assembled from bytes we
+    already hold, here is the prior page".
+
+    ``reuse_bp = n_shared·10⁴ // n_chunks`` over the new page's
+    DISTINCT chunk count; pages sharing nothing are absent.  Chunks on
+    more than ``hot_cap`` pages (both sides combined) are excluded from
+    attribution — the boilerplate guard, restated in the SQL twin so
+    the cap is part of the metric.
+
+    Shape: both sides chunk distinct-per-page (globally unique rows —
+    per-batch partials stay additive under any re-batching); one
+    chunk-keyed exchange emits cross-side pair partials (≤ hot_cap²
+    per chunk), one new_url-keyed exchange sums and takes the local
+    argmax (all of a new page's pairs co-locate).  Chunk bytes never
+    shuffle."""
+    P = num_partitions
+
+    def tag_prep(tag: str, with_counts: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = ["url", "chunk_hash"] + (
+                ["url_chunks"] if with_counts else [])
+            df = t.select(cols).to_pandas()
+            df["url"] = tag + df["url"].astype(object)
+            df["_part"] = key_partition(
+                df["chunk_hash"].to_numpy(), P)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return fn
+
+    new_rows = fixed_chunk_rows(new_pages, chunk_size=chunk_size,
+                                distinct_per_page=True) \
+        .map_batches(tag_prep("n|", True), batch_format="pyarrow")
+    idx_rows = fixed_chunk_rows(base_pages, chunk_size=chunk_size,
+                                distinct_per_page=True) \
+        .map_batches(tag_prep("i|", False), batch_format="pyarrow")
+
+    pair_schema = pa.schema([
+        ("url", pa.string()), ("index_url", pa.string()),
+        ("n", pa.int64()), ("n_chunks", pa.int64()),
+    ])
+
+    def emit_pairs(nd: pd.DataFrame, idx: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "url": pd.Series(dtype=object),
+            "index_url": pd.Series(dtype=object),
+            "n": pd.Series(dtype=np.int64),
+            "n_chunks": pd.Series(dtype=np.int64)})
+        if not len(nd) or not len(idx):
+            return empty
+        # rows are globally unique; the hot cap counts BOTH sides
+        per_chunk = pd.concat([nd[["chunk_hash", "url"]],
+                               idx[["chunk_hash", "url"]]]) \
+            .groupby("chunk_hash", sort=False)["url"].size()
+        ok = set(per_chunk[per_chunk <= hot_cap].index)
+        nd = nd[nd["chunk_hash"].isin(ok)]
+        idx = idx[idx["chunk_hash"].isin(ok)]
+        if not len(nd) or not len(idx):
+            return empty
+        m = nd.merge(idx.rename(columns={"url": "index_url"}),
+                     on="chunk_hash")
+        if not len(m):
+            return empty
+        g = m.groupby(["url", "index_url"], sort=False) \
+            .agg(n=("chunk_hash", "size"),
+                 n_chunks=("url_chunks", "first")).reset_index()
+        g["url"] = g["url"].str[2:]
+        g["index_url"] = g["index_url"].str[2:]
+        return g
+
+    partials = hash_exchange(
+        [new_rows, idx_rows], emit_pairs, num_partitions=P,
+        schema=pair_schema,
+        in_schemas=[pa.schema([("url", pa.string()),
+                               ("chunk_hash", pa.string()),
+                               ("url_chunks", pa.int64())]),
+                    pa.schema([("url", pa.string()),
+                               ("chunk_hash", pa.string())])],
+    )
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "url": pd.Series(dtype=object),
+            "index_url": pd.Series(dtype=object),
+            "n_shared": pd.Series(dtype=np.int64),
+            "n_chunks": pd.Series(dtype=np.int64),
+            "reuse_bp": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        g = df.groupby(["url", "index_url"], sort=False) \
+            .agg(n_shared=("n", "sum"),
+                 n_chunks=("n_chunks", "first")).reset_index()
+        g = g.sort_values(["url", "n_shared", "index_url"],
+                          ascending=[True, False, True],
+                          kind="stable")
+        best = g.drop_duplicates("url", keep="first").copy()
+        best["reuse_bp"] = best["n_shared"] * 10000 // best["n_chunks"]
+        return best[["url", "index_url", "n_shared", "n_chunks",
+                     "reuse_bp"]]
+
+    def part_on_url(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(key_partition(
+            t["url"].to_numpy(zero_copy_only=False), P)))
+
+    return hash_exchange(
+        [partials.map_batches(part_on_url, batch_format="pyarrow")],
+        argmax, num_partitions=P, schema=_ATTR_SCHEMA,
+        in_schemas=[pair_schema],
+    )
+
+
+def incremental_chunk_overlap_snap2(
+        sf_dir: str, *, chunk_size: int = 512,
+        hot_cap: int = 64) -> ray.data.Dataset:
+    """Driver query: snapshot2's pages attributed against web_pages."""
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+
+    return incremental_chunk_overlap(
+        snapshot2(sf_dir).select_columns(["url", "html"]),
+        web_pages(sf_dir).select_columns(["url", "html"]),
+        chunk_size=chunk_size, hot_cap=hot_cap)
+
+
+def incremental_chunk_overlap_sql(chunk_size: int = 512,
+                                  hot_cap: int = 64) -> str:
+    """DuckDB twin of ``incremental_chunk_overlap_snap2``: hex-slice
+    chunk identity, DISTINCT per-page sets, both-sides hot cutoff,
+    row_number argmax with the identical tie order."""
+    from data_dedup_ray.pipelines.snapshots import snapshots_sql
+
+    L = int(chunk_size)
+    slice_ = (f"substring(hex(html), CAST(1 + i*{2 * L} AS BIGINT),"
+              f" {2 * L})")
+    rng = (f"unnest(range(CAST(ceil(octet_length(html) / {L}.0)"
+           " AS BIGINT))) AS i")
+    return snapshots_sql(
+        ",\nipc AS (SELECT DISTINCT url,"
+        f" sha256(lower({slice_})) AS ch\n"
+        f"  FROM (SELECT url, html, {rng} FROM web_pages)),\n"
+        "npc AS (SELECT DISTINCT url,"
+        f" sha256(lower({slice_})) AS ch\n"
+        f"  FROM (SELECT url, html, {rng} FROM snapshot2)),\n"
+        "ncnt AS (SELECT url, CAST(count(*) AS BIGINT) AS n_chunks"
+        " FROM npc GROUP BY 1),\n"
+        "ok AS (SELECT ch FROM (SELECT ch, url FROM ipc UNION ALL"
+        " SELECT ch, url FROM npc) GROUP BY ch\n"
+        f"       HAVING count(*) <= {int(hot_cap)}),\n"
+        "sh AS (SELECT n.url AS url, i.url AS index_url,"
+        " CAST(count(*) AS BIGINT) AS n_shared\n"
+        "       FROM npc n JOIN ipc i USING (ch)\n"
+        "       WHERE ch IN (SELECT ch FROM ok) GROUP BY 1, 2)\n"
+        "SELECT url, index_url, n_shared, n_chunks,\n"
+        "       CAST(n_shared * 10000 // n_chunks AS BIGINT)"
+        " AS reuse_bp\n"
+        "FROM (SELECT sh.*, ncnt.n_chunks, row_number() OVER (\n"
+        "        PARTITION BY sh.url"
+        " ORDER BY n_shared DESC, index_url) AS rk\n"
+        "      FROM sh JOIN ncnt USING (url))\n"
+        "WHERE rk = 1"
     )

@@ -347,3 +347,47 @@ def test_host_template_micro(ray_session):
         _pages(pages), chunk_size=512, min_coverage_bp=0,
         min_pages=2).to_pandas()
     assert len(loose) == 1
+
+
+def test_incremental_chunk_overlap_oracle_parity(ray_session):
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = chunks.incremental_chunk_overlap_snap2(SF).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = con.execute(chunks.incremental_chunk_overlap_sql()).fetchdf() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    # one attribution row per new page; unchanged re-captures
+    # attribute to their base self at full byte reuse
+    assert got["url"].is_unique
+    self_rows = got[got["url"] == got["index_url"]]
+    assert len(self_rows) > 0
+    assert (self_rows["reuse_bp"] <= 10000).all()
+
+
+def test_incremental_chunk_overlap_micro(ray_session):
+    """Hand-built attribution: a new page of chunks (X, Y) attributes
+    to base page bXY (2 shared) over bX (1 shared); an all-novel new
+    page is absent; ties break to the min index_url."""
+    X, Y, Z = b"x" * 512, b"y" * 512, b"z" * 512
+    base = [("bX", X + b"0" * 512), ("bXY", X + Y), ("bZ", Z)]
+    new = [("n0", X + Y + b"n" * 512), ("n1", b"q" * 700)]
+    out = chunks.incremental_chunk_overlap(
+        _pages(new), _pages(base), chunk_size=512).to_pandas()
+    assert set(out["url"]) == {"n0"}
+    r = out.iloc[0]
+    assert r["index_url"] == "bXY"
+    assert r["n_shared"] == 2 and r["n_chunks"] == 3
+    assert r["reuse_bp"] == 6666
+    # tie: a new page sharing exactly one chunk with bX and bXY picks
+    # the lexicographically smaller base url
+    tie = chunks.incremental_chunk_overlap(
+        _pages([("t0", X + b"t" * 512)]), _pages(base),
+        chunk_size=512).to_pandas()
+    assert tie.iloc[0]["index_url"] == "bX"
