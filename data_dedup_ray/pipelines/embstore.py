@@ -476,3 +476,135 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY new_id
         ORDER BY cos2_sgn_bp DESC, index_id) AS rank FROM s)
 WHERE rank <= {int(k)}"""
+
+
+def cross_embedding_dup_pairs_float(
+    new_emb: ray.data.Dataset, idx_emb: ray.data.Dataset, *,
+    threshold: float = 0.99, id_col: str = "vec_id",
+    emb_col: str = "embedding", num_blocks: int = 8,
+    num_new_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """``(new_id, index_id, cos_bp)`` — EXACT float-cosine cross pairs
+    between two raw embedding sets through the same bipartite grid
+    join: the truth side the int8 tier is graded against (the store
+    never holds floats, so truth must come from the raw vectors)."""
+    from data_dedup_ray.pipelines.search import _matrix, _normalize
+
+    B = num_blocks
+    C = num_new_blocks or max(1, num_blocks // 2)
+    emb_schema = pa.schema([("vec_id", pa.int64()),
+                            ("embedding", pa.list_(pa.float32()))])
+
+    def emit(side: str):
+        reps, tiles = (C, B) if side == "idx" else (B, C)
+
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if n == 0:
+                return t.append_column("_part",
+                                       pa.array([], pa.int64()))
+            blk = key_partition(ids, B if side == "idx" else C)
+            rep = np.repeat(np.arange(n), reps)
+            peer = np.tile(np.arange(reps, dtype=np.int64), n)
+            part = (blk[rep] * C + peer if side == "idx"
+                    else peer * C + blk[rep])
+            return t.take(pa.array(rep)).append_column(
+                "_part", pa.array(part))
+        return fn
+
+    idx_rows = idx_emb.select_columns([id_col, emb_col]) \
+        .map_batches(emit("idx"), batch_format="pyarrow")
+    new_rows = new_emb.select_columns([id_col, emb_col]) \
+        .map_batches(emit("new"), batch_format="pyarrow")
+
+    out_schema = pa.schema([("new_id", pa.int64()),
+                            ("index_id", pa.int64()),
+                            ("cos_bp", pa.int64())])
+
+    def score(ti: pa.Table, tn: pa.Table) -> pa.Table:
+        if ti.num_rows == 0 or tn.num_rows == 0:
+            return out_schema.empty_table()
+        ids_i = ti[id_col].to_numpy(zero_copy_only=False)
+        ids_n = tn[id_col].to_numpy(zero_copy_only=False)
+        Xi = _normalize(_matrix(ti, emb_col))
+        Xn = _normalize(_matrix(tn, emb_col))
+        out_n, out_i, out_c = [], [], []
+        for s in range(0, len(ids_n), 4096):
+            e = min(s + 4096, len(ids_n))
+            sims = Xn[s:e] @ Xi.T
+            jj, ii = np.nonzero(sims >= threshold)
+            out_n.append(ids_n[s + jj])
+            out_i.append(ids_i[ii])
+            out_c.append(np.floor(sims[jj, ii] * 10000 + 0.5)
+                         .astype(np.int64))
+        return pa.table({
+            "new_id": np.concatenate(out_n),
+            "index_id": np.concatenate(out_i),
+            "cos_bp": np.concatenate(out_c),
+        })
+
+    return hash_exchange(
+        [idx_rows, new_rows], score, num_partitions=B * C,
+        schema=out_schema, apply_format="pyarrow",
+        in_schemas=[emb_schema, emb_schema],
+    )
+
+
+def semantic_estimator_eval(sf_dir: str, *,
+                            min_cos2_bp: int = 9801,
+                            threshold: float = 0.99) -> ray.data.Dataset:
+    """Can semantic dedup run from the 1 B/dim stored tier alone?  One
+    ``(tier, n_pred, n_true, n_hit, precision_bp, recall_bp, f1_bp)``
+    row grading the int8 index's incremental pairs against the EXACT
+    float-cosine cross truth over the same vectors — the semantic
+    rung's entry in the estimator-quality ladder beside
+    ``sig_estimator_eval`` (1 KB signatures) and ``dedup_tier_eval``
+    (cheap text tiers).  Quantization is loss-free on exact
+    re-captures, so recall on true duplicates is pinned at 10000 by
+    the planted re-crawl."""
+    import ray.data as rd
+
+    from data_dedup_ray.pipelines.evaluation import estimator_pair_eval
+    from data_dedup_ray.util import scratch_dir
+
+    idx_path = scratch_dir("semeval_idx", sf_dir)
+    raw = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    build_embedding_index(raw, idx_path)
+    pred = incremental_embedding_dup_pairs(
+        recrawl_embeddings(sf_dir), idx_path, min_cos2_bp=min_cos2_bp)
+    truth = cross_embedding_dup_pairs_float(
+        recrawl_embeddings(sf_dir), raw, threshold=threshold)
+    return estimator_pair_eval(pred, truth, tier="int8_semantic",
+                               pair_cols=("new_id", "index_id"))
+
+
+def semantic_estimator_eval_sql(min_cos2_bp: int = 9801,
+                                threshold: float = 0.99) -> str:
+    """SQL twin: the int8 pair oracle vs the float-cosine cross truth,
+    both over the shared re-crawl projection, folded to the standard
+    integer metric row (``sig_estimator_eval_sql`` shape)."""
+    pred = incremental_embedding_dup_pairs_sql(min_cos2_bp)
+    cos = ("list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),"
+           " CAST(i.embedding AS DOUBLE[]))")
+    return f"""
+WITH pred AS MATERIALIZED (
+  SELECT new_id, index_id FROM ({pred}) p),
+tru AS MATERIALIZED (
+  SELECT n.vec_id + 200000 AS new_id, i.vec_id AS index_id
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 3 = 1) n, embeddings i
+  WHERE {cos} >= {threshold}),
+m AS (SELECT
+  (SELECT count(*) FROM pred) AS n_pred,
+  (SELECT count(*) FROM tru) AS n_true,
+  (SELECT count(*) FROM pred p JOIN tru t
+     ON p.new_id = t.new_id AND p.index_id = t.index_id) AS n_hit)
+SELECT 'int8_semantic' AS tier,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT) AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
+FROM m"""

@@ -132,3 +132,19 @@ def test_incremental_topk_grid_invariance(ray_session, tmp_path):
         .sort_values(["new_id", "rank"]).reset_index(drop=True)
         for b, c in ((2, 3), (9, 1))]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_semantic_estimator_eval(ray_session, con):
+    """The int8 tier graded against exact float truth: loss-free on
+    the planted re-crawl ⇒ all four counts agree and the metric row is
+    pinned bit-for-bit by the SQL twin."""
+    got = embstore.semantic_estimator_eval(SF).to_pandas()
+    want = con.execute(
+        embstore.semantic_estimator_eval_sql()).fetchdf()
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    r = got.iloc[0]
+    assert r["tier"] == "int8_semantic"
+    assert r["n_pred"] == r["n_true"] == r["n_hit"] > 0
+    assert r["recall_bp"] == 10000 and r["precision_bp"] == 10000
