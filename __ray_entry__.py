@@ -1583,6 +1583,16 @@ def _q_dedup_drift(sf_dir: str):
     return drift.dedup_drift(sf_dir)
 
 
+def _q_simhash_sha_clusters(sf_dir: str):
+    """SimHash near-dup clusters with the sha token hash — the
+    cluster-level oracle the default-hash simhash_clusters lacks: the
+    whole fp + Hamming + closure chain restated in DuckDB
+    (oracles.simhash_sha_clusters_sql)."""
+    from data_dedup_ray.pipelines import near
+
+    return near.simhash_clusters(web_pages(sf_dir), hash_fn="sha")
+
+
 def _q_semantic_estimator_eval(sf_dir: str):
     """Can semantic dedup run from the 1 B/dim stored int8 tier alone?
     Grades the incremental int8 pairs against exact float-cosine cross
@@ -1648,17 +1658,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Eleven oracle-backed keys
-        # (near_dup_keep_authoritative, hits_hosts, host_shard_plan,
-        # top_dup_content, crawl_budget_allocation — displaced to
-        # slots 51-55 by the five r4 additions below slot 22 —
-        # crawl_drift_by_lang, audit_sample_pairs, frontier_scores,
-        # host_reciprocity, pagerank_pages, markup_stats) plus the
-        # documented rows-only siblings did not fit — ROTATE THOSE
-        # INTO SLOTS 1-50 IN ROUND 5; each is pytest-pinned and its
-        # family is represented in-slot by a sibling this round.
-        # Everything below slot 50 is r1/r2/r3-driver-proven and stays
-        # pinned by the pytest suite.
+        # the session-12 batch.  Twelve oracle-backed keys
+        # (nearest_dup_attribution, near_dup_keep_authoritative,
+        # hits_hosts, host_shard_plan, top_dup_content,
+        # crawl_budget_allocation — displaced to slots 51-56 by the
+        # six r4 additions — crawl_drift_by_lang,
+        # audit_sample_pairs, frontier_scores, host_reciprocity,
+        # pagerank_pages, markup_stats) plus the documented rows-only
+        # siblings did not fit — ROTATE THOSE INTO SLOTS 1-50 IN
+        # ROUND 5; each is pytest-pinned and its family is represented
+        # in-slot by a sibling this round.  Everything below slot 50
+        # is r1/r2/r3-driver-proven and stays pinned by the pytest
+        # suite.
 
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
@@ -1669,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_template_chunks": _q_host_template_chunks,
         "incremental_chunk_overlap": _q_incremental_chunk_overlap,
         "semantic_estimator_eval": _q_semantic_estimator_eval,
+        "simhash_sha_clusters": _q_simhash_sha_clusters,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1945,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
             _chunks.incremental_chunk_overlap_sql(),
         "semantic_estimator_eval":
             _embstore.semantic_estimator_eval_sql(),
+        "simhash_sha_clusters": oracles.simhash_sha_clusters_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),

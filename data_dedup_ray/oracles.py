@@ -714,3 +714,23 @@ SELECT a.det AS detector_a, b.det AS detector_b,
 FROM tagged a JOIN tagged b USING (url_a, url_b)
 WHERE a.det <= b.det
 GROUP BY 1, 2"""
+
+
+def simhash_sha_clusters_sql(max_hamming: int = 3) -> str:
+    """Closure twin of ``near.simhash_clusters(hash_fn='sha')``:
+    recursive connected components over the brute-force sha-simhash
+    Hamming ≤ ``max_hamming`` pair graph (the shared
+    ``_simhash_edge_ctes`` fragment), min-member labels, token-less
+    docs as their own singleton clusters."""
+    return (
+        f"WITH RECURSIVE {WEB_PAGES_CTE},\n{_simhash_edge_ctes()},\n"
+        f"dup AS (SELECT url_a, url_b FROM sham WHERE d <= {max_hamming}),\n"
+        "edges AS (SELECT url_a AS a, url_b AS b FROM dup"
+        " UNION SELECT url_b, url_a FROM dup),\n"
+        "reach(a, b) AS (SELECT a, b FROM edges"
+        " UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),\n"
+        "comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id"
+        " FROM reach GROUP BY a)\n"
+        "SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id"
+        " FROM web_pages w LEFT JOIN comp c ON c.url = w.url"
+    )

@@ -801,6 +801,7 @@ def simhash_clusters(
     ds: ray.data.Dataset, *, max_hamming: int = 3, id_col: str = "url",
     text_col: str = "text", concurrency: int | tuple | None = None,
     group_cap: int = 4096, dsu_max_edges: int = 20_000_000,
+    hash_fn: str = "fast",
 ) -> ray.data.Dataset:
     """Rows labeled by SimHash near-dup component (min-member url).
 
@@ -818,7 +819,7 @@ def simhash_clusters(
     # handling needs no second tokenize pass
     fp_all = ds.map_batches(
         stage_task(SimHashFingerprints, id_col=id_col, text_col=text_col,
-                   keep_empty=True),
+                   keep_empty=True, hash_fn=hash_fn),
         batch_format="pyarrow",
         batch_size=1024,
     ).materialize()

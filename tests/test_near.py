@@ -459,3 +459,25 @@ def test_nearest_dup_attribution_tie_order():
         got.loc["n1", "jaccard_bp"] == 9000  # float floor of 0.9*1e4
     assert got.loc["n2", "best_index_url"] == "aa"
     assert int(got.loc["n2", "n_matches"]) == 3
+
+
+def test_simhash_sha_clusters_matches_closure_oracle(ray_session):
+    """The sha-variant cluster assignment is pinned bit-for-bit by the
+    recursive closure over the brute-force sha-simhash pair graph."""
+    import duckdb
+
+    from data_dedup_ray import oracles
+    from data_dedup_ray.corpus import web_pages
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = near.simhash_clusters(web_pages(sf), hash_fn="sha") \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    want = con.execute(oracles.simhash_sha_clusters_sql()).fetchdf() \
+        .sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+    # real families exist and every cluster label is a member url
+    assert got["cluster_id"].nunique() < len(got)
