@@ -1583,6 +1583,18 @@ def _q_dedup_drift(sf_dir: str):
     return drift.dedup_drift(sf_dir)
 
 
+def _q_incremental_semantic_clusters(sf_dir: str):
+    """The re-crawl's vectors folded into the standing flat int8
+    semantic assignment through the stored tier
+    (embstore.incremental_embedding_dup_clusters) — index floats never
+    touched, index-index pairs never recomputed; equal to flat
+    clustering of the union by supernode induction (SQL closure
+    twin)."""
+    from data_dedup_ray.pipelines import embstore
+
+    return embstore.incremental_semantic_clusters_web(sf_dir)
+
+
 def _q_simhash_sha_clusters(sf_dir: str):
     """SimHash near-dup clusters with the sha token hash — the
     cluster-level oracle the default-hash simhash_clusters lacks: the
@@ -1658,11 +1670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Twelve oracle-backed keys
-        # (nearest_dup_attribution, near_dup_keep_authoritative,
-        # hits_hosts, host_shard_plan, top_dup_content,
-        # crawl_budget_allocation — displaced to slots 51-56 by the
-        # six r4 additions — crawl_drift_by_lang,
+        # the session-12 batch.  Thirteen oracle-backed keys
+        # (anchor_text_agg, nearest_dup_attribution,
+        # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
+        # top_dup_content, crawl_budget_allocation — displaced to
+        # slots 51-57 by the seven r4 additions — crawl_drift_by_lang,
         # audit_sample_pairs, frontier_scores, host_reciprocity,
         # pagerank_pages, markup_stats) plus the documented rows-only
         # siblings did not fit — ROTATE THOSE INTO SLOTS 1-50 IN
@@ -1681,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_chunk_overlap": _q_incremental_chunk_overlap,
         "semantic_estimator_eval": _q_semantic_estimator_eval,
         "simhash_sha_clusters": _q_simhash_sha_clusters,
+        "incremental_semantic_clusters": _q_incremental_semantic_clusters,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1958,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_estimator_eval":
             _embstore.semantic_estimator_eval_sql(),
         "simhash_sha_clusters": oracles.simhash_sha_clusters_sql(),
+        "incremental_semantic_clusters":
+            _embstore.incremental_semantic_clusters_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),

@@ -608,3 +608,235 @@ SELECT 'int8_semantic' AS tier,
        CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
        CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
 FROM m"""
+
+
+def int8_dup_clusters(
+    emb: ray.data.Dataset, *, min_cos2_bp: int = 9801,
+    num_blocks: int = 8, dsu_max_edges: int = 20_000_000,
+) -> ray.data.Dataset:
+    """``(vec_id, cluster_id)`` — connected components of the
+    int8-quantized cos² ≥ bar pair graph over one embedding set,
+    labeled by min vec_id (singletons self-labeled): the flat
+    assignment whose INCREMENTAL fold is
+    ``incremental_embedding_dup_clusters``.  Same count()-gated
+    DSU / label-propagation ladder as ``search.embedding_dup_clusters``
+    (padded string ids on the distributed path)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from data_dedup_ray.pipelines.search import embedding_dup_pairs_int8
+
+    edges = embedding_dup_pairs_int8(
+        emb, min_cos2_bp=min_cos2_bp, num_blocks=num_blocks,
+    ).materialize()
+    if edges.count() > dsu_max_edges:
+        from data_dedup_ray.pipelines.components import label_propagation
+
+        def _pad(col: pa.ChunkedArray) -> pa.Array:
+            return pa.array(
+                [f"{int(v):012d}" for v in
+                 col.to_numpy(zero_copy_only=False)], pa.string())
+
+        sedges = edges.map_batches(
+            lambda t: pa.table({"url_a": _pad(t["vec_id_a"]),
+                                "url_b": _pad(t["vec_id_b"])}),
+            batch_format="pyarrow",
+        )
+        nodes = emb.map_batches(
+            lambda t: pa.table({"url": _pad(t["vec_id"])}),
+            batch_format="pyarrow",
+        )
+        return label_propagation(nodes, sedges).map_batches(
+            lambda t: pa.table({
+                "vec_id": pc.cast(t["url"].combine_chunks(), pa.int64()),
+                "cluster_id": pc.cast(
+                    t["cluster_id"].combine_chunks(), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
+    from data_dedup_ray.pipelines.components import dsu_components
+
+    assignment = dsu_components(edges.to_pandas(), a="vec_id_a",
+                                b="vec_id_b")
+    ref = ray.put({int(k): int(v) for k, v in assignment.items()})
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        vals = np.fromiter((m.get(int(i), int(i)) for i in ids),
+                           np.int64, len(ids))
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster_id": pa.array(vals),
+        })
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        attach, batch_format="pyarrow")
+
+
+def incremental_embedding_dup_clusters(
+    new_emb: ray.data.Dataset, index_path,
+    old_labels: ray.data.Dataset, *, min_cos2_bp: int = 9801,
+    num_blocks: int = 8, num_new_blocks: int | None = None,
+    dsu_max_edges: int = 20_000_000, num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """``(side, vec_id, cluster_id)`` for every vector of index ∪ new —
+    the SEMANTIC rung of the incremental cluster fold
+    (``incremental.incremental_near_dup_clusters``' shape): the new
+    crawl's vectors join the standing assignment through the stored
+    int8 tier; index floats are never touched, index-index pairs are
+    never recomputed (``old_labels`` already encodes them).
+
+    ``old_labels`` is the index's flat int8 assignment (min-member
+    labels, ``int8_dup_clusters``); index and new ``vec_id`` spaces
+    MUST be disjoint (the re-crawl projection's +200000 convention) —
+    supernodes then stay plain int64s.  Equal to flat clustering of
+    the union by supernode induction: each old label is ≤ every member
+    it stands for, so min-of-mins is the union minimum."""
+    import ray
+
+    from data_dedup_ray.pipelines.search import embedding_dup_pairs_int8
+
+    P = num_partitions
+
+    # cross edges, index endpoint rewritten to its old label
+    cross = incremental_embedding_dup_pairs(
+        new_emb, index_path, min_cos2_bp=min_cos2_bp,
+        num_blocks=num_blocks, num_new_blocks=num_new_blocks)
+
+    def part_on(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_part", pa.array(key_partition(
+                t[col].to_numpy(zero_copy_only=False), P)))
+        return fn
+
+    lab = old_labels.map_batches(part_on("vec_id"),
+                                 batch_format="pyarrow")
+
+    def rewrite(cp, lg):
+        import pandas as pd
+        if not len(cp) or not len(lg):
+            return pd.DataFrame({
+                "vec_id_a": pd.Series(dtype=np.int64),
+                "vec_id_b": pd.Series(dtype=np.int64)})
+        m = cp.merge(lg.rename(columns={"vec_id": "index_id",
+                                        "cluster_id": "lab"}),
+                     on="index_id", how="inner")
+        return pd.DataFrame({"vec_id_a": m["new_id"].to_numpy(),
+                             "vec_id_b": m["lab"].to_numpy()})
+
+    lab_schema = pa.schema([("vec_id", pa.int64()),
+                            ("cluster_id", pa.int64())])
+    sup_cross = hash_exchange(
+        [cross.map_batches(part_on("index_id"),
+                           batch_format="pyarrow"), lab],
+        rewrite, num_partitions=P,
+        schema=pa.schema([("vec_id_a", pa.int64()),
+                          ("vec_id_b", pa.int64())]),
+        in_schemas=[_PAIR_OUT, lab_schema],
+    )
+
+    newnew = embedding_dup_pairs_int8(
+        new_emb, min_cos2_bp=min_cos2_bp, num_blocks=num_blocks,
+    ).map_batches(lambda t: t.select(["vec_id_a", "vec_id_b"]),
+                  batch_format="pyarrow")
+
+    edges = sup_cross.union(newnew).materialize()
+
+    if edges.count() > dsu_max_edges:
+        raise NotImplementedError(
+            "distributed fold past dsu_max_edges: hand the supernode "
+            "edge list to components.label_propagation with padded ids "
+            "(int8_dup_clusters shows the exact shape); the driver "
+            "corpora stay far under the guard")
+
+    from data_dedup_ray.pipelines.components import dsu_components
+
+    assignment = dsu_components(edges.to_pandas(), a="vec_id_a",
+                                b="vec_id_b")
+    ref = ray.put({int(k): int(v) for k, v in assignment.items()})
+
+    def new_out(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        vals = np.fromiter((m.get(int(i), int(i)) for i in ids),
+                           np.int64, len(ids))
+        return pa.table({
+            "side": pa.array(["new"] * len(ids), pa.string()),
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster_id": pa.array(vals),
+        })
+
+    def index_out(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        labs = t["cluster_id"].to_numpy(zero_copy_only=False)
+        vals = np.fromiter((m.get(int(v), int(v)) for v in labs),
+                           np.int64, len(labs))
+        return pa.table({
+            "side": pa.array(["index"] * t.num_rows, pa.string()),
+            "vec_id": t["vec_id"].combine_chunks().cast(pa.int64()),
+            "cluster_id": pa.array(vals),
+        })
+
+    new_ids = quantized_rows(new_emb).map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+    return old_labels.map_batches(index_out, batch_format="pyarrow") \
+        .union(new_ids.map_batches(new_out, batch_format="pyarrow"))
+
+
+def incremental_semantic_clusters_web(sf_dir: str) -> ray.data.Dataset:
+    """Driver query: the re-crawl's vectors folded into the flat int8
+    assignment of the base embeddings through the stored tier."""
+    import ray.data as rd
+
+    from data_dedup_ray.util import scratch_dir
+
+    raw = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    idx_path = scratch_dir("semclu_idx", sf_dir)
+    build_embedding_index(raw, idx_path)
+    old = int8_dup_clusters(raw)
+    return incremental_embedding_dup_clusters(
+        recrawl_embeddings(sf_dir), idx_path, old)
+
+
+def incremental_semantic_clusters_sql(min_cos2_bp: int = 9801) -> str:
+    """DuckDB twin: by supernode induction the fold equals FLAT
+    clustering of the union, so the oracle is the recursive closure
+    over the int8 pair graph of the union side set (index ∪ re-crawl
+    projection), min-member labels, singletons self-labeled."""
+    return f"""
+WITH RECURSIVE sides AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % 3 = 1),
+x AS (
+  SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM sides, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+mx AS (SELECT vec_id, max(abs(v)) AS m FROM x GROUP BY 1),
+q AS (
+  SELECT x.vec_id, i,
+         CAST(floor(v * 127 / CASE WHEN m = 0 THEN 1 ELSE m END)
+              AS BIGINT) AS q
+  FROM x JOIN mx USING (vec_id)),
+n2 AS (SELECT vec_id, CAST(sum(q*q) AS HUGEINT) AS n2 FROM q GROUP BY 1),
+d AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum(a.q * b.q) AS HUGEINT) AS dot
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+dup AS (
+  SELECT va, vb FROM d JOIN n2 na ON na.vec_id = d.va
+                       JOIN n2 nb ON nb.vec_id = d.vb
+  WHERE dot > 0 AND dot*dot*10000 >= {int(min_cos2_bp)} * na.n2 * nb.n2),
+edges AS (SELECT va AS a, vb AS b FROM dup
+          UNION SELECT vb, va FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r JOIN edges e
+                      ON r.b = e.a),
+comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT CASE WHEN s.vec_id >= 200000 THEN 'new' ELSE 'index' END AS side,
+       s.vec_id, coalesce(c.cluster_id, s.vec_id) AS cluster_id
+FROM sides s LEFT JOIN comp c ON c.vec_id = s.vec_id"""

@@ -148,3 +148,32 @@ def test_semantic_estimator_eval(ray_session, con):
     assert r["tier"] == "int8_semantic"
     assert r["n_pred"] == r["n_true"] == r["n_hit"] > 0
     assert r["recall_bp"] == 10000 and r["precision_bp"] == 10000
+
+
+def test_incremental_semantic_clusters_match_sql(ray_session, con):
+    """The incremental fold equals flat clustering of the union
+    (supernode induction) — pinned by the closure SQL twin; every
+    re-captured vector lands in its source's cluster."""
+    got = embstore.incremental_semantic_clusters_web(SF).to_pandas() \
+        .sort_values(["side", "vec_id"]).reset_index(drop=True)
+    want = con.execute(
+        embstore.incremental_semantic_clusters_sql()).fetchdf() \
+        .sort_values(["side", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    g = got.set_index("vec_id")["cluster_id"]
+    new = got[got["side"] == "new"]
+    assert len(new) > 0
+    # each new vector shares its source's final cluster id
+    assert (new["cluster_id"].to_numpy()
+            == g.loc[new["vec_id"] - 200000].to_numpy()).all()
+    # index rows keep a complete assignment (one row per base vector)
+    assert (got["side"] == "index").sum() == _emb().count()
+
+
+def test_int8_dup_clusters_labels_are_min_members(ray_session):
+    flat = embstore.int8_dup_clusters(_emb()).to_pandas()
+    assert len(flat) == _emb().count()
+    mins = flat.groupby("cluster_id")["vec_id"].min()
+    assert (mins.index.to_numpy() == mins.to_numpy()).all()
