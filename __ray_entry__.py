@@ -1583,6 +1583,35 @@ def _q_dedup_drift(sf_dir: str):
     return drift.dedup_drift(sf_dir)
 
 
+def _q_bbit_estimator_eval(sf_dir: str):
+    """Can dedup run from 16 bytes of stored state per doc?  Grades the
+    b-bit MinHash estimator's cross-corpus pairs (sha chain) against
+    exact Jaccard truth — the 16 B rung of the estimator-quality
+    ladder (evaluation.estimator_pair_eval)."""
+    from data_dedup_ray.pipelines import evaluation, near, snapshots
+
+    pred = _q_incremental_bbit_pairs(sf_dir, token_hash="sha")
+    truth = near.cross_corpus_near_pairs(
+        snapshots.snapshot2(sf_dir), web_pages(sf_dir), threshold=0.7)
+    return evaluation.estimator_pair_eval(pred, truth,
+                                          tier="bbit_estimate")
+
+
+def _q_oph_estimator_eval(sf_dir: str):
+    """Does the ~13×-cheaper one-permutation signature kernel cost
+    recall?  Grades oph's sha-chain pairs against the exact Jaccard
+    pair truth over the same corpus."""
+    from data_dedup_ray.pipelines import evaluation, near
+    from data_dedup_ray.pipelines import oph as _oph
+
+    pred = _oph.oph_pairs_web(sf_dir, token_hash="sha")
+    truth = near.minhash_dedup_pairs(web_pages(sf_dir),
+                                     threshold=0.7)
+    return evaluation.estimator_pair_eval(
+        pred, truth, tier="oph_estimate",
+        pair_cols=("url_a", "url_b"))
+
+
 def _q_incremental_semantic_clusters(sf_dir: str):
     """The re-crawl's vectors folded into the standing flat int8
     semantic assignment through the stored tier
@@ -1670,18 +1699,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Thirteen oracle-backed keys
-        # (anchor_text_agg, nearest_dup_attribution,
-        # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
-        # top_dup_content, crawl_budget_allocation — displaced to
-        # slots 51-57 by the seven r4 additions — crawl_drift_by_lang,
-        # audit_sample_pairs, frontier_scores, host_reciprocity,
-        # pagerank_pages, markup_stats) plus the documented rows-only
-        # siblings did not fit — ROTATE THOSE INTO SLOTS 1-50 IN
-        # ROUND 5; each is pytest-pinned and its family is represented
-        # in-slot by a sibling this round.  Everything below slot 50
-        # is r1/r2/r3-driver-proven and stays pinned by the pytest
-        # suite.
+        # the session-12 batch.  Fifteen oracle-backed keys
+        # (host_change_rates, host_url_churn, anchor_text_agg,
+        # nearest_dup_attribution, near_dup_keep_authoritative,
+        # hits_hosts, host_shard_plan, top_dup_content,
+        # crawl_budget_allocation — displaced to slots 51-59 by the
+        # nine r4 additions — crawl_drift_by_lang, audit_sample_pairs,
+        # frontier_scores, host_reciprocity, pagerank_pages,
+        # markup_stats) plus the documented rows-only siblings did not
+        # fit — ROTATE THOSE INTO SLOTS 1-50 IN ROUND 5; each is
+        # pytest-pinned and its family is represented in-slot by a
+        # sibling this round.  Everything below slot 50 is
+        # r1/r2/r3-driver-proven and stays pinned by the pytest suite.
 
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
@@ -1694,6 +1723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_estimator_eval": _q_semantic_estimator_eval,
         "simhash_sha_clusters": _q_simhash_sha_clusters,
         "incremental_semantic_clusters": _q_incremental_semantic_clusters,
+        "bbit_estimator_eval": _q_bbit_estimator_eval,
+        "oph_estimator_eval": _q_oph_estimator_eval,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1973,6 +2004,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sha_clusters": oracles.simhash_sha_clusters_sql(),
         "incremental_semantic_clusters":
             _embstore.incremental_semantic_clusters_sql(),
+        "bbit_estimator_eval": oracles.bbit_estimator_eval_sql(),
+        "oph_estimator_eval": oracles.oph_estimator_eval_sql(),
         "embedding_dup_pairs_int8": oracles.embedding_dup_int8_sql(),
         "vocab_coverage": _text.vocab_coverage_sql(),
         "oph_pairs_sha": _oph.oph_pairs_sql(),

@@ -734,3 +734,61 @@ def simhash_sha_clusters_sql(max_hamming: int = 3) -> str:
         "SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id"
         " FROM web_pages w LEFT JOIN comp c ON c.url = w.url"
     )
+
+
+def bbit_estimator_eval_sql(threshold: float = 0.7) -> str:
+    """SQL twin of grading the 16 B/doc b-bit estimator
+    (bbit.incremental_bbit_pairs, sha token hash, Ĵ = 2c−1) against the
+    exact cross-corpus Jaccard truth — the 'can dedup run from 16 bytes
+    of stored state per doc?' row of the estimator-quality ladder
+    (sig_estimator_eval's shape at 1/64 the state)."""
+    from data_dedup_ray.pipelines.bbit import incremental_bbit_pairs_sql
+    from data_dedup_ray.pipelines.near import cross_corpus_near_pairs_sql
+
+    pred = incremental_bbit_pairs_sql(threshold)
+    tru = cross_corpus_near_pairs_sql(threshold)
+    return f"""
+WITH pred AS MATERIALIZED (
+  SELECT new_url, index_url FROM ({pred}) p),
+tru AS MATERIALIZED (
+  SELECT new_url, index_url FROM ({tru}) t),
+m AS (SELECT
+  (SELECT count(*) FROM pred) AS n_pred,
+  (SELECT count(*) FROM tru) AS n_true,
+  (SELECT count(*) FROM pred p JOIN tru t
+     ON p.new_url = t.new_url AND p.index_url = t.index_url) AS n_hit)
+SELECT 'bbit_estimate' AS tier,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT) AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
+FROM m"""
+
+
+def oph_estimator_eval_sql(threshold: float = 0.7) -> str:
+    """SQL twin of grading the one-permutation-MinHash estimator
+    (oph.oph_pairs_web, sha token hash) against the exact single-corpus
+    Jaccard truth — the 'does the 13×-cheaper signature kernel cost
+    recall?' row."""
+    from data_dedup_ray.pipelines.oph import oph_pairs_sql
+
+    pred = oph_pairs_sql(threshold)
+    tru = minhash_pairs_sql(threshold)
+    return f"""
+WITH pred AS MATERIALIZED (
+  SELECT url_a, url_b FROM ({pred}) p),
+tru AS MATERIALIZED (
+  SELECT url_a, url_b FROM ({tru}) t),
+m AS (SELECT
+  (SELECT count(*) FROM pred) AS n_pred,
+  (SELECT count(*) FROM tru) AS n_true,
+  (SELECT count(*) FROM pred p JOIN tru t
+     ON p.url_a = t.url_a AND p.url_b = t.url_b) AS n_hit)
+SELECT 'oph_estimate' AS tier,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT) AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
+FROM m"""

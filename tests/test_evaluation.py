@@ -269,3 +269,29 @@ def test_clustering_agreement_matches_sql_oracle():
     # tightening the threshold only splits clusters (refinement):
     # every pair co-clustered in B is co-clustered in A
     assert int(got["s_ab"].iloc[0]) == int(got["s_b"].iloc[0])
+
+
+def test_bbit_and_oph_estimator_evals_match_sql(ray_session):
+    """The 16 B b-bit tier and the cheap OPH kernel join the
+    estimator-quality ladder: both metric rows pinned by their SQL
+    twins; the b-bit estimator clears the north-rule recall bar on
+    this corpus."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from data_dedup_ray import oracles
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for key, sql in (
+            ("bbit_estimator_eval", oracles.bbit_estimator_eval_sql()),
+            ("oph_estimator_eval", oracles.oph_estimator_eval_sql())):
+        got = entry.queries()[key](sf).to_pandas()
+        want = con.execute(sql).fetchdf()
+        pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                      want.sort_index(axis=1),
+                                      check_dtype=False)
+    bb = entry.queries()["bbit_estimator_eval"](sf).to_pandas().iloc[0]
+    assert bb["recall_bp"] >= 9900 and bb["n_true"] > 0
