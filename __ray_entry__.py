@@ -697,10 +697,10 @@ def _q_chunk_dedup_fixed(sf_dir: str):
 
 def _q_cdc_chunk_stats(sf_dir: str):
     """Gear-hash content-defined chunking (LBFS/FastCDC family) over the
-    html blobs — rows-only (the gear boundary rule is not reasonably
-    SQL-restatable); the oracle-backed sibling is ``chunk_dedup_fixed``
-    (same hash identity + rollup kernel) and the splitter is pinned by
-    reconstruction/bounds/shift-resilience tests (tests/test_chunks.py)."""
+    html blobs — FULL SQL oracle since round 4: the boundary rule's
+    low-bits reduction (only log2(avg) of the 64 gear-window terms can
+    touch the mask test) makes the gear chain + min/max clamp walk
+    restatable as a recursive CTE (chunks.cdc_chunk_stats_sql)."""
     from data_dedup_ray.pipelines import chunks as _chunks
 
     return _chunks.cdc_chunk_stats(sf_dir)
@@ -713,11 +713,11 @@ def _q_chunk_delta_snap2(sf_dir: str):
 
 
 def _q_chunk_delta_cdc(sf_dir: str):
-    """Cross-snapshot CDC chunk delta — rows-only (gear boundaries not
-    SQL-restatable); the oracle-backed sibling is ``chunk_delta_snap2``
-    (same anti-join + rollup kernel under fixed chunking), and the CDC
-    resync property (edit delta is O(edit), unchanged pages ship zero
-    bytes) is pinned by tests/test_chunks.py."""
+    """Cross-snapshot CDC chunk delta — FULL SQL oracle since round 4
+    (chunks.chunk_delta_cdc_sql: the CDC boundary machinery over both
+    crawls + the fixed-delta oracle's anti-join rollup); the CDC resync
+    property (edit delta is O(edit), unchanged pages ship zero bytes)
+    stays pinned by tests/test_chunks.py."""
     from data_dedup_ray.pipelines import chunks as _chunks
 
     return _chunks.chunk_delta_snap2_cdc(sf_dir)
@@ -1699,18 +1699,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Fifteen oracle-backed keys
-        # (host_change_rates, host_url_churn, anchor_text_agg,
-        # nearest_dup_attribution, near_dup_keep_authoritative,
-        # hits_hosts, host_shard_plan, top_dup_content,
-        # crawl_budget_allocation — displaced to slots 51-59 by the
-        # nine r4 additions — crawl_drift_by_lang, audit_sample_pairs,
-        # frontier_scores, host_reciprocity, pagerank_pages,
-        # markup_stats) plus the documented rows-only siblings did not
-        # fit — ROTATE THOSE INTO SLOTS 1-50 IN ROUND 5; each is
-        # pytest-pinned and its family is represented in-slot by a
-        # sibling this round.  Everything below slot 50 is
-        # r1/r2/r3-driver-proven and stays pinned by the pytest suite.
+        # the session-12 batch.  Seventeen oracle-backed keys
+        # (detector_agreement, page_link_features, host_change_rates,
+        # host_url_churn, anchor_text_agg, nearest_dup_attribution,
+        # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
+        # top_dup_content, crawl_budget_allocation — displaced to
+        # slots 51-61 by the eleven r4 additions (incl. the two
+        # rows-only→oracle CDC upgrades) — crawl_drift_by_lang,
+        # audit_sample_pairs, frontier_scores, host_reciprocity,
+        # pagerank_pages, markup_stats) plus the documented rows-only
+        # siblings did not fit — ROTATE THOSE INTO SLOTS 1-50 IN
+        # ROUND 5; each is pytest-pinned and its family is represented
+        # in-slot by a sibling this round.  Everything below slot 50
+        # is r1/r2/r3-driver-proven and stays pinned by the pytest
+        # suite.
 
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
@@ -1725,6 +1727,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_semantic_clusters": _q_incremental_semantic_clusters,
         "bbit_estimator_eval": _q_bbit_estimator_eval,
         "oph_estimator_eval": _q_oph_estimator_eval,
+        # rows-only → full-oracle upgrades (round 4): the gear-CDC
+        # boundary rule's low-bits SQL reduction
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "chunk_delta_cdc": _q_chunk_delta_cdc,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1798,9 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_hashed": _q_decontaminate_hashed,
         "exact_dedup_bloom": _q_exact_dedup_bloom,
         "chunk_dedup_fixed": _q_chunk_dedup_fixed,
-        "cdc_chunk_stats": _q_cdc_chunk_stats,
         "chunk_delta_snap2": _q_chunk_delta_snap2,
-        "chunk_delta_cdc": _q_chunk_delta_cdc,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "ensemble_clusters": _q_ensemble_clusters,
@@ -1965,15 +1969,14 @@ def oracle_sql() -> dict[str, str]:
         # hash64 mode has the SAME exact twin: blake2b-64 gram-hash
         # collisions are the only theoretical divergence (~n²/2⁶⁴)
         "decontaminate_hashed": _clean.decontaminate_sql(),
-        # fixed-size chunk dedup over the html BLOB — DuckDB restates the
-        # chunking via hex-string slicing; cdc_chunk_stats intentionally
-        # omitted (gear boundary rule not SQL-restatable) → rows-only,
-        # with chunk_dedup_fixed as the oracle-backed sibling.
+        # fixed-size chunk dedup over the html BLOB — DuckDB restates
+        # the chunking via hex-string slicing; since round 4 the CDC
+        # variants have their own exact twins too (the low-bits gear
+        # reduction, chunks.cdc_chunk_stats_sql)
         "chunk_dedup_fixed": oracles.chunk_dedup_fixed_sql(),
-        # incremental chunk delta of the re-crawl vs the base corpus;
-        # chunk_delta_cdc intentionally omitted (gear boundaries) →
-        # rows-only, with chunk_delta_snap2 as the oracle-backed sibling
+        "cdc_chunk_stats": _chunks.cdc_chunk_stats_sql(),
         "chunk_delta_snap2": oracles.chunk_delta_snap2_sql(),
+        "chunk_delta_cdc": _chunks.chunk_delta_cdc_sql(),
         "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with

@@ -1115,3 +1115,126 @@ def incremental_chunk_overlap_sql(chunk_size: int = 512,
         "      FROM sh JOIN ncnt USING (url))\n"
         "WHERE rk = 1"
     )
+
+
+def _cdc_ctes(prefix: str, src: str, *, min_size: int, avg_size: int,
+              max_size: int) -> str:
+    """The gear-CDC boundary machinery as a prefixed CTE chain over
+    corpus CTE ``src`` → ``{p}cch(url, cx)`` (one row per chunk, hex
+    payload).  Caller emits the shared ``gear``/``jt`` tables once.
+    See ``cdc_chunk_stats_sql`` for the low-bits reduction that makes
+    this tractable."""
+    p = prefix
+    bits = int(avg_size).bit_length() - 1
+    assert (1 << bits) == avg_size, "avg_size must be a power of 2"
+    mn, mx = int(min_size), int(max_size)
+    return f"""{p}docs AS (SELECT url, hex(html) AS hx,
+                CAST(octet_length(html) AS BIGINT) AS L
+         FROM {src}),
+{p}bytes AS (
+  SELECT url, g.i - 1 AS p,
+         CAST(('0x' || substr(hx, CAST(2*g.i - 1 AS BIGINT), 2))
+              AS INT) AS byte
+  FROM {p}docs, UNNEST(generate_series(1, L)) AS g(i)),
+{p}cand AS (
+  SELECT a.url, a.i
+  FROM (SELECT url, p AS i FROM {p}bytes WHERE p >= {mn - 1}) a
+  JOIN jt ON TRUE
+  JOIN {p}bytes b2 ON b2.url = a.url AND b2.p = a.i - jt.j
+  JOIN gear ge ON ge.b = b2.byte
+  GROUP BY a.url, a.i
+  HAVING sum((ge.g % jt.pm) * jt.pj) % {avg_size} = 0),
+{p}rec(url, pos, cut) AS (
+  SELECT d.url, CAST(0 AS BIGINT),
+         coalesce((SELECT min(c.i) + 1 FROM {p}cand c
+                   WHERE c.url = d.url AND c.i >= {mn - 1}
+                     AND c.i < least(CAST({mx} AS BIGINT), d.L)),
+                  least({mx}, d.L))
+  FROM {p}docs d WHERE d.L > 0
+  UNION ALL
+  SELECT r.url, r.cut,
+         coalesce((SELECT min(c.i) + 1 FROM {p}cand c
+                   WHERE c.url = r.url AND c.i >= r.cut + {mn - 1}
+                     AND c.i < least(r.cut + {mx}, d.L)),
+                  least(r.cut + {mx}, d.L))
+  FROM {p}rec r JOIN {p}docs d ON d.url = r.url
+  WHERE r.cut < d.L),
+{p}cch AS (
+  SELECT r.url,
+         substr(d.hx, CAST(2*r.pos + 1 AS BIGINT),
+                CAST(2*(r.cut - r.pos) AS BIGINT)) AS cx
+  FROM {p}rec r JOIN {p}docs d ON d.url = r.url)"""
+
+
+def _cdc_shared_tables(avg_size: int) -> str:
+    bits = int(avg_size).bit_length() - 1
+    gear_rows = ",\n    ".join(
+        f"({b}, {int(_GEAR[b]) % avg_size})" for b in range(256))
+    jt_rows = ",\n    ".join(
+        f"({j}, {1 << j}, {1 << (bits - j)})" for j in range(bits))
+    return (f"gear(b, g) AS (VALUES\n    {gear_rows}),\n"
+            f"jt(j, pj, pm) AS (VALUES\n    {jt_rows})")
+
+
+def cdc_chunk_stats_sql(min_size: int = 64, avg_size: int = 256,
+                        max_size: int = 1024) -> str:
+    """DuckDB twin of ``cdc_chunk_stats`` — the gear-CDC boundary rule
+    restated exactly, long believed not-reasonably-SQL-restatable.
+
+    The key reduction: the boundary test is ``gear_hash & (avg−1) == 0``
+    and ``(x << j) mod avg == 0`` for every ``j ≥ log2(avg)``, so of the
+    64 shift-weighted window terms only the LOW ``log2(avg)`` (8 at the
+    default) can influence the predicate:
+    ``h mod avg = Σ_{j<bits} (GEAR[b(i−j)] mod 2^(bits−j))·2^j mod avg``.
+    That turns an infeasible 64×-positions join into an 8×-positions
+    one, with the gear table inlined mod ``avg`` (the same public
+    sha256-derived constants as ``_GEAR``).
+
+    Positions below ``min_size−1`` never host a USED candidate (the
+    clamp searches from ``pos+min−1`` and ``min ≥ 64`` keeps the window
+    doc-local — the same argument ``cdc_boundaries`` documents), so the
+    candidate set is computed only for ``i ≥ min−1``.  The sequential
+    min/max clamp walk is one recursive CTE per doc:
+    ``cut = coalesce(min candidate in [pos+min−1, limit) + 1, limit)``
+    with ``limit = least(pos+max, L)`` — literally the numpy loop's
+    cases folded into one expression.  Chunk identity/rollup then
+    reuse the fixed-size oracle's hex-slice machinery."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    kw = dict(min_size=min_size, avg_size=avg_size, max_size=max_size)
+    return (f"WITH RECURSIVE {WEB_PAGES_CTE},\n"
+            f"{_cdc_shared_tables(avg_size)},\n"
+            f"{_cdc_ctes('c', 'web_pages', **kw)}\n"
+            "SELECT sha256(lower(cx)) AS chunk_hash,\n"
+            "       CAST(count(*) AS BIGINT) AS n_copies,\n"
+            "       CAST(length(cx) // 2 AS BIGINT) AS chunk_len,\n"
+            "       min(url) AS canonical_url\n"
+            "FROM ccch GROUP BY cx HAVING count(*) > 1")
+
+
+def chunk_delta_cdc_sql(min_size: int = 64, avg_size: int = 256,
+                        max_size: int = 1024) -> str:
+    """DuckDB twin of ``chunk_delta_snap2_cdc``: the CDC boundary
+    machinery (see ``cdc_chunk_stats_sql``) applied to BOTH crawls,
+    then the same anti-join rollup as the fixed-size delta oracle —
+    per re-crawled page, how many of its CDC chunks (and bytes) are
+    absent from the base corpus's distinct chunk set."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.pipelines.snapshots import SNAPSHOT2_CTE
+
+    kw = dict(min_size=min_size, avg_size=avg_size, max_size=max_size)
+    return (f"WITH RECURSIVE {WEB_PAGES_CTE},\n{SNAPSHOT2_CTE},\n"
+            f"{_cdc_shared_tables(avg_size)},\n"
+            f"{_cdc_ctes('i', 'web_pages', **kw)},\n"
+            f"{_cdc_ctes('n', 'snapshot2', **kw)},\n"
+            "widx AS (SELECT DISTINCT sha256(lower(cx)) AS ch"
+            " FROM icch),\n"
+            "s AS (SELECT url, sha256(lower(cx)) AS ch,\n"
+            "             CAST(length(cx) // 2 AS BIGINT) AS len"
+            " FROM ncch)\n"
+            "SELECT url, CAST(count(*) AS BIGINT) AS n_chunks,\n"
+            "  CAST(sum(CASE WHEN w.ch IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_new_chunks,\n"
+            "  CAST(sum(CASE WHEN w.ch IS NULL THEN len ELSE 0 END)"
+            " AS BIGINT) AS new_bytes\n"
+            "FROM s LEFT JOIN widx w ON s.ch = w.ch GROUP BY url")

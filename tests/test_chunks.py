@@ -391,3 +391,29 @@ def test_incremental_chunk_overlap_micro(ray_session):
         _pages([("t0", X + b"t" * 512)]), _pages(base),
         chunk_size=512).to_pandas()
     assert tie.iloc[0]["index_url"] == "bX"
+
+
+def test_cdc_oracle_parity(ray_session):
+    """The gear-CDC boundary rule restated in SQL (low-bits reduction
+    + recursive clamp walk) — multi-copy groups AND the cross-snapshot
+    delta both match bit-for-bit."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = chunks.cdc_chunk_stats(SF).to_pandas() \
+        .sort_values("chunk_hash").reset_index(drop=True)
+    want = con.execute(chunks.cdc_chunk_stats_sql()).fetchdf() \
+        .sort_values("chunk_hash").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    gd = chunks.chunk_delta_snap2_cdc(SF).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    wd = con.execute(chunks.chunk_delta_cdc_sql()).fetchdf() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gd.sort_index(axis=1),
+                                  wd.sort_index(axis=1),
+                                  check_dtype=False)
