@@ -695,6 +695,16 @@ def _q_chunk_dedup_fixed(sf_dir: str):
     return _chunks.chunk_dedup_fixed(sf_dir)
 
 
+def _q_substring_exact_clusters(sf_dir: str):
+    """Shared-span components on EVERY duplicated 50-token window
+    position (substring.substring_clusters mode="exact") — the
+    oracle-parity flag for the winnowed substring_clusters default;
+    closure restated verbatim in DuckDB."""
+    from data_dedup_ray.pipelines import substring
+
+    return substring.substring_clusters(web_pages(sf_dir), mode="exact")
+
+
 def _q_cdc_chunk_stats(sf_dir: str):
     """Gear-hash content-defined chunking (LBFS/FastCDC family) over the
     html blobs — FULL SQL oracle since round 4: the boundary rule's
@@ -1699,8 +1709,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Seventeen oracle-backed keys
-        # (detector_agreement, page_link_features, host_change_rates,
+        # the session-12 batch.  Eighteen oracle-backed keys
+        # (token_savings_by_host, detector_agreement,
+        # page_link_features, host_change_rates,
         # host_url_churn, anchor_text_agg, nearest_dup_attribution,
         # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
         # top_dup_content, crawl_budget_allocation — displaced to
@@ -1728,9 +1739,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbit_estimator_eval": _q_bbit_estimator_eval,
         "oph_estimator_eval": _q_oph_estimator_eval,
         # rows-only → full-oracle upgrades (round 4): the gear-CDC
-        # boundary rule's low-bits SQL reduction
+        # boundary rule's low-bits SQL reduction + the exact-window
+        # substring cluster closure
         "cdc_chunk_stats": _q_cdc_chunk_stats,
         "chunk_delta_cdc": _q_chunk_delta_cdc,
+        "substring_exact_clusters": _q_substring_exact_clusters,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1944,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import chunks as _chunks
     from data_dedup_ray.pipelines import embstore as _embstore
     from data_dedup_ray.pipelines import spanstore as _spanstore
+    from data_dedup_ray.pipelines import substring as _substring
     from data_dedup_ray.pipelines import oph as _oph
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
@@ -1977,6 +1991,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_stats": _chunks.cdc_chunk_stats_sql(),
         "chunk_delta_snap2": oracles.chunk_delta_snap2_sql(),
         "chunk_delta_cdc": _chunks.chunk_delta_cdc_sql(),
+        "substring_exact_clusters":
+            _substring.substring_exact_clusters_sql(),
         "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with

@@ -152,19 +152,50 @@ def substring_clusters(
     *,
     min_tokens: int = 50,
     winnow_w: int = 8,
+    mode: str = "winnowed",
     id_col: str = "url",
     text_col: str = "text",
 ) -> ray.data.Dataset:
     """Docs labeled by shared-span component: two docs connect iff they
-    share a winnowed duplicated fingerprint.  Star edges per fingerprint
-    (min url ↔ others) keep edge volume linear in the hit count."""
+    share a duplicated window fingerprint.  Star edges per fingerprint
+    (min url ↔ others) keep edge volume linear in the hit count.
+
+    ``mode="winnowed"`` (default, the scale path) connects on winnowed
+    selections; ``mode="exact"`` connects on EVERY duplicated window
+    position — the oracle-parity flag whose closure DuckDB restates
+    verbatim (``substring_exact_clusters_sql``)."""
     from data_dedup_ray.pipelines.components import (attach_clusters,
                                                      dsu_components)
 
-    fp = dup_span_fingerprints(
-        ds, min_tokens=min_tokens, winnow_w=winnow_w,
-        id_col=id_col, text_col=text_col,
-    )
+    if mode == "exact":
+        rows = ds.map_batches(
+            window_hash_rows,
+            fn_kwargs=dict(min_tokens=min_tokens, id_col=id_col,
+                           text_col=text_col),
+            batch_format="pyarrow", batch_size=512,
+        )
+
+        def hits(g: pd.DataFrame) -> pd.DataFrame:
+            out = _dup_hits(g, id_col)[[id_col, "whash"]].copy()
+            out["pos"] = np.int32(0)
+            out["n_docs"] = np.int64(0)
+            return out[[id_col, "pos", "whash", "n_docs"]]
+
+        fp = _coarse_apply(
+            rows, "whash", 64, hits,
+            schema=pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                              ("whash", pa.int64()),
+                              ("n_docs", pa.int64())]),
+            in_schema=pa.schema([(id_col, pa.string()),
+                                 ("whash", pa.int64())]),
+        )
+    elif mode == "winnowed":
+        fp = dup_span_fingerprints(
+            ds, min_tokens=min_tokens, winnow_w=winnow_w,
+            id_col=id_col, text_col=text_col,
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}: use 'winnowed' | 'exact'")
 
     def star(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["whash", id_col]).sort_values(
@@ -308,4 +339,39 @@ def longest_dup_spans(
         in_schemas=[pa.schema([("url_a", pa.string()),
                                ("url_b", pa.string()),
                                ("tok_a", pa.large_binary())]), tok_schema],
+    )
+
+
+def substring_exact_clusters_sql(min_tokens: int = 50) -> str:
+    """DuckDB twin of ``substring_clusters(mode="exact")``: recursive
+    closure over "docs sharing any duplicated ``min_tokens``-token
+    window" (the md5 window identity of ``oracles.substring_dup_sql``),
+    min-member labels, windowless/unshared docs as singletons."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    L = int(min_tokens)
+    return (
+        f"WITH RECURSIVE {WEB_PAGES_CTE},\n"
+        "toks AS (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t"
+        " FROM web_pages),\n"
+        f"win AS (SELECT url, md5(array_to_string(t[i:i+{L - 1}], ' '))"
+        " AS h\n"
+        f"  FROM toks, UNNEST(generate_series(1, len(t) - {L - 1}))"
+        " AS g(i)\n"
+        f"  WHERE len(t) >= {L}),\n"
+        "dup AS (SELECT h FROM win GROUP BY h"
+        " HAVING count(DISTINCT url) > 1),\n"
+        "e0 AS (SELECT DISTINCT url, h FROM win"
+        " WHERE h IN (SELECT h FROM dup)),\n"
+        "ep AS (SELECT a.url AS ua, b.url AS ub\n"
+        "       FROM e0 a JOIN e0 b USING (h) WHERE a.url < b.url),\n"
+        "edges AS (SELECT ua AS a, ub AS b FROM ep"
+        " UNION SELECT ub, ua FROM ep),\n"
+        "reach(a, b) AS (SELECT a, b FROM edges"
+        " UNION SELECT r.a, e.b FROM reach r JOIN edges e"
+        " ON r.b = e.a),\n"
+        "comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id"
+        " FROM reach GROUP BY a)\n"
+        "SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id"
+        " FROM web_pages w LEFT JOIN comp c ON c.url = w.url"
     )

@@ -136,3 +136,25 @@ def test_winnowed_default_mode(ray_session, corpus):
     assert wn <= ex
     quotes = {u for u in corpus["url"] if u.startswith("https://quote.")}
     assert quotes and quotes <= wn  # SHARED_SPAN is 60 ≥ 50 + 8 - 1 tokens
+
+
+def test_exact_clusters_match_closure_oracle(ray_session):
+    """mode='exact' shared-window components pinned bit-for-bit by the
+    recursive closure over the md5 window identity."""
+    import duckdb
+    import pandas as pd
+
+    from data_dedup_ray.corpus import web_pages
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = substring.substring_clusters(web_pages(sf), mode="exact") \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    want = con.execute(substring.substring_exact_clusters_sql()) \
+        .fetchdf().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    assert got["cluster_id"].nunique() < len(got)
