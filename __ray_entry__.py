@@ -695,6 +695,18 @@ def _q_chunk_dedup_fixed(sf_dir: str):
     return _chunks.chunk_dedup_fixed(sf_dir)
 
 
+def _q_longest_dup_spans_exact(sf_dir: str):
+    """Exact longest common token span per candidate pair via diagonal
+    RUNS of shared exact windows (substring.longest_dup_spans_exact) —
+    span = max_run + min_tokens − 1 with global-min ties, restated
+    verbatim in DuckDB; the suffix-array variant stays the winnowed
+    production path (its adjacent-candidate ties are suffix-order
+    dependent, hence rows-only)."""
+    from data_dedup_ray.pipelines import substring
+
+    return substring.longest_dup_spans_exact(web_pages(sf_dir))
+
+
 def _q_substring_exact_clusters(sf_dir: str):
     """Shared-span components on EVERY duplicated 50-token window
     position (substring.substring_clusters mode="exact") — the
@@ -1709,8 +1721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Eighteen oracle-backed keys
-        # (token_savings_by_host, detector_agreement,
+        # the session-12 batch.  Nineteen oracle-backed keys
+        # (near_host_pairs, token_savings_by_host, detector_agreement,
         # page_link_features, host_change_rates,
         # host_url_churn, anchor_text_agg, nearest_dup_attribution,
         # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
@@ -1744,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_stats": _q_cdc_chunk_stats,
         "chunk_delta_cdc": _q_chunk_delta_cdc,
         "substring_exact_clusters": _q_substring_exact_clusters,
+        "longest_dup_spans_exact": _q_longest_dup_spans_exact,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1993,6 +2006,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_delta_cdc": _chunks.chunk_delta_cdc_sql(),
         "substring_exact_clusters":
             _substring.substring_exact_clusters_sql(),
+        "longest_dup_spans_exact":
+            _substring.longest_dup_spans_sql(),
         "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with

@@ -375,3 +375,221 @@ def substring_exact_clusters_sql(min_tokens: int = 50) -> str:
         "SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id"
         " FROM web_pages w LEFT JOIN comp c ON c.url = w.url"
     )
+
+
+def _window_pos_rows(batch: pa.Table, *, min_tokens: int,
+                     id_col: str, text_col: str) -> pa.Table:
+    """``(url, whash, pos)`` — every window position with its 0-based
+    in-doc offset, computed IN the stage that holds the whole doc in
+    one input row (per-doc positions must never be reconstructed from
+    a re-batchable row stream)."""
+    from data_dedup_ray.stages.substring import _rolling_window_hashes
+
+    ids = batch[id_col].to_pylist()
+    win, counts = _rolling_window_hashes(batch[text_col], min_tokens)
+    nw = np.maximum(counts - min_tokens + 1, 0)
+    tok_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    doc_of = np.repeat(np.arange(len(ids)), nw)
+    pos = (np.arange(int(nw.sum()))
+           - np.repeat(np.cumsum(nw) - nw, nw))
+    idx = pos + tok_off[doc_of]
+    return pa.table({
+        id_col: pa.array(np.asarray(ids, dtype=object)[doc_of],
+                         type=pa.string()),
+        "whash": pa.array(win[idx].view(np.int64)),
+        "pos": pa.array(pos.astype(np.int32)),
+    })
+
+
+def _exact_hit_rows(ds, *, min_tokens: int, id_col: str, text_col: str,
+                    num_partitions: int = 64) -> ray.data.Dataset:
+    """``(url, pos, whash)`` for every duplicated EXACT window position
+    (windows whose text occurs in ≥2 docs)."""
+    rows = ds.map_batches(
+        _window_pos_rows,
+        fn_kwargs=dict(min_tokens=min_tokens, id_col=id_col,
+                       text_col=text_col),
+        batch_format="pyarrow", batch_size=512,
+    )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.groupby("whash", sort=False)[id_col].transform("nunique")
+        return g.loc[nun > 1, [id_col, "pos", "whash"]]
+
+    return _coarse_apply(
+        rows, "whash", num_partitions, hits,
+        schema=pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                          ("whash", pa.int64())]),
+        in_schema=pa.schema([(id_col, pa.string()),
+                             ("whash", pa.int64()),
+                             ("pos", pa.int32())]),
+    )
+
+
+def longest_dup_spans_exact(
+    ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 50,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``(url_a, url_b, span_tokens, start_a, start_b)`` — the exact
+    longest common token span per candidate pair via DIAGONAL RUNS of
+    shared exact windows: a common span of S ≥ min_tokens tokens is
+    exactly a run of ``S − min_tokens + 1`` consecutive shared windows
+    at a fixed alignment, so ``span = max_run + min_tokens − 1`` — no
+    suffix array, and the tie rule is the clean GLOBAL minimum
+    (span desc, start_a asc, start_b asc), which DuckDB restates
+    verbatim (``longest_dup_spans_sql``).  The suffix-array path
+    (``longest_dup_spans``) stays the production variant for winnowed
+    discovery; its adjacent-candidate tie selection is
+    suffix-order-dependent and intentionally not the oracle target.
+
+    Candidates = the exact-window star pair set (min-url ↔ others per
+    duplicated window, the ``substring_clusters`` edge rule); every
+    shared window of a candidate pair is itself duplicated, so the hit
+    rows carry ALL evidence the runs need."""
+    from data_dedup_ray.engine.exchange import hash_exchange
+
+    P = num_partitions
+    L = min_tokens
+    hits = _exact_hit_rows(ds, min_tokens=min_tokens, id_col=id_col,
+                           text_col=text_col,
+                           num_partitions=P).materialize()
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["whash", id_col]).sort_values(
+            ["whash", id_col], kind="stable")
+        first = g.groupby("whash", sort=False)[id_col].transform("first")
+        rest = g[g[id_col] != first]
+        return pd.DataFrame(
+            {"url_a": first[g[id_col] != first].to_numpy(dtype=object),
+             "url_b": rest[id_col].to_numpy(dtype=object)}
+        ).drop_duplicates()
+
+    edges = _coarse_apply(
+        hits, "whash", P, star,
+        schema=pa.schema([("url_a", pa.string()),
+                          ("url_b", pa.string())]),
+        in_schema=pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                             ("whash", pa.int64())]),
+    )
+
+    def tag(col):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(b[col],
+                                           index=False).to_numpy()
+            b = b.copy()
+            b["_part"] = (h % np.uint64(P)).astype(np.int64)
+            return b
+        return fn
+
+    hit_schema = pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                            ("whash", pa.int64())])
+    pair_schema = pa.schema([("url_a", pa.string()),
+                             ("url_b", pa.string())])
+
+    def join_a(pg: pd.DataFrame, hg: pd.DataFrame) -> pd.DataFrame:
+        pg = pg.drop_duplicates(["url_a", "url_b"])
+        m = pg.merge(hg.rename(columns={id_col: "url_a",
+                                        "pos": "pos_a"}), on="url_a",
+                     how="inner")
+        return m[["url_a", "url_b", "pos_a", "whash"]]
+
+    step_a = hash_exchange(
+        [edges.map_batches(tag("url_a"), batch_format="pandas"),
+         hits.map_batches(tag(id_col), batch_format="pandas")],
+        join_a, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("pos_a", pa.int32()), ("whash", pa.int64())]),
+        in_schemas=[pair_schema, hit_schema],
+    )
+
+    def join_b(pg: pd.DataFrame, hg: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "url_a": pd.Series(dtype=object),
+            "url_b": pd.Series(dtype=object),
+            "span_tokens": pd.Series(dtype=np.int64),
+            "start_a": pd.Series(dtype=np.int64),
+            "start_b": pd.Series(dtype=np.int64)})
+        if not len(pg) or not len(hg):
+            return empty
+        m = pg.merge(hg.rename(columns={id_col: "url_b",
+                                        "pos": "pos_b"}),
+                     on=["url_b", "whash"], how="inner")
+        if not len(m):
+            return empty
+        m["diag"] = m["pos_a"].astype(np.int64) - m["pos_b"]
+        m = m.sort_values(["url_a", "url_b", "diag", "pos_a"],
+                          kind="stable").drop_duplicates(
+            ["url_a", "url_b", "pos_a", "pos_b"])
+        isl = m["pos_a"].astype(np.int64) - m.groupby(
+            ["url_a", "url_b", "diag"], sort=False).cumcount()
+        g = m.assign(_isl=isl).groupby(
+            ["url_a", "url_b", "diag", "_isl"], sort=False) \
+            .agg(run=("pos_a", "size"), start_a=("pos_a", "min"),
+                 start_b=("pos_b", "min")).reset_index()
+        g["span_tokens"] = g["run"] + L - 1
+        g = g.sort_values(["url_a", "url_b", "span_tokens",
+                           "start_a", "start_b"],
+                          ascending=[True, True, False, True, True],
+                          kind="stable") \
+            .drop_duplicates(["url_a", "url_b"], keep="first")
+        return g[["url_a", "url_b", "span_tokens", "start_a",
+                  "start_b"]].astype({"span_tokens": np.int64,
+                                      "start_a": np.int64,
+                                      "start_b": np.int64})
+
+    return hash_exchange(
+        [step_a.map_batches(tag("url_b"), batch_format="pandas"),
+         hits.map_batches(tag(id_col), batch_format="pandas")],
+        join_b, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("span_tokens", pa.int64()),
+                          ("start_a", pa.int64()),
+                          ("start_b", pa.int64())]),
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("pos_a", pa.int32()),
+                               ("whash", pa.int64())]), hit_schema],
+    )
+
+
+def longest_dup_spans_sql(min_tokens: int = 50) -> str:
+    """DuckDB twin of ``longest_dup_spans_exact``: md5 window identity,
+    the same star pair set, diagonal gaps-and-islands runs, and the
+    global (span desc, start_a, start_b) argmax."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    L = int(min_tokens)
+    return f"""
+WITH {WEB_PAGES_CTE},
+toks AS (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+         FROM web_pages),
+win AS (SELECT url, g.i - 1 AS i0,
+               md5(array_to_string(t[g.i:g.i+{L - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {L - 1})) AS g(i)
+  WHERE len(t) >= {L}),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT url) > 1),
+e0 AS (SELECT DISTINCT url, h FROM win WHERE h IN (SELECT h FROM dup)),
+fstar AS (SELECT h, min(url) AS ua FROM e0 GROUP BY h),
+pairs AS (SELECT DISTINCT f.ua, e.url AS ub
+          FROM fstar f JOIN e0 e USING (h) WHERE e.url <> f.ua),
+m AS (SELECT DISTINCT p.ua, p.ub, wa.i0 AS ia, wb.i0 AS ib
+      FROM pairs p
+      JOIN win wa ON wa.url = p.ua
+      JOIN win wb ON wb.url = p.ub AND wb.h = wa.h),
+isl AS (SELECT ua, ub, ia, ib, ia - ib AS diag,
+               ia - row_number() OVER (PARTITION BY ua, ub, ia - ib
+                                       ORDER BY ia) AS k
+        FROM m),
+r AS (SELECT ua, ub, CAST(count(*) AS BIGINT) AS run,
+             CAST(min(ia) AS BIGINT) AS sa, CAST(min(ib) AS BIGINT) AS sb
+      FROM isl GROUP BY ua, ub, diag, k)
+SELECT ua AS url_a, ub AS url_b,
+       CAST(run + {L - 1} AS BIGINT) AS span_tokens,
+       sa AS start_a, sb AS start_b
+FROM (SELECT r.*, row_number() OVER (
+        PARTITION BY ua, ub ORDER BY run DESC, sa, sb) AS rk FROM r)
+WHERE rk = 1"""

@@ -158,3 +158,59 @@ def test_exact_clusters_match_closure_oracle(ray_session):
                                   want.sort_index(axis=1),
                                   check_dtype=False)
     assert got["cluster_id"].nunique() < len(got)
+
+
+def test_longest_dup_spans_exact_matches_sql_and_sa(ray_session):
+    """Runs-based exact spans match the closure SQL twin bit-for-bit,
+    and span LENGTHS agree with the suffix-array kernel (the tie RULE
+    differs by design: global min vs adjacent-candidate)."""
+    import duckdb
+
+    import ray.data
+    from data_dedup_ray.stages.minhash import tokenize_batch
+    from data_dedup_ray.stages.suffixarray import longest_common_span
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = substring.longest_dup_spans_exact(web_pages(sf)).to_pandas() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    want = con.execute(substring.longest_dup_spans_sql()).fetchdf() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    # cross-check span lengths against the suffix-array kernel on a
+    # sample of pairs
+    pages = web_pages(sf).select_columns(["url", "text"]).to_pandas() \
+        .set_index("url")["text"]
+    import pyarrow as pa
+
+    def toks(u):
+        h, c = tokenize_batch(pa.chunked_array([pa.array([pages[u]])]))
+        return h.astype("int64")
+
+    for _, r in got.head(8).iterrows():
+        ln, _, _ = longest_common_span(toks(r["url_a"]),
+                                       toks(r["url_b"]))
+        assert ln == r["span_tokens"]
+
+
+def test_longest_dup_spans_exact_micro(ray_session):
+    import ray.data
+    """Hand-built: a 60-token copied block yields span 60 at the
+    planted offsets; ties break to the smallest start pair."""
+    words = [f"w{i}" for i in range(200)]
+    block = " ".join(words[:60])
+    docs = ray.data.from_items([
+        {"url": "a", "text": block + " " + " ".join(words[100:160])},
+        {"url": "b", "text": " ".join(words[160:180]) + " " + block},
+    ])
+    out = substring.longest_dup_spans_exact(docs).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["url_a"], r["url_b"]) == ("a", "b")
+    assert r["span_tokens"] == 60
+    assert r["start_a"] == 0 and r["start_b"] == 20
