@@ -593,3 +593,59 @@ SELECT ua AS url_a, ub AS url_b,
 FROM (SELECT r.*, row_number() OVER (
         PARTITION BY ua, ub ORDER BY run DESC, sa, sb) AS rk FROM r)
 WHERE rk = 1"""
+
+
+def dup_window_positions(
+    ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 50,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``(url, pos, n_docs)`` — every EXACT duplicated window position
+    with the number of docs sharing that window's text: the
+    per-position sibling of the winnowed ``dup_span_fingerprints``
+    (which stays the scale path; hash values never appear in either
+    output, so this variant is fully SQL-restatable)."""
+    rows = ds.map_batches(
+        _window_pos_rows,
+        fn_kwargs=dict(min_tokens=min_tokens, id_col=id_col,
+                       text_col=text_col),
+        batch_format="pyarrow", batch_size=512,
+    )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.groupby("whash", sort=False)[id_col].transform("nunique")
+        out = g.loc[nun > 1, [id_col, "pos"]].copy()
+        out["n_docs"] = nun[nun > 1].astype(np.int64)
+        return out
+
+    return _coarse_apply(
+        rows, "whash", num_partitions, hits,
+        schema=pa.schema([(id_col, pa.string()), ("pos", pa.int32()),
+                          ("n_docs", pa.int64())]),
+        in_schema=pa.schema([(id_col, pa.string()),
+                             ("whash", pa.int64()),
+                             ("pos", pa.int32())]),
+    )
+
+
+def dup_window_positions_sql(min_tokens: int = 50) -> str:
+    """DuckDB twin of ``dup_window_positions``: md5 window identity,
+    per-position rows, count(DISTINCT url) per window text."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    L = int(min_tokens)
+    return f"""
+WITH {WEB_PAGES_CTE},
+toks AS (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+         FROM web_pages),
+win AS (SELECT url, g.i - 1 AS pos,
+               md5(array_to_string(t[g.i:g.i+{L - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {L - 1})) AS g(i)
+  WHERE len(t) >= {L}),
+nd AS (SELECT h, CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+       FROM win GROUP BY h)
+SELECT w.url, CAST(w.pos AS INT) AS pos, nd.n_docs
+FROM win w JOIN nd ON nd.h = w.h WHERE nd.n_docs > 1"""

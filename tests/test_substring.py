@@ -214,3 +214,21 @@ def test_longest_dup_spans_exact_micro(ray_session):
     assert (r["url_a"], r["url_b"]) == ("a", "b")
     assert r["span_tokens"] == 60
     assert r["start_a"] == 0 and r["start_b"] == 20
+
+
+def test_dup_window_positions_matches_sql(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = substring.dup_window_positions(web_pages(sf)).to_pandas() \
+        .sort_values(["url", "pos"]).reset_index(drop=True)
+    want = con.execute(substring.dup_window_positions_sql()).fetchdf() \
+        .sort_values(["url", "pos"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    assert (got["n_docs"] >= 2).all()
