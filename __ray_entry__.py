@@ -695,6 +695,17 @@ def _q_chunk_dedup_fixed(sf_dir: str):
     return _chunks.chunk_dedup_fixed(sf_dir)
 
 
+def _q_winnowed_positions_sha(sf_dir: str):
+    """The winnowing SELECTION itself under the sha token hash
+    (substring.winnowed_positions_sha) — DuckDB recomputes every
+    rolling-window hash value and replays the leftmost-argmin rule, so
+    the fingerprint sampling the scale paths rely on is pinned
+    bit-for-bit, not just by its guarantee laws."""
+    from data_dedup_ray.pipelines import substring
+
+    return substring.winnowed_positions_sha(web_pages(sf_dir))
+
+
 def _q_dup_window_positions(sf_dir: str):
     """Every exact duplicated 50-token window position with its doc
     spread (substring.dup_window_positions) — the per-position sibling
@@ -1731,9 +1742,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Twenty oracle-backed keys
-        # (mirror_host_clusters, near_host_pairs, token_savings_by_host,
-        # detector_agreement,
+        # the session-12 batch.  Twenty-one oracle-backed keys
+        # (dup_locality_stats, mirror_host_clusters, near_host_pairs,
+        # token_savings_by_host, detector_agreement,
         # page_link_features, host_change_rates,
         # host_url_churn, anchor_text_agg, nearest_dup_attribution,
         # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
@@ -1769,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_exact_clusters": _q_substring_exact_clusters,
         "longest_dup_spans_exact": _q_longest_dup_spans_exact,
         "dup_window_positions": _q_dup_window_positions,
+        "winnowed_positions_sha": _q_winnowed_positions_sha,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -2022,6 +2034,8 @@ def oracle_sql() -> dict[str, str]:
             _substring.longest_dup_spans_sql(),
         "dup_window_positions":
             _substring.dup_window_positions_sql(),
+        "winnowed_positions_sha":
+            _substring.winnowed_positions_sql(),
         "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with

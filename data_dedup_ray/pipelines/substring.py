@@ -649,3 +649,73 @@ nd AS (SELECT h, CAST(count(DISTINCT url) AS BIGINT) AS n_docs
        FROM win GROUP BY h)
 SELECT w.url, CAST(w.pos AS INT) AS pos, nd.n_docs
 FROM win w JOIN nd ON nd.h = w.h WHERE nd.n_docs > 1"""
+
+
+def winnowed_positions_sha(
+    ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 50,
+    winnow_w: int = 8,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """``(url, pos)`` — the WINNOWING SELECTION itself under the sha
+    token hash: which window positions the Schleimer et al. rule picks.
+    This pins the selection rule bit-for-bit (leftmost minimum per
+    ``winnow_w``-window, positions deduplicated) rather than only its
+    guarantee laws: the sha rolling window chain is SQL-restatable, so
+    DuckDB recomputes every hash VALUE and replays the argmin
+    (``winnowed_positions_sql`` — ``list_reduce`` over the token slice
+    instead of 50 nested ``lead``s, struct-min ``(v, pos)`` for the
+    deterministic leftmost tie).  The default polars-hash winnowing
+    stays the production path (same rule, cheaper hash)."""
+    from data_dedup_ray.stages.minhash import sha256_token_hash
+
+    rows = ds.map_batches(
+        winnowed_rows,
+        fn_kwargs=dict(min_tokens=min_tokens, winnow_w=winnow_w,
+                       id_col=id_col, text_col=text_col,
+                       token_hash=sha256_token_hash),
+        batch_format="pyarrow", batch_size=512,
+    )
+    return rows.map_batches(
+        lambda t: t.select([id_col, "pos"]), batch_format="pyarrow")
+
+
+def winnowed_positions_sql(min_tokens: int = 50,
+                           winnow_w: int = 8) -> str:
+    """DuckDB twin of ``winnowed_positions_sha``: sha-token rolling
+    window hashes via ``list_reduce`` (each step ``(a·C + b) mod 2⁶⁴``,
+    ``a·C < 2¹⁰⁵`` HUGEINT-safe), then the winnow selection as a
+    start×position join taking the struct-min ``(v, pos)`` per window
+    (= numpy's leftmost argmin) and deduplicating positions."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    L = int(min_tokens)
+    w = int(winnow_w)
+    C = 0x100000001B3
+    M = 1 << 64
+    return f"""
+WITH {WEB_PAGES_CTE},
+toks AS (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+         FROM web_pages),
+win AS (
+  SELECT url, g.i - 1 AS i0,
+         list_reduce(
+           list_transform(t[g.i:g.i+{L - 1}],
+             tok -> CAST(CAST(('0x' || substr(sha256(tok), 1, 16))
+                              AS UBIGINT) AS HUGEINT)),
+           (a, b) -> (a * {C} + b) % {M}::HUGEINT) AS v
+  FROM toks, UNNEST(generate_series(1, len(t) - {L - 1})) AS g(i)
+  WHERE len(t) >= {L}),
+nwin AS (SELECT url, CAST(count(*) AS BIGINT) AS nw FROM win
+         GROUP BY url),
+starts AS (
+  SELECT url, g.s
+  FROM nwin, UNNEST(generate_series(0, greatest(nw - {w}, 0))) AS g(s)),
+sel AS (
+  SELECT st.url, min(struct_pack(v := w2.v, i := w2.i0)) AS m
+  FROM starts st JOIN win w2 ON w2.url = st.url
+       AND w2.i0 BETWEEN st.s AND st.s + {w - 1}
+  GROUP BY st.url, st.s)
+SELECT DISTINCT url, CAST(m.i AS INT) AS pos FROM sel"""

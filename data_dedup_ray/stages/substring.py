@@ -66,7 +66,8 @@ def window_hash_rows(
     )
 
 
-def _rolling_window_hashes(texts, min_tokens: int) -> tuple[np.ndarray, np.ndarray]:
+def _rolling_window_hashes(texts, min_tokens: int, token_hash=None
+                           ) -> tuple[np.ndarray, np.ndarray]:
     """→ (concatenated per-position window hashes, per-doc window counts).
 
     Polynomial combine of ``min_tokens`` consecutive token hashes
@@ -76,7 +77,7 @@ def _rolling_window_hashes(texts, min_tokens: int) -> tuple[np.ndarray, np.ndarr
     Python."""
     from data_dedup_ray.stages.minhash import tokenize_batch
 
-    hashes, counts = tokenize_batch(texts)
+    hashes, counts = tokenize_batch(texts, token_hash=token_hash)
     k = min_tokens
     n = len(hashes)
     with np.errstate(over="ignore"):
@@ -91,16 +92,19 @@ def _rolling_window_hashes(texts, min_tokens: int) -> tuple[np.ndarray, np.ndarr
 
 def winnowed_rows(
     batch: pa.Table, *, min_tokens: int = 50, winnow_w: int = 8,
-    id_col: str = "url", text_col: str = "text",
+    id_col: str = "url", text_col: str = "text", token_hash=None,
 ) -> pa.Table:
     """→ ``(id, whash:int64, pos:int32)`` — winnowed window fingerprints.
 
-    In each run of ``winnow_w`` consecutive window hashes the (rightmost)
-    minimum is selected; selections are deduplicated by position.  Any span
+    In each run of ``winnow_w`` consecutive window hashes the LEFTMOST
+    minimum is selected (``np.argmin`` tie order — ties are ~impossible
+    at 64-bit hashes but the rule is pinned by the SQL twin);
+    selections are deduplicated by position.  Any span
     of ``min_tokens + winnow_w − 1`` tokens shared between two documents
     yields at least one identical selected (hash, aligned-content) pair."""
     ids = batch[id_col].to_pylist()
-    win, counts = _rolling_window_hashes(batch[text_col], min_tokens)
+    win, counts = _rolling_window_hashes(batch[text_col], min_tokens,
+                                         token_hash=token_hash)
     # window hashes were computed over the CONCATENATED token-hash array;
     # doc d's valid (non-boundary-crossing) windows are the slice
     # win[tok_off_d : tok_off_d + n_windows_d].

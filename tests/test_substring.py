@@ -232,3 +232,22 @@ def test_dup_window_positions_matches_sql(ray_session):
                                   want.sort_index(axis=1),
                                   check_dtype=False)
     assert (got["n_docs"] >= 2).all()
+
+
+def test_winnowed_positions_sha_matches_sql(ray_session):
+    """The winnowing selection rule replayed bit-for-bit in DuckDB
+    (list_reduce rolling hashes + struct-min leftmost argmin)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = substring.winnowed_positions_sha(web_pages(sf)).to_pandas() \
+        .sort_values(["url", "pos"]).reset_index(drop=True)
+    want = con.execute(substring.winnowed_positions_sql()).fetchdf() \
+        .sort_values(["url", "pos"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
