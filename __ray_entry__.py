@@ -695,6 +695,17 @@ def _q_chunk_dedup_fixed(sf_dir: str):
     return _chunks.chunk_dedup_fixed(sf_dir)
 
 
+def _q_hll_raw_estimate(sf_dir: str):
+    """The RAW HLL cardinality estimate as one exact integer (rational
+    alpha, power-of-two harmonic sum — sketches.hll_raw_estimate):
+    the estimator itself joins the oracle ledger, not just its
+    register state; the float small-range-corrected variant stays
+    rows-only beside it."""
+    from data_dedup_ray.pipelines import sketches
+
+    return sketches.hll_raw_estimate(web_pages(sf_dir))
+
+
 def _q_winnowed_positions_sha(sf_dir: str):
     """The winnowing SELECTION itself under the sha token hash
     (substring.winnowed_positions_sha) — DuckDB recomputes every
@@ -1742,9 +1753,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Twenty-one oracle-backed keys
-        # (dup_locality_stats, mirror_host_clusters, near_host_pairs,
-        # token_savings_by_host, detector_agreement,
+        # the session-12 batch.  Twenty-two oracle-backed keys
+        # (mirror_host_pairs, dup_locality_stats, mirror_host_clusters,
+        # near_host_pairs, token_savings_by_host, detector_agreement,
         # page_link_features, host_change_rates,
         # host_url_churn, anchor_text_agg, nearest_dup_attribution,
         # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
@@ -1781,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_dup_spans_exact": _q_longest_dup_spans_exact,
         "dup_window_positions": _q_dup_window_positions,
         "winnowed_positions_sha": _q_winnowed_positions_sha,
+        "hll_raw_estimate": _q_hll_raw_estimate,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -1999,6 +2011,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import near as _near
     from data_dedup_ray.pipelines import relational as _rel
     from data_dedup_ray.pipelines import sampling as _sampling
+    from data_dedup_ray.corpus import WEB_PAGES_CTE as _WEB_PAGES_CTE
     from data_dedup_ray.pipelines import sketches as _sketches
     from data_dedup_ray.pipelines import spandedup as _spandedup
     from data_dedup_ray.pipelines import search as _search
@@ -2036,6 +2049,8 @@ def oracle_sql() -> dict[str, str]:
             _substring.dup_window_positions_sql(),
         "winnowed_positions_sha":
             _substring.winnowed_positions_sql(),
+        "hll_raw_estimate": ("WITH " + _WEB_PAGES_CTE + ",\n"
+                             + _sketches.hll_raw_estimate_sql()),
         "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with

@@ -216,3 +216,62 @@ cells AS (
   FROM toks, UNNEST(generate_series(0, {depth - 1})) AS g(d))
 SELECT depth, col, CAST(count(*) AS BIGINT) AS cnt
 FROM cells GROUP BY 1, 2"""
+
+
+def hll_raw_estimate(ds: ray.data.Dataset, *, col: str = "text",
+                     b: int = 8) -> ray.data.Dataset:
+    """``(m, n_zero_registers, estimate)`` — the RAW HLL estimator
+    (Flajolet et al. 2007, no small-range correction) as ONE exact
+    integer: with rational ``α_m = 7213·m / (10⁴·(1 + 1079/(10³·m)))``
+    and ``Z = Σ_j 2^{−M_j} = Z_num / 2^R`` (``R = max M_j``, ``Z_num``
+    an exact integer),
+
+        estimate = ⌊ 7213·m³·2^R / (10·(1000·m + 1079)·Z_num) ⌋ —
+
+    no float ever, so the SQL twin reproduces it bit-for-bit
+    (``hll_raw_estimate_sql``).  The float path with the log-based
+    small-range correction stays ``hll_estimate`` (rows-only, pinned
+    by the error-bound test); ``n_zero_registers`` is reported so a
+    reader can tell when the correction regime would have applied."""
+    regs = hll_registers(ds, col=col, b=b).to_pandas()
+    m = 1 << b
+    arr = np.zeros(m, dtype=np.int64)
+    if len(regs):
+        arr[regs["bucket"].to_numpy()] = regs["max_rho"].to_numpy()
+    R = int(arr.max())
+    z_num = int(sum(1 << (R - int(r)) for r in arr))
+    est = (7213 * m ** 3 * (1 << R)) // (10 * (1000 * m + 1079) * z_num)
+    return ray.data.from_arrow(pa.table({
+        "m": pa.array([m], pa.int64()),
+        "n_zero_registers": pa.array([int((arr == 0).sum())],
+                                     pa.int64()),
+        "estimate": pa.array([est], pa.int64()),
+    }))
+
+
+def hll_raw_estimate_sql(source: str = "web_pages", *, col: str = "text",
+                         b: int = 8) -> str:
+    """DuckDB twin of ``hll_raw_estimate``: the registers CTE, zeros
+    filled over the full bucket range, ``2^(R−reg)`` via
+    ``power(2, ·)`` (powers of two are exact doubles up to 2¹⁰²³ —
+    cast back to HUGEINT loss-free), and the single integer floor
+    division."""
+    m = 1 << b
+    return f"""
+regs AS ({hll_registers_sql(source, col=col, b=b)}),
+allregs AS (
+  SELECT g.i AS bucket, coalesce(r.max_rho, 0) AS reg
+  FROM UNNEST(generate_series(0, {m - 1})) AS g(i)
+  LEFT JOIN regs r ON r.bucket = g.i),
+mx AS (SELECT max(reg) AS R FROM allregs),
+z AS (SELECT CAST(sum(CAST(power(2, mx.R - reg) AS HUGEINT))
+              AS HUGEINT) AS z_num
+      FROM allregs, mx)
+SELECT CAST({m} AS BIGINT) AS m,
+       (SELECT CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM allregs) AS n_zero_registers,
+       CAST(CAST(7213 AS HUGEINT) * {m ** 3}
+            * CAST(power(2, mx.R) AS HUGEINT)
+            // (10 * (1000 * {m} + 1079) * z.z_num)
+            AS BIGINT) AS estimate
+FROM mx, z"""

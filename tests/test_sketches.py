@@ -106,3 +106,29 @@ def test_cms_merge_linearity(sf_dir):
     whole = (sketches.cms_token_counts(sf_dir).to_pandas()
              .sort_values(["depth", "col"]).reset_index(drop=True))
     assert sketches.merge_cms(ca, cb).equals(whole)
+
+
+def test_hll_raw_estimate_matches_sql(ray_session):
+    """The raw integer HLL estimator (rational alpha, power-of-two
+    harmonic sum) pinned bit-for-bit by its SQL twin, and within the
+    standard ~1.04/sqrt(m) error band of the true distinct count."""
+    import duckdb
+
+    from data_dedup_ray.corpus import WEB_PAGES_CTE, web_pages
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sketches.hll_raw_estimate(web_pages(sf)).to_pandas()
+    want = con.execute("WITH " + WEB_PAGES_CTE + ",\n"
+                       + sketches.hll_raw_estimate_sql()).fetchdf()
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    true = con.execute("WITH " + WEB_PAGES_CTE
+                       + " SELECT count(DISTINCT text) FROM web_pages"
+                       ).fetchone()[0]
+    est = int(got["estimate"].iloc[0])
+    # 4 sigma at sigma ~ 1.04/sqrt(256)
+    assert abs(est - true) <= 4 * 1.04 / 16 * true
