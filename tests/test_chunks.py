@@ -417,3 +417,22 @@ def test_cdc_oracle_parity(ray_session):
     pd.testing.assert_frame_equal(gd.sort_index(axis=1),
                                   wd.sort_index(axis=1),
                                   check_dtype=False)
+
+
+def test_cdc_low_bits_reduction_law():
+    """The mathematical claim the CDC SQL twin rests on: the gear
+    hash's low 8 bits (the avg=256 boundary mask) equal the 8-term
+    reduced sum Σ_{j<8} (GEAR[b(i−j)] mod 2^(8−j))·2^j mod 256 at
+    every position i ≥ 63 — the other 56 window terms are shifted past
+    the mask and cannot contribute."""
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size=5000, dtype=np.uint8)
+    h = chunks._gear_hashes(data)
+    g = chunks._GEAR[data]
+    want = np.zeros(len(data), dtype=np.int64)
+    for j in range(8):
+        term = (g[: len(data) - j if j else None] % (1 << (8 - j))) \
+            * (1 << j)
+        want[j:] = (want[j:] + term[: len(data) - j]) % 256
+    got = (h & np.uint64(255)).astype(np.int64)
+    assert (got[63:] == want[63:]).all()
