@@ -695,6 +695,17 @@ def _q_chunk_dedup_fixed(sf_dir: str):
     return _chunks.chunk_dedup_fixed(sf_dir)
 
 
+def _q_lsh_config_recall(sf_dir: str):
+    """The (b, r) banding TUNING TABLE (evaluation.lsh_config_recall):
+    per candidate band_r, the uncapped full-band candidate set graded
+    against exact Jaccard truth — recall = the banding miss rate,
+    precision = the verify-stage workload efficiency; signatures
+    computed once (sha chain), re-banded per config."""
+    from data_dedup_ray.pipelines import evaluation
+
+    return evaluation.lsh_config_recall(sf_dir)
+
+
 def _q_hll_raw_estimate(sf_dir: str):
     """The RAW HLL cardinality estimate as one exact integer (rational
     alpha, power-of-two harmonic sum — sketches.hll_raw_estimate):
@@ -1753,9 +1764,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Twenty-two oracle-backed keys
-        # (mirror_host_pairs, dup_locality_stats, mirror_host_clusters,
-        # near_host_pairs, token_savings_by_host, detector_agreement,
+        # the session-12 batch.  Twenty-three oracle-backed keys
+        # (link_fingerprint_groups, mirror_host_pairs,
+        # dup_locality_stats, mirror_host_clusters, near_host_pairs,
+        # token_savings_by_host, detector_agreement,
         # page_link_features, host_change_rates,
         # host_url_churn, anchor_text_agg, nearest_dup_attribution,
         # near_dup_keep_authoritative, hits_hosts, host_shard_plan,
@@ -1793,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_window_positions": _q_dup_window_positions,
         "winnowed_positions_sha": _q_winnowed_positions_sha,
         "hll_raw_estimate": _q_hll_raw_estimate,
+        "lsh_config_recall": _q_lsh_config_recall,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -2051,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
             _substring.winnowed_positions_sql(),
         "hll_raw_estimate": ("WITH " + _WEB_PAGES_CTE + ",\n"
                              + _sketches.hll_raw_estimate_sql()),
+        "lsh_config_recall": _evaluation.lsh_config_recall_sql(),
         "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with

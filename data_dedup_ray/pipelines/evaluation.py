@@ -523,3 +523,121 @@ def clustering_agreement_sql(t_loose: float = 0.7,
         "    END AS ari_bp\n"
         "FROM t"
     )
+
+
+def lsh_config_recall(
+    sf_dir: str, *, band_rs: tuple = (2, 3, 6), threshold: float = 0.7,
+    n_perm: int = 126, num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """The (b, r) TUNING TABLE for the LSH banding config: one
+    ``dedup_pair_metrics`` row per candidate ``band_r`` (tier
+    ``bandr_<r>``), grading that config's CANDIDATE pair set against
+    the exact Jaccard ≥ ``threshold`` truth — ``recall_bp`` is the
+    banding miss rate made visible (rows-per-band up ⇒ fewer, more
+    precise candidates), ``precision_bp`` is the verify-stage workload
+    efficiency (how many candidates survive exact verification).  THE
+    table read before fixing ``band_r`` on a new corpus, complementing
+    ``lsh_band_stats``' skew view and ``simhash_threshold_sweep``'s
+    Hamming curve.
+
+    The 126-permutation signature table is computed ONCE (sha chain —
+    the SQL twin recomputes it bit-for-bit) and re-banded per config;
+    candidates here are UNCAPPED full-band-agreement pairs (the oracle
+    definition; production paths apply group_cap / skew splitting on
+    top).  Truth is the exact AllPairs prefix-filter join, computed
+    once."""
+    import math
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.engine.exchange import hash_exchange
+    from data_dedup_ray.pipelines import near
+    from data_dedup_ray.pipelines.near import _pairs_in_partition
+    from data_dedup_ray.pipelines.sigstore import (
+        SignatureBands,
+        signature_rows,
+    )
+    from data_dedup_ray.util import stage_task
+
+    P = num_partitions
+    pages = web_pages(sf_dir).select_columns(["url", "text"])
+    sig = signature_rows(pages, token_hash="sha",
+                         n_perm=n_perm).materialize()
+    truth = near.ngram_jaccard_pairs(
+        pages, threshold=threshold,
+    ).select_columns(["url_a", "url_b"]).materialize()
+
+    outs = []
+    for r in band_rs:
+        assert n_perm % r == 0, (n_perm, r)
+        bands = sig.map_batches(
+            stage_task(SignatureBands, n_perm=n_perm, band_r=r,
+                       id_col="url", num_partitions=P),
+            batch_format="pyarrow", batch_size=1024,
+        )
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            # uncapped: the candidate set IS the metric here
+            return _pairs_in_partition(
+                g, key_cols=["band_id", "band_hash"], id_col="url",
+                group_cap=1 << 30)
+
+        cand = hash_exchange(
+            [bands], emit, num_partitions=P,
+            schema=pa.schema([("url_a", pa.string()),
+                              ("url_b", pa.string())]),
+            in_schemas=[pa.schema([("url", pa.string()),
+                                   ("band_id", pa.int32()),
+                                   ("band_hash", pa.int64())])],
+        )
+        outs.append(dedup_pair_metrics(cand, truth, tier=f"bandr_{r}",
+                                       num_partitions=P))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def lsh_config_recall_sql(band_rs: tuple = (2, 3, 6),
+                          threshold: float = 0.7, *,
+                          n_perm: int = 126, shingle_k: int = 5,
+                          seed: int = 42) -> str:
+    """DuckDB twin of ``lsh_config_recall``: the shared sha signature
+    chain (``sigstore.sig_chain_ctes``, single-corpus) re-banded per
+    config — a candidate pair shares a band iff ALL ``r`` of the
+    band's minima agree (``GROUP BY p // r HAVING count(*) = r``; the
+    Ray side keys on the band-hash combine, identical up to the
+    engine-wide 2⁻⁶⁴ collision trade) — each config folded to the
+    standard metric row against the exact string-shingle Jaccard
+    truth."""
+    from data_dedup_ray.oracles import _SHINGLE_CTES
+    from data_dedup_ray.pipelines.sigstore import sig_chain_ctes
+
+    chain = sig_chain_ctes(n_perm=n_perm, shingle_k=shingle_k,
+                           seed=seed, single_corpus=True)
+    frags = []
+    selects = []
+    for r in band_rs:
+        frags.append(f"""cand{r} AS MATERIALIZED (
+  SELECT DISTINCT url_a, url_b FROM (
+    SELECT a.id AS url_a, b.id AS url_b
+    FROM msig a JOIN msig b ON a.p = b.p AND a.v = b.v AND a.id < b.id
+    GROUP BY a.id, b.id, a.p // {r} HAVING count(*) = {r})),
+m{r} AS (SELECT
+  (SELECT count(*) FROM cand{r}) AS n_pred,
+  (SELECT count(*) FROM tru) AS n_true,
+  (SELECT count(*) FROM cand{r} c JOIN tru t
+     ON c.url_a = t.url_a AND c.url_b = t.url_b) AS n_hit)""")
+        selects.append(f"""SELECT 'bandr_{r}' AS tier,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT)
+           AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT)
+           AS f1_bp
+FROM m{r}""")
+    return (f"WITH {chain},{_SHINGLE_CTES},\n"
+            "tru AS MATERIALIZED (SELECT url_a, url_b FROM jac"
+            f" WHERE j >= {threshold}),\n"
+            + ",\n".join(frags) + "\n"
+            + "\nUNION ALL\n".join(selects))

@@ -295,3 +295,30 @@ def test_bbit_and_oph_estimator_evals_match_sql(ray_session):
                                       check_dtype=False)
     bb = entry.queries()["bbit_estimator_eval"](sf).to_pandas().iloc[0]
     assert bb["recall_bp"] >= 9900 and bb["n_true"] > 0
+
+
+def test_lsh_config_recall_matches_sql_and_laws(ray_session):
+    """The (b, r) banding tuning table pinned bit-for-bit; candidate
+    volume shrinks monotonically as rows-per-band grow while recall
+    holds on this corpus."""
+    import duckdb
+
+    from data_dedup_ray.pipelines import evaluation
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = evaluation.lsh_config_recall(sf).to_pandas() \
+        .sort_values("tier").reset_index(drop=True)
+    want = con.execute(evaluation.lsh_config_recall_sql()).fetchdf() \
+        .sort_values("tier").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    by_r = got.set_index("tier")
+    assert by_r.loc["bandr_2", "n_pred"] > by_r.loc["bandr_3", "n_pred"] \
+        > by_r.loc["bandr_6", "n_pred"]
+    assert (got["recall_bp"] == 10000).all()
+    assert by_r.loc["bandr_6", "precision_bp"] \
+        > by_r.loc["bandr_2", "precision_bp"]
