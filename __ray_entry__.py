@@ -695,6 +695,16 @@ def _q_chunk_dedup_fixed(sf_dir: str):
     return _chunks.chunk_dedup_fixed(sf_dir)
 
 
+def _q_shingle_k_sweep(sf_dir: str):
+    """Shingle-size sensitivity table (evaluation.shingle_k_sweep):
+    how the exact Jaccard ≥ 0.7 pair set moves with k — pair counts,
+    base-k overlap, and the pair-set Jaccard to the k=5 baseline in
+    integer basis points."""
+    from data_dedup_ray.pipelines import evaluation
+
+    return evaluation.shingle_k_sweep(sf_dir)
+
+
 def _q_lsh_config_recall(sf_dir: str):
     """The (b, r) banding TUNING TABLE (evaluation.lsh_config_recall):
     per candidate band_r, the uncapped full-band candidate set graded
@@ -1764,8 +1774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_meta_gif — incremental_bbit_pairs_sha also re-proves the
         # r4 in-stage band-key change), the session-6 analytics batch,
         # the link-graph / mirror-host / host-intelligence families and
-        # the session-12 batch.  Twenty-three oracle-backed keys
-        # (link_fingerprint_groups, mirror_host_pairs,
+        # the session-12 batch.  Twenty-four oracle-backed keys
+        # (pagerank_hosts, link_fingerprint_groups, mirror_host_pairs,
         # dup_locality_stats, mirror_host_clusters, near_host_pairs,
         # token_savings_by_host, detector_agreement,
         # page_link_features, host_change_rates,
@@ -1806,6 +1816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowed_positions_sha": _q_winnowed_positions_sha,
         "hll_raw_estimate": _q_hll_raw_estimate,
         "lsh_config_recall": _q_lsh_config_recall,
+        "shingle_k_sweep": _q_shingle_k_sweep,
         "ppl_buckets": _q_ppl_buckets,
         "chunk_gc_snap2": _q_chunk_gc_snap2,
         "clustering_agreement": _q_clustering_agreement,
@@ -2065,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_raw_estimate": ("WITH " + _WEB_PAGES_CTE + ",\n"
                              + _sketches.hll_raw_estimate_sql()),
         "lsh_config_recall": _evaluation.lsh_config_recall_sql(),
+        "shingle_k_sweep": _evaluation.shingle_k_sweep_sql(),
         "chunk_gc_snap2": oracles.chunk_gc_snap2_sql(),
         # exact-integer TF-cosine (tfidf_cosine_pairs intentionally
         # omitted: float idf partial sums → rows-only, with

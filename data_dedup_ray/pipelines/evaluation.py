@@ -641,3 +641,103 @@ FROM m{r}""")
             f" WHERE j >= {threshold}),\n"
             + ",\n".join(frags) + "\n"
             + "\nUNION ALL\n".join(selects))
+
+
+def shingle_k_sweep(
+    sf_dir: str, *, ks: tuple = (3, 5, 7), threshold: float = 0.7,
+    base_k: int = 5, num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """``(shingle_k, n_pairs, n_shared_with_base, jaccard_to_base_bp)``
+    — how the exact Jaccard ≥ ``threshold`` pair set MOVES with the
+    shingle size: the k-sensitivity table completing the tuning family
+    (threshold sweep, Hamming sweep, (b, r) table).  Larger k demands
+    longer verbatim runs (pair sets shrink toward exact copies);
+    smaller k admits looser paraphrase.  Each k's pair set is the
+    exact AllPairs prefix-filter join at that k; overlap with the
+    ``base_k`` set is one pair-keyed exchange per k
+    (``dedup_pair_metrics`` machinery, output-sized)."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    pages = web_pages(sf_dir).select_columns(["url", "text"])
+    base = near.ngram_jaccard_pairs(
+        pages, threshold=threshold, shingle_k=base_k,
+    ).select_columns(["url_a", "url_b"]).materialize()
+
+    outs = []
+    for k in ks:
+        pk = near.ngram_jaccard_pairs(
+            pages, threshold=threshold, shingle_k=k,
+        ).select_columns(["url_a", "url_b"]).materialize() \
+            if k != base_k else base
+        m = dedup_pair_metrics(pk, base, tier=f"k_{k}",
+                               num_partitions=num_partitions)
+
+        def relabel(t: pa.Table, k=k) -> pa.Table:
+            d = t.to_pandas()
+            n_pairs = d["n_pred"].astype(np.int64)
+            n_sh = d["n_hit"].astype(np.int64)
+            union = d["n_pred"] + d["n_true"] - d["n_hit"]
+            return pa.table({
+                "shingle_k": pa.array([k] * len(d), pa.int64()),
+                "n_pairs": pa.array(n_pairs),
+                "n_shared_with_base": pa.array(n_sh),
+                "jaccard_to_base_bp": pa.array(
+                    (10000 * n_sh // union.clip(lower=1))
+                    .astype(np.int64)),
+            })
+
+        outs.append(m.map_batches(relabel, batch_format="pyarrow"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def shingle_k_sweep_sql(ks: tuple = (3, 5, 7), threshold: float = 0.7,
+                        base_k: int = 5) -> str:
+    """DuckDB twin: the exact string-shingle Jaccard pair set per k
+    (the ``_SHINGLE_CTES`` machinery parameterized by k), base-set
+    overlap and the pair-set Jaccard in integer basis points."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    # simpler direct per-k pair CTE
+    def pair_cte(k: int, name: str) -> str:
+        return f"""sh{name} AS (
+  SELECT DISTINCT url, array_to_string(t[i:i+{k - 1}], ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+  WHERE len(t) >= {k}),
+cnt{name} AS (SELECT url, count(*) AS n FROM sh{name} GROUP BY url),
+p{name} AS MATERIALIZED (
+  SELECT i.url_a, i.url_b
+  FROM (SELECT a.url AS url_a, b.url AS url_b, count(*) AS i
+        FROM sh{name} a JOIN sh{name} b
+          ON a.s = b.s AND a.url < b.url
+        GROUP BY 1, 2) i
+  JOIN cnt{name} ca ON ca.url = i.url_a
+  JOIN cnt{name} cb ON cb.url = i.url_b
+  WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= {threshold})"""
+
+    names = {k: f"k{k}" for k in sorted(set(list(ks) + [base_k]))}
+    frags = [pair_cte(k, n) for k, n in names.items()]
+    b = names[base_k]
+    selects = []
+    for k in ks:
+        n = names[k]
+        selects.append(f"""SELECT CAST({k} AS BIGINT) AS shingle_k,
+       (SELECT CAST(count(*) AS BIGINT) FROM p{n}) AS n_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM p{n} x JOIN p{b} y
+          ON x.url_a = y.url_a AND x.url_b = y.url_b)
+         AS n_shared_with_base,
+       CAST(10000 * (SELECT count(*) FROM p{n} x JOIN p{b} y
+                     ON x.url_a = y.url_a AND x.url_b = y.url_b)
+            // greatest((SELECT count(*) FROM p{n})
+                        + (SELECT count(*) FROM p{b})
+                        - (SELECT count(*) FROM p{n} x JOIN p{b} y
+                           ON x.url_a = y.url_a AND x.url_b = y.url_b),
+                        1) AS BIGINT) AS jaccard_to_base_bp""")
+    return (f"WITH {WEB_PAGES_CTE},\n"
+            "toks AS (SELECT url, regexp_extract_all(text,"
+            " '[a-z0-9]+') AS t FROM web_pages),\n"
+            + ",\n".join(frags) + "\n"
+            + "\nUNION ALL\n".join(selects))

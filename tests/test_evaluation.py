@@ -322,3 +322,25 @@ def test_lsh_config_recall_matches_sql_and_laws(ray_session):
     assert (got["recall_bp"] == 10000).all()
     assert by_r.loc["bandr_6", "precision_bp"] \
         > by_r.loc["bandr_2", "precision_bp"]
+
+
+def test_shingle_k_sweep_matches_sql(ray_session):
+    import duckdb
+
+    from data_dedup_ray.pipelines import evaluation
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = evaluation.shingle_k_sweep(sf).to_pandas() \
+        .sort_values("shingle_k").reset_index(drop=True)
+    want = con.execute(evaluation.shingle_k_sweep_sql()).fetchdf() \
+        .sort_values("shingle_k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1),
+                                  check_dtype=False)
+    base = got[got["shingle_k"] == 5].iloc[0]
+    assert base["jaccard_to_base_bp"] == 10000
+    assert base["n_pairs"] == base["n_shared_with_base"]
+    assert (got["n_shared_with_base"] <= got["n_pairs"]).all()
