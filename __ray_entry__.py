@@ -1602,6 +1602,25 @@ def _q_dedup_threshold_sweep(sf_dir: str):
         web_pages(sf_dir).select_columns(["url", "text"]))
 
 
+def _q_url_editdist_pairs(sf_dir: str):
+    """Levenshtein ≤ 1 url pairs via FastSS deletion-neighborhood
+    blocking + banded-DP verify (pipelines/editdist.py) — the
+    url-family collapse (trailing page counters, scheme variants) run
+    before content dedup.  Exact; oracle = DuckDB levenshtein() over
+    the distinct-url cross join."""
+    from data_dedup_ray.pipelines import editdist
+
+    return editdist.url_editdist_pairs(sf_dir, k=1)
+
+
+def _q_url_editdist_clusters(sf_dir: str):
+    """Connected components of the ed ≤ 1 url graph, min-url labels;
+    count-gated DSU with the distributed label-propagation fallback."""
+    from data_dedup_ray.pipelines import editdist
+
+    return editdist.url_editdist_clusters(sf_dir, k=1)
+
+
 def _q_incremental_embedding_pairs(sf_dir: str):
     """Semantic near-dup pairs of the deterministic re-crawl vector set
     against the persisted int8 embedding index (pipelines/embstore.py —
@@ -1767,7 +1786,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Round-4 slots 1-50 = (1-4) this round's
+        # FIRST 50 keys only.  Session-16 adds the two edit-distance
+        # queries at slots 1-2 (new family, never driver-run),
+        # displacing host_degree/top_linked_pages out of the top 50 into the
+        # round-5 rotation backlog.  Round-4 slots 3-50 = this round's
         # additions (all SQL-oracle-backed), then the entire queued
         # rotation backlog of oracle-backed keys that had never produced
         # a driver row: the session-14 batch (ppl_buckets ..
@@ -1792,6 +1814,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is r1/r2/r3-driver-proven and stays pinned by the pytest
         # suite.
 
+        # round-4 session-16: edit-distance url dedup (FastSS blocking,
+        # new similarity modality — exact DuckDB levenshtein oracles)
+        "url_editdist_pairs": _q_url_editdist_pairs,
+        "url_editdist_clusters": _q_url_editdist_clusters,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2012,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import sigstore as _sigstore
     from data_dedup_ray.pipelines import fpstore as _fpstore
     from data_dedup_ray.pipelines import incrfunnel as _incrfunnel
+    from data_dedup_ray.pipelines import editdist as _editdist
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2088,6 +2115,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         "clustering_agreement": _evaluation.clustering_agreement_sql(),
         "incremental_bbit_pairs_sha": _bbit.incremental_bbit_pairs_sql(),
+        # round-4 session-16: edit-distance url dedup
+        "url_editdist_pairs": _editdist.url_editdist_pairs_sql(k=1),
+        "url_editdist_clusters": _editdist.url_editdist_clusters_sql(k=1),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),
