@@ -1602,6 +1602,37 @@ def _q_dedup_threshold_sweep(sf_dir: str):
         web_pages(sf_dir).select_columns(["url", "text"]))
 
 
+def _q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95):
+    text-prefix order, window-10 candidates via the ordered-prefix-sum
+    rank (no global sort), exact-Jaccard verify.  Linear candidate
+    volume — the predictable-cost blocking tier next to LSH banding."""
+    import numpy as np
+    import pandas as pd
+
+    from data_dedup_ray.pipelines import sortedneighborhood as sn
+
+    p = sn.sorted_neighborhood_pairs(sf_dir).to_pandas()
+    return pd.DataFrame({
+        "url_a": p["url_a"], "url_b": p["url_b"],
+        "jaccard_bp": np.floor(p["jaccard"] * 10000).astype(np.int64),
+    })
+
+
+def _q_snm_multipass_pairs(sf_dir: str):
+    """Two-pass SNM (prefix order ∪ suffix order), verified once."""
+    import numpy as np
+    import pandas as pd
+
+    from data_dedup_ray.pipelines import sortedneighborhood as sn
+
+    p = sn.snm_multipass_pairs(sf_dir).to_pandas()
+    return pd.DataFrame({
+        "url_a": p["url_a"], "url_b": p["url_b"],
+        "jaccard_bp": np.floor(p["jaccard"] * 10000).astype(np.int64),
+    })
+
+
 def _q_url_editdist_pairs(sf_dir: str):
     """Levenshtein ≤ 1 url pairs via FastSS deletion-neighborhood
     blocking + banded-DP verify (pipelines/editdist.py) — the
@@ -1786,10 +1817,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds the two edit-distance
-        # queries at slots 1-2 (new family, never driver-run),
-        # displacing host_degree/top_linked_pages out of the top 50 into the
-        # round-5 rotation backlog.  Round-4 slots 3-50 = this round's
+        # FIRST 50 keys only.  Session-16 adds four new-family keys at
+        # slots 1-4 (edit-distance dedup, sorted-neighborhood blocking —
+        # never driver-run), displacing link_edges/host_graph/
+        # host_degree/top_linked_pages out of the top 50 into the
+        # round-5 rotation backlog.  Round-4 slots 5-50 = this round's
         # additions (all SQL-oracle-backed), then the entire queued
         # rotation backlog of oracle-backed keys that had never produced
         # a driver row: the session-14 batch (ppl_buckets ..
@@ -1818,6 +1850,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new similarity modality — exact DuckDB levenshtein oracles)
         "url_editdist_pairs": _q_url_editdist_pairs,
         "url_editdist_clusters": _q_url_editdist_clusters,
+        # round-4 session-16: sorted-neighborhood blocking (third
+        # blocking paradigm next to LSH banding and FastSS; exact
+        # window+Jaccard SQL twins)
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
+        "snm_multipass_pairs": _q_snm_multipass_pairs,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2039,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import fpstore as _fpstore
     from data_dedup_ray.pipelines import incrfunnel as _incrfunnel
     from data_dedup_ray.pipelines import editdist as _editdist
+    from data_dedup_ray.pipelines import sortedneighborhood as _snb
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2115,9 +2153,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tier_eval": oracles.dedup_tier_eval_sql(),
         "clustering_agreement": _evaluation.clustering_agreement_sql(),
         "incremental_bbit_pairs_sha": _bbit.incremental_bbit_pairs_sql(),
-        # round-4 session-16: edit-distance url dedup
+        # round-4 session-16: edit-distance url dedup + sorted-neighborhood
         "url_editdist_pairs": _editdist.url_editdist_pairs_sql(k=1),
         "url_editdist_clusters": _editdist.url_editdist_clusters_sql(k=1),
+        "sorted_neighborhood_pairs":
+            _snb.sorted_neighborhood_pairs_sql(),
+        "snm_multipass_pairs": _snb.snm_multipass_pairs_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),
