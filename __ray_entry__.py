@@ -1633,6 +1633,15 @@ def _q_snm_multipass_pairs(sf_dir: str):
     })
 
 
+def _q_snm_window_recall(sf_dir: str):
+    """Window-size planning curve: recall of a single-pass sorted
+    neighborhood vs the EXACT Jaccard pair set, integer basis points —
+    the blocking-tier eval sibling of lsh_config_recall."""
+    from data_dedup_ray.pipelines import sortedneighborhood as sn
+
+    return sn.snm_window_recall(sf_dir)
+
+
 def _q_url_editdist_pairs(sf_dir: str):
     """Levenshtein ≤ 1 url pairs via FastSS deletion-neighborhood
     blocking + banded-DP verify (pipelines/editdist.py) — the
@@ -1817,11 +1826,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds four new-family keys at
-        # slots 1-4 (edit-distance dedup, sorted-neighborhood blocking —
-        # never driver-run), displacing link_edges/host_graph/
-        # host_degree/top_linked_pages out of the top 50 into the
-        # round-5 rotation backlog.  Round-4 slots 5-50 = this round's
+        # FIRST 50 keys only.  Session-16 adds five new-family keys at
+        # slots 1-5 (edit-distance dedup, sorted-neighborhood blocking +
+        # its window-recall eval — never driver-run), displacing
+        # url_template_stats/link_edges/host_graph/host_degree/
+        # top_linked_pages out of the top 50 into the round-5 rotation
+        # backlog.  Round-4 slots 6-50 = this round's
         # additions (all SQL-oracle-backed), then the entire queued
         # rotation backlog of oracle-backed keys that had never produced
         # a driver row: the session-14 batch (ppl_buckets ..
@@ -1855,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window+Jaccard SQL twins)
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
         "snm_multipass_pairs": _q_snm_multipass_pairs,
+        "snm_window_recall": _q_snm_window_recall,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2159,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood_pairs":
             _snb.sorted_neighborhood_pairs_sql(),
         "snm_multipass_pairs": _snb.snm_multipass_pairs_sql(),
+        "snm_window_recall": _snb.snm_window_recall_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),

@@ -244,6 +244,124 @@ def snm_multipass_pairs(
     ).sort(["url_a", "url_b"])
 
 
+def snm_window_recall(
+    sf_dir: str, *, windows: tuple = (2, 5, 10, 25), key_len: int = 24,
+    shingle_k: int = 5, threshold: float = 0.5, num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(win, n_truth, n_found, recall_bp)`` — the window-size planning
+    curve: what fraction of the EXACT Jaccard-≥t pair set a single-pass
+    sorted neighborhood of width ``win`` captures.  The blocking-tier
+    eval sibling of lsh_config_recall / shingle_k_sweep.
+
+    SNM + exact verify finds exactly the truth pairs whose rank distance
+    is < win, so no per-window re-run is needed: attach ranks to the
+    truth pairs once (two skinny url-keyed exchanges), then the curve is
+    a cumulative histogram of rank gaps — integer-exact recall_bp =
+    (n_found·10⁴) // n_truth."""
+    from data_dedup_ray.pipelines.near import (_hash_str_column,
+                                               ngram_jaccard_pairs)
+    P = num_partitions
+    pages = web_pages(sf_dir)
+    truth = ngram_jaccard_pairs(pages, shingle_k=shingle_k,
+                                threshold=threshold, num_partitions=P)
+    ranked = _rank_rows(pages, key_len=key_len, num_partitions=P)
+
+    def with_part(col):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("_part",
+                                       pa.array([], type=pa.int64()))
+            h = _hash_str_column(t[col])
+            return t.append_column(
+                "_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+        return fn
+
+    def join_a(pt: pd.DataFrame, rk: pd.DataFrame) -> pd.DataFrame:
+        return pt[["url_a", "url_b"]].merge(
+            rk.rename(columns={"url": "url_a", "rank": "ra"}), on="url_a")
+
+    step_a = hash_exchange(
+        [truth.map_batches(with_part("url_a"), batch_format="pyarrow"),
+         ranked.map_batches(with_part("url"), batch_format="pyarrow")],
+        join_a, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("ra", pa.int64())]),
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("jaccard", pa.float64())]),
+                    pa.schema([("url", pa.string()),
+                               ("rank", pa.int64())])],
+    )
+
+    def join_b(pt: pd.DataFrame, rk: pd.DataFrame) -> pd.DataFrame:
+        m = pt.merge(rk.rename(columns={"url": "url_b", "rank": "rb"}),
+                     on="url_b")
+        return pd.DataFrame({
+            "diff": np.abs(m["ra"].to_numpy() - m["rb"].to_numpy())})
+
+    gaps = hash_exchange(
+        [step_a.map_batches(with_part("url_b"), batch_format="pyarrow"),
+         ranked.map_batches(with_part("url"), batch_format="pyarrow")],
+        join_b, num_partitions=P,
+        schema=pa.schema([("diff", pa.int64())]),
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("ra", pa.int64())]),
+                    pa.schema([("url", pa.string()),
+                               ("rank", pa.int64())])],
+    )
+
+    # bounded partials: one (len(windows)+1)-vector per batch
+    ws = sorted(windows)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["diff"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "win": pa.array(list(ws) + [-1], pa.int64()),
+            "n": pa.array([int((d < w).sum()) for w in ws] + [len(d)],
+                          pa.int64()),
+        })
+
+    agg = gaps.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().groupby("win", as_index=False)["n"].sum()
+    total = int(agg.loc[agg["win"] == -1, "n"].sum())
+    found = {int(r["win"]): int(r["n"]) for _, r in agg.iterrows()}
+    out = pd.DataFrame({
+        "win": np.array(ws, np.int64),
+        "n_truth": np.full(len(ws), total, np.int64),
+        "n_found": np.array([found.get(w, 0) for w in ws], np.int64),
+        "recall_bp": np.array(
+            [(found.get(w, 0) * 10000) // total if total else 0
+             for w in ws], np.int64),
+    })
+    return ray.data.from_pandas(out)
+
+
+def snm_window_recall_sql(
+    *, windows: tuple = (2, 5, 10, 25), key_len: int = 24,
+    threshold: float = 0.5,
+) -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.oracles import _SHINGLE_CTES
+    ws = ", ".join(str(w) for w in sorted(windows))
+    return (
+        f"WITH {WEB_PAGES_CTE},{_SHINGLE_CTES},\n"
+        "ranked AS (SELECT url, row_number() OVER ("
+        f"ORDER BY substr(text, 1, {key_len}), url) - 1 AS r"
+        " FROM web_pages),\n"
+        f"t AS (SELECT url_a, url_b FROM jac WHERE j >= {threshold}),\n"
+        "d AS (SELECT abs(a.r - b.r) AS diff FROM t"
+        " JOIN ranked a ON a.url = t.url_a"
+        " JOIN ranked b ON b.url = t.url_b),\n"
+        f"wins AS (SELECT unnest([{ws}]) AS win)\n"
+        "SELECT win, (SELECT count(*) FROM t) AS n_truth,\n"
+        "       count(*) FILTER (WHERE d.diff < win) AS n_found,\n"
+        "       CAST((count(*) FILTER (WHERE d.diff < win) * 10000)"
+        " // (SELECT count(*) FROM t) AS BIGINT) AS recall_bp\n"
+        "FROM wins CROSS JOIN d GROUP BY win ORDER BY win"
+    )
+
+
 def sorted_neighborhood_pairs_sql(
     *, window: int = 10, key_len: int = 24, threshold: float = 0.5,
 ) -> str:

@@ -81,6 +81,19 @@ def test_multipass_superset_of_single_pass():
     assert s <= m and len(m) > len(s)     # suffix pass adds pairs here
 
 
+def test_window_recall_oracle(con):
+    got = sn.snm_window_recall(SF).to_pandas().reset_index(drop=True)
+    want = con.execute(sn.snm_window_recall_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: "int64" for c in want.columns}))
+
+
+def test_window_recall_monotone_and_consistent():
+    df = sn.snm_window_recall(SF).to_pandas()
+    assert (df["n_found"].diff().dropna() >= 0).all()
+    assert (df["recall_bp"] == df["n_found"] * 10000 // df["n_truth"]).all()
+
+
 def test_partition_invariance():
     a = _bp(sn.sorted_neighborhood_pairs(SF, num_partitions=3).to_pandas())
     b = _bp(sn.sorted_neighborhood_pairs(SF, num_partitions=16).to_pandas())
