@@ -1633,6 +1633,24 @@ def _q_snm_multipass_pairs(sf_dir: str):
     })
 
 
+def _q_bottomk_sig_pairs(sf_dir: str):
+    """Bottom-k minwise sketch pairs (Cohen & Kaplan PODC'07): k=32
+    smallest sha-shingle hashes per doc (256 B/doc, exactly mergeable),
+    candidates via shared values, integer-exact union estimator —
+    bit-reproducible in DuckDB (pipelines/bottomk.py)."""
+    from data_dedup_ray.pipelines import bottomk
+
+    return bottomk.bottomk_sig_pairs(sf_dir)
+
+
+def _q_bottomk_estimator_eval(sf_dir: str):
+    """Grades the bottom-k tier against exact Jaccard truth — the
+    sketch-ladder quality row (sig/bbit/oph/semantic siblings)."""
+    from data_dedup_ray.pipelines import bottomk
+
+    return bottomk.bottomk_estimator_eval(sf_dir)
+
+
 def _q_snm_window_recall(sf_dir: str):
     """Window-size planning curve: recall of a single-pass sorted
     neighborhood vs the EXACT Jaccard pair set, integer basis points —
@@ -1826,12 +1844,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds five new-family keys at
-        # slots 1-5 (edit-distance dedup, sorted-neighborhood blocking +
-        # its window-recall eval — never driver-run), displacing
-        # url_template_stats/link_edges/host_graph/host_degree/
-        # top_linked_pages out of the top 50 into the round-5 rotation
-        # backlog.  Round-4 slots 6-50 = this round's
+        # FIRST 50 keys only.  Session-16 adds seven new-family keys at
+        # slots 1-7 (edit-distance dedup, sorted-neighborhood blocking +
+        # its window-recall eval, bottom-k minwise sketches + tier eval
+        # — never driver-run), displacing incremental_drift,
+        # sig_estimator_eval, incremental_novelty, url_template_stats,
+        # link_edges, host_graph and host_degree (slots 51-57) out of
+        # the top 50 into the round-5 rotation backlog (each
+        # pytest-pinned; families represented in-slot by siblings).
+        # Round-4 slots 8-50 = this round's
         # additions (all SQL-oracle-backed), then the entire queued
         # rotation backlog of oracle-backed keys that had never produced
         # a driver row: the session-14 batch (ppl_buckets ..
@@ -1866,6 +1887,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
         "snm_multipass_pairs": _q_snm_multipass_pairs,
         "snm_window_recall": _q_snm_window_recall,
+        # round-4 session-16: bottom-k minwise sketch tier (the
+        # exactly-mergeable member of the sketch ladder)
+        "bottomk_sig_pairs": _q_bottomk_sig_pairs,
+        "bottomk_estimator_eval": _q_bottomk_estimator_eval,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2088,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import incrfunnel as _incrfunnel
     from data_dedup_ray.pipelines import editdist as _editdist
     from data_dedup_ray.pipelines import sortedneighborhood as _snb
+    from data_dedup_ray.pipelines import bottomk as _bottomk
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2171,6 +2197,8 @@ def oracle_sql() -> dict[str, str]:
             _snb.sorted_neighborhood_pairs_sql(),
         "snm_multipass_pairs": _snb.snm_multipass_pairs_sql(),
         "snm_window_recall": _snb.snm_window_recall_sql(),
+        "bottomk_sig_pairs": _bottomk.bottomk_sig_pairs_sql(),
+        "bottomk_estimator_eval": _bottomk.bottomk_estimator_eval_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),

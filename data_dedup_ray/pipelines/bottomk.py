@@ -1,0 +1,316 @@
+"""Bottom-k minwise sketches — the single-hash member of the sketch
+ladder (k-perm MinHash · OPH · b-bit · HLL · CMS · bottom-k).
+
+Bottom-k (Cohen, "Size-Estimation Framework", 1997; Cohen & Kaplan,
+"Summarizing data using bottom-k sketches", PODC 2007) keeps the k
+SMALLEST distinct shingle hashes of each document under ONE hash
+function — no permutation family, no per-perm state.  What it buys over
+k-perm MinHash at 100 TB:
+
+- **exactly mergeable**: B_k(A ∪ B) = k smallest of B_k(A) ∪ B_k(B) —
+  sketches of crawl slices union losslessly (the law HLL/CMS already
+  satisfy; k-perm sketches only merge per-permutation), so per-shard
+  sketches roll up to corpus sketches without re-reading text.
+- **subset queries are exact**: x ∈ B_k(A∪B) ∧ x ∈ A ⟹ x ∈ B_k(A), so
+  the Jaccard estimator needs only the two sketches:
+  ``est = |{x ∈ U : x in both sketches}| / |U|`` with
+  ``U = B_k(A∪B)`` = k smallest of the sketch union, denominator
+  ``min(k, |A∪B|)`` — integer-exact given the hashes, hence fully
+  SQL-restatable under the sha token hash (the same msh chain as the
+  signature-store oracles, sigstore.sig_chain_ctes).
+- **candidates for free**: two documents share a bottom-k value with
+  probability ≈ J·k/|A∪B|-ish per slot; grouping the exploded
+  ``(hash, url)`` rows (k per doc — 8k bytes) by value is the
+  single-row-band LSH analogue, with the same coarse sortless exchange
+  and the same group-cap skew guard as every band pipeline here.
+
+Pipeline shape: one corpus pass → (url, blob) sketches (k·8 B/doc,
+materialized — the store tier) → exploded value rows → candidate pairs
+in-partition → two skinny blob-attach exchanges → vectorized estimator
+(one lexsort + bincounts across the PAIR axis, no per-pair Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.engine.exchange import bucketize, hash_exchange
+from data_dedup_ray.stages.minhash import sha256_token_hash, shingle_sets
+
+_PAIR_OUT = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                       ("est_bp", pa.int64())])
+
+
+def _resolve_token_hash(token_hash):
+    if token_hash == "sha":
+        return sha256_token_hash
+    return token_hash
+
+
+def bottomk_blobs(
+    ds: ray.data.Dataset, *, k: int = 32, shingle_k: int = 5,
+    token_hash=None, id_col: str = "url", text_col: str = "text",
+) -> ray.data.Dataset:
+    """``(url, bk)`` — each doc's k smallest distinct shingle hashes as
+    a little-endian uint64 blob (ascending; ``np.unique`` output is
+    already sorted, so bottom-k is the segment's first k values).  Docs
+    with no shingles keep an empty blob (id-universe convention of
+    near.shingle_rows)."""
+    th = _resolve_token_hash(token_hash)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cat, sizes = shingle_sets(t[text_col], shingle_k, token_hash=th)
+        starts = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        take = np.minimum(sizes, k)
+        blobs = [cat[starts[i]: starts[i] + take[i]].tobytes()
+                 for i in range(len(sizes))]
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "bk": pa.array(blobs, pa.large_binary()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _estimate(pid: np.ndarray, vals: np.ndarray, k: int,
+              n_pairs: int) -> tuple[np.ndarray, np.ndarray]:
+    """(numerator, denominator) per pair of the bottom-k union
+    estimator, vectorized across all pairs: sort (pair, value), detect
+    in-both values by adjacency, rank distinct values per pair, count
+    within rank < k."""
+    order = np.lexsort((vals, pid))
+    pid, vals = pid[order], vals[order]
+    same = np.zeros(len(pid), dtype=bool)
+    if len(pid) > 1:
+        same[1:] = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+    first = ~same                       # first occurrence of each value
+    pid_u = pid[first]
+    in_both = np.zeros(len(pid_u), dtype=bool)
+    nxt = np.nonzero(first)[0] + 1      # the element after each first
+    valid = nxt < len(pid)
+    in_both[valid] = same[nxt[valid]]
+    # rank of each distinct value within its pair
+    _, starts, counts = np.unique(pid_u, return_index=True,
+                                  return_counts=True)
+    rank = np.arange(len(pid_u)) - np.repeat(starts, counts)
+    in_u = rank < k
+    num = np.bincount(pid_u[in_u & in_both], minlength=n_pairs)
+    den = np.bincount(pid_u[in_u], minlength=n_pairs)
+    return num.astype(np.int64), den.astype(np.int64)
+
+
+def bottomk_pairs(
+    ds: ray.data.Dataset, *, k: int = 32, shingle_k: int = 5,
+    min_est_bp: int = 5000, token_hash=None, id_col: str = "url",
+    text_col: str = "text", num_partitions: int = 16,
+    group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """``(url_a, url_b, est_bp)`` — candidate pairs sharing ≥ 1 bottom-k
+    value whose union-estimator Jaccard ≥ ``min_est_bp`` basis points.
+    Integer-exact given the hashes; ``token_hash="sha"`` makes it
+    bit-reproducible in DuckDB."""
+    from data_dedup_ray.pipelines.near import (_blob_views,
+                                               _distinct_pairs,
+                                               _hash_str_column,
+                                               _pairs_in_partition)
+    P = num_partitions
+    blobs = bottomk_blobs(ds, k=k, shingle_k=shingle_k,
+                          token_hash=token_hash, id_col=id_col,
+                          text_col=text_col).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        data, offs = _blob_views(t["bk"])
+        lens = np.diff(offs)
+        urls = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(data, pa.uint64()),
+            "url": pa.array(np.repeat(urls, lens), pa.string()),
+            "_part": pa.array((data % np.uint64(P)).astype(np.int64)),
+        })
+
+    def cand_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_partition(g, key_cols=["h"], id_col="url",
+                                   group_cap=group_cap)
+
+    cand = hash_exchange(
+        [blobs.map_batches(explode, batch_format="pyarrow")],
+        cand_fn, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
+        in_schemas=[pa.schema([("h", pa.uint64()), ("url", pa.string())])],
+    )
+    cand = _distinct_pairs(cand, ["url_a", "url_b"], num_partitions=P)
+
+    def with_part(col):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("_part",
+                                       pa.array([], type=pa.int64()))
+            h = _hash_str_column(t[col])
+            return t.append_column(
+                "_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+        return fn
+
+    blob_schema = pa.schema([(id_col, pa.string()),
+                             ("bk", pa.large_binary())])
+    blobs_p = blobs.map_batches(with_part(id_col), batch_format="pyarrow")
+    blob_buckets = bucketize(blobs_p, num_partitions=P,
+                             in_schema=blob_schema)
+
+    def join_a(pt: pa.Table, bt: pa.Table) -> pa.Table:
+        m = pt.join(bt, keys=["url_a"], right_keys=[id_col],
+                    join_type="inner")
+        return m.select(["url_a", "url_b", "bk"]).rename_columns(
+            ["url_a", "url_b", "bk_a"])
+
+    step_a = hash_exchange(
+        [cand.map_batches(with_part("url_a"), batch_format="pyarrow"),
+         blob_buckets],
+        join_a, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("bk_a", pa.large_binary())]),
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string())]), blob_schema],
+        apply_format="pyarrow",
+    )
+
+    def join_b(pt: pa.Table, bt: pa.Table) -> pa.Table:
+        if pt.num_rows == 0 or bt.num_rows == 0:
+            return pa.table({"url_a": pa.array([], pa.string()),
+                             "url_b": pa.array([], pa.string()),
+                             "est_bp": pa.array([], pa.int64())})
+        idx = pd.Index(bt[id_col].to_pandas()).get_indexer(
+            pd.Series(pt["url_b"].to_pandas()))
+        found = idx >= 0
+        if not found.all():
+            pt = pt.filter(pa.array(found))
+            idx = idx[found]
+        da, oa = _blob_views(pt["bk_a"])
+        db, ob = _blob_views(bt["bk"])
+        n = pt.num_rows
+        la = np.diff(oa)
+        sb = ob[idx]
+        lb = ob[idx + 1] - sb
+        # gather both segments per pair fully vectorized; A-then-B
+        # interleaving is irrelevant before the estimator's lexsort
+        from data_dedup_ray.pipelines.near import _seg_gather
+        pair_a, gidx_a = _seg_gather(oa[:-1], la)
+        pair_b, gidx_b = _seg_gather(sb, lb)
+        pid = np.concatenate([pair_a, pair_b]).astype(np.int64)
+        vals = np.concatenate([da[gidx_a], db[gidx_b]])
+        num, den = _estimate(pid, vals, k, n)
+        den = np.maximum(den, 1)
+        est = (10000 * num) // den
+        keep = est >= min_est_bp
+        return pa.table({
+            "url_a": pt["url_a"].combine_chunks().filter(pa.array(keep)),
+            "url_b": pt["url_b"].combine_chunks().filter(pa.array(keep)),
+            "est_bp": pa.array(est[keep], pa.int64()),
+        })
+
+    return hash_exchange(
+        [step_a.map_batches(with_part("url_b"), batch_format="pyarrow"),
+         blob_buckets],
+        join_b, num_partitions=P,
+        schema=_PAIR_OUT,
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("bk_a", pa.large_binary())]), blob_schema],
+        apply_format="pyarrow",
+    ).sort(["url_a", "url_b"])
+
+
+def bottomk_sig_pairs(sf_dir: str, *, k: int = 32, shingle_k: int = 5,
+                      min_est_bp: int = 5000,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """sha-token bottom-k pairs over web_pages (the oracle variant)."""
+    return bottomk_pairs(web_pages(sf_dir), k=k, shingle_k=shingle_k,
+                         min_est_bp=min_est_bp, token_hash="sha",
+                         num_partitions=num_partitions)
+
+
+def bottomk_sig_pairs_sql(*, k: int = 32, shingle_k: int = 5,
+                          min_est_bp: int = 5000) -> str:
+    """Bit-exact twin: the shared msh shingle chain (sha token hash +
+    FNV rolling combine — sigstore.sig_chain_ctes; the unreferenced
+    msig/perms CTEs are never evaluated), bottom-k via row_number,
+    candidates via shared values, estimator via the distinct-union
+    rank."""
+    from data_dedup_ray.pipelines.sigstore import sig_chain_ctes
+    return f"""
+WITH {sig_chain_ctes(shingle_k=shingle_k, single_corpus=True)},
+bkk AS (SELECT url, s FROM (
+    SELECT id AS url, s,
+           row_number() OVER (PARTITION BY id ORDER BY s) AS rn
+    FROM msh) WHERE rn <= {k}),
+cand AS (SELECT DISTINCT a.url AS ua, b.url AS ub
+         FROM bkk a JOIN bkk b ON a.s = b.s AND a.url < b.url),
+uv AS (SELECT c.ua, c.ub, x.s, count(*) AS cnt
+       FROM cand c JOIN bkk x ON x.url = c.ua OR x.url = c.ub
+       GROUP BY 1, 2, 3),
+ur AS (SELECT ua, ub, cnt,
+              row_number() OVER (PARTITION BY ua, ub ORDER BY s) AS rn
+       FROM uv)
+SELECT ua AS url_a, ub AS url_b,
+       CAST((10000 * count(*) FILTER (WHERE cnt = 2 AND rn <= {k}))
+            // (count(*) FILTER (WHERE rn <= {k})) AS BIGINT) AS est_bp
+FROM ur GROUP BY 1, 2
+HAVING (10000 * count(*) FILTER (WHERE cnt = 2 AND rn <= {k}))
+       // (count(*) FILTER (WHERE rn <= {k})) >= {min_est_bp}
+ORDER BY url_a, url_b"""
+
+
+def bottomk_estimator_eval_sql(*, k: int = 32, shingle_k: int = 5,
+                               threshold: float = 0.7) -> str:
+    """SQL twin of the bottom-k tier grade (the b-bit/oph eval shape):
+    pred = the bit-exact bottom-k estimator pairs at est ≥ threshold,
+    truth = the exact all-pairs Jaccard ≥ threshold set."""
+    from data_dedup_ray.oracles import minhash_pairs_sql
+    pred = bottomk_sig_pairs_sql(k=k, shingle_k=shingle_k,
+                                 min_est_bp=int(threshold * 10000))
+    tru = minhash_pairs_sql(threshold)
+    return f"""
+WITH pred AS MATERIALIZED (
+  SELECT url_a, url_b FROM ({pred}) p),
+tru AS MATERIALIZED (
+  SELECT url_a, url_b FROM ({tru}) t),
+m AS (SELECT
+  (SELECT count(*) FROM pred) AS n_pred,
+  (SELECT count(*) FROM tru) AS n_true,
+  (SELECT count(*) FROM pred p JOIN tru t
+     ON p.url_a = t.url_a AND p.url_b = t.url_b) AS n_hit)
+SELECT 'bottomk{k}' AS tier,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(10000 * n_hit // greatest(n_pred, 1) AS BIGINT) AS precision_bp,
+       CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
+       CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
+FROM m"""
+
+
+def bottomk_estimator_eval(sf_dir: str, *, k: int = 32,
+                           shingle_k: int = 5, threshold: float = 0.7,
+                           num_partitions: int = 16) -> ray.data.Dataset:
+    """Grade the bottom-k tier against exact Jaccard truth (the
+    dedup_pair_metrics row every sketch tier in this repo reports):
+    can near-dup candidate generation run from k·8 B/doc bottom-k
+    sketches alone?"""
+    from data_dedup_ray.pipelines import near
+    from data_dedup_ray.pipelines.evaluation import dedup_pair_metrics
+    pages = web_pages(sf_dir)
+    pred = bottomk_pairs(
+        pages, k=k, shingle_k=shingle_k,
+        min_est_bp=int(threshold * 10000), token_hash="sha",
+        num_partitions=num_partitions,
+    ).select_columns(["url_a", "url_b"])
+    truth = near.ngram_jaccard_pairs(
+        pages, shingle_k=shingle_k, threshold=threshold,
+        num_partitions=num_partitions,
+    ).select_columns(["url_a", "url_b"])
+    return dedup_pair_metrics(pred, truth, tier=f"bottomk{k}",
+                              num_partitions=num_partitions)
