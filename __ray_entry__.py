@@ -1651,6 +1651,15 @@ def _q_bottomk_estimator_eval(sf_dir: str):
     return bottomk.bottomk_estimator_eval(sf_dir)
 
 
+def _q_bottomk_distinct_estimate(sf_dir: str):
+    """Corpus distinct-shingle cardinality from the merged bottom-k
+    sketch (Cohen '97 size estimation) — integer-exact estimator,
+    the k-smallest-merge sibling of hll_raw_estimate."""
+    from data_dedup_ray.pipelines import bottomk
+
+    return bottomk.bottomk_distinct_estimate(sf_dir)
+
+
 def _q_snm_window_recall(sf_dir: str):
     """Window-size planning curve: recall of a single-pass sorted
     neighborhood vs the EXACT Jaccard pair set, integer basis points —
@@ -1844,15 +1853,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds seven new-family keys at
-        # slots 1-7 (edit-distance dedup, sorted-neighborhood blocking +
+        # FIRST 50 keys only.  Session-16 adds eight new-family keys at
+        # slots 1-8 (edit-distance dedup, sorted-neighborhood blocking +
         # its window-recall eval, bottom-k minwise sketches + tier eval
-        # — never driver-run), displacing incremental_drift,
-        # sig_estimator_eval, incremental_novelty, url_template_stats,
-        # link_edges, host_graph and host_degree (slots 51-57) out of
-        # the top 50 into the round-5 rotation backlog (each
-        # pytest-pinned; families represented in-slot by siblings).
-        # Round-4 slots 8-50 = this round's
+        # + merged-sketch cardinality estimate
+        # — never driver-run), displacing cluster_aware_split,
+        # incremental_drift, sig_estimator_eval, incremental_novelty,
+        # url_template_stats, link_edges, host_graph and host_degree
+        # (slots 51-58) out of the top 50 into the round-5 rotation
+        # backlog (each pytest-pinned; families represented in-slot by
+        # siblings).  Round-4 slots 9-50 = this round's
         # additions (all SQL-oracle-backed), then the entire queued
         # rotation backlog of oracle-backed keys that had never produced
         # a driver row: the session-14 batch (ppl_buckets ..
@@ -1891,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly-mergeable member of the sketch ladder)
         "bottomk_sig_pairs": _q_bottomk_sig_pairs,
         "bottomk_estimator_eval": _q_bottomk_estimator_eval,
+        "bottomk_distinct_estimate": _q_bottomk_distinct_estimate,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2199,6 +2210,8 @@ def oracle_sql() -> dict[str, str]:
         "snm_window_recall": _snb.snm_window_recall_sql(),
         "bottomk_sig_pairs": _bottomk.bottomk_sig_pairs_sql(),
         "bottomk_estimator_eval": _bottomk.bottomk_estimator_eval_sql(),
+        "bottomk_distinct_estimate":
+            _bottomk.bottomk_distinct_estimate_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),

@@ -265,6 +265,79 @@ HAVING (10000 * count(*) FILTER (WHERE cnt = 2 AND rn <= {k}))
 ORDER BY url_a, url_b"""
 
 
+def bottomk_distinct_estimate(
+    sf_dir: str, *, k: int = 1024, shingle_k: int = 5,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """One-row corpus-wide distinct-shingle cardinality estimate from
+    the MERGED bottom-k sketch — the classic size-estimation use
+    (Cohen '97): n̂ = (k−1)·2⁶⁴ // v_k where v_k is the k-th smallest
+    hash of the union.  Deterministic and integer-exact given the
+    hashes, so fully SQL-twinned (HUGEINT) — the bottom-k sibling of
+    hll_raw_estimate, with a different merge law (k-smallest vs
+    register-max).
+
+    Merge is the exact law the tests pin: per-batch bottom-k partials
+    (k rows each) → one tiny exchange → bottom-k of the union.  Text
+    never shuffles; the driver sees k values."""
+    import ray
+
+    pages = web_pages(sf_dir)
+    P = num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        cat, _ = shingle_sets(t["text"], shingle_k,
+                              token_hash=sha256_token_hash)
+        u = np.unique(cat)[:k]
+        return pa.table({
+            "h": pa.array(u, pa.uint64()),
+            "_part": pa.array((u % np.uint64(P)).astype(np.int64)),
+        })
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["h"].to_numpy())[:k]
+        return pd.DataFrame({"h": u})
+
+    merged = hash_exchange(
+        [pages.select_columns(["text"])
+              .map_batches(partial, batch_format="pyarrow")],
+        merge_part, num_partitions=P,
+        schema=pa.schema([("h", pa.uint64())]),
+        in_schemas=[pa.schema([("h", pa.uint64())])],
+    ).to_pandas()                     # ≤ P·k rows — sketch-sized
+    u = np.unique(merged["h"].to_numpy())[:k]
+    n_exact_lt_k = len(u) if len(u) < k else None
+    if n_exact_lt_k is not None:
+        # fewer than k distinct values: the sketch IS the set — exact
+        est = int(n_exact_lt_k)
+    else:
+        vk = int(u[k - 1])
+        est = ((k - 1) * (1 << 64)) // (vk + 1)
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_distinct_est": pa.array([est], pa.int64()),
+    }))
+
+
+def bottomk_distinct_estimate_sql(*, k: int = 1024,
+                                  shingle_k: int = 5) -> str:
+    """Exact twin: k-th smallest sha-shingle hash over the corpus-wide
+    distinct set, same integer estimator in HUGEINT."""
+    from data_dedup_ray.pipelines.sigstore import sig_chain_ctes
+    return f"""
+WITH {sig_chain_ctes(shingle_k=shingle_k, single_corpus=True)},
+ds AS (SELECT DISTINCT s FROM msh),
+bk AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM ds),
+stats AS (SELECT count(*) AS n,
+                 max(s) FILTER (WHERE rn = {k}) AS vk FROM bk)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(CASE WHEN n < {k} THEN n
+                 ELSE ({k} - 1) * 18446744073709551616::HUGEINT
+                      // (vk + 1)
+            END AS BIGINT) AS n_distinct_est
+FROM stats"""
+
+
 def bottomk_estimator_eval_sql(*, k: int = 32, shingle_k: int = 5,
                                threshold: float = 0.7) -> str:
     """SQL twin of the bottom-k tier grade (the b-bit/oph eval shape):

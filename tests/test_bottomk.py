@@ -97,6 +97,43 @@ def test_partition_invariance():
                                   b.reset_index(drop=True))
 
 
+def test_distinct_estimate_oracle_and_error(con):
+    got = bottomk.bottomk_distinct_estimate(SF).to_pandas()
+    want = con.execute(bottomk.bottomk_distinct_estimate_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype("int64").reset_index(drop=True),
+        want.astype("int64").reset_index(drop=True))
+    # relative error of a k=1024 bottom-k cardinality estimate is
+    # ~1/sqrt(k-2) ≈ 3.1%; assert a loose 10% band vs exact truth
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    truth = con.execute(
+        f"WITH {WEB_PAGES_CTE}, toks AS (SELECT url,"
+        " regexp_extract_all(text, '[a-z0-9]+') AS t FROM web_pages),"
+        " sh AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS s"
+        " FROM toks, UNNEST(generate_series(1, len(t)-4)) AS g(i)"
+        " WHERE len(t) >= 5) SELECT count(*) FROM sh").fetchone()[0]
+    est = int(got["n_distinct_est"].iloc[0])
+    assert abs(est - truth) / truth < 0.10
+
+
+def test_distinct_estimate_exact_below_k(con):
+    """With fewer than k distinct values the sketch IS the set: k above
+    the corpus' distinct-shingle count must report the EXACT count —
+    end-to-end through the pipeline and its oracle."""
+    k = 1 << 20
+    got = bottomk.bottomk_distinct_estimate(SF, k=k).to_pandas()
+    want = con.execute(
+        bottomk.bottomk_distinct_estimate_sql(k=k)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype("int64").reset_index(drop=True),
+        want.astype("int64").reset_index(drop=True))
+    from data_dedup_ray.pipelines.sigstore import sig_chain_ctes
+    truth = con.execute(
+        f"WITH {sig_chain_ctes(single_corpus=True)}"
+        " SELECT count(DISTINCT s) FROM msh").fetchone()[0]
+    assert int(got["n_distinct_est"].iloc[0]) == truth
+
+
 def test_exact_copies_estimate_10000():
     """Planted byte-identical mirrors (doc_id % 10 == 0) must estimate
     J = 1 exactly: est_bp = 10000 rows for every mirror/base pair."""
