@@ -1651,6 +1651,17 @@ def _q_bottomk_estimator_eval(sf_dir: str):
     return bottomk.bottomk_estimator_eval(sf_dir)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. NeurIPS'23): hashed
+    unigram+bigram bag features, target = lang 'en' vs the raw crawl,
+    integer log-ratio weights via fit-time quantization
+    (pipelines/dsir.py) — the data-selection complement of the
+    quality/perplexity filters."""
+    from data_dedup_ray.pipelines import dsir
+
+    return dsir.dsir_weights(sf_dir)
+
+
 def _q_bottomk_distinct_estimate(sf_dir: str):
     """Corpus distinct-shingle cardinality from the merged bottom-k
     sketch (Cohen '97 size estimation) — integer-exact estimator,
@@ -1853,16 +1864,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds eight new-family keys at
-        # slots 1-8 (edit-distance dedup, sorted-neighborhood blocking +
+        # FIRST 50 keys only.  Session-16 adds nine new-family keys at
+        # slots 1-9 (edit-distance dedup, sorted-neighborhood blocking +
         # its window-recall eval, bottom-k minwise sketches + tier eval
-        # + merged-sketch cardinality estimate
-        # — never driver-run), displacing cluster_aware_split,
-        # incremental_drift, sig_estimator_eval, incremental_novelty,
-        # url_template_stats, link_edges, host_graph and host_degree
-        # (slots 51-58) out of the top 50 into the round-5 rotation
-        # backlog (each pytest-pinned; families represented in-slot by
-        # siblings).  Round-4 slots 9-50 = this round's
+        # + merged-sketch cardinality estimate, DSIR importance weights
+        # — never driver-run), displacing crawl_dup_timeline,
+        # cluster_aware_split, incremental_drift, sig_estimator_eval,
+        # incremental_novelty, url_template_stats, link_edges,
+        # host_graph and host_degree (slots 51-59) out of the top 50
+        # into the round-5 rotation backlog (each pytest-pinned;
+        # families represented in-slot by siblings).  Round-4 slots
+        # 10-50 = this round's
         # additions (all SQL-oracle-backed), then the entire queued
         # rotation backlog of oracle-backed keys that had never produced
         # a driver row: the session-14 batch (ppl_buckets ..
@@ -1902,6 +1914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sig_pairs": _q_bottomk_sig_pairs,
         "bottomk_estimator_eval": _q_bottomk_estimator_eval,
         "bottomk_distinct_estimate": _q_bottomk_distinct_estimate,
+        # round-4 session-16: DSIR importance-resampling weights
+        "dsir_weights": _q_dsir_weights,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2125,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import editdist as _editdist
     from data_dedup_ray.pipelines import sortedneighborhood as _snb
     from data_dedup_ray.pipelines import bottomk as _bottomk
+    from data_dedup_ray.pipelines import dsir as _dsir
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2212,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
         "bottomk_estimator_eval": _bottomk.bottomk_estimator_eval_sql(),
         "bottomk_distinct_estimate":
             _bottomk.bottomk_distinct_estimate_sql(),
+        "dsir_weights": _dsir.dsir_weights_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),
