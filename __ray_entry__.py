@@ -1662,6 +1662,15 @@ def _q_dsir_weights(sf_dir: str):
     return dsir.dsir_weights(sf_dir)
 
 
+def _q_dsir_select(sf_dir: str):
+    """The DSIR resampling step: top-20% of scoreable docs by
+    per-feature importance, deterministic tie-break, selection fully
+    distributed (value-histogram threshold + tie prefix-sum)."""
+    from data_dedup_ray.pipelines import dsir
+
+    return dsir.dsir_select(sf_dir)
+
+
 def _q_bottomk_distinct_estimate(sf_dir: str):
     """Corpus distinct-shingle cardinality from the merged bottom-k
     sketch (Cohen '97 size estimation) — integer-exact estimator,
@@ -1864,17 +1873,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds nine new-family keys at
-        # slots 1-9 (edit-distance dedup, sorted-neighborhood blocking +
-        # its window-recall eval, bottom-k minwise sketches + tier eval
-        # + merged-sketch cardinality estimate, DSIR importance weights
-        # — never driver-run), displacing crawl_dup_timeline,
-        # cluster_aware_split, incremental_drift, sig_estimator_eval,
-        # incremental_novelty, url_template_stats, link_edges,
-        # host_graph and host_degree (slots 51-59) out of the top 50
+        # FIRST 50 keys only.  Session-16 adds ten new-family keys at
+        # slots 1-10 (edit-distance dedup, sorted-neighborhood blocking
+        # + its window-recall eval, bottom-k minwise sketches + tier
+        # eval + merged-sketch cardinality estimate, DSIR importance
+        # weights + the resampling select — never driver-run),
+        # displacing crawl_dup_timeline, cluster_aware_split,
+        # incremental_drift, sig_estimator_eval, incremental_novelty,
+        # url_template_stats, link_edges, host_graph, host_degree and
+        # top_linked_pages (slots 51-60) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
-        # 10-50 = this round's
+        # 11-50 = this round's
         # additions (all SQL-oracle-backed), then the entire queued
         # rotation backlog of oracle-backed keys that had never produced
         # a driver row: the session-14 batch (ppl_buckets ..
@@ -1916,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_distinct_estimate": _q_bottomk_distinct_estimate,
         # round-4 session-16: DSIR importance-resampling weights
         "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2228,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
         "bottomk_distinct_estimate":
             _bottomk.bottomk_distinct_estimate_sql(),
         "dsir_weights": _dsir.dsir_weights_sql(),
+        "dsir_select": _dsir.dsir_select_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),

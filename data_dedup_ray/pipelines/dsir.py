@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from data_dedup_ray.engine.exchange import hash_exchange
+from data_dedup_ray.engine.exchange import bucketize, hash_exchange
 from data_dedup_ray.stages.minhash import sha256_token_hash, tokenize_batch
 
 _C = np.uint64(0x100000001B3)
@@ -154,6 +154,150 @@ def dsir_weights(
         })
 
     return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+#: shift added to the per-feature mean so the floor-division happens in
+#: the NON-NEGATIVE domain — python's // floors toward -inf but DuckDB's
+#: // truncates toward zero, so they only agree for non-negative
+#: numerators.  |lr[b]| < ln(T+B)·10⁴ < 10⁶ for any corpus below e¹⁰⁰
+#: features, so msum + SHIFT·n_feats ≥ 0 always.
+_WNORM_SHIFT = 1_000_000
+
+
+def dsir_select(
+    sf_dir: str, *, frac_bp: int = 2000, target_lang: str = "en",
+    n_buckets: int = 8192, num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """The resampling step: keep the top ``frac_bp/10⁴`` fraction of
+    scoreable docs by per-feature importance ``wnorm_m =
+    (dsir_msum + SHIFT·n_feats) // n_feats`` (ties broken by doc_id) —
+    ``(doc_id, wnorm_m)`` sorted by doc_id.
+
+    Deterministic AND distributed: selection never materializes the
+    corpus on the driver.  wnorm_m lives in a bounded integer domain,
+    so (1) a value-histogram exchange (≤ |domain| rows) finds the
+    exact threshold value T and how many T-ties survive, (2) ties are
+    ranked by doc_id with the two-phase ordered-prefix-sum over dense
+    doc_id range buckets — only tie rows travel."""
+    P = num_partitions
+    w = dsir_weights(sf_dir, target_lang=target_lang,
+                     n_buckets=n_buckets,
+                     num_partitions=num_partitions).materialize()
+
+    def norm(t: pa.Table) -> pa.Table:
+        nf = t["n_feats"].to_numpy(zero_copy_only=False)
+        ms = t["dsir_msum"].to_numpy(zero_copy_only=False)
+        keep = nf > 0
+        nf, ms = nf[keep], ms[keep]
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().filter(pa.array(keep)),
+            "wnorm_m": pa.array(
+                (ms + _WNORM_SHIFT * nf) // nf, pa.int64()),
+        })
+
+    scored = w.map_batches(norm, batch_format="pyarrow").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t["wnorm_m"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "c": pa.array(c.astype(np.int64)),
+            "_part": pa.array((v % P).astype(np.int64)),
+        })
+
+    hist = hash_exchange(
+        [scored.map_batches(hist_partial, batch_format="pyarrow")],
+        lambda df: df.groupby("v", as_index=False)["c"].sum(),
+        num_partitions=P,
+        schema=pa.schema([("v", pa.int64()), ("c", pa.int64())]),
+        in_schemas=[pa.schema([("v", pa.int64()), ("c", pa.int64())])],
+    ).to_pandas().sort_values("v", ascending=False)     # domain-sized
+    n_scored = int(hist["c"].sum())
+    keep_n = (n_scored * frac_bp) // 10000
+    cum = hist["c"].cumsum()
+    above = cum[cum <= keep_n]
+    if keep_n <= 0 or not len(hist):
+        thr, tie_keep = None, 0
+    elif len(above) == len(hist) or int(cum.iloc[-1]) == keep_n:
+        thr, tie_keep = int(hist["v"].iloc[-1]), None   # keep everything
+    else:
+        pos = len(above)
+        thr = int(hist["v"].iloc[pos])
+        tie_keep = keep_n - (int(above.iloc[-1]) if pos else 0)
+
+    if thr is None:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "wnorm_m": pa.array([], pa.int64())}))
+    if tie_keep is None:
+        return scored.sort("doc_id")
+
+    strict = scored.filter(expr=f"wnorm_m > {thr}")
+    ties = scored.filter(expr=f"wnorm_m == {thr}").materialize()
+    # rank ties by doc_id via range buckets + exclusive bases (ordered
+    # prefix sum) — doc_ids are dense in [0, n_docs)
+    n_docs = int(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count())
+    span = max(1, -(-n_docs // P))                      # ceil
+
+    def tie_part(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part", pa.array((d // span).astype(np.int64)))
+
+    tie_schema = pa.schema([("doc_id", pa.int64()),
+                            ("wnorm_m", pa.int64())])
+    buckets = bucketize(
+        ties.map_batches(tie_part, batch_format="pyarrow"),
+        num_partitions=P, in_schema=tie_schema)
+
+    counts_df = hash_exchange(
+        [buckets],
+        lambda df: pd.DataFrame(
+            {"part": [int(df["doc_id"].iloc[0]) // span],
+             "n": [len(df)]}) if len(df) else
+        pd.DataFrame({"part": pd.Series(dtype=np.int64),
+                      "n": pd.Series(dtype=np.int64)}),
+        num_partitions=P,
+        schema=pa.schema([("part", pa.int64()), ("n", pa.int64())]),
+        in_schemas=[tie_schema],
+    ).to_pandas()
+    base = np.zeros(P, np.int64)
+    for _, r in counts_df.iterrows():
+        base[int(r["part"])] = int(r["n"])
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])
+
+    def tie_rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        p = int(df["doc_id"].iloc[0]) // span
+        df = df.sort_values("doc_id", kind="stable")
+        keep = base[p] + np.arange(len(df)) < tie_keep
+        return df.loc[keep]
+
+    kept_ties = hash_exchange(
+        [buckets], tie_rank, num_partitions=P,
+        schema=tie_schema, in_schemas=[tie_schema])
+    return strict.union(kept_ties).sort("doc_id")
+
+
+def dsir_select_sql(*, frac_bp: int = 2000, target_lang: str = "en",
+                    n_buckets: int = 8192) -> str:
+    base = dsir_weights_sql(target_lang=target_lang, n_buckets=n_buckets)
+    return f"""
+WITH w AS ({base}),
+s AS (SELECT doc_id,
+             (dsir_msum + {_WNORM_SHIFT} * n_feats) // n_feats
+               AS wnorm_m
+      FROM w WHERE n_feats > 0),
+r AS (SELECT doc_id, CAST(wnorm_m AS BIGINT) AS wnorm_m,
+             row_number() OVER (ORDER BY wnorm_m DESC, doc_id) AS rnk,
+             (SELECT count(*) FROM s) AS n
+      FROM s)
+SELECT doc_id, wnorm_m FROM r
+WHERE rnk <= (n * {frac_bp}) // 10000
+ORDER BY doc_id"""
 
 
 def dsir_weights_sql(*, target_lang: str = "en",

@@ -61,6 +61,28 @@ def test_partition_invariance():
                                   b.reset_index(drop=True))
 
 
+@pytest.mark.parametrize("frac_bp", [2000, 5000, 10000])
+def test_select_oracle(con, frac_bp):
+    got = dsir.dsir_select(SF, frac_bp=frac_bp).to_pandas()
+    want = con.execute(dsir.dsir_select_sql(frac_bp=frac_bp)).fetchdf() \
+        .astype({"wnorm_m": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+def test_select_count_and_threshold_law():
+    w = dsir.dsir_weights(SF).to_pandas()
+    scored = w[w["n_feats"] > 0]
+    sel = dsir.dsir_select(SF, frac_bp=2000).to_pandas()
+    assert len(sel) == len(scored) * 2000 // 10000
+    # every selected doc's wnorm is >= every unselected doc's wnorm
+    wn = (scored["dsir_msum"] + 1_000_000 * scored["n_feats"]) \
+        // scored["n_feats"]
+    scored = scored.assign(wnorm=wn)
+    out = scored[~scored["doc_id"].isin(set(sel["doc_id"]))]
+    assert sel["wnorm_m"].min() >= out["wnorm"].max() or not len(out)
+
+
 def test_other_target_lang_oracle(con):
     got = dsir.dsir_weights(SF, target_lang="fr").to_pandas()
     want = con.execute(
