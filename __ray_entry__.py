@@ -1662,6 +1662,21 @@ def _q_dsir_weights(sf_dir: str):
     return dsir.dsir_weights(sf_dir)
 
 
+def _q_incremental_bottomk_pairs(sf_dir: str):
+    """New-crawl similarity against the persisted bottom-k sketch store
+    (pipelines/bottomk.py) — the exactly-MERGEABLE rung of the
+    fingerprint-store ladder (k·8 B/doc; crawl-slice stores roll up
+    losslessly via merge_bottomk_stores); sha variant, bit-for-bit
+    SQL-pinned."""
+    from data_dedup_ray.pipelines import bottomk, snapshots
+
+    store = scratch_dir("bottomk_store", sf_dir)
+    bottomk.build_bottomk_store(web_pages(sf_dir), store,
+                                token_hash="sha")
+    return bottomk.incremental_bottomk_pairs(
+        snapshots.snapshot2(sf_dir), store)
+
+
 def _q_dsir_select(sf_dir: str):
     """The DSIR resampling step: top-20% of scoreable docs by
     per-feature importance, deterministic tie-break, selection fully
@@ -1873,15 +1888,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds ten new-family keys at
-        # slots 1-10 (edit-distance dedup, sorted-neighborhood blocking
-        # + its window-recall eval, bottom-k minwise sketches + tier
-        # eval + merged-sketch cardinality estimate, DSIR importance
-        # weights + the resampling select — never driver-run),
-        # displacing crawl_dup_timeline, cluster_aware_split,
+        # FIRST 50 keys only.  Session-16 adds eleven new-family keys
+        # at slots 1-11 (edit-distance dedup, sorted-neighborhood
+        # blocking + its window-recall eval, bottom-k minwise sketches
+        # + tier eval + merged-sketch cardinality estimate + the
+        # incremental store rung, DSIR importance weights + the
+        # resampling select — never driver-run), displacing
+        # dedup_savings, crawl_dup_timeline, cluster_aware_split,
         # incremental_drift, sig_estimator_eval, incremental_novelty,
         # url_template_stats, link_edges, host_graph, host_degree and
-        # top_linked_pages (slots 51-60) out of the top 50
+        # top_linked_pages (slots 51-61) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -1927,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 session-16: DSIR importance-resampling weights
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
+        "incremental_bottomk_pairs": _q_incremental_bottomk_pairs,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2240,6 +2257,8 @@ def oracle_sql() -> dict[str, str]:
             _bottomk.bottomk_distinct_estimate_sql(),
         "dsir_weights": _dsir.dsir_weights_sql(),
         "dsir_select": _dsir.dsir_select_sql(),
+        "incremental_bottomk_pairs":
+            _bottomk.incremental_bottomk_pairs_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),

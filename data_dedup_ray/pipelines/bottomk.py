@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from data_dedup_ray.corpus import web_pages
@@ -145,6 +146,21 @@ def bottomk_pairs(
         in_schemas=[pa.schema([("h", pa.uint64()), ("url", pa.string())])],
     )
     cand = _distinct_pairs(cand, ["url_a", "url_b"], num_partitions=P)
+    return _pairs_with_estimates(cand, blobs, k=k, min_est_bp=min_est_bp,
+                                 id_col=id_col, num_partitions=P)
+
+
+def _pairs_with_estimates(
+    cand: ray.data.Dataset, blobs: ray.data.Dataset, *, k: int,
+    min_est_bp: int, id_col: str = "url", num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Attach both sketches to each candidate pair (two skinny keyed
+    exchanges over one bucketized blob split) and compute the union
+    estimator vectorized; sorted ``(url_a, url_b, est_bp)``."""
+    from data_dedup_ray.pipelines.near import (_blob_views,
+                                               _hash_str_column,
+                                               _seg_gather)
+    P = num_partitions
 
     def with_part(col):
         def fn(t: pa.Table) -> pa.Table:
@@ -263,6 +279,210 @@ FROM ur GROUP BY 1, 2
 HAVING (10000 * count(*) FILTER (WHERE cnt = 2 AND rn <= {k}))
        // (count(*) FILTER (WHERE rn <= {k})) >= {min_est_bp}
 ORDER BY url_a, url_b"""
+
+
+def _token_hash_name(token_hash) -> str:
+    return "sha" if token_hash == "sha" \
+        or token_hash is sha256_token_hash else "default"
+
+
+def build_bottomk_store(
+    ds: ray.data.Dataset, path: str, *, k: int = 32, shingle_k: int = 5,
+    token_hash=None, id_col: str = "url", text_col: str = "text",
+    num_partitions: int = 16,
+) -> None:
+    """Persist ``(url, bk)`` sketches as the bottom-k rung of the
+    fingerprint-store ladder — k·8 B/doc, resumable hash-partitioned
+    parquet with config lineage.  Unlike the signature/b-bit rungs this
+    rung is EXACTLY mergeable across stores (merge_bottomk_stores)."""
+    from data_dedup_ray.state.sink import resumable_write_parquet
+    resumable_write_parquet(
+        bottomk_blobs(ds, k=k, shingle_k=shingle_k,
+                      token_hash=token_hash, id_col=id_col,
+                      text_col=text_col),
+        path, key_col=id_col, num_partitions=num_partitions,
+        config={"kind": "bottomk_store", "k": k, "shingle_k": shingle_k,
+                "token_hash": _token_hash_name(token_hash)})
+
+
+def incremental_bottomk_pairs(
+    new_ds: ray.data.Dataset, store_path: str, *, k: int = 32,
+    shingle_k: int = 5, min_est_bp: int = 5000, token_hash="sha",
+    num_partitions: int = 16, group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """``(new_url, index_url, est_bp)`` — each new-crawl page's
+    bottom-k similarity against the persisted sketch store; index text
+    is never re-read.  Store config is validated against the query's
+    parameters (mismatches fail loudly)."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    from data_dedup_ray.pipelines.near import (_distinct_pairs,
+                                               _pairs_in_partition)
+    from data_dedup_ray.state.sink import validate_store_config
+    validate_store_config(store_path, {
+        "kind": "bottomk_store", "k": k, "shingle_k": shingle_k,
+        "token_hash": _token_hash_name(token_hash)})
+    P = num_partitions
+
+    def tag(prefix):
+        def fn(t: pa.Table) -> pa.Table:
+            u = pc.binary_join_element_wise(
+                pa.array([prefix] * t.num_rows, pa.string()),
+                t["url"].combine_chunks().cast(pa.string()), "")
+            return pa.table({
+                "url": u,
+                "bk": t["bk"].combine_chunks().cast(pa.large_binary()),
+            })
+        return fn
+
+    new_blobs = bottomk_blobs(
+        new_ds, k=k, shingle_k=shingle_k, token_hash=token_hash
+    ).map_batches(tag("n|"), batch_format="pyarrow")
+    idx_blobs = _read_store(store_path).map_batches(
+        tag("i|"), batch_format="pyarrow")
+    blobs = new_blobs.union(idx_blobs).materialize()
+
+    from data_dedup_ray.pipelines.near import _blob_views
+
+    def explode(t: pa.Table) -> pa.Table:
+        data, offs = _blob_views(t["bk"])
+        lens = np.diff(offs)
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(data, pa.uint64()),
+            "url": pa.array(np.repeat(urls, lens), pa.string()),
+            "_part": pa.array((data % np.uint64(P)).astype(np.int64)),
+        })
+
+    def cand_fn(g: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs_in_partition(g, key_cols=["h"], id_col="url",
+                                group_cap=group_cap)
+        if not len(p):
+            return p
+        # cross-side only; 'i|' < 'n|' makes url_a the index side
+        return p[p["url_a"].str.startswith("i|")
+                 & p["url_b"].str.startswith("n|")]
+
+    cand = hash_exchange(
+        [blobs.map_batches(explode, batch_format="pyarrow")],
+        cand_fn, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
+        in_schemas=[pa.schema([("h", pa.uint64()), ("url", pa.string())])],
+    )
+    cand = _distinct_pairs(cand, ["url_a", "url_b"], num_partitions=P)
+    est = _pairs_with_estimates(cand, blobs, k=k, min_est_bp=min_est_bp,
+                                num_partitions=P)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "new_url": pc.utf8_slice_codeunits(
+                t["url_b"].combine_chunks(), 2),
+            "index_url": pc.utf8_slice_codeunits(
+                t["url_a"].combine_chunks(), 2),
+            "est_bp": t["est_bp"].combine_chunks(),
+        })
+
+    return est.map_batches(strip, batch_format="pyarrow") \
+        .sort(["new_url", "index_url"])
+
+
+def incremental_bottomk_pairs_sql(*, k: int = 32, shingle_k: int = 5,
+                                  min_est_bp: int = 5000) -> str:
+    """Twin over the tagged web_pages ('i|') × snapshot2 ('n|') union —
+    the same msh chain the signature-store oracles use."""
+    from data_dedup_ray.pipelines.sigstore import sig_chain_ctes
+    return f"""
+WITH {sig_chain_ctes(shingle_k=shingle_k, single_corpus=False)},
+bkk AS (SELECT url, s FROM (
+    SELECT id AS url, s,
+           row_number() OVER (PARTITION BY id ORDER BY s) AS rn
+    FROM msh) WHERE rn <= {k}),
+cand AS (SELECT DISTINCT a.url AS ua, b.url AS ub
+         FROM bkk a JOIN bkk b ON a.s = b.s
+         WHERE substr(a.url, 1, 2) = 'i|' AND substr(b.url, 1, 2) = 'n|'),
+uv AS (SELECT c.ua, c.ub, x.s, count(*) AS cnt
+       FROM cand c JOIN bkk x ON x.url = c.ua OR x.url = c.ub
+       GROUP BY 1, 2, 3),
+ur AS (SELECT ua, ub, cnt,
+              row_number() OVER (PARTITION BY ua, ub ORDER BY s) AS rn
+       FROM uv)
+SELECT substr(ub, 3) AS new_url, substr(ua, 3) AS index_url,
+       CAST((10000 * count(*) FILTER (WHERE cnt = 2 AND rn <= {k}))
+            // (count(*) FILTER (WHERE rn <= {k})) AS BIGINT) AS est_bp
+FROM ur GROUP BY 1, 2
+HAVING (10000 * count(*) FILTER (WHERE cnt = 2 AND rn <= {k}))
+       // (count(*) FILTER (WHERE rn <= {k})) >= {min_est_bp}
+ORDER BY new_url, index_url"""
+
+
+def merge_bottomk_stores(
+    paths: list, out_path: str, *, k: int = 32, shingle_k: int = 5,
+    token_hash_name: str = "sha", num_partitions: int = 16,
+) -> None:
+    """LOSSLESS store merge — the property that distinguishes this rung:
+    for a url present in several stores, B_k(∪ sets) = bottom-k of the
+    union of the per-store sketches (Cohen & Kaplan), so crawl-slice
+    stores roll up to a corpus store without re-reading any text.  One
+    url-keyed exchange; every input store's config must match."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    from data_dedup_ray.pipelines.near import (_blob_views,
+                                               _hash_str_column)
+    from data_dedup_ray.state.sink import (resumable_write_parquet,
+                                           validate_store_config)
+    validate_store_config(list(paths), {
+        "kind": "bottomk_store", "k": k, "shingle_k": shingle_k,
+        "token_hash": token_hash_name})
+    P = num_partitions
+
+    def with_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], type=pa.int64()))
+        h = _hash_str_column(t["url"])
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    ins = [_read_store(p).map_batches(with_part, batch_format="pyarrow")
+           for p in paths]
+
+    def merge(*dfs: pd.DataFrame) -> pd.DataFrame:
+        df = pd.concat(list(dfs), ignore_index=True)
+        if not len(df):
+            return pd.DataFrame({"url": pd.Series(dtype=object),
+                                 "bk": pd.Series(dtype=object)})
+        # vectorized per-url fold: explode every blob, one lexsort,
+        # adjacency dedup, rank-<k keep — the same rank machinery as
+        # the pair estimator; no per-url Python reduction
+        raw = df["bk"].to_numpy()
+        lens = np.fromiter((len(b) // 8 for b in raw), np.int64,
+                           len(raw))
+        urls, codes = np.unique(df["url"].to_numpy(), return_inverse=True)
+        vals = np.frombuffer(b"".join(raw), dtype=np.uint64)
+        owner = np.repeat(codes, lens)
+        order = np.lexsort((vals, owner))
+        owner, vals = owner[order], vals[order]
+        first = np.ones(len(owner), bool)
+        if len(owner) > 1:
+            first[1:] = (owner[1:] != owner[:-1]) | (vals[1:] != vals[:-1])
+        owner, vals = owner[first], vals[first]
+        _, starts, counts = np.unique(owner, return_index=True,
+                                      return_counts=True)
+        rank = np.arange(len(owner)) - np.repeat(starts, counts)
+        owner, vals = owner[rank < k], vals[rank < k]
+        lo = np.searchsorted(owner, np.arange(len(urls)))
+        hi = np.searchsorted(owner, np.arange(len(urls)) + 1)
+        return pd.DataFrame({
+            "url": urls,
+            "bk": [vals[lo[i]:hi[i]].tobytes()
+                   for i in range(len(urls))],
+        })
+
+    schema = pa.schema([("url", pa.string()), ("bk", pa.large_binary())])
+    merged = hash_exchange(
+        ins, merge, num_partitions=P, schema=schema,
+        in_schemas=[schema] * len(ins))
+    resumable_write_parquet(
+        merged, out_path, key_col="url", num_partitions=P,
+        config={"kind": "bottomk_store", "k": k, "shingle_k": shingle_k,
+                "token_hash": token_hash_name})
 
 
 def bottomk_distinct_estimate(

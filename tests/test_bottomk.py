@@ -134,6 +134,99 @@ def test_distinct_estimate_exact_below_k(con):
     assert int(got["n_distinct_est"].iloc[0]) == truth
 
 
+def _store(tmp_path, name):
+    return str(tmp_path / name)
+
+
+def test_incremental_store_pairs_oracle(con, tmp_path):
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import snapshots
+    store = _store(tmp_path, "bk_store")
+    bottomk.build_bottomk_store(web_pages(SF), store, token_hash="sha")
+    got = bottomk.incremental_bottomk_pairs(
+        snapshots.snapshot2(SF), store).to_pandas().reset_index(drop=True)
+    want = con.execute(
+        bottomk.incremental_bottomk_pairs_sql()).fetchdf().astype(
+        {"est_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_store_config_mismatch_fails_loudly(tmp_path):
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import snapshots
+    store = _store(tmp_path, "bk_cfg")
+    bottomk.build_bottomk_store(web_pages(SF), store, k=16,
+                                token_hash="sha")
+    with pytest.raises(ValueError):
+        bottomk.incremental_bottomk_pairs(
+            snapshots.snapshot2(SF), store, k=32)
+
+
+def test_store_merge_reproduces_full_build(tmp_path):
+    """Disjoint-url slice stores merge to the byte-identical full-corpus
+    store — the lossless roll-up."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    pages = web_pages(SF)
+
+    def half(par):
+        def fn(df):
+            return df[(df["inode_id"] % 2) == par]
+        return fn
+
+    sa, sb, sm, full = (_store(tmp_path, n)
+                        for n in ("a", "b", "m", "full"))
+    bottomk.build_bottomk_store(
+        pages.map_batches(half(0), batch_format="pandas"), sa,
+        token_hash="sha")
+    bottomk.build_bottomk_store(
+        pages.map_batches(half(1), batch_format="pandas"), sb,
+        token_hash="sha")
+    bottomk.merge_bottomk_stores([sa, sb], sm)
+    bottomk.build_bottomk_store(pages, full, token_hash="sha")
+    a = _read_store(sm).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    b = _read_store(full).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    a["bk"] = a["bk"].apply(bytes)
+    b["bk"] = b["bk"].apply(bytes)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_store_merge_overlapping_urls(tmp_path):
+    """Same url in BOTH stores with different shingle sets: merged
+    sketch must equal bottom-k of the two sketches' union (the Cohen &
+    Kaplan law, end-to-end through parquet)."""
+    import ray.data
+
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    d1 = ray.data.from_pandas(pd.DataFrame({
+        "url": ["u1", "u2"],
+        "text": ["alpha beta gamma delta epsilon zeta eta",
+                 "one two three four five six seven"]}))
+    d2 = ray.data.from_pandas(pd.DataFrame({
+        "url": ["u1", "u3"],
+        "text": ["alpha beta gamma delta epsilon NINE TEN eleven",
+                 "eight nine ten eleven twelve"]}))
+    sa, sb, sm = (_store(tmp_path, n) for n in ("oa", "ob", "om"))
+    k = 4
+    bottomk.build_bottomk_store(d1, sa, k=k, token_hash="sha")
+    bottomk.build_bottomk_store(d2, sb, k=k, token_hash="sha")
+    bottomk.merge_bottomk_stores([sa, sb], sm, k=k)
+    m = {r["url"]: bytes(r["bk"])
+         for r in _read_store(sm).to_pandas().to_dict("records")}
+    a = {r["url"]: bytes(r["bk"])
+         for r in _read_store(sa).to_pandas().to_dict("records")}
+    b = {r["url"]: bytes(r["bk"])
+         for r in _read_store(sb).to_pandas().to_dict("records")}
+    assert set(m) == {"u1", "u2", "u3"}
+    u1 = np.unique(np.concatenate([
+        np.frombuffer(a["u1"], np.uint64),
+        np.frombuffer(b["u1"], np.uint64)]))[:k]
+    assert m["u1"] == u1.tobytes()
+    assert m["u2"] == a["u2"] and m["u3"] == b["u3"]
+
+
 def test_exact_copies_estimate_10000():
     """Planted byte-identical mirrors (doc_id % 10 == 0) must estimate
     J = 1 exactly: est_bp = 10000 rows for every mirror/base pair."""
