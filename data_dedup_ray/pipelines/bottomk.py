@@ -558,6 +558,117 @@ SELECT CAST({k} AS BIGINT) AS k,
 FROM stats"""
 
 
+def host_distinct_shingles(
+    sf_dir: str, *, k: int = 256, shingle_k: int = 5,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(host, n_pages, n_distinct_est)`` — per-host distinct-shingle
+    cardinality from GROUPED bottom-k sketches: the group-by-aggregate
+    use of a mergeable sketch (how diverse is a host's content vs its
+    page count — template farms score low).  Per-batch per-host partial
+    sketches (≤ k values each) merge through one host-keyed exchange;
+    estimates are computed IN the partition, so the output is
+    host-count-sized and the driver never aggregates.  Below-k hosts
+    report their exact distinct count."""
+    pages = web_pages(sf_dir)
+    P = num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        cat, sizes = shingle_sets(t["text"], shingle_k,
+                                  token_hash=sha256_token_hash)
+        urls = t["url"].to_pandas()
+        hosts = urls.str.split("/").str[2].to_numpy(dtype=object)
+        owner = np.repeat(np.arange(len(sizes)), sizes)
+        hu, hcode = np.unique(hosts, return_inverse=True)
+        hown = hcode[owner]
+        order = np.lexsort((cat, hown))
+        hown, vals = hown[order], cat[order]
+        first = np.ones(len(hown), bool)
+        if len(hown) > 1:
+            first[1:] = (hown[1:] != hown[:-1]) | (vals[1:] != vals[:-1])
+        hown, vals = hown[first], vals[first]
+        _, starts, counts = np.unique(hown, return_index=True,
+                                      return_counts=True)
+        rank = np.arange(len(hown)) - np.repeat(starts, counts)
+        keep = rank < k
+        hown, vals = hown[keep], vals[keep]
+        npages = np.bincount(hcode, minlength=len(hu)).astype(np.int64)
+        part = pd.util.hash_array(hu) % np.uint64(P)
+        # sketch rows + one n_pages sentinel row per host (h = NULL)
+        return pa.table({
+            "host": pa.array(np.concatenate([hu[hown], hu]), pa.string()),
+            "h": pa.array(np.concatenate(
+                [vals, np.zeros(len(hu), np.uint64)]), pa.uint64()),
+            "is_val": pa.array(np.concatenate(
+                [np.ones(len(hown), bool), np.zeros(len(hu), bool)])),
+            "n": pa.array(np.concatenate(
+                [np.zeros(len(hown), np.int64), npages])),
+            "_part": pa.array(np.concatenate(
+                [part[hown], part]).astype(np.int64)),
+        })
+
+    def reduce_host(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "host": pd.Series(dtype=object),
+                "n_pages": pd.Series(dtype=np.int64),
+                "n_distinct_est": pd.Series(dtype=np.int64)})
+        pages_n = (df[~df["is_val"]].groupby("host")["n"].sum())
+        v = df[df["is_val"]]
+        out = []
+        for host, g in v.groupby("host", sort=False):
+            u = np.unique(g["h"].to_numpy().astype(np.uint64))[:k]
+            if len(u) < k:
+                est = len(u)
+            else:
+                est = ((k - 1) * (1 << 64)) // (int(u[k - 1]) + 1)
+            out.append((host, est))
+        est_df = pd.DataFrame(out, columns=["host", "n_distinct_est"]) \
+            if out else pd.DataFrame({"host": pd.Series(dtype=object),
+                                      "n_distinct_est":
+                                          pd.Series(dtype=np.int64)})
+        res = pages_n.reset_index().rename(columns={"n": "n_pages"}) \
+            .merge(est_df, on="host", how="left")
+        res["n_distinct_est"] = res["n_distinct_est"] \
+            .fillna(0).astype(np.int64)
+        return res[["host", "n_pages", "n_distinct_est"]]
+
+    return hash_exchange(
+        [pages.select_columns(["url", "text"])
+              .map_batches(partial, batch_format="pyarrow")],
+        reduce_host, num_partitions=P,
+        schema=pa.schema([("host", pa.string()), ("n_pages", pa.int64()),
+                          ("n_distinct_est", pa.int64())]),
+        in_schemas=[pa.schema([("host", pa.string()), ("h", pa.uint64()),
+                               ("is_val", pa.bool_()),
+                               ("n", pa.int64())])],
+    ).sort("host")
+
+
+def host_distinct_shingles_sql(*, k: int = 256,
+                               shingle_k: int = 5) -> str:
+    """Twin: per-host k-th order statistic over the distinct sha-shingle
+    set; hosts below k report the exact count."""
+    from data_dedup_ray.pipelines.sigstore import sig_chain_ctes
+    return f"""
+WITH {sig_chain_ctes(shingle_k=shingle_k, single_corpus=True)},
+hp AS (SELECT split_part(url, '/', 3) AS host, count(*) AS n_pages
+       FROM web_pages GROUP BY 1),
+hs AS (SELECT DISTINCT split_part(id, '/', 3) AS host, s FROM msh),
+rk AS (SELECT host, s,
+              row_number() OVER (PARTITION BY host ORDER BY s) AS rn
+       FROM hs),
+st AS (SELECT host, count(*) AS n,
+              max(s) FILTER (WHERE rn = {k}) AS vk
+       FROM rk GROUP BY host)
+SELECT hp.host, hp.n_pages,
+       CAST(coalesce(CASE WHEN st.n < {k} THEN st.n
+                 ELSE ({k} - 1) * 18446744073709551616::HUGEINT
+                      // (st.vk + 1) END, 0) AS BIGINT) AS n_distinct_est
+FROM hp LEFT JOIN st ON st.host = hp.host
+ORDER BY hp.host"""
+
+
 def bottomk_estimator_eval_sql(*, k: int = 32, shingle_k: int = 5,
                                threshold: float = 0.7) -> str:
     """SQL twin of the bottom-k tier grade (the b-bit/oph eval shape):

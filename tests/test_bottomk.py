@@ -227,6 +227,22 @@ def test_store_merge_overlapping_urls(tmp_path):
     assert m["u2"] == a["u2"] and m["u3"] == b["u3"]
 
 
+def test_host_distinct_shingles_oracle(con):
+    got = bottomk.host_distinct_shingles(SF).to_pandas()
+    want = con.execute(bottomk.host_distinct_shingles_sql()).fetchdf() \
+        .astype({"n_pages": "int64", "n_distinct_est": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+def test_host_distinct_shingles_batch_invariance():
+    """Partial sketches must merge identically however batches split."""
+    a = bottomk.host_distinct_shingles(SF, num_partitions=3).to_pandas()
+    b = bottomk.host_distinct_shingles(SF, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
 def test_exact_copies_estimate_10000():
     """Planted byte-identical mirrors (doc_id % 10 == 0) must estimate
     J = 1 exactly: est_bp = 10000 rows for every mirror/base pair."""
