@@ -1677,6 +1677,15 @@ def _q_incremental_bottomk_pairs(sf_dir: str):
         snapshots.snapshot2(sf_dir), store)
 
 
+def _q_bottomk_containment_pairs(sf_dir: str):
+    """Directional containment (quote/subset signal) estimated from
+    the 256 B/doc bottom-k sketches alone — Ĉ(A→B) = |U∩A∩B|/|U∩A|,
+    bit-reproducible in DuckDB."""
+    from data_dedup_ray.pipelines import bottomk
+
+    return bottomk.bottomk_containment_pairs(sf_dir)
+
+
 def _q_host_distinct_shingles(sf_dir: str):
     """Per-host content diversity from GROUPED bottom-k sketches (the
     group-by-aggregate use of a mergeable sketch): distinct-shingle
@@ -1897,17 +1906,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds twelve new-family keys
-        # at slots 1-12 (edit-distance dedup, sorted-neighborhood
+        # FIRST 50 keys only.  Session-16 adds thirteen new-family keys
+        # at slots 1-13 (edit-distance dedup, sorted-neighborhood
         # blocking + its window-recall eval, bottom-k minwise sketches
         # + tier eval + merged-sketch cardinality + grouped per-host
-        # cardinality + the incremental store rung, DSIR importance
-        # weights + the resampling select — never driver-run),
-        # displacing simhash_threshold_sweep, dedup_savings,
-        # crawl_dup_timeline, cluster_aware_split, incremental_drift,
-        # sig_estimator_eval, incremental_novelty, url_template_stats,
-        # link_edges, host_graph, host_degree and top_linked_pages
-        # (slots 51-62) out of the top 50
+        # cardinality + directional containment + the incremental
+        # store rung, DSIR importance weights + the resampling select
+        # — never driver-run), displacing corpus_overlap,
+        # simhash_threshold_sweep, dedup_savings, crawl_dup_timeline,
+        # cluster_aware_split, incremental_drift, sig_estimator_eval,
+        # incremental_novelty, url_template_stats, link_edges,
+        # host_graph, host_degree and top_linked_pages (slots 51-63)
+        # out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -1955,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "incremental_bottomk_pairs": _q_incremental_bottomk_pairs,
         "host_distinct_shingles": _q_host_distinct_shingles,
+        "bottomk_containment_pairs": _q_bottomk_containment_pairs,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2271,6 +2282,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_bottomk_pairs":
             _bottomk.incremental_bottomk_pairs_sql(),
         "host_distinct_shingles": _bottomk.host_distinct_shingles_sql(),
+        "bottomk_containment_pairs":
+            _bottomk.bottomk_containment_pairs_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),

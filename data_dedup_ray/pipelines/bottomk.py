@@ -106,6 +106,39 @@ def _estimate(pid: np.ndarray, vals: np.ndarray, k: int,
     return num.astype(np.int64), den.astype(np.int64)
 
 
+def _estimate_sides(pid: np.ndarray, vals: np.ndarray, side: np.ndarray,
+                    k: int, n_pairs: int):
+    """Side-aware union estimator: per pair ``(num_both, den_u, in_a,
+    in_b)`` over U = bottom-k of the sketch union — the numerators/
+    denominators of both the Jaccard form (num/den_u) and the two
+    DIRECTIONAL containment forms (num/in_a, num/in_b; the bottom-k
+    subset estimator Ĉ(A→B) = |U∩A∩B| / |U∩A|)."""
+    order = np.lexsort((side, vals, pid))    # A (side 0) first in ties
+    pid, vals, side = pid[order], vals[order], side[order]
+    same = np.zeros(len(pid), dtype=bool)
+    if len(pid) > 1:
+        same[1:] = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+    first = ~same
+    pid_u, side_u = pid[first], side[first]
+    in_both = np.zeros(len(pid_u), dtype=bool)
+    nxt = np.nonzero(first)[0] + 1
+    valid = nxt < len(pid)
+    in_both[valid] = same[nxt[valid]]
+    in_a = in_both | (side_u == 0)
+    in_b = in_both | (side_u == 1)
+    _, starts, counts = np.unique(pid_u, return_index=True,
+                                  return_counts=True)
+    rank = np.arange(len(pid_u)) - np.repeat(starts, counts)
+    in_u = rank < k
+
+    def bc(mask):
+        return np.bincount(pid_u[mask], minlength=n_pairs) \
+            .astype(np.int64)
+
+    return (bc(in_u & in_both), bc(in_u), bc(in_u & in_a),
+            bc(in_u & in_b))
+
+
 def bottomk_pairs(
     ds: ray.data.Dataset, *, k: int = 32, shingle_k: int = 5,
     min_est_bp: int = 5000, token_hash=None, id_col: str = "url",
@@ -116,14 +149,24 @@ def bottomk_pairs(
     value whose union-estimator Jaccard ≥ ``min_est_bp`` basis points.
     Integer-exact given the hashes; ``token_hash="sha"`` makes it
     bit-reproducible in DuckDB."""
-    from data_dedup_ray.pipelines.near import (_blob_views,
-                                               _distinct_pairs,
-                                               _hash_str_column,
-                                               _pairs_in_partition)
     P = num_partitions
     blobs = bottomk_blobs(ds, k=k, shingle_k=shingle_k,
                           token_hash=token_hash, id_col=id_col,
                           text_col=text_col).materialize()
+    cand = _candidate_pairs(blobs, id_col=id_col, num_partitions=P,
+                            group_cap=group_cap)
+    return _pairs_with_estimates(cand, blobs, k=k, min_est_bp=min_est_bp,
+                                 id_col=id_col, num_partitions=P)
+
+
+def _candidate_pairs(blobs: ray.data.Dataset, *, id_col: str = "url",
+                     num_partitions: int = 16,
+                     group_cap: int = 100_000) -> ray.data.Dataset:
+    """Distinct unordered pairs sharing ≥ 1 bottom-k value."""
+    from data_dedup_ray.pipelines.near import (_blob_views,
+                                               _distinct_pairs,
+                                               _pairs_in_partition)
+    P = num_partitions
 
     def explode(t: pa.Table) -> pa.Table:
         data, offs = _blob_views(t["bk"])
@@ -145,18 +188,20 @@ def bottomk_pairs(
         schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
         in_schemas=[pa.schema([("h", pa.uint64()), ("url", pa.string())])],
     )
-    cand = _distinct_pairs(cand, ["url_a", "url_b"], num_partitions=P)
-    return _pairs_with_estimates(cand, blobs, k=k, min_est_bp=min_est_bp,
-                                 id_col=id_col, num_partitions=P)
+    return _distinct_pairs(cand, ["url_a", "url_b"], num_partitions=P)
 
 
 def _pairs_with_estimates(
     cand: ray.data.Dataset, blobs: ray.data.Dataset, *, k: int,
     min_est_bp: int, id_col: str = "url", num_partitions: int = 16,
+    mode: str = "jaccard",
 ) -> ray.data.Dataset:
     """Attach both sketches to each candidate pair (two skinny keyed
     exchanges over one bucketized blob split) and compute the union
-    estimator vectorized; sorted ``(url_a, url_b, est_bp)``."""
+    estimator vectorized; sorted ``(url_a, url_b, est_bp)``
+    (``mode="jaccard"``) or ``(url_a, url_b, cont_ab_bp, cont_ba_bp)``
+    (``mode="containment"``, kept when EITHER direction ≥ the
+    threshold)."""
     from data_dedup_ray.pipelines.near import (_blob_views,
                                                _hash_str_column,
                                                _seg_gather)
@@ -195,11 +240,17 @@ def _pairs_with_estimates(
         apply_format="pyarrow",
     )
 
+    containment = mode == "containment"
+    if containment:
+        out_schema = pa.schema([
+            ("url_a", pa.string()), ("url_b", pa.string()),
+            ("cont_ab_bp", pa.int64()), ("cont_ba_bp", pa.int64())])
+    else:
+        out_schema = _PAIR_OUT
+
     def join_b(pt: pa.Table, bt: pa.Table) -> pa.Table:
         if pt.num_rows == 0 or bt.num_rows == 0:
-            return pa.table({"url_a": pa.array([], pa.string()),
-                             "url_b": pa.array([], pa.string()),
-                             "est_bp": pa.array([], pa.int64())})
+            return out_schema.empty_table()
         idx = pd.Index(bt[id_col].to_pandas()).get_indexer(
             pd.Series(pt["url_b"].to_pandas()))
         found = idx >= 0
@@ -219,9 +270,23 @@ def _pairs_with_estimates(
         pair_b, gidx_b = _seg_gather(sb, lb)
         pid = np.concatenate([pair_a, pair_b]).astype(np.int64)
         vals = np.concatenate([da[gidx_a], db[gidx_b]])
-        num, den = _estimate(pid, vals, k, n)
-        den = np.maximum(den, 1)
-        est = (10000 * num) // den
+        side = np.concatenate([
+            np.zeros(len(pair_a), np.int64),
+            np.ones(len(pair_b), np.int64)])
+        num, den_u, in_a, in_b = _estimate_sides(pid, vals, side, k, n)
+        if containment:
+            ca = (10000 * num) // np.maximum(in_a, 1)
+            cb = (10000 * num) // np.maximum(in_b, 1)
+            keep = np.maximum(ca, cb) >= min_est_bp
+            return pa.table({
+                "url_a": pt["url_a"].combine_chunks()
+                .filter(pa.array(keep)),
+                "url_b": pt["url_b"].combine_chunks()
+                .filter(pa.array(keep)),
+                "cont_ab_bp": pa.array(ca[keep], pa.int64()),
+                "cont_ba_bp": pa.array(cb[keep], pa.int64()),
+            })
+        est = (10000 * num) // np.maximum(den_u, 1)
         keep = est >= min_est_bp
         return pa.table({
             "url_a": pt["url_a"].combine_chunks().filter(pa.array(keep)),
@@ -233,7 +298,7 @@ def _pairs_with_estimates(
         [step_a.map_batches(with_part("url_b"), batch_format="pyarrow"),
          blob_buckets],
         join_b, num_partitions=P,
-        schema=_PAIR_OUT,
+        schema=out_schema,
         in_schemas=[pa.schema([("url_a", pa.string()),
                                ("url_b", pa.string()),
                                ("bk_a", pa.large_binary())]), blob_schema],
@@ -278,6 +343,60 @@ SELECT ua AS url_a, ub AS url_b,
 FROM ur GROUP BY 1, 2
 HAVING (10000 * count(*) FILTER (WHERE cnt = 2 AND rn <= {k}))
        // (count(*) FILTER (WHERE rn <= {k})) >= {min_est_bp}
+ORDER BY url_a, url_b"""
+
+
+def bottomk_containment_pairs(
+    sf_dir: str, *, k: int = 32, shingle_k: int = 5,
+    min_cont_bp: int = 8000, num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """DIRECTIONAL containment estimated from the sketches alone:
+    ``(url_a, url_b, cont_ab_bp, cont_ba_bp)`` for candidate pairs
+    where either direction's bottom-k subset estimator
+    ``Ĉ(A→B) = |U∩A∩B| / |U∩A|`` ≥ ``min_cont_bp`` — the quote/subset
+    signal (a short page contained in a long one keeps C high while
+    Jaccard collapses), at 256 B/doc instead of the full shingle sets
+    near.containment_pairs reads."""
+    P = num_partitions
+    blobs = bottomk_blobs(web_pages(sf_dir), k=k, shingle_k=shingle_k,
+                          token_hash="sha").materialize()
+    cand = _candidate_pairs(blobs, num_partitions=P)
+    return _pairs_with_estimates(cand, blobs, k=k,
+                                 min_est_bp=min_cont_bp,
+                                 num_partitions=P, mode="containment")
+
+
+def bottomk_containment_pairs_sql(*, k: int = 32, shingle_k: int = 5,
+                                  min_cont_bp: int = 8000) -> str:
+    """Twin: per-side presence flags on the distinct-union ranks."""
+    from data_dedup_ray.pipelines.sigstore import sig_chain_ctes
+    ca = (f"(10000 * count(*) FILTER (WHERE a_has = 1 AND b_has = 1"
+          f" AND rn <= {k})) // greatest(count(*) FILTER"
+          f" (WHERE a_has = 1 AND rn <= {k}), 1)")
+    cb = (f"(10000 * count(*) FILTER (WHERE a_has = 1 AND b_has = 1"
+          f" AND rn <= {k})) // greatest(count(*) FILTER"
+          f" (WHERE b_has = 1 AND rn <= {k}), 1)")
+    return f"""
+WITH {sig_chain_ctes(shingle_k=shingle_k, single_corpus=True)},
+bkk AS (SELECT url, s FROM (
+    SELECT id AS url, s,
+           row_number() OVER (PARTITION BY id ORDER BY s) AS rn
+    FROM msh) WHERE rn <= {k}),
+cand AS (SELECT DISTINCT a.url AS ua, b.url AS ub
+         FROM bkk a JOIN bkk b ON a.s = b.s AND a.url < b.url),
+uv AS (SELECT c.ua, c.ub, x.s,
+              max(CASE WHEN x.url = c.ua THEN 1 ELSE 0 END) AS a_has,
+              max(CASE WHEN x.url = c.ub THEN 1 ELSE 0 END) AS b_has
+       FROM cand c JOIN bkk x ON x.url = c.ua OR x.url = c.ub
+       GROUP BY 1, 2, 3),
+ur AS (SELECT ua, ub, a_has, b_has,
+              row_number() OVER (PARTITION BY ua, ub ORDER BY s) AS rn
+       FROM uv)
+SELECT ua AS url_a, ub AS url_b,
+       CAST({ca} AS BIGINT) AS cont_ab_bp,
+       CAST({cb} AS BIGINT) AS cont_ba_bp
+FROM ur GROUP BY 1, 2
+HAVING greatest({ca}, {cb}) >= {min_cont_bp}
 ORDER BY url_a, url_b"""
 
 

@@ -227,6 +227,51 @@ def test_store_merge_overlapping_urls(tmp_path):
     assert m["u2"] == a["u2"] and m["u3"] == b["u3"]
 
 
+def test_estimate_sides_agrees_with_plain_kernel():
+    """The side-aware kernel's (num, den_u) must equal the reference
+    kernel for every random pair."""
+    rng = np.random.default_rng(17)
+    k = 8
+    pids, vals, sides = [], [], []
+    for p in range(200):
+        A = np.unique(rng.integers(0, 50, size=rng.integers(1, 25))
+                      .astype(np.uint64))[:k]
+        B = np.unique(rng.integers(0, 50, size=rng.integers(1, 25))
+                      .astype(np.uint64))[:k]
+        pids.append(np.full(len(A) + len(B), p))
+        vals.append(np.concatenate([A, B]))
+        sides.append(np.concatenate([np.zeros(len(A), np.int64),
+                                     np.ones(len(B), np.int64)]))
+    pid = np.concatenate(pids).astype(np.int64)
+    v = np.concatenate(vals)
+    s = np.concatenate(sides)
+    n1, d1 = bottomk._estimate(pid, v, k, 200)
+    n2, d2, ia, ib = bottomk._estimate_sides(pid, v, s, k, 200)
+    assert (n1 == n2).all() and (d1 == d2).all()
+    assert (ia <= d2).all() and (ib <= d2).all()
+    assert (ia + ib >= d2).all()          # every U value is in A or B
+
+
+def test_containment_pairs_oracle(con):
+    got = bottomk.bottomk_containment_pairs(SF).to_pandas()
+    want = con.execute(bottomk.bottomk_containment_pairs_sql()).fetchdf() \
+        .astype({"cont_ab_bp": "int64", "cont_ba_bp": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+def test_containment_catches_quote_family():
+    """quote pages (base text + appended span) must show high
+    containment of the base (A = base side: C(A→B) ≈ 1) even where
+    Jaccard is diluted."""
+    got = bottomk.bottomk_containment_pairs(SF, min_cont_bp=9000) \
+        .to_pandas()
+    q = got[got["url_b"].str.startswith("https://quote")
+            | got["url_a"].str.startswith("https://quote")]
+    assert len(q) > 0
+    assert (q[["cont_ab_bp", "cont_ba_bp"]].max(axis=1) >= 9000).all()
+
+
 def test_host_distinct_shingles_oracle(con):
     got = bottomk.host_distinct_shingles(SF).to_pandas()
     want = con.execute(bottomk.host_distinct_shingles_sql()).fetchdf() \
