@@ -1733,6 +1733,14 @@ def _q_url_editdist_pairs(sf_dir: str):
     return editdist.url_editdist_pairs(sf_dir, k=1)
 
 
+def _q_host_editdist_pairs(sf_dir: str):
+    """Typosquat / mirror-host-family signal: ed ≤ 1 pairs over the
+    distinct-host set (pipelines/editdist.py)."""
+    from data_dedup_ray.pipelines import editdist
+
+    return editdist.host_editdist_pairs(sf_dir, k=1)
+
+
 def _q_url_editdist_clusters(sf_dir: str):
     """Connected components of the ed ≤ 1 url graph, min-url labels;
     count-gated DSU with the distributed label-propagation fallback."""
@@ -1906,17 +1914,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds thirteen new-family keys
-        # at slots 1-13 (edit-distance dedup, sorted-neighborhood
+        # FIRST 50 keys only.  Session-16 adds fourteen new-family keys
+        # at slots 1-14 (edit-distance dedup at url AND host level,
+        # sorted-neighborhood
         # blocking + its window-recall eval, bottom-k minwise sketches
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing corpus_overlap,
+        # — never driver-run), displacing doc_novelty, corpus_overlap,
         # simhash_threshold_sweep, dedup_savings, crawl_dup_timeline,
         # cluster_aware_split, incremental_drift, sig_estimator_eval,
         # incremental_novelty, url_template_stats, link_edges,
-        # host_graph, host_degree and top_linked_pages (slots 51-63)
+        # host_graph, host_degree and top_linked_pages (slots 51-64)
         # out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
@@ -1949,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new similarity modality — exact DuckDB levenshtein oracles)
         "url_editdist_pairs": _q_url_editdist_pairs,
         "url_editdist_clusters": _q_url_editdist_clusters,
+        "host_editdist_pairs": _q_host_editdist_pairs,
         # round-4 session-16: sorted-neighborhood blocking (third
         # blocking paradigm next to LSH banding and FastSS; exact
         # window+Jaccard SQL twins)
@@ -2269,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         # round-4 session-16: edit-distance url dedup + sorted-neighborhood
         "url_editdist_pairs": _editdist.url_editdist_pairs_sql(k=1),
         "url_editdist_clusters": _editdist.url_editdist_clusters_sql(k=1),
+        "host_editdist_pairs": _editdist.host_editdist_pairs_sql(k=1),
         "sorted_neighborhood_pairs":
             _snb.sorted_neighborhood_pairs_sql(),
         "snm_multipass_pairs": _snb.snm_multipass_pairs_sql(),

@@ -290,6 +290,44 @@ def url_editdist_clusters(
     return attach_clusters(pages, assignment, id_col="url")
 
 
+def host_editdist_pairs(sf_dir: str, *, k: int = 1,
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """Edit-distance ≤ k pairs over DISTINCT hosts — the typosquat /
+    mirror-host-family signal (site1.example vs site2.example):
+    host-level url intelligence at one deletion-variant pass over the
+    (tiny) distinct-host set.  Same FastSS + banded-DP machinery; the
+    distinct-host table is derived with one vectorized split, so the
+    corpus is read once and only hosts enter the exchange."""
+    import pyarrow.compute as pc
+
+    def hosts(t: pa.Table) -> pa.Table:
+        h = pc.split_pattern(t["url"].combine_chunks(), "/")
+        host = pc.list_element(h, 2)
+        return pa.table({"host": pa.array(
+            pd.unique(host.to_numpy(zero_copy_only=False)), pa.string())})
+
+    ds = web_pages(sf_dir).select_columns(["url"]).map_batches(
+        hosts, batch_format="pyarrow")
+    from data_dedup_ray.pipelines.near import _distinct_pairs
+    dd = _distinct_pairs(ds, ["host"], num_partitions=num_partitions)
+    out = editdist_pairs(dd, k=k, id_col="host",
+                         num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: t.rename_columns(["host_a", "host_b", "dist"]),
+        batch_format="pyarrow").sort(["host_a", "host_b"])
+
+
+def host_editdist_pairs_sql(k: int = 1) -> str:
+    from data_dedup_ray.corpus import web_pages_sql
+    return web_pages_sql(f""",
+h AS (SELECT DISTINCT split_part(url, '/', 3) AS host FROM web_pages)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(levenshtein(a.host, b.host) AS BIGINT) AS dist
+FROM h a JOIN h b ON a.host < b.host
+WHERE levenshtein(a.host, b.host) <= {k}
+ORDER BY host_a, host_b""")
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------

@@ -98,6 +98,13 @@ def test_url_editdist_clusters_oracle(con):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_host_editdist_pairs_oracle(con):
+    got = (editdist.host_editdist_pairs(SF, k=1).to_pandas()
+           .reset_index(drop=True))
+    want = con.execute(editdist.host_editdist_pairs_sql(1)).fetchdf()
+    pd.testing.assert_frame_equal(got, want.astype({"dist": "int64"}))
+
+
 def test_partitioning_invariance():
     a = editdist.url_editdist_pairs(SF, k=1, num_partitions=3).to_pandas()
     b = editdist.url_editdist_pairs(SF, k=1, num_partitions=16).to_pandas()
