@@ -1,0 +1,327 @@
+"""Weighted (multiset) Jaccard near-dup pairs — the similarity measure
+for REPETITION-sensitive dedup.
+
+Set Jaccard (near.ngram_jaccard_pairs) treats a shingle that appears 40
+times the same as one that appears once, so template spam that repeats a
+block, and pages that differ only in how often they repeat shared
+boilerplate, score identically to genuinely-similar pages.  The
+multiset form
+
+    WJ(A, B) = Σ_s min(c_A(s), c_B(s)) / Σ_s max(c_A(s), c_B(s))
+
+(the discrete special case of weighted Jaccard à la Ioffe 2010 / Chum
+et al. 2008) counts every occurrence.  Integer-exact by construction:
+``wjac_bp = 10⁴·Σmin // (w_A + w_B − Σmin)`` over integer window
+counts, so the DuckDB twin is exact-equal, not approximate.
+
+Blocking is complete with recall 1.0: WJ ≥ t > 0 implies a shared
+shingle VALUE, so candidates = pairs sharing any distinct shingle (the
+share-any join the exact Jaccard oracle uses), generated through the
+coarse sortless exchange with the group-cap skew guard — group sizes
+are bounded by shingle document frequency.  The verify is the rank-
+packed searchsorted intersect of near.py's Jaccard join, extended to
+gather BOTH sides' counts at the matched positions and reduce
+``Σ min`` per pair with one weights-bincount — no per-pair Python.
+
+Per-doc state: (sorted distinct values, counts, total windows) packed
+as two parallel blobs + one int — 24 B per distinct shingle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from data_dedup_ray.corpus import web_pages
+from data_dedup_ray.engine.exchange import bucketize, hash_exchange
+from data_dedup_ray.stages.minhash import sha256_token_hash, tokenize_batch
+
+_PAIR_OUT = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                       ("wjac_bp", pa.int64())])
+
+
+def _weighted_shingles(texts, k: int, token_hash=None):
+    """Per-doc weighted k-shingle multisets: ``(vals_cat uint64,
+    cnts_cat int64, per-doc distinct sizes, per-doc total windows)`` —
+    the same FNV rolling combine as stages/minhash.shingle_sets (SQL
+    parity), but KEEPING multiplicity."""
+    hashes, counts = tokenize_batch(texts, token_hash=token_hash)
+    with np.errstate(over="ignore"):
+        c = np.uint64(0x100000001B3)
+        n = len(hashes)
+        if n >= k:
+            win = hashes[: n - k + 1].copy()
+            for j in range(1, k):
+                win = win * c + hashes[j: n - k + 1 + j]
+        else:
+            win = np.empty(0, dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    out_v, out_c = [], []
+    sizes = np.zeros(len(counts), dtype=np.int64)
+    totals = np.zeros(len(counts), dtype=np.int64)
+    for i in range(len(counts)):
+        s, e = starts[i], starts[i + 1]
+        if e - s >= k:
+            seg = win[s: e - k + 1]
+            u, cnt = np.unique(seg, return_counts=True)
+            out_v.append(u)
+            out_c.append(cnt.astype(np.int64))
+            sizes[i] = len(u)
+            totals[i] = len(seg)
+    vals = np.concatenate(out_v) if out_v else np.empty(0, np.uint64)
+    cnts = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+    return vals, cnts, sizes, totals
+
+
+def weighted_blobs(
+    ds: ray.data.Dataset, *, shingle_k: int = 5, token_hash=None,
+    id_col: str = "url", text_col: str = "text",
+) -> ray.data.Dataset:
+    """``(url, sv, sc, w)`` — sorted distinct shingle values, aligned
+    counts, total window count.  Empty docs keep empty blobs."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals, cnts, sizes, totals = _weighted_shingles(
+            t[text_col], shingle_k, token_hash=token_hash)
+        offs = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        sv = [vals[offs[i]: offs[i + 1]].tobytes()
+              for i in range(len(sizes))]
+        sc = [cnts[offs[i]: offs[i + 1]].tobytes()
+              for i in range(len(sizes))]
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "sv": pa.array(sv, pa.large_binary()),
+            "sc": pa.array(sc, pa.large_binary()),
+            "w": pa.array(totals),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _wjac_verify(pt: pa.Table, bt: pa.Table, *, id_col: str,
+                 min_wjac_bp: int) -> pa.Table:
+    """Vectorized Σmin intersect across the pair axis (near.py _join_b
+    shape: hash-indexer lookup into the bucket's unique blob buffer,
+    rank-packed searchsorted membership, weights-bincount)."""
+    from data_dedup_ray.pipelines.near import _blob_views, _seg_gather
+    if pt.num_rows == 0 or bt.num_rows == 0:
+        return _PAIR_OUT.empty_table()
+    idx = pd.Index(bt[id_col].to_pandas()).get_indexer(
+        pd.Series(pt["url_b"].to_pandas()))
+    found = idx >= 0
+    if not found.all():
+        pt = pt.filter(pa.array(found))
+        idx = idx[found]
+    va, oa = _blob_views(pt["sv_a"])
+    ca_all, oca = _blob_views(pt["sc_a"])
+    ca_all = ca_all.view(np.int64)
+    vb, ob = _blob_views(bt["sv"])
+    cb_all, ocb = _blob_views(bt["sc"])
+    cb_all = cb_all.view(np.int64)
+    # values and counts are parallel arrays; the gathers index the
+    # counts buffer with VALUE offsets, which is only sound if the two
+    # columns' physical layouts agree (they do — both flow through the
+    # same take/filter chain; this guards against a future divergence)
+    assert (oa == oca).all() and (ob == ocb).all()
+    wa = pt["w_a"].to_numpy(zero_copy_only=False)
+    wb_full = bt["w"].to_numpy(zero_copy_only=False)
+    wb = wb_full[idx]
+    n = pt.num_rows
+    la = np.diff(oa)
+    sbst = ob[idx]
+    lb = ob[idx + 1] - sbst
+    num = np.zeros(n, dtype=np.int64)
+    CHUNK = 1 << 16
+    for s in range(0, n, CHUNK):
+        e = min(s + CHUNK, n)
+        naa, nbb = la[s:e], lb[s:e]
+        saa, sbb = oa[:-1][s:e], sbst[s:e]
+        swap = naa > nbb                       # probe = smaller side
+        plen = np.where(swap, nbb, naa)
+        tlen = np.where(swap, naa, nbb)
+        pstart = np.where(swap, sbb, saa)
+        tstart = np.where(swap, saa, sbb)
+        p_from_b = swap
+        t_from_b = ~swap
+
+        def gather(startv, lens, from_b):
+            pair_of, gidx = _seg_gather(startv, lens)
+            fb = from_b[pair_of]
+            v = np.empty(len(gidx), np.uint64)
+            cnt = np.empty(len(gidx), np.int64)
+            v[~fb] = va[gidx[~fb]]
+            cnt[~fb] = ca_all[gidx[~fb]]
+            v[fb] = vb[gidx[fb]]
+            cnt[fb] = cb_all[gidx[fb]]
+            return pair_of, v, cnt
+
+        pair_p, val_p, cnt_p = gather(pstart, plen, p_from_b)
+        pair_t, val_t, cnt_t = gather(tstart, tlen, t_from_b)
+        if len(val_p) == 0 or len(val_t) == 0:
+            continue
+        u = np.unique(np.concatenate([val_p, val_t]))
+        kp = (pair_p.astype(np.uint64) << np.uint64(32)) \
+            | np.searchsorted(u, val_p).astype(np.uint64)
+        kt = (pair_t.astype(np.uint64) << np.uint64(32)) \
+            | np.searchsorted(u, val_t).astype(np.uint64)
+        pos = np.searchsorted(kt, kp)
+        pos[pos == len(kt)] = len(kt) - 1
+        member = kt[pos] == kp
+        mins = np.minimum(cnt_p[member], cnt_t[pos[member]])
+        num[s:e] = np.bincount(pair_p[member], weights=mins,
+                               minlength=e - s).astype(np.int64)
+    den = wa + wb - num
+    den = np.maximum(den, 1)
+    est = (10000 * num) // den
+    keep = est >= min_wjac_bp
+    return pa.table({
+        "url_a": pt["url_a"].combine_chunks().filter(pa.array(keep)),
+        "url_b": pt["url_b"].combine_chunks().filter(pa.array(keep)),
+        "wjac_bp": pa.array(est[keep], pa.int64()),
+    })
+
+
+def weighted_jaccard_pairs(
+    ds: ray.data.Dataset, *, shingle_k: int = 5, min_wjac_bp: int = 5000,
+    token_hash=None, id_col: str = "url", text_col: str = "text",
+    num_partitions: int = 16, group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """``(url_a, url_b, wjac_bp)`` — every pair with weighted Jaccard
+    ≥ ``min_wjac_bp`` basis points, exact (share-any-value blocking has
+    recall 1.0 for any positive threshold)."""
+    from data_dedup_ray.pipelines.near import (_blob_views,
+                                               _distinct_pairs,
+                                               _hash_str_column,
+                                               _pairs_in_partition)
+    P = num_partitions
+    blobs = weighted_blobs(ds, shingle_k=shingle_k,
+                           token_hash=token_hash, id_col=id_col,
+                           text_col=text_col).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        data, offs = _blob_views(t["sv"])
+        lens = np.diff(offs)
+        urls = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(data, pa.uint64()),
+            "url": pa.array(np.repeat(urls, lens), pa.string()),
+            "_part": pa.array((data % np.uint64(P)).astype(np.int64)),
+        })
+
+    cand = hash_exchange(
+        [blobs.map_batches(explode, batch_format="pyarrow")],
+        lambda g: _pairs_in_partition(g, key_cols=["h"], id_col="url",
+                                      group_cap=group_cap),
+        num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
+        in_schemas=[pa.schema([("h", pa.uint64()), ("url", pa.string())])],
+    )
+    cand = _distinct_pairs(cand, ["url_a", "url_b"], num_partitions=P)
+
+    def with_part(col):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("_part",
+                                       pa.array([], type=pa.int64()))
+            h = _hash_str_column(t[col])
+            return t.append_column(
+                "_part", pa.array((h % np.uint64(P)).astype(np.int64)))
+        return fn
+
+    blob_schema = pa.schema([(id_col, pa.string()),
+                             ("sv", pa.large_binary()),
+                             ("sc", pa.large_binary()),
+                             ("w", pa.int64())])
+    blob_buckets = bucketize(
+        blobs.map_batches(with_part(id_col), batch_format="pyarrow"),
+        num_partitions=P, in_schema=blob_schema)
+
+    def join_a(pt: pa.Table, bt: pa.Table) -> pa.Table:
+        m = pt.join(bt, keys=["url_a"], right_keys=[id_col],
+                    join_type="inner")
+        return m.select(["url_a", "url_b", "sv", "sc", "w"]) \
+            .rename_columns(["url_a", "url_b", "sv_a", "sc_a", "w_a"])
+
+    step_a = hash_exchange(
+        [cand.map_batches(with_part("url_a"), batch_format="pyarrow"),
+         blob_buckets],
+        join_a, num_partitions=P,
+        schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("sv_a", pa.large_binary()),
+                          ("sc_a", pa.large_binary()),
+                          ("w_a", pa.int64())]),
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string())]), blob_schema],
+        apply_format="pyarrow",
+    )
+
+    return hash_exchange(
+        [step_a.map_batches(with_part("url_b"), batch_format="pyarrow"),
+         blob_buckets],
+        lambda pt, bt: _wjac_verify(pt, bt, id_col=id_col,
+                                    min_wjac_bp=min_wjac_bp),
+        num_partitions=P,
+        schema=_PAIR_OUT,
+        in_schemas=[pa.schema([("url_a", pa.string()),
+                               ("url_b", pa.string()),
+                               ("sv_a", pa.large_binary()),
+                               ("sc_a", pa.large_binary()),
+                               ("w_a", pa.int64())]), blob_schema],
+        apply_format="pyarrow",
+    ).sort(["url_a", "url_b"])
+
+
+def weighted_jaccard_sig_pairs(
+    sf_dir: str, *, shingle_k: int = 5, min_wjac_bp: int = 5000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """sha-token weighted-Jaccard pairs over web_pages (oracle variant)."""
+    return weighted_jaccard_pairs(
+        web_pages(sf_dir), shingle_k=shingle_k, min_wjac_bp=min_wjac_bp,
+        token_hash=sha256_token_hash, num_partitions=num_partitions)
+
+
+def weighted_jaccard_sig_pairs_sql(*, shingle_k: int = 5,
+                                   min_wjac_bp: int = 5000) -> str:
+    """Exact twin: the sha-token FNV window chain WITH multiplicity
+    (same formulas as sigstore.sig_chain_ctes' msh, minus the
+    DISTINCT), Σleast / (w_a + w_b − Σleast) in HUGEINT."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    k = shingle_k
+    leads = ",\n         ".join(
+        f"lead(h, {j - 1}) OVER w AS h{j}" for j in range(2, k + 1))
+    expr = "h1"
+    for j in range(2, k + 1):
+        expr = (f"(({expr} * 1099511628211::HUGEINT + h{j})"
+                " % 18446744073709551616::HUGEINT)")
+    return f"""
+WITH {WEB_PAGES_CTE},
+mtok AS (SELECT url AS id, g.i AS pos, t[g.i] AS tok
+         FROM (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+               FROM web_pages) u,
+              UNNEST(generate_series(1, len(t))) AS g(i)),
+mh AS (SELECT id, pos,
+              CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+       FROM mtok),
+mw AS (SELECT id, h AS h1,
+         {leads}
+       FROM mh WINDOW w AS (PARTITION BY id ORDER BY pos)),
+ws AS (SELECT id, {expr} AS s FROM mw WHERE h{k} IS NOT NULL),
+shc AS (SELECT id, s, CAST(count(*) AS BIGINT) AS c
+        FROM ws GROUP BY 1, 2),
+tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS w FROM shc GROUP BY 1),
+inter AS (SELECT a.id AS ia, b.id AS ib,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM shc a JOIN shc b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2)
+SELECT ia AS url_a, ib AS url_b,
+       CAST((10000 * m) // (ta.w + tb.w - m) AS BIGINT) AS wjac_bp
+FROM inter
+JOIN tot ta ON ta.id = ia
+JOIN tot tb ON tb.id = ib
+WHERE (10000 * m) // (ta.w + tb.w - m) >= {min_wjac_bp}
+ORDER BY url_a, url_b"""

@@ -1,0 +1,98 @@
+"""Weighted (multiset) Jaccard (pipelines/weighted.py): kernel parity vs
+brute force, oracle parity, measure laws, partition invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from data_dedup_ray.pipelines import weighted
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return c
+
+
+def _brute_wjac(a: str, b: str, k: int = 5) -> tuple[int, int]:
+    """(Σmin, Σmax) over k-token window multisets, token strings."""
+    import re
+    from collections import Counter
+
+    def windows(s):
+        t = re.findall(r"[a-z0-9]+", s)
+        return Counter(tuple(t[i:i + k]) for i in range(len(t) - k + 1))
+
+    wa, wb = windows(a), windows(b)
+    num = sum(min(wa[s], wb[s]) for s in wa.keys() & wb.keys())
+    den = sum(wa.values()) + sum(wb.values()) - num
+    return num, den
+
+
+def test_pipeline_matches_bruteforce_on_tiny_corpus():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "text": [base + " " + base,            # doubled: repetition
+                 base,                         # single copy
+                 "unrelated words here that share nothing at all ok"],
+    })
+    ds = ray.data.from_pandas(docs)
+    got = weighted.weighted_jaccard_pairs(
+        ds, min_wjac_bp=1, num_partitions=3).to_pandas()
+    rows = {(r["url_a"], r["url_b"]): r["wjac_bp"]
+            for _, r in got.iterrows()}
+    num, den = _brute_wjac(docs["text"][0], docs["text"][1])
+    assert rows == {("u1", "u2"): 10000 * num // den}
+    # set Jaccard of u1/u2 would be ~1.0 (same distinct windows except
+    # the doubling seam); the weighted form must score strictly lower
+    assert 0 < rows[("u1", "u2")] < 9000
+
+
+def test_oracle_parity(con):
+    got = weighted.weighted_jaccard_sig_pairs(SF).to_pandas() \
+        .reset_index(drop=True)
+    want = con.execute(weighted.weighted_jaccard_sig_pairs_sql()) \
+        .fetchdf().astype({"wjac_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_identical_docs_score_10000():
+    got = weighted.weighted_jaccard_sig_pairs(SF).to_pandas()
+    mirrors = got[got["url_a"].str.startswith("https://mirror")
+                  | got["url_b"].str.startswith("https://mirror")]
+    assert len(mirrors) > 0
+    assert (mirrors["wjac_bp"] == 10000).any()
+
+
+def test_weighted_bounded_by_set_jaccard_on_multiset_free_docs():
+    """When every window count is 1 on both sides, WJ equals set
+    Jaccard — cross-check against the exact ngram path at the same
+    threshold."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+    wj = weighted.weighted_jaccard_sig_pairs(
+        SF, min_wjac_bp=7000).to_pandas()
+    sj = near.ngram_jaccard_pairs(
+        web_pages(SF), threshold=0.7).to_pandas()
+    wset = set(zip(wj["url_a"], wj["url_b"]))
+    sset = set(zip(sj["url_a"], sj["url_b"]))
+    # multiset Jaccard ≤ set Jaccard is NOT an identity in general,
+    # but on this corpus (near/quote are append-constructed, counts
+    # mostly 1) the weighted pair set is a subset of the set-Jaccard
+    # pair set at the same threshold
+    assert wset <= sset
+
+
+def test_partition_invariance():
+    a = weighted.weighted_jaccard_sig_pairs(SF, num_partitions=3) \
+        .to_pandas().reset_index(drop=True)
+    b = weighted.weighted_jaccard_sig_pairs(SF, num_partitions=16) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
