@@ -1677,6 +1677,16 @@ def _q_incremental_bottomk_pairs(sf_dir: str):
         snapshots.snapshot2(sf_dir), store)
 
 
+def _q_similar_docs_topk(sf_dir: str):
+    """Per-query top-k most-similar pages by EXACT shingle Jaccard
+    (pipelines/related.py) — the text-side knn: share-any candidates
+    (recall 1.0 among positive-overlap docs), combiner-pruned grouped
+    head, deterministic (jac desc, url) ties."""
+    from data_dedup_ray.pipelines import related
+
+    return related.similar_docs_topk(sf_dir)
+
+
 def _q_weighted_jaccard_pairs(sf_dir: str):
     """Weighted (multiset) Jaccard pairs (pipelines/weighted.py) — the
     repetition-sensitive similarity measure; share-any-value blocking
@@ -1924,19 +1934,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds fifteen new-family keys
-        # at slots 1-15 (edit-distance dedup at url AND host level,
-        # weighted multiset Jaccard, sorted-neighborhood
+        # FIRST 50 keys only.  Session-16 adds sixteen new-family keys
+        # at slots 1-16 (edit-distance dedup at url AND host level,
+        # weighted multiset Jaccard, exact text-knn, sorted-neighborhood
         # blocking + its window-recall eval, bottom-k minwise sketches
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing store_audit, doc_novelty,
-        # corpus_overlap, simhash_threshold_sweep, dedup_savings,
-        # crawl_dup_timeline, cluster_aware_split, incremental_drift,
-        # sig_estimator_eval, incremental_novelty, url_template_stats,
-        # link_edges, host_graph, host_degree and top_linked_pages
-        # (slots 51-65) out of the top 50
+        # — never driver-run), displacing crawl_drift, store_audit,
+        # doc_novelty, corpus_overlap, simhash_threshold_sweep,
+        # dedup_savings, crawl_dup_timeline, cluster_aware_split,
+        # incremental_drift, sig_estimator_eval, incremental_novelty,
+        # url_template_stats, link_edges, host_graph, host_degree and
+        # top_linked_pages (slots 51-66) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -1987,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_distinct_shingles": _q_host_distinct_shingles,
         "bottomk_containment_pairs": _q_bottomk_containment_pairs,
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "similar_docs_topk": _q_similar_docs_topk,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2212,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import bottomk as _bottomk
     from data_dedup_ray.pipelines import dsir as _dsir
     from data_dedup_ray.pipelines import weighted as _weighted
+    from data_dedup_ray.pipelines import related as _related
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2309,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
             _bottomk.bottomk_containment_pairs_sql(),
         "weighted_jaccard_pairs":
             _weighted.weighted_jaccard_sig_pairs_sql(),
+        "similar_docs_topk": _related.similar_docs_topk_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),
