@@ -1677,6 +1677,17 @@ def _q_incremental_bottomk_pairs(sf_dir: str):
         snapshots.snapshot2(sf_dir), store)
 
 
+def _q_srp_pairs(sf_dir: str):
+    """SRP binary embedding sketches (Charikar '02 — SimHash for
+    vectors, 16 B/doc): md5-parity ±1 projections over int8-quantized
+    vectors make every signature bit integer-exact, banded candidates
+    + XOR-popcount (pipelines/srp.py); planted copies land at
+    hamming 0."""
+    from data_dedup_ray.pipelines import srp
+
+    return srp.srp_pairs(sf_dir)
+
+
 def _q_similar_docs_topk(sf_dir: str):
     """Per-query top-k most-similar pages by EXACT shingle Jaccard
     (pipelines/related.py) — the text-side knn: share-any candidates
@@ -1934,19 +1945,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds sixteen new-family keys
-        # at slots 1-16 (edit-distance dedup at url AND host level,
-        # weighted multiset Jaccard, exact text-knn, sorted-neighborhood
+        # FIRST 50 keys only.  Session-16 adds seventeen new-family
+        # keys at slots 1-17 (edit-distance dedup at url AND host
+        # level, weighted multiset Jaccard, exact text-knn, SRP binary
+        # embedding sketches, sorted-neighborhood
         # blocking + its window-recall eval, bottom-k minwise sketches
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing crawl_drift, store_audit,
-        # doc_novelty, corpus_overlap, simhash_threshold_sweep,
-        # dedup_savings, crawl_dup_timeline, cluster_aware_split,
-        # incremental_drift, sig_estimator_eval, incremental_novelty,
-        # url_template_stats, link_edges, host_graph, host_degree and
-        # top_linked_pages (slots 51-66) out of the top 50
+        # — never driver-run), displacing dedup_tier_eval, crawl_drift,
+        # store_audit, doc_novelty, corpus_overlap,
+        # simhash_threshold_sweep, dedup_savings, crawl_dup_timeline,
+        # cluster_aware_split, incremental_drift, sig_estimator_eval,
+        # incremental_novelty, url_template_stats, link_edges,
+        # host_graph, host_degree and top_linked_pages (slots 51-67)
+        # out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -1998,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_containment_pairs": _q_bottomk_containment_pairs,
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "similar_docs_topk": _q_similar_docs_topk,
+        "srp_pairs": _q_srp_pairs,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2224,6 +2238,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import dsir as _dsir
     from data_dedup_ray.pipelines import weighted as _weighted
     from data_dedup_ray.pipelines import related as _related
+    from data_dedup_ray.pipelines import srp as _srp
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2322,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_jaccard_pairs":
             _weighted.weighted_jaccard_sig_pairs_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
+        "srp_pairs": _srp.srp_pairs_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),
