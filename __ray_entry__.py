@@ -1677,6 +1677,24 @@ def _q_incremental_bottomk_pairs(sf_dir: str):
         snapshots.snapshot2(sf_dir), store)
 
 
+def _q_icws_pairs(sf_dir: str):
+    """ICWS consistent-weighted-sampling pairs (Ioffe ICDM'10) — the
+    sketch path for weighted Jaccard (K·8 B/doc); rows-only by design
+    (transcendental per-element draws), exact oracle-backed sibling =
+    weighted_jaccard_pairs."""
+    from data_dedup_ray.pipelines import icws
+
+    return icws.icws_sig_pairs(sf_dir)
+
+
+def _q_icws_estimator_eval(sf_dir: str):
+    """ICWS tier grade vs exact weighted-Jaccard truth (rows-only
+    metrics row; measured recall 1.0 at K=64)."""
+    from data_dedup_ray.pipelines import icws
+
+    return icws.icws_estimator_eval(sf_dir)
+
+
 def _q_srp_pairs(sf_dir: str):
     """SRP binary embedding sketches (Charikar '02 — SimHash for
     vectors, 16 B/doc): md5-parity ±1 projections over int8-quantized
@@ -1945,21 +1963,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds seventeen new-family
-        # keys at slots 1-17 (edit-distance dedup at url AND host
+        # FIRST 50 keys only.  Session-16 adds nineteen new-family
+        # keys at slots 1-19 (edit-distance dedup at url AND host
         # level, weighted multiset Jaccard, exact text-knn, SRP binary
-        # embedding sketches, sorted-neighborhood
+        # embedding sketches, ICWS weighted-Jaccard sketches — the two
+        # icws keys are rows-only BY DESIGN (transcendental per-element
+        # draws; exact oracle-backed sibling = weighted_jaccard_pairs,
+        # recall 1.0 measured) — plus sorted-neighborhood
         # blocking + its window-recall eval, bottom-k minwise sketches
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing dedup_tier_eval, crawl_drift,
-        # store_audit, doc_novelty, corpus_overlap,
-        # simhash_threshold_sweep, dedup_savings, crawl_dup_timeline,
-        # cluster_aware_split, incremental_drift, sig_estimator_eval,
-        # incremental_novelty, url_template_stats, link_edges,
-        # host_graph, host_degree and top_linked_pages (slots 51-67)
-        # out of the top 50
+        # — never driver-run), displacing top_quality_per_domain,
+        # image_meta_gif, dedup_tier_eval, crawl_drift, store_audit,
+        # doc_novelty, corpus_overlap, simhash_threshold_sweep,
+        # dedup_savings, crawl_dup_timeline, cluster_aware_split,
+        # incremental_drift, sig_estimator_eval, incremental_novelty,
+        # url_template_stats, link_edges, host_graph, host_degree and
+        # top_linked_pages (slots 51-69) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -2012,6 +2033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "similar_docs_topk": _q_similar_docs_topk,
         "srp_pairs": _q_srp_pairs,
+        "icws_pairs": _q_icws_pairs,
+        "icws_estimator_eval": _q_icws_estimator_eval,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,

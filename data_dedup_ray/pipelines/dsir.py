@@ -122,6 +122,9 @@ def fit_dsir_model(
         lp_m = math.floor(math.log((int(cp[i]) + 1) / (tp + B)) * 10000)
         lq_m = math.floor(math.log((int(cq[i]) + 1) / (tq + B)) * 10000)
         lr[i] = lp_m - lq_m
+    # dsir_select's non-negative-domain shift assumes |lr| < 10⁶ —
+    # true for any corpus below e¹⁰⁰ features; fail loudly, never drift
+    assert np.abs(lr).max(initial=0) < 1_000_000
     return lr
 
 

@@ -1,0 +1,96 @@
+"""ICWS weighted-Jaccard sketches (pipelines/icws.py): estimator
+unbiasedness vs exact WJ, CWS collision law, determinism/batch
+invariance, pipeline recall vs the exact weighted truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_dedup_ray.pipelines import icws
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sets_to_flat(sets):
+    vals, cnts, sizes = [], [], []
+    for s in sets:
+        ks = sorted(s)
+        vals.append(np.array(ks, np.uint64))
+        cnts.append(np.array([s[k] for k in ks], np.int64))
+        sizes.append(len(ks))
+    return (np.concatenate(vals), np.concatenate(cnts),
+            np.array(sizes, np.int64))
+
+
+def _wj(a, b):
+    keys = set(a) | set(b)
+    num = sum(min(a.get(k, 0), b.get(k, 0)) for k in keys)
+    den = sum(max(a.get(k, 0), b.get(k, 0)) for k in keys)
+    return num / den
+
+
+def test_estimator_unbiased_within_binomial_bound():
+    rng = np.random.default_rng(2)
+    K = 2048
+    for _ in range(5):
+        a = {int(rng.integers(0, 60)): int(rng.integers(1, 9))
+             for _ in range(25)}
+        b = dict(a)
+        for k in list(b)[:8]:
+            b[k] = max(1, b[k] + int(rng.integers(-3, 4)))
+        b[999] = 4
+        vals, cnts, sizes = _sets_to_flat([a, b])
+        sig = icws.icws_signatures_flat(vals, cnts, sizes, n_samples=K)
+        est = (sig[0] == sig[1]).mean()
+        true = _wj(a, b)
+        # 5 sigma of the binomial std
+        assert abs(est - true) <= 5 * np.sqrt(true * (1 - true) / K) + 1e-9
+
+
+def test_identical_sets_collide_everywhere_and_disjoint_never():
+    a = {i: i % 5 + 1 for i in range(30)}
+    d = {i + 1000: 3 for i in range(30)}
+    vals, cnts, sizes = _sets_to_flat([a, a, d])
+    sig = icws.icws_signatures_flat(vals, cnts, sizes, n_samples=256)
+    assert (sig[0] == sig[1]).all()
+    assert not (sig[0] == sig[2]).any()
+
+
+def test_signature_is_batch_invariant():
+    """A doc's signature must not depend on which other docs share its
+    batch (pure function of the weighted set)."""
+    a = {1: 2, 5: 1, 9: 7}
+    b = {2: 4, 5: 5}
+    va, ca, sa = _sets_to_flat([a])
+    vab, cab, sab = _sets_to_flat([a, b])
+    s1 = icws.icws_signatures_flat(va, ca, sa, n_samples=64)
+    s2 = icws.icws_signatures_flat(vab, cab, sab, n_samples=64)
+    assert (s1[0] == s2[0]).all()
+
+
+def test_weight_sensitivity():
+    """Doubling every count leaves WJ=1 with itself but changes WJ vs
+    the original — the sketch must see it (unlike set MinHash)."""
+    a = {i: 1 for i in range(40)}
+    b = {i: 2 for i in range(40)}       # WJ(a,b) = 40/80 = 0.5
+    vals, cnts, sizes = _sets_to_flat([a, b])
+    sig = icws.icws_signatures_flat(vals, cnts, sizes, n_samples=2048)
+    est = (sig[0] == sig[1]).mean()
+    assert abs(est - 0.5) < 0.06
+
+
+def test_pipeline_recall_vs_exact_weighted_truth():
+    from data_dedup_ray.pipelines import weighted
+    pred = icws.icws_sig_pairs(SF, min_est_bp=5000).to_pandas()
+    truth = weighted.weighted_jaccard_sig_pairs(
+        SF, min_wjac_bp=7000).to_pandas()
+    ps = set(zip(pred["url_a"], pred["url_b"]))
+    ts = set(zip(truth["url_a"], truth["url_b"]))
+    assert ts and len(ps & ts) / len(ts) >= 0.98
+
+
+def test_estimator_eval_row():
+    ev = icws.icws_estimator_eval(SF).to_pandas()
+    assert ev["tier"].iloc[0] == "icws64"
+    assert int(ev["recall_bp"].iloc[0]) >= 9000
+    assert int(ev["n_true"].iloc[0]) > 0
