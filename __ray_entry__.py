@@ -1677,6 +1677,23 @@ def _q_incremental_bottomk_pairs(sf_dir: str):
         snapshots.snapshot2(sf_dir), store)
 
 
+def _q_similarity_layout(sf_dir: str):
+    """Similarity-ordered storage positions (pipelines/layout.py):
+    dense ranks in (sha-simhash fingerprint, url) order — the
+    compression/scan-locality layout; no global sort."""
+    from data_dedup_ray.pipelines import layout
+
+    return layout.similarity_layout(sf_dir)
+
+
+def _q_layout_locality(sf_dir: str):
+    """The layout proof metric: mean exact adjacent-pair Jaccard under
+    the simhash order vs the naive url order (one integer row each)."""
+    from data_dedup_ray.pipelines import layout
+
+    return layout.layout_locality(sf_dir)
+
+
 def _q_icws_pairs(sf_dir: str):
     """ICWS consistent-weighted-sampling pairs (Ioffe ICDM'10) — the
     sketch path for weighted Jaccard (K·8 B/doc); rows-only by design
@@ -1963,24 +1980,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds nineteen new-family
-        # keys at slots 1-19 (edit-distance dedup at url AND host
+        # FIRST 50 keys only.  Session-16 adds twenty-one new-family
+        # keys at slots 1-21 (edit-distance dedup at url AND host
         # level, weighted multiset Jaccard, exact text-knn, SRP binary
         # embedding sketches, ICWS weighted-Jaccard sketches — the two
         # icws keys are rows-only BY DESIGN (transcendental per-element
         # draws; exact oracle-backed sibling = weighted_jaccard_pairs,
-        # recall 1.0 measured) — plus sorted-neighborhood
+        # recall 1.0 measured), similarity-ordered storage layout + its
+        # locality proof metric — plus sorted-neighborhood
         # blocking + its window-recall eval, bottom-k minwise sketches
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing top_quality_per_domain,
-        # image_meta_gif, dedup_tier_eval, crawl_drift, store_audit,
-        # doc_novelty, corpus_overlap, simhash_threshold_sweep,
-        # dedup_savings, crawl_dup_timeline, cluster_aware_split,
-        # incremental_drift, sig_estimator_eval, incremental_novelty,
-        # url_template_stats, link_edges, host_graph, host_degree and
-        # top_linked_pages (slots 51-69) out of the top 50
+        # — never driver-run), displacing span_dup_exposure,
+        # cluster_provenance, top_quality_per_domain, image_meta_gif,
+        # dedup_tier_eval, crawl_drift, store_audit, doc_novelty,
+        # corpus_overlap, simhash_threshold_sweep, dedup_savings,
+        # crawl_dup_timeline, cluster_aware_split, incremental_drift,
+        # sig_estimator_eval, incremental_novelty, url_template_stats,
+        # link_edges, host_graph, host_degree and top_linked_pages
+        # (slots 51-71) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -2035,6 +2054,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srp_pairs": _q_srp_pairs,
         "icws_pairs": _q_icws_pairs,
         "icws_estimator_eval": _q_icws_estimator_eval,
+        "similarity_layout": _q_similarity_layout,
+        "layout_locality": _q_layout_locality,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2262,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import weighted as _weighted
     from data_dedup_ray.pipelines import related as _related
     from data_dedup_ray.pipelines import srp as _srp
+    from data_dedup_ray.pipelines import layout as _layout
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2361,6 +2383,8 @@ def oracle_sql() -> dict[str, str]:
             _weighted.weighted_jaccard_sig_pairs_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),
+        "similarity_layout": _layout.similarity_layout_sql(),
+        "layout_locality": _layout.layout_locality_sql(),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),

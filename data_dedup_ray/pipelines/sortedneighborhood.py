@@ -78,7 +78,16 @@ def _rank_rows(pages: ray.data.Dataset, *, key_len: int,
 
     comp_rows = pages.select_columns(["url", "text"]).map_batches(
         keyed, batch_format="pyarrow").materialize()
+    return rank_by_composite(comp_rows, num_partitions=P)
 
+
+def rank_by_composite(comp_rows: ray.data.Dataset, *,
+                      num_partitions: int) -> ray.data.Dataset:
+    """``(url, rank)`` — dense global 0-based ranks of a materialized
+    ``(comp, url)`` table in composite-string order (sampled range
+    bounds + two-phase ordered prefix sum; shared by the SNM windows
+    and the similarity-layout operator)."""
+    P = num_partitions
     # driver-side range bounds: ≤ 9 evenly-spaced composites per block.
     # Ranks are a pure function of the global (key, url) order, so the
     # bounds affect only balance — never the output (pinned by the
