@@ -305,3 +305,100 @@ def test_heavy_batch_counts_and_trim_guarantee(tokens, m):
             assert est.get(tok, 0) >= c - thr > 0
         if tok in est:
             assert est[tok] == c - thr
+
+
+# ------------------------------------------------- session-16 kernels
+
+_short = st.text(alphabet="ab0/x.", min_size=0, max_size=12)
+
+
+@given(st.lists(st.tuples(_short, _short), min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_lev_banded_metric_laws(pairs, k):
+    """Symmetry, identity, and parity with a reference DP (saturated)."""
+    from data_dedup_ray.pipelines.editdist import lev_banded
+
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    d_ab = lev_banded(a, b, k)
+    d_ba = lev_banded(b, a, k)
+    assert (d_ab == d_ba).all()
+    d_aa = lev_banded(a, a, k)
+    assert (d_aa == 0).all()
+
+    def ref(x, y):
+        prev = list(range(len(y) + 1))
+        for i in range(1, len(x) + 1):
+            cur = [i] + [0] * len(y)
+            for j in range(1, len(y) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (x[i - 1] != y[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    want = np.array([min(ref(x, y), k + 1) for x, y in pairs])
+    assert (d_ab == want).all()
+
+
+@given(st.lists(_short, min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=2))
+@settings(max_examples=100, deadline=None)
+def test_fastss_variant_hash_completeness(strs, k):
+    """Any two strings within edit distance k share a variant hash."""
+    from data_dedup_ray.pipelines.editdist import (
+        deletion_variant_hashes, lev_banded)
+
+    arr = np.array(sorted(set(strs)), dtype=object)
+    if len(arr) < 2:
+        return
+    vh, ridx = deletion_variant_hashes(arr, k=k)
+    byrow = {}
+    for h, r in zip(vh, ridx):
+        byrow.setdefault(int(r), set()).add(int(h))
+    n = len(arr)
+    d = lev_banded(np.repeat(arr, n), np.tile(arr, n), k).reshape(n, n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if d[i, j] <= k:
+                assert byrow[i] & byrow[j], (arr[i], arr[j])
+
+
+@given(st.lists(
+    st.tuples(st.sets(st.integers(0, 40), min_size=1, max_size=20),
+              st.sets(st.integers(0, 40), min_size=1, max_size=20)),
+    min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=8))
+@settings(max_examples=100, deadline=None)
+def test_bottomk_estimate_bounds(setpairs, k):
+    """0 ≤ num ≤ den ≤ k and num/den = 1 ⟺ equal bottom-k sketches."""
+    from data_dedup_ray.pipelines.bottomk import _estimate
+
+    pids, vals = [], []
+    sk = []
+    for p, (A, B) in enumerate(setpairs):
+        a = np.array(sorted(A), np.uint64)[:k]
+        b = np.array(sorted(B), np.uint64)[:k]
+        sk.append((a, b))
+        pids.append(np.full(len(a) + len(b), p, np.int64))
+        vals.append(np.concatenate([a, b]))
+    num, den = _estimate(np.concatenate(pids), np.concatenate(vals),
+                         k, len(setpairs))
+    assert (num >= 0).all() and (num <= den).all() and (den <= k).all()
+    for p, (a, b) in enumerate(sk):
+        if num[p] == den[p] and den[p] > 0:
+            # full agreement on U implies the sketches were equal on U
+            u = np.unique(np.concatenate([a, b]))[:k]
+            assert set(u) <= (set(a.tolist()) & set(b.tolist()))
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1),
+       st.integers(min_value=0, max_value=200),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=200, deadline=None)
+def test_icws_uniform_open_interval(v, k, slot):
+    """Derived uniforms are strictly inside (0,1) — every log finite."""
+    from data_dedup_ray.pipelines.icws import _uniform
+
+    u = _uniform(np.array([v], np.uint64), k, slot)
+    assert 0.0 < u[0] < 1.0
