@@ -623,6 +623,131 @@ SELECT cluster_id, url, n_tokens FROM (
 WHERE rn = 1"""
 
 
+def near_dup_keep_medoid(
+    sf_dir: str, *, threshold: float = 0.7, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """The MEDOID of each near-dup cluster: ``(cluster_id, url,
+    score_bp)`` where score = Σ floor(jaccard·10⁴) over the member's
+    verified intra-cluster edges — the most-central capture of the page
+    family (keep_first is arbitrary, keep_best trusts a length proxy;
+    the medoid is the member most similar to everything else, the
+    canonical-representative rule clustering texts recommend).
+    Singleton clusters keep their only member at score 0; ties break on
+    min url.
+
+    Shape: ONE extra skinny exchange beyond the cluster pipeline — the
+    verified pair list (output-sized) explodes symmetrically and sums
+    per member keyed on url together with the cluster assignment; the
+    argmax co-partitions on cluster_id with a per-split-group combiner
+    (the keep_best machinery)."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    P = num_partitions
+    pages = web_pages(sf_dir)
+    from data_dedup_ray.pipelines.near import shingle_rows
+    sh = shingle_rows(pages).materialize()
+    edges = near.minhash_dedup_pairs(pages, threshold=threshold,
+                                     sh=sh).materialize()
+    clusters = near.minhash_dedup_clusters(pages, threshold=threshold)
+
+    def _upart(t: pa.Table, col: str) -> pa.Array:
+        return pa.array(key_partition(t[col].to_pylist(), P))
+
+    def sym_scores(t: pa.Table) -> pa.Table:
+        jbp = np.floor(
+            t["jaccard"].to_numpy(zero_copy_only=False) * 10000
+        ).astype(np.int64)
+        ua = t["url_a"].to_numpy(zero_copy_only=False)
+        ub = t["url_b"].to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "url": pa.array(np.concatenate([ua, ub]), pa.string()),
+            "s": pa.array(np.concatenate([jbp, jbp])),
+        })
+        return out.append_column("_part", _upart(out, "url"))
+
+    def prep_clusters(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "cluster_id": t["cluster_id"].combine_chunks(),
+            "_part": _upart(t, "url"),
+        })
+
+    def join_s(cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if len(sdf) and "url" in sdf:
+            ssum = sdf.groupby("url", as_index=False)["s"].sum()
+            m = cdf.merge(ssum, on="url", how="left")
+            m["score_bp"] = m["s"].fillna(0).astype(np.int64)
+        else:
+            m = cdf.copy()
+            m["score_bp"] = np.int64(0)
+        return m[["url", "cluster_id", "score_bp"]]
+
+    joined = hash_exchange(
+        [clusters.map_batches(prep_clusters, batch_format="pyarrow"),
+         edges.map_batches(sym_scores, batch_format="pyarrow")],
+        join_s, num_partitions=P,
+        schema=pa.schema([("url", pa.string()),
+                          ("cluster_id", pa.string()),
+                          ("score_bp", pa.int64())]),
+        in_schemas=[
+            pa.schema([("url", pa.string()), ("cluster_id", pa.string())]),
+            pa.schema([("url", pa.string()), ("s", pa.int64())]),
+        ],
+    )
+
+    def _medoid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "score_bp", "url"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("cluster_id", sort=False).head(1)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _upart(t, "cluster_id"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_medoid(t.to_pandas()),
+                                    preserve_index=False)
+
+    return hash_exchange(
+        [joined.map_batches(rekey, batch_format="pyarrow")],
+        lambda df: _medoid(df)[["cluster_id", "url", "score_bp"]],
+        num_partitions=P,
+        schema=pa.schema([("cluster_id", pa.string()),
+                          ("url", pa.string()),
+                          ("score_bp", pa.int64())]),
+        in_schemas=[pa.schema([("url", pa.string()),
+                               ("cluster_id", pa.string()),
+                               ("score_bp", pa.int64())])],
+        pre=[combine],
+    ).sort("cluster_id")
+
+
+def near_dup_keep_medoid_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.oracles import _SHINGLE_CTES, near_dup_clusters_sql
+
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},{_SHINGLE_CTES},
+clusters AS (
+{near_dup_clusters_sql(threshold)}
+),
+sym AS (SELECT url_a AS url, CAST(floor(j * 10000) AS BIGINT) AS s
+        FROM jac WHERE j >= {threshold}
+        UNION ALL
+        SELECT url_b, CAST(floor(j * 10000) AS BIGINT)
+        FROM jac WHERE j >= {threshold}),
+scores AS (SELECT url, CAST(sum(s) AS BIGINT) AS score_bp
+           FROM sym GROUP BY url)
+SELECT cluster_id, url, score_bp FROM (
+  SELECT c.cluster_id, c.url,
+         coalesce(s.score_bp, 0) AS score_bp,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY coalesce(s.score_bp, 0) DESC,
+                                     c.url) AS rn
+  FROM clusters c LEFT JOIN scores s ON s.url = c.url)
+WHERE rn = 1 ORDER BY cluster_id"""
+
+
 def near_dup_keep_authoritative(
     sf_dir: str, *, threshold: float = 0.7, iters: int = 3,
     num_partitions: int = 16

@@ -267,3 +267,45 @@ def test_near_dup_keep_authoritative_is_argmax(sf_dir):
     has_base = joined[joined.pagerank > 0]["cluster_id"].unique()
     kept = best.set_index("cluster_id")
     assert (kept.loc[has_base, "pagerank"] > 0).all()
+
+
+def test_near_dup_keep_medoid_oracle(sf_dir, con):
+    got = clean.near_dup_keep_medoid(sf_dir).to_pandas() \
+        .reset_index(drop=True)
+    want = con.execute(clean.near_dup_keep_medoid_sql()).fetchdf() \
+        .astype({"score_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_near_dup_keep_medoid_laws(sf_dir):
+    """One row per cluster; the medoid belongs to its cluster; its
+    score is the max summed intra-cluster similarity (cross-checked
+    against the raw pair list)."""
+    import numpy as np
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    med = clean.near_dup_keep_medoid(sf_dir).to_pandas()
+    assert med["cluster_id"].is_unique
+    clusters = near.minhash_dedup_clusters(
+        web_pages(sf_dir)).to_pandas()
+    assign = dict(zip(clusters["url"], clusters["cluster_id"]))
+    assert all(assign[r["url"]] == r["cluster_id"]
+               for _, r in med.iterrows())
+    pairs = near.minhash_dedup_pairs(web_pages(sf_dir)).to_pandas()
+    score: dict = {}
+    for _, r in pairs.iterrows():
+        bp = int(np.floor(r["jaccard"] * 10000))
+        score[r["url_a"]] = score.get(r["url_a"], 0) + bp
+        score[r["url_b"]] = score.get(r["url_b"], 0) + bp
+    by_cluster: dict = {}
+    for u, c in assign.items():
+        s = score.get(u, 0)
+        best = by_cluster.get(c)
+        if best is None or (s, ) > (best[1], ) or \
+                (s == best[1] and u < best[0]):
+            by_cluster[c] = (u, s)
+    want = {c: u for c, (u, s) in by_cluster.items()}
+    got = dict(zip(med["cluster_id"], med["url"]))
+    assert got == want
