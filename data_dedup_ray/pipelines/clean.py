@@ -722,6 +722,97 @@ def near_dup_keep_medoid(
     ).sort("cluster_id")
 
 
+def near_dup_keep_latest(
+    sf_dir: str, *, threshold: float = 0.7, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """The FRESHEST member of each near-dup cluster: ``(cluster_id,
+    url, warc_ts)`` — max capture timestamp, ties min url (the
+    recency-wins rule a news/product corpus wants where keep_first's
+    arbitrary min-url may be a stale capture).  Same two-exchange shape
+    as keep_best with warc_ts as the signal."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    P = num_partitions
+    pages = web_pages(sf_dir)
+    clusters = near.minhash_dedup_clusters(pages, threshold=threshold)
+
+    def _upart(t: pa.Table, col: str) -> pa.Array:
+        return pa.array(key_partition(t[col].to_pylist(), P))
+
+    def prep_clusters(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"].combine_chunks(),
+            "cluster_id": t["cluster_id"].combine_chunks(),
+            "_part": _upart(t, "url"),
+        })
+
+    def prep_ts(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "url": t["url"].combine_chunks(),
+            "warc_ts": t["warc_ts"].combine_chunks(),
+        })
+        return out.append_column("_part", _upart(out, "url"))
+
+    joined = hash_exchange(
+        [clusters.map_batches(prep_clusters, batch_format="pyarrow"),
+         pages.select_columns(["url", "warc_ts"])
+              .map_batches(prep_ts, batch_format="pyarrow")],
+        lambda cdf, tdf: cdf.merge(tdf, on="url", how="inner"),
+        num_partitions=P,
+        schema=pa.schema([("url", pa.string()),
+                          ("cluster_id", pa.string()),
+                          ("warc_ts", pa.timestamp("us"))]),
+        in_schemas=[
+            pa.schema([("url", pa.string()), ("cluster_id", pa.string())]),
+            pa.schema([("url", pa.string()),
+                       ("warc_ts", pa.timestamp("us"))]),
+        ],
+    )
+
+    def _latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "warc_ts", "url"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("cluster_id", sort=False).head(1)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _upart(t, "cluster_id"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_latest(t.to_pandas()),
+                                    preserve_index=False)
+
+    return hash_exchange(
+        [joined.map_batches(rekey, batch_format="pyarrow")],
+        lambda df: _latest(df)[["cluster_id", "url", "warc_ts"]],
+        num_partitions=P,
+        schema=pa.schema([("cluster_id", pa.string()),
+                          ("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us"))]),
+        in_schemas=[pa.schema([("url", pa.string()),
+                               ("cluster_id", pa.string()),
+                               ("warc_ts", pa.timestamp("us"))])],
+        pre=[combine],
+    ).sort("cluster_id")
+
+
+def near_dup_keep_latest_sql(threshold: float = 0.7) -> str:
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.oracles import near_dup_clusters_sql
+
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+clusters AS (
+{near_dup_clusters_sql(threshold)}
+)
+SELECT cluster_id, url, warc_ts FROM (
+  SELECT c.cluster_id, c.url, w.warc_ts,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY w.warc_ts DESC, c.url) AS rn
+  FROM clusters c JOIN web_pages w ON w.url = c.url)
+WHERE rn = 1 ORDER BY cluster_id"""
+
+
 def near_dup_keep_medoid_sql(threshold: float = 0.7) -> str:
     from data_dedup_ray.corpus import WEB_PAGES_CTE
     from data_dedup_ray.oracles import _SHINGLE_CTES, near_dup_clusters_sql

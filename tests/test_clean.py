@@ -309,3 +309,30 @@ def test_near_dup_keep_medoid_laws(sf_dir):
     want = {c: u for c, (u, s) in by_cluster.items()}
     got = dict(zip(med["cluster_id"], med["url"]))
     assert got == want
+
+
+def test_near_dup_keep_latest_oracle(sf_dir, con):
+    got = clean.near_dup_keep_latest(sf_dir).to_pandas() \
+        .reset_index(drop=True)
+    want = con.execute(clean.near_dup_keep_latest_sql()).fetchdf()
+    got["warc_ts"] = pd.to_datetime(got["warc_ts"])
+    want["warc_ts"] = pd.to_datetime(want["warc_ts"])
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_near_dup_keep_latest_is_cluster_max_ts(sf_dir):
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines import near
+
+    latest = clean.near_dup_keep_latest(sf_dir).to_pandas()
+    assert latest["cluster_id"].is_unique
+    clusters = near.minhash_dedup_clusters(
+        web_pages(sf_dir)).to_pandas()
+    ts = web_pages(sf_dir).select_columns(
+        ["url", "warc_ts"]).to_pandas()
+    full = clusters.merge(ts, on="url")
+    want = (full.sort_values(["cluster_id", "warc_ts", "url"],
+                             ascending=[True, False, True])
+            .groupby("cluster_id").head(1))
+    got = dict(zip(latest["cluster_id"], latest["url"]))
+    assert got == dict(zip(want["cluster_id"], want["url"]))
