@@ -1677,6 +1677,15 @@ def _q_incremental_bottomk_pairs(sf_dir: str):
         snapshots.snapshot2(sf_dir), store)
 
 
+def _q_budgeted_corpus(sf_dir: str):
+    """End-to-end curation capstone (pipelines/budget.py): medoid
+    dedup survivors → longest-capture-first order → exact token-budget
+    prefix (budget small enough to exercise the cutoff at sf0.01)."""
+    from data_dedup_ray.pipelines import budget
+
+    return budget.budgeted_corpus(sf_dir, token_budget=10_000)
+
+
 def _q_near_dup_keep_latest(sf_dir: str):
     """Recency-wins representative per near-dup cluster (max warc_ts,
     ties min url) — the fifth keep-rule (pipelines/clean.py)."""
@@ -1997,27 +2006,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds twenty-three new-family
-        # keys at slots 1-23 (edit-distance dedup at url AND host
+        # FIRST 50 keys only.  Session-16 adds twenty-four new-family
+        # keys at slots 1-24 (edit-distance dedup at url AND host
         # level, weighted multiset Jaccard, exact text-knn, SRP binary
         # embedding sketches, ICWS weighted-Jaccard sketches — the two
         # icws keys are rows-only BY DESIGN (transcendental per-element
         # draws; exact oracle-backed sibling = weighted_jaccard_pairs,
         # recall 1.0 measured), similarity-ordered storage layout + its
-        # locality proof metric, the medoid + keep-latest rules — plus
-        # sorted-neighborhood
+        # locality proof metric, the medoid + keep-latest rules, the
+        # budgeted-corpus curation capstone — plus sorted-neighborhood
         # blocking + its window-recall eval, bottom-k minwise sketches
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing vocab_coverage, oph_pairs_sha,
+        # — never driver-run), displacing embedding_dup_pairs_int8
+        # (r3-proven), vocab_coverage, oph_pairs_sha,
         # span_dup_exposure, cluster_provenance, top_quality_per_domain,
         # image_meta_gif, dedup_tier_eval, crawl_drift, store_audit,
         # doc_novelty, corpus_overlap, simhash_threshold_sweep,
         # dedup_savings, crawl_dup_timeline, cluster_aware_split,
         # incremental_drift, sig_estimator_eval, incremental_novelty,
         # url_template_stats, link_edges, host_graph, host_degree and
-        # top_linked_pages (slots 51-73) out of the top 50
+        # top_linked_pages (slots 51-74) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -2076,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_locality": _q_layout_locality,
         "near_dup_keep_medoid": _q_near_dup_keep_medoid,
         "near_dup_keep_latest": _q_near_dup_keep_latest,
+        "budgeted_corpus": _q_budgeted_corpus,
         "incremental_embedding_dup_pairs": _q_incremental_embedding_pairs,
         "lsh_band_stats": _q_lsh_band_stats,
         "chunk_overlap_pairs": _q_chunk_overlap_pairs,
@@ -2304,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import related as _related
     from data_dedup_ray.pipelines import srp as _srp
     from data_dedup_ray.pipelines import layout as _layout
+    from data_dedup_ray.pipelines import budget as _budget
     from data_dedup_ray.pipelines import storeops as _storeops
     from data_dedup_ray.pipelines import drift as _drift
     from data_dedup_ray.pipelines import novelty as _novelty
@@ -2407,6 +2419,8 @@ def oracle_sql() -> dict[str, str]:
         "layout_locality": _layout.layout_locality_sql(),
         "near_dup_keep_medoid": _clean.near_dup_keep_medoid_sql(),
         "near_dup_keep_latest": _clean.near_dup_keep_latest_sql(),
+        "budgeted_corpus":
+            _budget.budgeted_corpus_sql(token_budget=10_000),
         # round-4: semantic tier of the store ladder + LSH band dashboard
         "incremental_embedding_dup_pairs":
             _embstore.incremental_embedding_dup_pairs_sql(),
