@@ -402,3 +402,39 @@ def test_icws_uniform_open_interval(v, k, slot):
 
     u = _uniform(np.array([v], np.uint64), k, slot)
     assert 0.0 < u[0] < 1.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6),
+                          st.text(alphabet="abc/0", min_size=1,
+                                  max_size=8)),
+                min_size=1, max_size=50))
+@settings(max_examples=150, deadline=None)
+def test_inverted_fixed_width_composite_order(pairs):
+    """budget.py's composite rule: ascending string order of
+    (10^W-1-n zero-padded) + NUL + url  ==  (n DESC, url ASC)."""
+    W = 12
+    comps = [f"{10**W - 1 - n:0{W}d}\x00{u}" for n, u in pairs]
+    by_comp = [pairs[i] for i in np.argsort(np.array(comps, dtype=object),
+                                            kind="stable")]
+    by_rule = sorted(pairs, key=lambda p: (-p[0], p[1]))
+    assert by_comp == by_rule
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=100, deadline=None)
+def test_weighted_shingles_mass_law(texts, k):
+    """Per-doc total window count = max(0, n_tokens - k + 1), and the
+    per-value counts sum to it (no mass lost to the dedup)."""
+    import re
+
+    from data_dedup_ray.pipelines.weighted import _weighted_shingles
+
+    vals, cnts, sizes, totals = _weighted_shingles(texts, k)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    for i, t in enumerate(texts):
+        ntok = len(re.findall(r"[a-z0-9]+", t))
+        want = max(0, ntok - k + 1)
+        assert totals[i] == want
+        assert cnts[starts[i]:starts[i + 1]].sum() == want
