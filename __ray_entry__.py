@@ -1805,6 +1805,15 @@ def _q_bottomk_distinct_estimate(sf_dir: str):
     return bottomk.bottomk_distinct_estimate(sf_dir)
 
 
+def _q_snm_clusters(sf_dir: str):
+    """Connected components over the multi-pass sorted-neighborhood
+    pair graph — near_dup_clusters' shape under the third blocking
+    paradigm (pipelines/sortedneighborhood.py)."""
+    from data_dedup_ray.pipelines import sortedneighborhood as sn
+
+    return sn.snm_clusters(sf_dir)
+
+
 def _q_snm_window_recall(sf_dir: str):
     """Window-size planning curve: recall of a single-pass sorted
     neighborhood vs the EXACT Jaccard pair set, integer basis points —
@@ -2006,8 +2015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds twenty-four new-family
-        # keys at slots 1-24 (edit-distance dedup at url AND host
+        # FIRST 50 keys only.  Session-16 adds twenty-five new-family
+        # keys at slots 1-25 (edit-distance dedup at url AND host
         # level, weighted multiset Jaccard, exact text-knn, SRP binary
         # embedding sketches, ICWS weighted-Jaccard sketches — the two
         # icws keys are rows-only BY DESIGN (transcendental per-element
@@ -2019,7 +2028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing embedding_dup_pairs_int8
+        # — never driver-run), displacing incremental_bbit_pairs_sha
+        # (r4-proven), embedding_dup_pairs_int8
         # (r3-proven), vocab_coverage, oph_pairs_sha,
         # span_dup_exposure, cluster_provenance, top_quality_per_domain,
         # image_meta_gif, dedup_tier_eval, crawl_drift, store_audit,
@@ -2027,7 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_savings, crawl_dup_timeline, cluster_aware_split,
         # incremental_drift, sig_estimator_eval, incremental_novelty,
         # url_template_stats, link_edges, host_graph, host_degree and
-        # top_linked_pages (slots 51-74) out of the top 50
+        # top_linked_pages (slots 51-75) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -2066,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
         "snm_multipass_pairs": _q_snm_multipass_pairs,
         "snm_window_recall": _q_snm_window_recall,
+        "snm_clusters": _q_snm_clusters,
         # round-4 session-16: bottom-k minwise sketch tier (the
         # exactly-mergeable member of the sketch ladder)
         "bottomk_sig_pairs": _q_bottomk_sig_pairs,
@@ -2400,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
             _snb.sorted_neighborhood_pairs_sql(),
         "snm_multipass_pairs": _snb.snm_multipass_pairs_sql(),
         "snm_window_recall": _snb.snm_window_recall_sql(),
+        "snm_clusters": _snb.snm_clusters_sql(),
         "bottomk_sig_pairs": _bottomk.bottomk_sig_pairs_sql(),
         "bottomk_estimator_eval": _bottomk.bottomk_estimator_eval_sql(),
         "bottomk_distinct_estimate":

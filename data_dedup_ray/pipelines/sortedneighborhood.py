@@ -253,6 +253,52 @@ def snm_multipass_pairs(
     ).sort(["url_a", "url_b"])
 
 
+def snm_clusters(
+    sf_dir: str, *, window: int = 10, key_len: int = 24,
+    shingle_k: int = 5, threshold: float = 0.5,
+    num_partitions: int = 16, dsu_max_edges: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Connected components over the multi-pass SNM pair graph —
+    ``(url, cluster_id)`` with min-member labels for every page
+    (near_dup_clusters' shape under the windowed blocking paradigm);
+    count-gated DSU with the distributed label-propagation fallback."""
+    from data_dedup_ray.pipelines.components import (attach_clusters,
+                                                     dsu_components,
+                                                     label_propagation)
+    pages = web_pages(sf_dir).select_columns(["url"])
+    edges = snm_multipass_pairs(
+        sf_dir, window=window, key_len=key_len, shingle_k=shingle_k,
+        threshold=threshold, num_partitions=num_partitions
+    ).materialize()
+    if edges.count() > dsu_max_edges:
+        return label_propagation(
+            pages, edges.select_columns(["url_a", "url_b"]),
+            node_col="url")
+    assignment = dsu_components(edges.to_pandas())
+    return attach_clusters(pages, assignment, id_col="url")
+
+
+def snm_clusters_sql(*, window: int = 10, key_len: int = 24,
+                     threshold: float = 0.5) -> str:
+    """Transitive closure over the multi-pass SNM pair set; singleton
+    pages keep their own url (near_dup_clusters_sql's shape)."""
+    pairs = snm_multipass_pairs_sql(window=window, key_len=key_len,
+                                    threshold=threshold)
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+dup AS (SELECT url_a, url_b FROM ({pairs}) p),
+edges AS (SELECT url_a AS a, url_b AS b FROM dup
+          UNION SELECT url_b, url_a FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r
+                JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id
+FROM web_pages w LEFT JOIN comp c ON c.url = w.url"""
+
+
 def snm_window_recall(
     sf_dir: str, *, windows: tuple = (2, 5, 10, 25), key_len: int = 24,
     shingle_k: int = 5, threshold: float = 0.5, num_partitions: int = 16,

@@ -94,6 +94,22 @@ def test_window_recall_monotone_and_consistent():
     assert (df["recall_bp"] == df["n_found"] * 10000 // df["n_truth"]).all()
 
 
+def test_clusters_oracle(con):
+    got = sn.snm_clusters(SF).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    want = con.execute(sn.snm_clusters_sql()).fetchdf() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_clusters_label_propagation_fallback_matches_dsu():
+    dsu = sn.snm_clusters(SF).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    lp = sn.snm_clusters(SF, dsu_max_edges=0).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dsu, lp)
+
+
 def test_partition_invariance():
     a = _bp(sn.sorted_neighborhood_pairs(SF, num_partitions=3).to_pandas())
     b = _bp(sn.sorted_neighborhood_pairs(SF, num_partitions=16).to_pandas())
