@@ -1749,6 +1749,14 @@ def _q_srp_pairs(sf_dir: str):
     return srp.srp_pairs(sf_dir)
 
 
+def _q_weighted_jaccard_clusters(sf_dir: str):
+    """Repetition-aware cluster view: components over the weighted
+    (multiset) Jaccard pair graph (pipelines/weighted.py)."""
+    from data_dedup_ray.pipelines import weighted
+
+    return weighted.weighted_jaccard_clusters(sf_dir)
+
+
 def _q_similar_docs_topk(sf_dir: str):
     """Per-query top-k most-similar pages by EXACT shingle Jaccard
     (pipelines/related.py) — the text-side knn: share-any candidates
@@ -2015,8 +2023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds twenty-five new-family
-        # keys at slots 1-25 (edit-distance dedup at url AND host
+        # FIRST 50 keys only.  Session-16 adds twenty-six new-family
+        # keys at slots 1-26 (edit-distance dedup at url AND host
         # level, weighted multiset Jaccard, exact text-knn, SRP binary
         # embedding sketches, ICWS weighted-Jaccard sketches — the two
         # icws keys are rows-only BY DESIGN (transcendental per-element
@@ -2028,7 +2036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing incremental_bbit_pairs_sha
+        # — never driver-run), displacing clustering_agreement
+        # (r4-proven), incremental_bbit_pairs_sha
         # (r4-proven), embedding_dup_pairs_int8
         # (r3-proven), vocab_coverage, oph_pairs_sha,
         # span_dup_exposure, cluster_provenance, top_quality_per_domain,
@@ -2037,7 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_savings, crawl_dup_timeline, cluster_aware_split,
         # incremental_drift, sig_estimator_eval, incremental_novelty,
         # url_template_stats, link_edges, host_graph, host_degree and
-        # top_linked_pages (slots 51-75) out of the top 50
+        # top_linked_pages (slots 51-76) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -2089,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_distinct_shingles": _q_host_distinct_shingles,
         "bottomk_containment_pairs": _q_bottomk_containment_pairs,
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "weighted_jaccard_clusters": _q_weighted_jaccard_clusters,
         "similar_docs_topk": _q_similar_docs_topk,
         "srp_pairs": _q_srp_pairs,
         "icws_pairs": _q_icws_pairs,
@@ -2425,6 +2435,8 @@ def oracle_sql() -> dict[str, str]:
             _bottomk.bottomk_containment_pairs_sql(),
         "weighted_jaccard_pairs":
             _weighted.weighted_jaccard_sig_pairs_sql(),
+        "weighted_jaccard_clusters":
+            _weighted.weighted_jaccard_clusters_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),
         "similarity_layout": _layout.similarity_layout_sql(),

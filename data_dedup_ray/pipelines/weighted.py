@@ -285,6 +285,49 @@ def weighted_jaccard_sig_pairs(
         token_hash=sha256_token_hash, num_partitions=num_partitions)
 
 
+def weighted_jaccard_clusters(
+    sf_dir: str, *, shingle_k: int = 5, min_wjac_bp: int = 5000,
+    num_partitions: int = 16, dsu_max_edges: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Connected components over the weighted-Jaccard pair graph —
+    ``(url, cluster_id)`` with min-member labels (the repetition-aware
+    cluster view: a page and its doubled-boilerplate variant stay in
+    separate families where the set-Jaccard clusters would merge them);
+    count-gated DSU with the distributed fallback."""
+    from data_dedup_ray.pipelines.components import (attach_clusters,
+                                                     dsu_components,
+                                                     label_propagation)
+    pages = web_pages(sf_dir).select_columns(["url"])
+    edges = weighted_jaccard_sig_pairs(
+        sf_dir, shingle_k=shingle_k, min_wjac_bp=min_wjac_bp,
+        num_partitions=num_partitions).materialize()
+    if edges.count() > dsu_max_edges:
+        return label_propagation(
+            pages, edges.select_columns(["url_a", "url_b"]),
+            node_col="url")
+    assignment = dsu_components(edges.to_pandas())
+    return attach_clusters(pages, assignment, id_col="url")
+
+
+def weighted_jaccard_clusters_sql(*, shingle_k: int = 5,
+                                  min_wjac_bp: int = 5000) -> str:
+    pairs = weighted_jaccard_sig_pairs_sql(shingle_k=shingle_k,
+                                           min_wjac_bp=min_wjac_bp)
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+dup AS (SELECT url_a, url_b FROM ({pairs}) p),
+edges AS (SELECT url_a AS a, url_b AS b FROM dup
+          UNION SELECT url_b, url_a FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r
+                JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id
+FROM web_pages w LEFT JOIN comp c ON c.url = w.url"""
+
+
 def weighted_jaccard_sig_pairs_sql(*, shingle_k: int = 5,
                                    min_wjac_bp: int = 5000) -> str:
     """Exact twin: the sha-token FNV window chain WITH multiplicity

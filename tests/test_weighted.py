@@ -90,6 +90,22 @@ def test_weighted_bounded_by_set_jaccard_on_multiset_free_docs():
     assert wset <= sset
 
 
+def test_clusters_oracle(con):
+    got = weighted.weighted_jaccard_clusters(SF).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = con.execute(weighted.weighted_jaccard_clusters_sql()) \
+        .fetchdf().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_clusters_label_propagation_fallback_matches_dsu():
+    dsu = weighted.weighted_jaccard_clusters(SF).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    lp = weighted.weighted_jaccard_clusters(SF, dsu_max_edges=0) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dsu, lp)
+
+
 def test_partition_invariance():
     a = weighted.weighted_jaccard_sig_pairs(SF, num_partitions=3) \
         .to_pandas().reset_index(drop=True)
