@@ -1804,6 +1804,15 @@ def _q_dsir_select(sf_dir: str):
     return dsir.dsir_select(sf_dir)
 
 
+def _q_bottomk_clusters(sf_dir: str):
+    """Sketch-only cluster view: components over the bottom-k estimated
+    pair graph — cluster assignments from 256 B/doc, no text pass
+    (pipelines/bottomk.py)."""
+    from data_dedup_ray.pipelines import bottomk
+
+    return bottomk.bottomk_clusters(sf_dir)
+
+
 def _q_bottomk_distinct_estimate(sf_dir: str):
     """Corpus distinct-shingle cardinality from the merged bottom-k
     sketch (Cohen '97 size estimation) — integer-exact estimator,
@@ -2023,8 +2032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ORDER MATTERS: the driver records CORRECTNESS rows for the
-        # FIRST 50 keys only.  Session-16 adds twenty-six new-family
-        # keys at slots 1-26 (edit-distance dedup at url AND host
+        # FIRST 50 keys only.  Session-16 adds twenty-seven new-family
+        # keys at slots 1-27 (edit-distance dedup at url AND host
         # level, weighted multiset Jaccard, exact text-knn, SRP binary
         # embedding sketches, ICWS weighted-Jaccard sketches — the two
         # icws keys are rows-only BY DESIGN (transcendental per-element
@@ -2036,7 +2045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + tier eval + merged-sketch cardinality + grouped per-host
         # cardinality + directional containment + the incremental
         # store rung, DSIR importance weights + the resampling select
-        # — never driver-run), displacing clustering_agreement
+        # — never driver-run), displacing lsh_config_recall
+        # (r4-proven), clustering_agreement
         # (r4-proven), incremental_bbit_pairs_sha
         # (r4-proven), embedding_dup_pairs_int8
         # (r3-proven), vocab_coverage, oph_pairs_sha,
@@ -2046,7 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_savings, crawl_dup_timeline, cluster_aware_split,
         # incremental_drift, sig_estimator_eval, incremental_novelty,
         # url_template_stats, link_edges, host_graph, host_degree and
-        # top_linked_pages (slots 51-76) out of the top 50
+        # top_linked_pages (slots 51-77) out of the top 50
         # into the round-5 rotation backlog (each pytest-pinned;
         # families represented in-slot by siblings).  Round-4 slots
         # 11-50 = this round's
@@ -2091,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sig_pairs": _q_bottomk_sig_pairs,
         "bottomk_estimator_eval": _q_bottomk_estimator_eval,
         "bottomk_distinct_estimate": _q_bottomk_distinct_estimate,
+        "bottomk_clusters": _q_bottomk_clusters,
         # round-4 session-16: DSIR importance-resampling weights
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
@@ -2426,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "bottomk_estimator_eval": _bottomk.bottomk_estimator_eval_sql(),
         "bottomk_distinct_estimate":
             _bottomk.bottomk_distinct_estimate_sql(),
+        "bottomk_clusters": _bottomk.bottomk_clusters_sql(),
         "dsir_weights": _dsir.dsir_weights_sql(),
         "dsir_select": _dsir.dsir_select_sql(),
         "incremental_bottomk_pairs":

@@ -400,6 +400,51 @@ HAVING greatest({ca}, {cb}) >= {min_cont_bp}
 ORDER BY url_a, url_b"""
 
 
+def bottomk_clusters(
+    sf_dir: str, *, k: int = 32, shingle_k: int = 5,
+    min_est_bp: int = 5000, num_partitions: int = 16,
+    dsu_max_edges: int = 20_000_000,
+) -> ray.data.Dataset:
+    """SKETCH-ONLY cluster view: components over the bottom-k estimated
+    pair graph — ``(url, cluster_id)`` with min-member labels for every
+    page, computed from 256 B/doc sketches without a single exact-
+    verify pass over text (the cluster assignment a pure-sketch store
+    can produce on its own); count-gated DSU with the distributed
+    label-propagation fallback."""
+    from data_dedup_ray.pipelines.components import (attach_clusters,
+                                                     dsu_components,
+                                                     label_propagation)
+    pages = web_pages(sf_dir).select_columns(["url"])
+    edges = bottomk_sig_pairs(
+        sf_dir, k=k, shingle_k=shingle_k, min_est_bp=min_est_bp,
+        num_partitions=num_partitions).materialize()
+    if edges.count() > dsu_max_edges:
+        return label_propagation(
+            pages, edges.select_columns(["url_a", "url_b"]),
+            node_col="url")
+    assignment = dsu_components(edges.to_pandas())
+    return attach_clusters(pages, assignment, id_col="url")
+
+
+def bottomk_clusters_sql(*, k: int = 32, shingle_k: int = 5,
+                         min_est_bp: int = 5000) -> str:
+    pairs = bottomk_sig_pairs_sql(k=k, shingle_k=shingle_k,
+                                  min_est_bp=min_est_bp)
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+dup AS (SELECT url_a, url_b FROM ({pairs}) p),
+edges AS (SELECT url_a AS a, url_b AS b FROM dup
+          UNION SELECT url_b, url_a FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r
+                JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id
+FROM web_pages w LEFT JOIN comp c ON c.url = w.url"""
+
+
 def _token_hash_name(token_hash) -> str:
     return "sha" if token_hash == "sha" \
         or token_hash is sha256_token_hash else "default"

@@ -288,6 +288,22 @@ def test_host_distinct_shingles_batch_invariance():
                                   b.reset_index(drop=True))
 
 
+def test_bottomk_clusters_oracle(con):
+    got = bottomk.bottomk_clusters(SF).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = con.execute(bottomk.bottomk_clusters_sql()).fetchdf() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bottomk_clusters_fallback_matches_dsu(con):
+    dsu = bottomk.bottomk_clusters(SF).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    lp = bottomk.bottomk_clusters(SF, dsu_max_edges=0).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dsu, lp)
+
+
 def test_exact_copies_estimate_10000():
     """Planted byte-identical mirrors (doc_id % 10 == 0) must estimate
     J = 1 exactly: est_bp = 10000 rows for every mirror/base pair."""
