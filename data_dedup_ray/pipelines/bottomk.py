@@ -179,8 +179,10 @@ def _candidate_pairs(blobs: ray.data.Dataset, *, id_col: str = "url",
         })
 
     def cand_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # exact contract: every pair sharing a bottom-k value must
+        # surface, so a hot value fails loudly instead of star-degrading
         return _pairs_in_partition(g, key_cols=["h"], id_col="url",
-                                   group_cap=group_cap)
+                                   group_cap=group_cap, on_cap="error")
 
     cand = hash_exchange(
         [blobs.map_batches(explode, batch_format="pyarrow")],
@@ -519,7 +521,7 @@ def incremental_bottomk_pairs(
 
     def cand_fn(g: pd.DataFrame) -> pd.DataFrame:
         p = _pairs_in_partition(g, key_cols=["h"], id_col="url",
-                                group_cap=group_cap)
+                                group_cap=group_cap, on_cap="error")
         if not len(p):
             return p
         # cross-side only; 'i|' < 'n|' makes url_a the index side
@@ -741,7 +743,11 @@ def host_distinct_shingles(
         cat, sizes = shingle_sets(t["text"], shingle_k,
                                   token_hash=sha256_token_hash)
         urls = t["url"].to_pandas()
-        hosts = urls.str.split("/").str[2].to_numpy(dtype=object)
+        # fillna("") matches split_part(url, '/', 3) in the SQL twin:
+        # DuckDB returns '' for a url with fewer than two slashes, while
+        # .str[2] yields NaN, which would poison np.unique/object hashing
+        hosts = (urls.str.split("/").str[2]
+                 .fillna("").to_numpy(dtype=object))
         owner = np.repeat(np.arange(len(sizes)), sizes)
         hu, hcode = np.unique(hosts, return_inverse=True)
         hown = hcode[owner]

@@ -813,7 +813,8 @@ def host_template_chunks(
 
     def chunk_partials(t: pa.Table) -> pa.Table:
         df = t.select(["url", "chunk_hash"]).to_pandas()
-        df["host"] = df["url"].astype(object).str.split("/").str[2]
+        df["host"] = (df["url"].astype(object)
+                      .str.split("/").str[2].fillna(""))
         cc = df.groupby(["host", "chunk_hash"], sort=False) \
             .size().rename("n").reset_index()
         cc["_part"] = key_partition(
@@ -825,7 +826,8 @@ def host_template_chunks(
         # split across batches duplicates its row, so the join side
         # counts DISTINCT urls, never row totals
         df = t.select(["url"]).to_pandas().drop_duplicates()
-        df["host"] = df["url"].astype(object).str.split("/").str[2]
+        df["host"] = (df["url"].astype(object)
+                      .str.split("/").str[2].fillna(""))
         df["_part"] = key_partition(df["host"].to_numpy(), P)
         return pa.Table.from_pandas(df[["host", "url", "_part"]],
                                     preserve_index=False)

@@ -126,7 +126,8 @@ def _extract_edges(t: pa.Table) -> pa.Table:
         dsts.extend(x.decode("utf-8") for x in found)
     src_rep = np.repeat(src, counts)
     dst = np.asarray(dsts, dtype=object)
-    host = lambda s: pd.Series(s, dtype=object).str.split("/").str[2]
+    host = lambda s: (pd.Series(s, dtype=object)
+                      .str.split("/").str[2].fillna(""))
     return pa.table({
         "src_url": pa.array(src_rep, pa.string()),
         "dst_url": pa.array(dst, pa.string()),

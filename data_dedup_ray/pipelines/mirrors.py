@@ -53,7 +53,8 @@ _SQL_HOST = "split_part(split_part(url, '//', 2), '/', 1)"
 
 
 def _hosts_of(urls: pd.Series) -> pd.Series:
-    return urls.astype(object).str.split("/").str[2]
+    # fillna("") = split_part(url, '/', 3) semantics for malformed urls
+    return urls.astype(object).str.split("/").str[2].fillna("")
 
 
 def _host_sha_prep(P: int, *, counted: bool):

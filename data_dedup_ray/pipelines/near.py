@@ -186,6 +186,7 @@ def _pairs_in_partition(
     id_col: str,
     group_cap: int,
     carry: list[str] | None = None,
+    on_cap: str = "star",
 ) -> pd.DataFrame:
     """All intra-group pairs of one coarse partition — vectorized.
 
@@ -193,6 +194,13 @@ def _pairs_in_partition(
     Python; groups larger than ``group_cap`` fall back to a star on the
     lexicographic min member (SURVEY.md §7.4 skew guard).  ``carry``
     columns (e.g. simhash fingerprints) ride along as ``<col>_a/<col>_b``.
+
+    ``on_cap="error"`` raises instead of star-degrading — for callers
+    whose contract is EXACT pair recall (weighted_jaccard_pairs, the
+    bottom-k candidate joins): silently dropping pairs on a hot key
+    would diverge from their SQL oracles, so a too-common blocking
+    value must fail loudly and send the operator's user to a bigger
+    cap / max_df pre-filter rather than quietly lose recall.
     """
     carry = carry or []
     cols = [id_col, *carry]
@@ -208,6 +216,12 @@ def _pairs_in_partition(
         return empty
     sz = sz[sz > 1]
     small, big = g[sz <= group_cap], g[sz > group_cap]
+    if len(big) and on_cap == "error":
+        raise ValueError(
+            f"blocking group of {int(sz.max())} members exceeds "
+            f"group_cap={group_cap} on an exactness-claimed path; "
+            "raise group_cap or pre-filter ubiquitous keys (max_df)"
+        )
     out = []
     if len(small):
         s = small[["_code", *cols]]
@@ -943,7 +957,10 @@ def ngram_jaccard_pairs(
         data, off = _blob_views(b["sh"])
         n = np.diff(off)
         need = -((-t_scaled * n) // _T_DENOM)
-        p = np.where(n > 0, n - need + 1, 0)
+        # a threshold above 1.0 makes the prefix length negative —
+        # clamp to 0 (no pair can qualify, emit no candidates) instead
+        # of crashing np.repeat in _seg_gather
+        p = np.maximum(np.where(n > 0, n - need + 1, 0), 0)
         doc_of, gidx = _seg_gather(off[:-1], p)
         cat = data[gidx]
         return pa.table({

@@ -875,7 +875,7 @@ def host_change_rates(crawl1: ray.data.Dataset, crawl2: ray.data.Dataset,
                 "host": pd.Series([], dtype=object),
                 "n": pd.Series([], dtype=np.int64),
                 "chg": pd.Series([], dtype=np.int64)})
-        host = m["url"].astype(object).str.split("/").str[2]
+        host = m["url"].astype(object).str.split("/").str[2].fillna("")
         chg = (m["sha_1"] != m["sha_2"]).to_numpy()
         g = (pd.DataFrame({"host": host, "chg": chg.astype(np.int64)})
              .groupby("host", sort=False)
@@ -953,7 +953,7 @@ def host_url_churn(crawl1: ray.data.Dataset, crawl2: ray.data.Dataset,
                 "n_common": pd.Series([], dtype=np.int64),
                 "n_gone": pd.Series([], dtype=np.int64),
                 "n_new": pd.Series([], dtype=np.int64)})
-        host = m["url"].astype(object).str.split("/").str[2]
+        host = m["url"].astype(object).str.split("/").str[2].fillna("")
         ina = m["a"].notna().to_numpy()
         inb = m["b"].notna().to_numpy()
         g = (pd.DataFrame({

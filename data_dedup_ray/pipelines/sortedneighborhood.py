@@ -377,10 +377,16 @@ def snm_window_recall(
                           pa.int64()),
         })
 
-    agg = gaps.map_batches(partial, batch_format="pyarrow") \
-        .to_pandas().groupby("win", as_index=False)["n"].sum()
-    total = int(agg.loc[agg["win"] == -1, "n"].sum())
-    found = {int(r["win"]): int(r["n"]) for _, r in agg.iterrows()}
+    pdf = gaps.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(pdf):
+        agg = pdf.groupby("win", as_index=False)["n"].sum()
+        total = int(agg.loc[agg["win"] == -1, "n"].sum())
+        found = {int(r["win"]): int(r["n"]) for _, r in agg.iterrows()}
+    else:
+        # empty truth pair set → zero gap rows, zero partial batches:
+        # still one row per window (n_found = 0, recall_bp = 0), the
+        # same shape the SQL twin's wins-driven query emits
+        total, found = 0, {}
     out = pd.DataFrame({
         "win": np.array(ws, np.int64),
         "n_truth": np.full(len(ws), total, np.int64),
@@ -409,11 +415,16 @@ def snm_window_recall_sql(
         " JOIN ranked a ON a.url = t.url_a"
         " JOIN ranked b ON b.url = t.url_b),\n"
         f"wins AS (SELECT unnest([{ws}]) AS win)\n"
+        # wins drives (correlated scalar counts, not CROSS JOIN d): on a
+        # corpus with an empty truth pair set, d has no rows and a join
+        # would emit nothing, while the Ray side still reports one row
+        # per window with n_found = 0 / recall_bp = 0.
         "SELECT win, (SELECT count(*) FROM t) AS n_truth,\n"
-        "       count(*) FILTER (WHERE d.diff < win) AS n_found,\n"
-        "       CAST((count(*) FILTER (WHERE d.diff < win) * 10000)"
-        " // (SELECT count(*) FROM t) AS BIGINT) AS recall_bp\n"
-        "FROM wins CROSS JOIN d GROUP BY win ORDER BY win"
+        "       (SELECT count(*) FROM d WHERE d.diff < win) AS n_found,\n"
+        "       CAST(((SELECT count(*) FROM d WHERE d.diff < win)"
+        " * 10000) // greatest((SELECT count(*) FROM t), 1)"
+        " AS BIGINT) AS recall_bp\n"
+        "FROM wins ORDER BY win"
     )
 
 

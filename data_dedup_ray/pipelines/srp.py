@@ -93,8 +93,18 @@ def srp_hamming_pairs(
                                                _pairs_in_partition)
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole recall needs max_hamming < n_bands")
-    assert n_bits % n_bands == 0
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bits={n_bits} must divide into n_bands="
+                         f"{n_bands} equal bands")
     rb = n_bits // n_bands
+    # band extraction below reads each band from ONE uint64 word of the
+    # signature; rb > 64 overflows the mask and a band straddling a
+    # word boundary would silently truncate — reject both up front.
+    if rb > 64 or 64 % rb != 0:
+        raise ValueError(
+            f"band width n_bits/n_bands={rb} unsupported: bands must be "
+            "<= 64 bits and evenly pack into 64-bit words (64 % width "
+            "== 0); pick n_bands so the width is a power of two <= 64")
     P = num_partitions
     sigs = srp_signatures(emb, n_bits=n_bits, id_col=id_col,
                           emb_col=emb_col)

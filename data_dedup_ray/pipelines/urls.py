@@ -370,7 +370,7 @@ def markup_stats(ds: ray.data.Dataset, *,
 
     def prep(t: pa.Table) -> pa.Table:
         urls = pd.Series(t["url"].to_pylist(), dtype=object)
-        host = urls.str.split("/").str[2]
+        host = urls.str.split("/").str[2].fillna("")
         hb = np.fromiter((len(h) for h in t["html"].to_pylist()),
                          np.int64, len(urls))
         tb = np.fromiter(

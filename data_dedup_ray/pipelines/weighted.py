@@ -215,7 +215,8 @@ def weighted_jaccard_pairs(
     cand = hash_exchange(
         [blobs.map_batches(explode, batch_format="pyarrow")],
         lambda g: _pairs_in_partition(g, key_cols=["h"], id_col="url",
-                                      group_cap=group_cap),
+                                      group_cap=group_cap,
+                                      on_cap="error"),
         num_partitions=P,
         schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
         in_schemas=[pa.schema([("h", pa.uint64()), ("url", pa.string())])],

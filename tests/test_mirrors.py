@@ -207,3 +207,14 @@ def test_cluster_provenance_partition_invariance(ray_session):
             .sort_values("cluster_id").reset_index(drop=True)
             for p in (2, 13)]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hosts_of_malformed_urls_match_split_part():
+    """Host extraction must mirror DuckDB split_part(url,'/',3): a url
+    with fewer than two slashes yields '' — never NaN (which would
+    poison np.unique / object hashing downstream)."""
+    import pandas as pd
+    s = pd.Series(["https://h1.example/x", "noslash", "a/b", "", "//only"],
+                  dtype=object)
+    got = mi._hosts_of(s)
+    assert list(got) == ["h1.example", "", "", "", "only"]

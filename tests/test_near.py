@@ -481,3 +481,21 @@ def test_simhash_sha_clusters_matches_closure_oracle(ray_session):
     assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
     # real families exist and every cluster label is a member url
     assert got["cluster_id"].nunique() < len(got)
+
+
+def test_pairs_in_partition_on_cap_error():
+    """Exactness-claimed callers pass on_cap='error': a hot blocking key
+    must raise instead of silently star-degrading recall."""
+    from data_dedup_ray.pipelines.near import _pairs_in_partition
+
+    g = pd.DataFrame({
+        "h": np.zeros(50, dtype=np.int64),
+        "url": [f"u{i:03d}" for i in range(50)],
+    })
+    with pytest.raises(ValueError, match="group_cap"):
+        _pairs_in_partition(g, key_cols=["h"], id_col="url",
+                            group_cap=10, on_cap="error")
+    # below the cap the exact path is untouched
+    out = _pairs_in_partition(g, key_cols=["h"], id_col="url",
+                              group_cap=100, on_cap="error")
+    assert len(out) == 50 * 49 // 2

@@ -114,3 +114,18 @@ def test_partition_invariance():
     a = _bp(sn.sorted_neighborhood_pairs(SF, num_partitions=3).to_pandas())
     b = _bp(sn.sorted_neighborhood_pairs(SF, num_partitions=16).to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_window_recall_empty_truth_parity(con):
+    """threshold above any possible Jaccard → empty truth set: BOTH
+    sides must still emit one row per window with n_found = 0 and
+    recall_bp = 0 (the SQL drives from wins, not a join against the
+    empty gap table)."""
+    got = (sn.snm_window_recall(SF, threshold=1.5)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(sn.snm_window_recall_sql(threshold=1.5)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: "int64" for c in want.columns}))
+    assert len(got) == 4
+    assert (got["n_truth"] == 0).all()
+    assert (got["recall_bp"] == 0).all()

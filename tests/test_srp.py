@@ -87,3 +87,14 @@ def test_partition_invariance():
     b = srp.srp_pairs(SF, num_partitions=16).to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_band_width_validation():
+    """Band widths that overflow or straddle 64-bit signature words are
+    rejected up front (silent truncation otherwise)."""
+    with pytest.raises(ValueError, match="band width"):
+        srp.srp_hamming_pairs(None, n_bits=96, n_bands=4, max_hamming=1)
+    with pytest.raises(ValueError, match="band width"):
+        srp.srp_hamming_pairs(None, n_bits=256, n_bands=2, max_hamming=1)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        srp.srp_hamming_pairs(None, n_bits=128, n_bands=2, max_hamming=5)
