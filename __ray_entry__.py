@@ -1738,6 +1738,27 @@ def _q_icws_estimator_eval(sf_dir: str):
     return icws.icws_estimator_eval(sf_dir)
 
 
+def _q_icws_fixed_pairs(sf_dir: str):
+    """Integer-exact ICWS (fixed mode): every Gamma/Uniform draw is a
+    quantized inverse-CDF table lookup indexed by a xorshift64 hash of
+    the shingle value, so the whole sketch — draws, t, argmin, banding,
+    match-fraction estimator — is bit-restatable in DuckDB
+    (icws_fixed_pairs_sql).  The oracle-backed member of the ICWS
+    family; the float tier (icws_pairs) stays rows-only."""
+    from data_dedup_ray.pipelines import icws
+
+    return icws.icws_fixed_sig_pairs(sf_dir)
+
+
+def _q_icws_fixed_estimator_eval(sf_dir: str):
+    """Fixed-ICWS tier grade vs exact weighted-Jaccard truth — fully
+    SQL-twinned on BOTH sides (measured at K=64: recall_bp 9805-9900,
+    precision_bp 9803-9950 at the 0.7 threshold)."""
+    from data_dedup_ray.pipelines import icws
+
+    return icws.icws_fixed_estimator_eval(sf_dir)
+
+
 def _q_srp_pairs(sf_dir: str):
     """SRP binary embedding sketches (Charikar '02 — SimHash for
     vectors, 16 B/doc): md5-parity ±1 projections over int8-quantized
@@ -2082,7 +2103,12 @@ _R5_NEVER_VERIFIED = [
 ]
 # New round-5 oracle-backed keys are appended here as they are built so they
 # land inside the window on their debut round.
-_R5_NEW: list = []
+_R5_NEW: list = [
+    # integer-exact ICWS: the previously rows-only family's first fully
+    # SQL-twinned members (quantized inverse-CDF draws — see icws.py)
+    "icws_fixed_pairs",
+    "icws_fixed_estimator_eval",
+]
 # Oracle-backed, never driver-recorded, but independently replayed 12/12 exact
 # by the round-4 judge — lowest-urgency window occupants.
 _R5_JUDGE_REPLAYED = [
@@ -2196,6 +2222,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "srp_pairs": _q_srp_pairs,
         "icws_pairs": _q_icws_pairs,
         "icws_estimator_eval": _q_icws_estimator_eval,
+        "icws_fixed_pairs": _q_icws_fixed_pairs,
+        "icws_fixed_estimator_eval": _q_icws_fixed_estimator_eval,
         "similarity_layout": _q_similarity_layout,
         "layout_locality": _q_layout_locality,
         "near_dup_keep_medoid": _q_near_dup_keep_medoid,
@@ -2426,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
     from data_dedup_ray.pipelines import bottomk as _bottomk
     from data_dedup_ray.pipelines import dsir as _dsir
     from data_dedup_ray.pipelines import weighted as _weighted
+    from data_dedup_ray.pipelines import icws as _icws
     from data_dedup_ray.pipelines import related as _related
     from data_dedup_ray.pipelines import srp as _srp
     from data_dedup_ray.pipelines import layout as _layout
@@ -2531,6 +2560,12 @@ def oracle_sql() -> dict[str, str]:
             _weighted.weighted_jaccard_sig_pairs_sql(),
         "weighted_jaccard_clusters":
             _weighted.weighted_jaccard_clusters_sql(),
+        # icws_pairs / icws_estimator_eval intentionally omitted (float
+        # transcendental draws → rows-only); the fixed mode below is the
+        # family's bit-exact twin
+        "icws_fixed_pairs": _icws.icws_fixed_pairs_sql(),
+        "icws_fixed_estimator_eval":
+            _icws.icws_fixed_estimator_eval_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),
         "similarity_layout": _layout.similarity_layout_sql(),

@@ -94,3 +94,91 @@ def test_estimator_eval_row():
     assert ev["tier"].iloc[0] == "icws64"
     assert int(ev["recall_bp"].iloc[0]) >= 9000
     assert int(ev["n_true"].iloc[0]) > 0
+
+
+# ---- fixed (integer-exact, SQL-twinned) mode ----
+
+
+def test_fixed_tables_shape_and_monotone():
+    lnq, lnw, lgc = icws._fixed_tables()
+    assert len(lnq) == 4096 and len(lgc) == 4096 and len(lnw) == 4097
+    # ln is increasing; inverse-CDF of a distribution is increasing
+    assert (np.diff(lnq) >= 0).all() and (lnq < 0).all()
+    assert (np.diff(lnw[1:]) >= 0).all() and lnw[1] == 0
+    assert (np.diff(lgc) >= 0).all()
+    # r = -(lnq_i + lnq_j) is strictly positive for every index pair
+    assert -(lnq[-1] + lnq[-1]) > 0
+
+
+def test_fixed_identical_sets_collide_everywhere():
+    vals = np.arange(1, 40, dtype=np.uint64) * np.uint64(2654435761)
+    cnts = (np.arange(39) % 5 + 1).astype(np.int64)
+    flat_v = np.concatenate([vals, vals])
+    flat_c = np.concatenate([cnts, cnts])
+    sizes = np.array([39, 39], np.int64)
+    sv, st = icws.icws_fixed_signatures_flat(flat_v, flat_c, sizes,
+                                             n_samples=32)
+    assert (sv[0] == sv[1]).all() and (st[0] == st[1]).all()
+    # disjoint sets never collide on v
+    flat_v2 = np.concatenate([vals, vals + np.uint64(1)])
+    sv2, _ = icws.icws_fixed_signatures_flat(flat_v2, flat_c, sizes,
+                                             n_samples=32)
+    assert not (sv2[0] == sv2[1]).any()
+
+
+def test_fixed_signature_batch_invariant():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(1, 2**63, size=120, dtype=np.uint64)
+    cnts = rng.integers(1, 9, size=120).astype(np.int64)
+    sizes = np.array([50, 70], np.int64)
+    sv, st = icws.icws_fixed_signatures_flat(vals, cnts, sizes,
+                                             n_samples=16)
+    sv0, st0 = icws.icws_fixed_signatures_flat(
+        vals[:50], cnts[:50], np.array([50], np.int64), n_samples=16)
+    sv1, st1 = icws.icws_fixed_signatures_flat(
+        vals[50:], cnts[50:], np.array([70], np.int64), n_samples=16)
+    assert (sv[0] == sv0[0]).all() and (st[1] == st1[0]).all()
+
+
+def test_fixed_empty_doc_rows():
+    sv, st = icws.icws_fixed_signatures_flat(
+        np.empty(0, np.uint64), np.empty(0, np.int64),
+        np.array([0, 0], np.int64), n_samples=8)
+    assert (sv == 0).all() and (st == -1).all()
+
+
+@pytest.fixture(scope="module")
+def con():
+    import duckdb
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return c
+
+
+def test_fixed_pairs_sql_parity(con):
+    got = (icws.icws_fixed_sig_pairs(SF).to_pandas()
+           .reset_index(drop=True))
+    want = con.execute(icws.icws_fixed_pairs_sql()).fetchdf() \
+        .astype({"est_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    assert len(got) > 0
+
+
+def test_fixed_estimator_eval_sql_parity(con):
+    got = icws.icws_fixed_estimator_eval(SF).to_pandas() \
+        .reset_index(drop=True)
+    want = con.execute(icws.icws_fixed_estimator_eval_sql()).fetchdf()
+    want = want.astype({c: "int64" for c in want.columns if c != "tier"})
+    pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                  want.sort_index(axis=1))
+    # the graded tier must stay a usable detector
+    assert got["recall_bp"].iloc[0] >= 9000
+    assert got["precision_bp"].iloc[0] >= 9000
+
+
+def test_fixed_pairs_partition_invariance():
+    a = icws.icws_fixed_sig_pairs(SF, num_partitions=3).to_pandas()
+    b = icws.icws_fixed_sig_pairs(SF, num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
