@@ -2108,6 +2108,9 @@ _R5_NEW: list = [
     # SQL-twinned members (quantized inverse-CDF draws — see icws.py)
     "icws_fixed_pairs",
     "icws_fixed_estimator_eval",
+    # the input_hint invariant extract_text(html) == text as a driver-
+    # checked query (the Ray side extracts from the html BYTES only)
+    "extract_text",
 ]
 # Oracle-backed, never driver-recorded, but independently replayed 12/12 exact
 # by the round-4 judge — lowest-urgency window occupants.
@@ -2224,6 +2227,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "icws_estimator_eval": _q_icws_estimator_eval,
         "icws_fixed_pairs": _q_icws_fixed_pairs,
         "icws_fixed_estimator_eval": _q_icws_fixed_estimator_eval,
+        "extract_text": text.extract_text_pages,
         "similarity_layout": _q_similarity_layout,
         "layout_locality": _q_layout_locality,
         "near_dup_keep_medoid": _q_near_dup_keep_medoid,
@@ -2566,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "icws_fixed_pairs": _icws.icws_fixed_pairs_sql(),
         "icws_fixed_estimator_eval":
             _icws.icws_fixed_estimator_eval_sql(),
+        "extract_text": _text.extract_text_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),
         "similarity_layout": _layout.similarity_layout_sql(),

@@ -606,3 +606,29 @@ SELECT CAST(vocab_size AS BIGINT) AS vocab_size, t.n_distinct,
                               WHERE rn <= vocab_size), 0)
             // greatest(t.total, 1) AS BIGINT) AS coverage_bp
 FROM cuts, tot t"""
+
+
+def extract_text_pages(sf_dir: str) -> ray.data.Dataset:
+    """``(url, extracted_text)`` — the deterministic HTML→text extractor
+    (stages/extract.py) run over the raw ``html`` BYTES of every page:
+    the literal input_hint invariant ``extract_text(html) == text``
+    (BASELINE.json:16) as a driver-checkable query.  The ``text`` column
+    is dropped before the stage runs, so the output provably comes from
+    the html payload; the SQL twin selects the corpus CTE's ``text``,
+    and a value-hash match IS the byte-identity proof."""
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.stages.extract import extract_text
+
+    return (web_pages(sf_dir)
+            .select_columns(["url", "html"])
+            .map_batches(extract_text, batch_format="pyarrow")
+            .select_columns(["url", "extracted_text"]))
+
+
+def extract_text_sql() -> str:
+    """Twin: the corpus derivation's ``text`` column — equality with the
+    html-extracted Ray output closes the input_hint clause exactly."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+
+    return (f"WITH {WEB_PAGES_CTE}\n"
+            "SELECT url, text AS extracted_text FROM web_pages")

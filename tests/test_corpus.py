@@ -99,3 +99,20 @@ def test_amplify_family_size_constant_across_factors():
     # two disjoint 4-member families (blocks 0 and 1), nothing larger
     assert all(len(s) == 4 for s in sizes), sizes
     assert len(set().union(*sizes)) == 8 if sizes else True
+
+
+def test_extract_text_query_matches_sql_twin(sf_dir):
+    """The driver-facing extract_text query (html bytes only in, text
+    out) must equal the corpus CTE's text column bit-for-bit."""
+    import duckdb
+    from data_dedup_ray.pipelines import text as tpl
+
+    got = (tpl.extract_text_pages(sf_dir).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = con.execute(
+        tpl.extract_text_sql() + " ORDER BY url").fetchdf()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
