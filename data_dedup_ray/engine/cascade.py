@@ -309,13 +309,21 @@ def _mask(expr):
     return lambda t: t.filter(expr(t))
 
 
+#: ``colliding_filter="auto"`` switches to Bloom broadcast once the total
+#: colliding-prefix count crosses this (5M int64 prefixes = 40 MB of exact
+#: broadcast state per worker vs ~10 MB of Bloom bits; below it the exact
+#: arrays are cheap and candidate sets stay minimal).  Module-level so
+#: tests can force the switch on a tiny corpus.
+_AUTO_BLOOM_THRESHOLD = 5_000_000
+
+
 def dedup_cascade(
     ds: ray.data.Dataset,
     stages: list[DigestStage],
     *,
     id_col: str = "url",
     concurrency: int | tuple | None = None,
-    colliding_filter: str = "exact",
+    colliding_filter: str = "auto",
 ) -> ray.data.Dataset:
     """Run the lazy digest cascade; returns one row per input row with
     ``[id_col, k_<stage>..., n_keys, cluster_id, n_members]``.
@@ -330,11 +338,15 @@ def dedup_cascade(
     instead — at extreme scale the colliding-prefix set itself can be
     large, and a Bloom false positive only costs extra expensive-digest
     work on a unique row (it closes with identical ``n_keys`` in the
-    candidate trie), never block structure.
+    candidate trie), never block structure.  ``"auto"`` (the default)
+    measures the colliding set and picks: exact below
+    ``_AUTO_BLOOM_THRESHOLD`` total prefixes, bloom above — so small
+    corpora keep minimal candidate sets and a 10^12-row duplicate-heavy
+    corpus never ships a corpus-sized broadcast.
     """
-    if colliding_filter not in ("exact", "bloom"):
+    if colliding_filter not in ("exact", "bloom", "auto"):
         raise ValueError(
-            f"colliding_filter must be 'exact' or 'bloom', "
+            f"colliding_filter must be 'exact', 'bloom' or 'auto', "
             f"got {colliding_filter!r}")
     if not stages:
         return _degenerate_block(ds, id_col)
@@ -355,6 +367,10 @@ def dedup_cascade(
             lambda t: _with_const(t, stages, id_col), batch_format="pyarrow"
         )
         return out
+    if colliding_filter == "auto":
+        total = sum(len(arr) for arr in colliding)
+        colliding_filter = ("bloom" if total > _AUTO_BLOOM_THRESHOLD
+                            else "exact")
     if colliding_filter == "bloom":
         colliding = [("bloom", *_bloom_build(arr)) for arr in colliding]
     ref = ray.put(colliding)

@@ -167,16 +167,17 @@ def dedup_pages(
     resolve_hardlinks: "callable | None" = None,
     id_col: str = "url",
     concurrency: int | tuple | None = None,
-    colliding_filter: str = "exact",
+    colliding_filter: str = "auto",
 ) -> ray.data.Dataset:
     """scan → predicates → cascade: the `Files->scan` + `Engine->add` path
     (Files.pm:215-240) as one lazy Dataset pipeline.
 
     ``resolve_hardlinks``: optional per-inode canonical-url callback
     (Files.pm:279-318) forwarded to ``collapse_identity``.
-    ``colliding_filter``: forwarded to the cascade — ``"bloom"`` swaps the
-    broadcast collision sets for Bloom filters (extreme-scale mode,
-    engine/cascade.py)."""
+    ``colliding_filter``: forwarded to the cascade — ``"auto"`` (default)
+    broadcasts exact collision sets on small corpora and switches itself
+    to Bloom filters past ``cascade._AUTO_BLOOM_THRESHOLD`` colliding
+    prefixes (extreme-scale mode, engine/cascade.py)."""
     if ignore_empty:
         ds = filter_empty(ds)
     if collapse and "inode_id" in ds.schema().names:

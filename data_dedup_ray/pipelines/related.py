@@ -46,17 +46,29 @@ def _is_query(urls: pd.Series, every: int) -> np.ndarray:
 
 def similar_docs_topk(
     sf_dir: str, *, topk: int = 3, every: int = 50, shingle_k: int = 5,
-    num_partitions: int = 16,
+    num_partitions: int = 16, max_df: int | None = None,
+    _pages: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """``(query_url, neighbor_url, jaccard_bp, rank)`` — each query
     page's ``topk`` highest-Jaccard neighbors (rank 1-based; fewer rows
-    when a query has fewer positive-overlap neighbors)."""
+    when a query has fewer positive-overlap neighbors).
+
+    ``max_df`` is the 100 TB scale guard: shingles whose document
+    frequency exceeds it are dropped from CANDIDATE generation (the
+    tfidf.py df-cut — a shingle's full posting list is co-located in its
+    hash partition, so df is exact there), bounding candidate volume at
+    Σ_s df_q(s)·min(df(s), max_df) instead of letting one boilerplate
+    shingle fan out quadratically.  Default None = exact mode (recall
+    1.0, the oracle contract); with a cap, a neighbor sharing ONLY
+    over-cap shingles can be missed, but surviving pairs keep their
+    exact Jaccard (the verify stage always scores full shingle sets).
+    ``_pages`` overrides the corpus for tests."""
     from data_dedup_ray.pipelines.near import (_blob_views,
                                                _distinct_pairs,
                                                shingle_rows,
                                                verify_pairs_partitioned)
     P = num_partitions
-    pages = web_pages(sf_dir)
+    pages = web_pages(sf_dir) if _pages is None else _pages
     sh = shingle_rows(pages, shingle_k=shingle_k).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
@@ -72,6 +84,10 @@ def similar_docs_topk(
         })
 
     def cand_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None and len(df):
+            # exact in-partition df (full posting list co-located here)
+            dfc = df.groupby("h", sort=False)["url"].transform("size")
+            df = df[dfc.to_numpy() <= max_df]
         qs = df[df["q"]][["h", "url"]].rename(columns={"url": "url_a"})
         if not len(qs):
             return pd.DataFrame({"url_a": pd.Series(dtype=object),

@@ -196,3 +196,27 @@ def test_bloom_no_false_negatives_unit():
     # empty set → nothing matches (m floors at 64, all bits zero)
     ebits, em, ek = _bloom_build(np.array([], dtype=np.int64))
     assert not _bloom_contains(ebits, em, arr, ek).any()
+
+
+def test_auto_filter_picks_exact_small_and_bloom_past_threshold(monkeypatch):
+    """'auto' (the default) resolves from the measured colliding-prefix
+    count: exact below _AUTO_BLOOM_THRESHOLD, bloom above — block
+    structure identical either way."""
+    from data_dedup_ray.engine import cascade as casc
+
+    rows = NINE + [("A1dup", "A", 1), ("C9dup", "C", 9)]
+    stages = [LETTER, _mod(3),
+              _col_stage("num", lambda t: t["num"], expensive=True)]
+    exact = dedup_cascade(_ds(rows), stages, id_col="id",
+                          colliding_filter="exact").to_pandas()
+    auto_small = dedup_cascade(_ds(rows), stages, id_col="id",
+                               colliding_filter="auto").to_pandas()
+    assert _clusters(exact) == _clusters(auto_small)
+    # force the switch: every colliding set is now "too big"
+    monkeypatch.setattr(casc, "_AUTO_BLOOM_THRESHOLD", 0)
+    auto_bloom = dedup_cascade(_ds(rows), stages, id_col="id",
+                               colliding_filter="auto").to_pandas()
+    assert _clusters(exact) == _clusters(auto_bloom)
+    with pytest.raises(ValueError, match="colliding_filter"):
+        dedup_cascade(_ds(rows), stages, id_col="id",
+                      colliding_filter="nope")

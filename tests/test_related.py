@@ -50,3 +50,44 @@ def test_partition_invariance():
     b = related.similar_docs_topk(SF, num_partitions=16).to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_max_df_drops_hot_shingle_candidates(ray_session):
+    """A ubiquitous shingle (df over the cap) must stop generating
+    candidates: pairs connected ONLY through it vanish, pairs sharing
+    rare shingles keep their exact Jaccard — the 100 TB guard against
+    boilerplate fan-out."""
+    import ray.data
+
+    common = "alpha beta gamma delta epsilon"       # shared by ALL docs
+    rare = "zeta eta theta iota kappa"              # docs 0 and 1 only
+    rows = []
+    for i in range(6):
+        body = common + f" filler{i} " + " ".join(
+            f"tok{i}x{j}" for j in range(8))
+        if i in (0, 1):
+            body += " " + rare
+        rows.append({"url": f"https://site0.example/p/{i}",
+                     "text": body})
+    pages = ray.data.from_items(rows)
+
+    exact = related.similar_docs_topk(
+        "", every=1, topk=5, _pages=pages).to_pandas()
+    capped = related.similar_docs_topk(
+        "", every=1, topk=5, max_df=3, _pages=pages).to_pandas()
+
+    # every doc shares the common shingle → exact mode links everything
+    assert set(exact["query_url"]) == {r["url"] for r in rows}
+    # the common shingle has df=6 > 3; the rare one df=2 ≤ 3
+    key = ["query_url", "neighbor_url"]
+    exact_pairs = set(map(tuple, exact[key].to_numpy()))
+    capped_pairs = set(map(tuple, capped[key].to_numpy()))
+    assert capped_pairs < exact_pairs
+    assert ("https://site0.example/p/0",
+            "https://site0.example/p/1") in capped_pairs
+    # only-hot-shingle links are gone
+    assert ("https://site0.example/p/2",
+            "https://site0.example/p/3") not in capped_pairs
+    # surviving pairs keep the exact score (verify uses full sets)
+    m = exact.merge(capped, on=key, suffixes=("_e", "_c"))
+    assert (m["jaccard_bp_e"] == m["jaccard_bp_c"]).all()
