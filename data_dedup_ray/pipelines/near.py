@@ -86,6 +86,7 @@ def lsh_candidate_pairs(
     num_partitions: int = 64,
     distinct: bool = True,
     sh: ray.data.Dataset | None = None,
+    method: str = "perm",
 ) -> ray.data.Dataset:
     """Candidate pairs ``(url_a < url_b)`` from LSH band collisions.
 
@@ -95,11 +96,33 @@ def lsh_candidate_pairs(
 
     ``sh``: optional precomputed ``shingle_rows`` table; passing it skips
     re-tokenizing the corpus (the dominant per-doc compute) and the band
-    stage reads the compact blobs instead of text."""
+    stage reads the compact blobs instead of text.
+
+    ``method="oph"`` swaps the permutation signature kernel for the
+    densified one-permutation reduction (pipelines/oph.ShingleOPHLSH,
+    ~13× cheaper signatures); candidates only — callers that verify
+    exactly lose nothing but a ~1e-19 banding miss.  n_perm must then be
+    a power of two (128/band_r=2 is the tuned default the verified
+    pipelines pass)."""
+    if method not in ("perm", "oph"):
+        raise ValueError(f"method must be 'perm' or 'oph', got {method!r}")
+    if method == "oph":
+        from data_dedup_ray.pipelines.oph import ShingleOPHLSH
+        if sh is None:
+            sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                              shingle_k=shingle_k).materialize()
+        bands = sh.map_batches(
+            stage_task(
+                ShingleOPHLSH, n_perm=n_perm, band_r=band_r, seed=seed,
+                id_col=id_col, num_partitions=num_partitions,
+            ),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
     # task pool + per-worker cached stage: the permutation state builds in
     # microseconds, so an actor pool would only add spawn latency (util.py
     # stage_task docstring)
-    if sh is not None:
+    elif sh is not None:
         bands = sh.map_batches(
             stage_task(
                 ShingleMinHashLSH, n_perm=n_perm, band_r=band_r, seed=seed,
@@ -506,6 +529,18 @@ def minhash_dedup_pairs(
     id_col = lsh_kwargs.get("id_col", "url")
     text_col = lsh_kwargs.get("text_col", "text")
     lsh_kwargs.setdefault("distinct", False)  # verify dedups in its join
+    # OPH candidates by default: the exact verify below restores
+    # precision/recall, and the signature kernel is ~13× cheaper than
+    # the 126-permutation loop.  256 bins / band_r=4 (64 bands) puts the
+    # s-curve threshold at (1/64)^(1/4)=0.35 — as selective as the perm
+    # path's 42×3 (0.29), so the verifier sees no candidate flood (the
+    # 128/2 config's 0.125 threshold tripled the verify leg, measured) —
+    # with banding miss (1−0.7⁴)^64 ≈ 2e-8 at the 0.7 threshold, equal
+    # to perm's.  Callers needing the classic kernel pass method="perm".
+    lsh_kwargs.setdefault("method", "oph")
+    if lsh_kwargs["method"] == "oph":
+        lsh_kwargs.setdefault("n_perm", 256)
+        lsh_kwargs.setdefault("band_r", 4)
     if sh is None:
         sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
                           shingle_k=shingle_k).materialize()

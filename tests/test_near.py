@@ -499,3 +499,18 @@ def test_pairs_in_partition_on_cap_error():
     out = _pairs_in_partition(g, key_cols=["h"], id_col="url",
                               group_cap=100, on_cap="error")
     assert len(out) == 50 * 49 // 2
+
+
+def test_oph_candidates_match_perm_pipeline(pages):
+    """The OPH candidate default must reproduce the permutation
+    pipeline's verified pair set exactly (the verify join restores
+    precision; banding recall is checked pair-for-pair here)."""
+    perm = near.minhash_dedup_pairs(pages, threshold=0.7,
+                                    method="perm").to_pandas()
+    oph = near.minhash_dedup_pairs(pages, threshold=0.7).to_pandas()
+    key = ["url_a", "url_b"]
+    pd.testing.assert_frame_equal(
+        perm.sort_values(key).reset_index(drop=True),
+        oph.sort_values(key).reset_index(drop=True))
+    with pytest.raises(ValueError, match="method"):
+        near.lsh_candidate_pairs(pages, method="nope")
