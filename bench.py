@@ -246,36 +246,59 @@ def child_main(num_cpus: int, sf_dir: str, factor: int,
     }))
 
 
-def run_scaling(sf_dir: str, factor: int, lo: int = 2, hi: int = 8) -> dict:
-    """N-vs-4N scaling stand-in: same job, fresh processes, num_cpus=lo/hi.
-
-    Default 2→8 rather than 8→32: the sandbox VM has 16 physical cores
-    with SMT, so 8→32 crosses the hyperthread boundary and shares ONE
-    memory system — a pure-CPU microbenchmark tops out at ~0.87 efficiency
-    there.  On the real target (N vs 4N NODES) per-node memory bandwidth
-    and object store scale with the cluster; 2→8 keeps per-cpu resources
-    constant and is the faithful sandbox analog.  Both datapoints are
-    recorded in BASELINE.md.
-    """
-    # two interleaved rounds (lo,hi,lo,hi), per-leg best across rounds:
-    # hypervisor-steal episodes last minutes, so sampling each leg in two
-    # separate wall-clock windows keeps one episode from poisoning a leg
-    # (same total wall time as one round with double the repeats)
+def _scaling_pair(sf_dir: str, factor: int, lo: int, hi: int) -> dict:
+    """One lo→hi geometry: interleaved rounds (lo,hi,lo,hi), per-leg best
+    across rounds — hypervisor-steal episodes last minutes, so sampling
+    each leg in two separate wall-clock windows keeps one episode from
+    poisoning a leg (same total wall time as one round with double the
+    repeats)."""
     legs = [_run_child(n, sf_dir, factor) for n in (lo, hi, lo, hi)]
     lo_r = min((legs[0], legs[2]), key=lambda r: r["sec"])
     hi_r = min((legs[1], legs[3]), key=lambda r: r["sec"])
     eff = (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / (hi / lo)
     return {
-        "metric": f"{HEADLINE} scaling efficiency ({lo}->{hi} cpus)",
-        "value": round(eff, 3),
+        "efficiency": round(eff, 3),
+        "sec": {f"cpus_{lo}": lo_r["sec"], f"cpus_{hi}": hi_r["sec"]},
+        "docs_per_sec": {f"cpus_{lo}": lo_r["docs_per_sec"],
+                         f"cpus_{hi}": hi_r["docs_per_sec"]},
+        "docs": lo_r["docs"],
+    }
+
+
+def run_scaling(sf_dir: str, factor: int,
+                geometries: "tuple[tuple[int, int], ...]" = ((2, 8), (4, 16)),
+                ) -> dict:
+    """N-vs-4N scaling stand-in: same job, fresh processes, two 4×
+    geometries — 2→8 (primary) and 4→16.
+
+    2→8 rather than 8→32: the sandbox VM has 16 physical cores with SMT,
+    so 8→32 crosses the hyperthread boundary and shares ONE memory
+    system — a pure-CPU microbenchmark tops out at ~0.87 efficiency
+    there.  On the real target (N vs 4N NODES) per-node memory bandwidth
+    and object store scale with the cluster; both sandbox pairs keep
+    per-cpu resources constant and stay inside the 16 physical cores
+    (4→16 touches the boundary exactly, making it the stress geometry).
+    Both datapoints are recorded in BASELINE.md; the headline ``value``
+    is the primary (2→8) efficiency.
+    """
+    pairs = {f"{lo}->{hi}": _scaling_pair(sf_dir, factor, lo, hi)
+             for lo, hi in geometries}
+    (plo, phi) = geometries[0]
+    primary = pairs[f"{plo}->{phi}"]
+    return {
+        "metric": f"{HEADLINE} scaling efficiency ({plo}->{phi} cpus"
+                  f"; geometries: "
+                  + ", ".join(f"{lo}->{hi}" for lo, hi in geometries) + ")",
+        "value": primary["efficiency"],
         "unit": "efficiency",
-        "queries": {f"cpus_{lo}": lo_r["sec"], f"cpus_{hi}": hi_r["sec"]},
-        "throughput": {f"cpus_{lo}": lo_r["docs_per_sec"],
-                       f"cpus_{hi}": hi_r["docs_per_sec"]},
+        "queries": primary["sec"],
+        "throughput": primary["docs_per_sec"],
+        "geometries": {k: v["efficiency"] for k, v in pairs.items()},
+        "geometry_detail": pairs,
         "sf": _sf_of(sf_dir),
         "amplify_factor": factor,
-        "corpus_docs": lo_r["docs"],
-        "num_cpus": hi,
+        "corpus_docs": primary["docs"],
+        "num_cpus": phi,
     }
 
 

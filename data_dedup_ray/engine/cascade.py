@@ -459,15 +459,24 @@ def _with_const(t: pa.Table, stages, id_col) -> pa.Table:
 
 def _degenerate_block(ds: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
     """Empty blocking config ⇒ every object is one duplicate block
-    (Engine.pm:138-139; Engine.t:65-84)."""
-    ids = ds.select_columns([id_col])
-    pdf = ids.to_pandas()  # degenerate conformance path: small corpora only
-    cid = str(pdf[id_col].min())
-    n = len(pdf)
-    pdf["n_keys"] = 0
-    pdf["cluster_id"] = cid
-    pdf["n_members"] = n
-    return ray.data.from_pandas(pdf)
+    (Engine.pm:138-139; Engine.t:65-84).
+
+    Needs only two scalars from the corpus — the min id (= cluster_id)
+    and the row count — so it runs as two streaming aggregates plus a
+    constant-attach map; the id column is never collected."""
+    ids = ds.select_columns([id_col]).materialize()
+    n = ids.count()
+    cid = str(ids.min(id_col))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_keys": pa.array(np.zeros(t.num_rows, np.int64)),
+            "cluster_id": pa.array([cid] * t.num_rows, pa.string()),
+            "n_members": pa.array(np.full(t.num_rows, n, np.int64)),
+        })
+
+    return ids.map_batches(tag, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
