@@ -1307,6 +1307,7 @@ def lsh_candidate_pairs_skew_split(
     num_partitions: int = 64,
     distinct: bool = True,
     sh: ray.data.Dataset | None = None,
+    method: str = "perm",
 ) -> ray.data.Dataset:
     """``lsh_candidate_pairs`` with EXPLICIT heavy-hitter splitting
     (north_rule: "salted groupby … with explicit skew splitting for hot
@@ -1336,7 +1337,24 @@ def lsh_candidate_pairs_skew_split(
     """
     from ray.data.aggregate import Min, Sum
 
-    if sh is not None:
+    if method not in ("perm", "oph"):
+        raise ValueError(f"method must be 'perm' or 'oph', got {method!r}")
+    if method == "oph":
+        # the OPH band stage (the verified pipelines' default kernel)
+        # composes with the skew split unchanged — band rows are band
+        # rows; hot-band handling is agnostic to the signature kernel
+        from data_dedup_ray.pipelines.oph import ShingleOPHLSH
+        if sh is None:
+            sh = shingle_rows(ds, id_col=id_col, text_col=text_col,
+                              shingle_k=shingle_k).materialize()
+        bands = sh.map_batches(
+            stage_task(
+                ShingleOPHLSH, n_perm=n_perm, band_r=band_r, seed=seed,
+                id_col=id_col, num_partitions=num_partitions,
+            ),
+            batch_format="pyarrow", batch_size=1024,
+        )
+    elif sh is not None:
         bands = sh.map_batches(
             stage_task(
                 ShingleMinHashLSH, n_perm=n_perm, band_r=band_r, seed=seed,

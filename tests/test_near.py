@@ -514,3 +514,19 @@ def test_oph_candidates_match_perm_pipeline(pages):
         oph.sort_values(key).reset_index(drop=True))
     with pytest.raises(ValueError, match="method"):
         near.lsh_candidate_pairs(pages, method="nope")
+
+
+def test_skew_split_oph_matches_plain_oph(pages):
+    """The skew-split scale path composes with the OPH kernel: same
+    candidate pair set as the plain OPH path when no band is hot, and
+    the ValueError guard matches lsh_candidate_pairs'."""
+    kw = dict(n_perm=256, band_r=4)
+    plain = near.lsh_candidate_pairs(pages, method="oph", **kw).to_pandas()
+    split = near.lsh_candidate_pairs_skew_split(
+        pages, method="oph", **kw).to_pandas()
+    key = ["url_a", "url_b"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True),
+        split.sort_values(key).reset_index(drop=True))
+    with pytest.raises(ValueError, match="method"):
+        near.lsh_candidate_pairs_skew_split(pages, method="nope")
