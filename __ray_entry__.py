@@ -1759,6 +1759,17 @@ def _q_icws_fixed_estimator_eval(sf_dir: str):
     return icws.icws_fixed_estimator_eval(sf_dir)
 
 
+def _q_incremental_icws_fixed_pairs(sf_dir: str):
+    """Fixed-ICWS incremental store rung: snapshot2 pages banded
+    against the persisted K·16 B/doc (v, t) sketch store — weighted-
+    Jaccard estimates without re-reading index text, bit-exact DuckDB
+    twin (the integer-exact chain makes this the first weighted tier
+    whose INCREMENTAL query is fully oracle-checked)."""
+    from data_dedup_ray.pipelines import icws
+
+    return icws.incremental_icws_fixed_pairs_web(sf_dir)
+
+
 def _q_srp_pairs(sf_dir: str):
     """SRP binary embedding sketches (Charikar '02 — SimHash for
     vectors, 16 B/doc): md5-parity ±1 projections over int8-quantized
@@ -2108,6 +2119,8 @@ _R5_NEW: list = [
     # SQL-twinned members (quantized inverse-CDF draws — see icws.py)
     "icws_fixed_pairs",
     "icws_fixed_estimator_eval",
+    # its incremental store rung (persisted sketches, cross-side bands)
+    "incremental_icws_fixed_pairs",
     # the input_hint invariant extract_text(html) == text as a driver-
     # checked query (the Ray side extracts from the html BYTES only)
     "extract_text",
@@ -2227,6 +2240,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "icws_estimator_eval": _q_icws_estimator_eval,
         "icws_fixed_pairs": _q_icws_fixed_pairs,
         "icws_fixed_estimator_eval": _q_icws_fixed_estimator_eval,
+        "incremental_icws_fixed_pairs": _q_incremental_icws_fixed_pairs,
         "extract_text": text.extract_text_pages,
         "similarity_layout": _q_similarity_layout,
         "layout_locality": _q_layout_locality,
@@ -2570,6 +2584,8 @@ def oracle_sql() -> dict[str, str]:
         "icws_fixed_pairs": _icws.icws_fixed_pairs_sql(),
         "icws_fixed_estimator_eval":
             _icws.icws_fixed_estimator_eval_sql(),
+        "incremental_icws_fixed_pairs":
+            _icws.incremental_icws_fixed_pairs_sql(),
         "extract_text": _text.extract_text_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),

@@ -428,15 +428,30 @@ def icws_fixed_pairs(
     Bit-exact SQL twin = ``icws_fixed_pairs_sql`` (integer-only math;
     bands group on the raw signature bytes, so candidates are exact
     band-equality, no hash collisions)."""
+    sigs = icws_fixed_signatures(
+        ds, n_samples=n_samples, shingle_k=shingle_k,
+        token_hash=token_hash, id_col=id_col, text_col=text_col)
+    return _fixed_pairs_from_sigs(
+        sigs, n_samples=n_samples, band_r=band_r,
+        min_est_bp=min_est_bp, id_col=id_col,
+        num_partitions=num_partitions, group_cap=group_cap)
+
+
+def _fixed_pairs_from_sigs(
+    sigs: ray.data.Dataset, *, n_samples: int, band_r: int,
+    min_est_bp: int, id_col: str = "url", num_partitions: int = 16,
+    group_cap: int = 100_000, cross_prefixes: tuple | None = None,
+) -> ray.data.Dataset:
+    """Shared banding + estimator over a ``(id, sig, n_set)`` signature
+    Dataset.  ``cross_prefixes=(idx, new)`` keeps only cross-side pairs
+    of a tagged union (idx < new lexicographically ⇒ url_a is the index
+    side) — the incremental-store path."""
     from data_dedup_ray.pipelines.near import (_distinct_pairs,
                                                _pairs_in_partition)
     assert n_samples % band_r == 0
     P = num_partitions
     n_bands = n_samples // band_r
     band_bytes = 16 * band_r
-    sigs = icws_fixed_signatures(
-        ds, n_samples=n_samples, shingle_k=shingle_k,
-        token_hash=token_hash, id_col=id_col, text_col=text_col)
 
     def band_rows(t: pa.Table) -> pa.Table:
         keep = pc.greater(t["n_set"], 0)
@@ -480,6 +495,11 @@ def icws_fixed_pairs(
     def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
         p = _pairs_in_partition(g, key_cols=["band", "bk"], id_col="id",
                                 group_cap=group_cap, carry=["sig"])
+        if len(p) and cross_prefixes is not None:
+            # 'i|' < 'n|' ⇒ the index side is always id_a
+            pidx, pnew = cross_prefixes
+            p = p[p["id_a"].str.startswith(pidx)
+                  & p["id_b"].str.startswith(pnew)]
         if not len(p):
             return pd.DataFrame({"url_a": pd.Series(dtype=object),
                                  "url_b": pd.Series(dtype=object),
@@ -525,17 +545,14 @@ def _fixed_tables_values_sql() -> tuple[str, str]:
     return tq, wq
 
 
-def icws_fixed_pairs_sql(
-    *, n_samples: int = 64, band_r: int = 2, shingle_k: int = 5,
-    min_est_bp: int = 5000,
-) -> str:
-    """Bit-exact DuckDB twin of ``icws_fixed_pairs`` (sha token hash):
-    the shared sha/FNV weighted-shingle chain, the xorshift64 draw hash
-    (left shifts restated as mod-then-multiply so UBIGINT wraps exactly
-    like numpy uint64), quantized-table lookups, integer t/score, argmin
-    by (score, s), band join on the per-band (v, t) lists, match-count
-    estimator."""
-    from data_dedup_ray.corpus import WEB_PAGES_CTE
+def _fixed_chain_ctes(*, corpus: str, n_samples: int = 64,
+                      shingle_k: int = 5) -> str:
+    """CTE fragment from a ``mall(id, text)``-producing ``corpus`` CTE
+    block through ``sel(id, k, v, t)`` — the full integer-exact fixed
+    ICWS chain (sha/FNV weighted shingles, xorshift64 draw hash with
+    wrap-exact left shifts, quantized-table lookups, integer t/score,
+    argmin by (score, s)).  Shared by the flat-pairs, estimator-eval
+    and incremental-store oracles."""
     k = shingle_k
     K = n_samples
     leads = ",\n         ".join(
@@ -568,11 +585,10 @@ def icws_fixed_pairs_sql(
         xs_chain += (f"{nm} AS (SELECT id, s, c, k, {step}"
                      f" FROM {prev}),\n")
         prev = nm
-    return f"""
-WITH {WEB_PAGES_CTE},
-mtok AS (SELECT url AS id, g.i AS pos, t[g.i] AS tok
-         FROM (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
-               FROM web_pages) u,
+    return f"""{corpus}
+mtok AS (SELECT id, g.i AS pos, t[g.i] AS tok
+         FROM (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t
+               FROM mall) u,
               UNNEST(generate_series(1, len(t))) AS g(i)),
 mh AS (SELECT id, pos,
               CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
@@ -618,7 +634,23 @@ sel AS (SELECT id, k, s AS v, t FROM (
           SELECT id, k, s, t,
                  row_number() OVER (PARTITION BY id, k
                                     ORDER BY score, s) AS rn
-          FROM tv) q WHERE rn = 1),
+          FROM tv) q WHERE rn = 1)"""
+
+
+def icws_fixed_pairs_sql(
+    *, n_samples: int = 64, band_r: int = 2, shingle_k: int = 5,
+    min_est_bp: int = 5000,
+) -> str:
+    """Bit-exact DuckDB twin of ``icws_fixed_pairs`` (sha token hash)
+    over web_pages: the fixed chain + band join on the per-band (v, t)
+    lists + match-count estimator."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    K = n_samples
+    corpus = (f"\nWITH {WEB_PAGES_CTE},\n"
+              "mall AS (SELECT url AS id, text FROM web_pages),")
+    chain = _fixed_chain_ctes(corpus=corpus, n_samples=n_samples,
+                              shingle_k=shingle_k)
+    return f"""{chain},
 bnd AS (SELECT id, k // {band_r} AS band,
                string_agg(v::VARCHAR || ':' || t::VARCHAR, ','
                           ORDER BY k) AS key
@@ -698,3 +730,149 @@ SELECT 'icwsfx{n_samples}' AS tier,
        CAST(10000 * n_hit // greatest(n_true, 1) AS BIGINT) AS recall_bp,
        CAST(20000 * n_hit // greatest(n_pred + n_true, 1) AS BIGINT) AS f1_bp
 FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-ICWS incremental store rung — the weighted-Jaccard member of the
+# fingerprint-store ladder (fpstore sha / bbit / sigstore / bottomk /
+# spanstore / embstore siblings).  K·16 B/doc of persisted (v, t) samples;
+# a new crawl's pages band against the store WITHOUT re-reading any index
+# text, and because the fixed chain is integer-exact the whole incremental
+# query has a bit-exact DuckDB twin.
+# ---------------------------------------------------------------------------
+
+
+def _token_hash_name(token_hash) -> str:
+    return "sha" if token_hash in ("sha", sha256_token_hash) else "fast"
+
+
+def build_icws_fixed_store(
+    ds: ray.data.Dataset, path: str, *, n_samples: int = 64,
+    shingle_k: int = 5, token_hash="sha", id_col: str = "url",
+    text_col: str = "text", num_partitions: int = 16,
+) -> None:
+    """Persist ``(url, sig, n_set)`` fixed-ICWS sketches — resumable
+    hash-partitioned parquet with config lineage (mismatched query
+    parameters fail loudly at read time)."""
+    from data_dedup_ray.state.sink import resumable_write_parquet
+    th = sha256_token_hash if token_hash == "sha" else token_hash
+    resumable_write_parquet(
+        icws_fixed_signatures(ds, n_samples=n_samples,
+                              shingle_k=shingle_k, token_hash=th,
+                              id_col=id_col, text_col=text_col),
+        path, key_col=id_col, num_partitions=num_partitions,
+        config={"kind": "icws_fixed_store", "n_samples": n_samples,
+                "shingle_k": shingle_k,
+                "token_hash": _token_hash_name(token_hash)})
+
+
+def incremental_icws_fixed_pairs(
+    new_ds: ray.data.Dataset, store_path: str, *, n_samples: int = 64,
+    band_r: int = 2, shingle_k: int = 5, min_est_bp: int = 5000,
+    token_hash="sha", num_partitions: int = 16,
+    group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """``(new_url, index_url, est_bp)`` — each new-crawl page's
+    fixed-ICWS weighted-Jaccard estimate against the persisted sketch
+    store; index text is never re-read.  Store config is validated
+    against the query's parameters."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    from data_dedup_ray.state.sink import validate_store_config
+    validate_store_config(store_path, {
+        "kind": "icws_fixed_store", "n_samples": n_samples,
+        "shingle_k": shingle_k,
+        "token_hash": _token_hash_name(token_hash)})
+    th = sha256_token_hash if token_hash == "sha" else token_hash
+
+    def tag(prefix):
+        def fn(t: pa.Table) -> pa.Table:
+            u = pc.binary_join_element_wise(
+                pa.array([prefix] * t.num_rows, pa.string()),
+                t["url"].combine_chunks().cast(pa.string()), "")
+            return pa.table({
+                "url": u,
+                "sig": t["sig"].combine_chunks().cast(pa.large_binary()),
+                "n_set": t["n_set"].combine_chunks().cast(pa.int64()),
+            })
+        return fn
+
+    new_sigs = icws_fixed_signatures(
+        new_ds, n_samples=n_samples, shingle_k=shingle_k, token_hash=th
+    ).map_batches(tag("n|"), batch_format="pyarrow")
+    idx_sigs = _read_store(store_path).map_batches(
+        tag("i|"), batch_format="pyarrow")
+    pairs = _fixed_pairs_from_sigs(
+        new_sigs.union(idx_sigs), n_samples=n_samples, band_r=band_r,
+        min_est_bp=min_est_bp, num_partitions=num_partitions,
+        group_cap=group_cap, cross_prefixes=("i|", "n|"))
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "new_url": pc.utf8_slice_codeunits(
+                t["url_b"].combine_chunks(), 2),
+            "index_url": pc.utf8_slice_codeunits(
+                t["url_a"].combine_chunks(), 2),
+            "est_bp": t["est_bp"].combine_chunks(),
+        })
+
+    return pairs.map_batches(strip, batch_format="pyarrow") \
+        .sort(["new_url", "index_url"])
+
+
+def incremental_icws_fixed_pairs_web(
+    sf_dir: str, *, store_dir: str | None = None, **kw
+) -> ray.data.Dataset:
+    """Driver query: build (or reuse) the fixed-ICWS store from the
+    sf corpus, then run snapshot2 against it — store under /tmp keyed
+    by corpus + config so repeat runs resume instead of rebuilding."""
+    import hashlib
+    import os
+
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+    n_samples = kw.get("n_samples", 64)
+    shingle_k = kw.get("shingle_k", 5)
+    if store_dir is None:
+        tag = hashlib.sha256(
+            f"{os.path.abspath(sf_dir)}|icwsfx|{n_samples}|{shingle_k}"
+            .encode()).hexdigest()[:16]
+        store_dir = f"/tmp/icws_fixed_store_{tag}"
+    build_icws_fixed_store(web_pages(sf_dir), store_dir,
+                           n_samples=n_samples, shingle_k=shingle_k)
+    return incremental_icws_fixed_pairs(snapshot2(sf_dir), store_dir,
+                                        **kw)
+
+
+def incremental_icws_fixed_pairs_sql(
+    *, n_samples: int = 64, band_r: int = 2, shingle_k: int = 5,
+    min_est_bp: int = 5000,
+) -> str:
+    """Twin over the tagged web_pages ('i|') × snapshot2 ('n|') union —
+    the fixed chain with cross-side band candidates."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.pipelines.snapshots import SNAPSHOT2_CTE
+    K = n_samples
+    corpus = (f"\nWITH {WEB_PAGES_CTE},\n{SNAPSHOT2_CTE},\n"
+              "mall AS (\n"
+              "  SELECT 'i|' || url AS id, text FROM web_pages\n"
+              "  UNION ALL SELECT 'n|' || url, text FROM snapshot2),")
+    chain = _fixed_chain_ctes(corpus=corpus, n_samples=n_samples,
+                              shingle_k=shingle_k)
+    return f"""{chain},
+bnd AS (SELECT id, k // {band_r} AS band,
+               string_agg(v::VARCHAR || ':' || t::VARCHAR, ','
+                          ORDER BY k) AS key
+        FROM sel GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+         FROM bnd a JOIN bnd b
+           ON a.band = b.band AND a.key = b.key AND a.id < b.id
+         WHERE substr(a.id, 1, 2) = 'i|' AND substr(b.id, 1, 2) = 'n|'),
+mm AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS m
+       FROM cand c
+       JOIN sel x ON x.id = c.ia
+       JOIN sel y ON y.id = c.ib AND y.k = x.k
+                 AND y.v = x.v AND y.t = x.t
+       GROUP BY 1, 2)
+SELECT substr(ib, 3) AS new_url, substr(ia, 3) AS index_url,
+       CAST((10000 * m) // {K} AS BIGINT) AS est_bp
+FROM mm WHERE (10000 * m) // {K} >= {min_est_bp}
+ORDER BY new_url, index_url"""

@@ -182,3 +182,25 @@ def test_fixed_pairs_partition_invariance():
     b = icws.icws_fixed_sig_pairs(SF, num_partitions=16).to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_fixed_incremental_store_parity(con, tmp_path):
+    """The persisted fixed-ICWS store rung: build → incremental query
+    equals the tagged-union SQL twin bit-for-bit; config mismatch fails
+    loudly; store reuse skips the rebuild (resumable sink)."""
+    store = str(tmp_path / "icwsfx_store")
+    got = icws.incremental_icws_fixed_pairs_web(
+        SF, store_dir=store).to_pandas().reset_index(drop=True)
+    want = con.execute(icws.incremental_icws_fixed_pairs_sql()) \
+        .fetchdf().astype({"est_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    assert len(got) > 0
+    # mismatched parameters must be rejected by config lineage
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+    with pytest.raises(ValueError):
+        icws.incremental_icws_fixed_pairs(snapshot2(SF), store,
+                                          n_samples=32)
+    # second run against the existing store reproduces the result
+    again = icws.incremental_icws_fixed_pairs_web(
+        SF, store_dir=store).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
