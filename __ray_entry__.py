@@ -1759,6 +1759,26 @@ def _q_icws_fixed_estimator_eval(sf_dir: str):
     return icws.icws_fixed_estimator_eval(sf_dir)
 
 
+def _q_weighted_containment_pairs(sf_dir: str):
+    """Directional weighted containment Σmin/|A| (repetition-aware
+    quote/subset detection — a page embedding another's text N times
+    still scores the source as contained, where set containment
+    collapses repeats); shares the complete-blocking + exact-integer
+    verify pipeline with weighted_jaccard_pairs, HUGEINT SQL twin."""
+    from data_dedup_ray.pipelines import weighted
+
+    return weighted.weighted_containment_sig_pairs(sf_dir)
+
+
+def _q_icws_fixed_clusters(sf_dir: str):
+    """Sketch-only weighted cluster view: components over the fixed-
+    ICWS pair graph (K·16 B/doc of state, no exact Σmin pass) with a
+    full RECURSIVE closure twin."""
+    from data_dedup_ray.pipelines import icws
+
+    return icws.icws_fixed_clusters(sf_dir)
+
+
 def _q_incremental_icws_fixed_pairs(sf_dir: str):
     """Fixed-ICWS incremental store rung: snapshot2 pages banded
     against the persisted K·16 B/doc (v, t) sketch store — weighted-
@@ -2121,6 +2141,10 @@ _R5_NEW: list = [
     "icws_fixed_estimator_eval",
     # its incremental store rung (persisted sketches, cross-side bands)
     "incremental_icws_fixed_pairs",
+    # its cluster view (closure twin over the bit-restatable pair set)
+    "icws_fixed_clusters",
+    # directional weighted containment (repetition-aware quote detection)
+    "weighted_containment_pairs",
     # the input_hint invariant extract_text(html) == text as a driver-
     # checked query (the Ray side extracts from the html BYTES only)
     "extract_text",
@@ -2241,6 +2265,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "icws_fixed_pairs": _q_icws_fixed_pairs,
         "icws_fixed_estimator_eval": _q_icws_fixed_estimator_eval,
         "incremental_icws_fixed_pairs": _q_incremental_icws_fixed_pairs,
+        "icws_fixed_clusters": _q_icws_fixed_clusters,
+        "weighted_containment_pairs": _q_weighted_containment_pairs,
         "extract_text": text.extract_text_pages,
         "similarity_layout": _q_similarity_layout,
         "layout_locality": _q_layout_locality,
@@ -2586,6 +2612,9 @@ def oracle_sql() -> dict[str, str]:
             _icws.icws_fixed_estimator_eval_sql(),
         "incremental_icws_fixed_pairs":
             _icws.incremental_icws_fixed_pairs_sql(),
+        "icws_fixed_clusters": _icws.icws_fixed_clusters_sql(),
+        "weighted_containment_pairs":
+            _weighted.weighted_containment_sig_pairs_sql(),
         "extract_text": _text.extract_text_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),

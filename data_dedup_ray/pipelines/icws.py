@@ -876,3 +876,53 @@ SELECT substr(ib, 3) AS new_url, substr(ia, 3) AS index_url,
        CAST((10000 * m) // {K} AS BIGINT) AS est_bp
 FROM mm WHERE (10000 * m) // {K} >= {min_est_bp}
 ORDER BY new_url, index_url"""
+
+
+def icws_fixed_clusters(
+    sf_dir: str, *, n_samples: int = 64, band_r: int = 2,
+    shingle_k: int = 5, min_est_bp: int = 7000,
+    num_partitions: int = 16, dsu_max_edges: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Connected components over the fixed-ICWS pair graph —
+    ``(url, cluster_id)`` min-member labels: the sketch-only weighted
+    cluster view (assignments from K·16 B/doc of signature state, no
+    exact Σmin pass), with a full RECURSIVE closure twin because the
+    pair set itself is bit-restatable.  Count-gated DSU with the
+    distributed label-propagation fallback."""
+    from data_dedup_ray.pipelines.components import (attach_clusters,
+                                                     dsu_components,
+                                                     label_propagation)
+    pages = web_pages(sf_dir).select_columns(["url"])
+    edges = icws_fixed_sig_pairs(
+        sf_dir, n_samples=n_samples, band_r=band_r,
+        shingle_k=shingle_k, min_est_bp=min_est_bp,
+        num_partitions=num_partitions).materialize()
+    if edges.count() > dsu_max_edges:
+        return label_propagation(
+            pages, edges.select_columns(["url_a", "url_b"]),
+            node_col="url")
+    assignment = dsu_components(edges.to_pandas())
+    return attach_clusters(pages, assignment, id_col="url")
+
+
+def icws_fixed_clusters_sql(
+    *, n_samples: int = 64, band_r: int = 2, shingle_k: int = 5,
+    min_est_bp: int = 7000,
+) -> str:
+    """RECURSIVE closure over the fixed-pair twin, min-member labels."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    pairs = icws_fixed_pairs_sql(n_samples=n_samples, band_r=band_r,
+                                 shingle_k=shingle_k,
+                                 min_est_bp=min_est_bp)
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+dup AS (SELECT url_a, url_b FROM ({pairs}) p),
+edges AS (SELECT url_a AS a, url_b AS b FROM dup
+          UNION SELECT url_b, url_a FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r
+                JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id
+FROM web_pages w LEFT JOIN comp c ON c.url = w.url"""

@@ -38,6 +38,8 @@ from data_dedup_ray.corpus import web_pages
 from data_dedup_ray.engine.exchange import bucketize, hash_exchange
 from data_dedup_ray.stages.minhash import sha256_token_hash, tokenize_batch
 
+_CONT_OUT = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                       ("wcont_bp", pa.int64())])
 _PAIR_OUT = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
                        ("wjac_bp", pa.int64())])
 
@@ -103,13 +105,14 @@ def weighted_blobs(
 
 
 def _wjac_verify(pt: pa.Table, bt: pa.Table, *, id_col: str,
-                 min_wjac_bp: int) -> pa.Table:
+                 min_wjac_bp: int, metric: str = "jaccard") -> pa.Table:
     """Vectorized Σmin intersect across the pair axis (near.py _join_b
     shape: hash-indexer lookup into the bucket's unique blob buffer,
     rank-packed searchsorted membership, weights-bincount)."""
     from data_dedup_ray.pipelines.near import _blob_views, _seg_gather
+    out_schema = _PAIR_OUT if metric == "jaccard" else _CONT_OUT
     if pt.num_rows == 0 or bt.num_rows == 0:
-        return _PAIR_OUT.empty_table()
+        return out_schema.empty_table()
     idx = pd.Index(bt[id_col].to_pandas()).get_indexer(
         pd.Series(pt["url_b"].to_pandas()))
     found = idx >= 0
@@ -174,6 +177,23 @@ def _wjac_verify(pt: pa.Table, bt: pa.Table, *, id_col: str,
         mins = np.minimum(cnt_p[member], cnt_t[pos[member]])
         num[s:e] = np.bincount(pair_p[member], weights=mins,
                                minlength=e - s).astype(np.int64)
+    if metric == "containment":
+        # directional Σmin/|A|: each unordered candidate yields up to
+        # two rows — (a ⊂ b) and (b ⊂ a) are independent claims
+        ua = pt["url_a"].combine_chunks()
+        ub = pt["url_b"].combine_chunks()
+        est_ab = (10000 * num) // np.maximum(wa, 1)
+        est_ba = (10000 * num) // np.maximum(wb, 1)
+        k_ab = est_ab >= min_wjac_bp
+        k_ba = est_ba >= min_wjac_bp
+        return pa.table({
+            "url_a": pa.concat_arrays([
+                ua.filter(pa.array(k_ab)), ub.filter(pa.array(k_ba))]),
+            "url_b": pa.concat_arrays([
+                ub.filter(pa.array(k_ab)), ua.filter(pa.array(k_ba))]),
+            "wcont_bp": pa.array(
+                np.concatenate([est_ab[k_ab], est_ba[k_ba]]), pa.int64()),
+        })
     den = wa + wb - num
     den = np.maximum(den, 1)
     est = (10000 * num) // den
@@ -189,10 +209,14 @@ def weighted_jaccard_pairs(
     ds: ray.data.Dataset, *, shingle_k: int = 5, min_wjac_bp: int = 5000,
     token_hash=None, id_col: str = "url", text_col: str = "text",
     num_partitions: int = 16, group_cap: int = 100_000,
+    _metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """``(url_a, url_b, wjac_bp)`` — every pair with weighted Jaccard
     ≥ ``min_wjac_bp`` basis points, exact (share-any-value blocking has
-    recall 1.0 for any positive threshold)."""
+    recall 1.0 for any positive threshold; a hot shingle value beyond
+    ``group_cap`` fails loudly rather than degrading recall).
+    ``_metric="containment"`` reuses the whole pipeline for the
+    directional Σmin/|A| measure (weighted_containment_pairs)."""
     from data_dedup_ray.pipelines.near import (_blob_views,
                                                _distinct_pairs,
                                                _hash_str_column,
@@ -264,9 +288,10 @@ def weighted_jaccard_pairs(
         [step_a.map_batches(with_part("url_b"), batch_format="pyarrow"),
          blob_buckets],
         lambda pt, bt: _wjac_verify(pt, bt, id_col=id_col,
-                                    min_wjac_bp=min_wjac_bp),
+                                    min_wjac_bp=min_wjac_bp,
+                                    metric=_metric),
         num_partitions=P,
-        schema=_PAIR_OUT,
+        schema=_PAIR_OUT if _metric == "jaccard" else _CONT_OUT,
         in_schemas=[pa.schema([("url_a", pa.string()),
                                ("url_b", pa.string()),
                                ("sv_a", pa.large_binary()),
@@ -368,4 +393,77 @@ FROM inter
 JOIN tot ta ON ta.id = ia
 JOIN tot tb ON tb.id = ib
 WHERE (10000 * m) // (ta.w + tb.w - m) >= {min_wjac_bp}
+ORDER BY url_a, url_b"""
+
+
+def weighted_containment_pairs(
+    ds: ray.data.Dataset, *, shingle_k: int = 5, min_wcont_bp: int = 8000,
+    token_hash=None, id_col: str = "url", text_col: str = "text",
+    num_partitions: int = 16, group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """``(url_a, url_b, wcont_bp)`` — DIRECTIONAL weighted containment
+    ``Σ_s min(c_A, c_B) / |A|`` ≥ ``min_wcont_bp``: url_a is the
+    (mostly-)contained side.  The repetition-aware quote/subset
+    detector — a page that embeds another's text N times still scores
+    the source as contained, where set containment (near.
+    containment_pairs) collapses the repeats.  Same complete blocking
+    + exact integer verify as weighted_jaccard_pairs (one shared
+    pipeline, different reduction); up to two rows per document pair,
+    one per direction."""
+    return weighted_jaccard_pairs(
+        ds, shingle_k=shingle_k, min_wjac_bp=min_wcont_bp,
+        token_hash=token_hash, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions, group_cap=group_cap,
+        _metric="containment")
+
+
+def weighted_containment_sig_pairs(
+    sf_dir: str, *, shingle_k: int = 5, min_wcont_bp: int = 8000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Driver query: sha-token weighted containment over web_pages
+    (twin = weighted_containment_sig_pairs_sql)."""
+    return weighted_containment_pairs(
+        web_pages(sf_dir), shingle_k=shingle_k,
+        min_wcont_bp=min_wcont_bp, token_hash=sha256_token_hash,
+        num_partitions=num_partitions)
+
+
+def weighted_containment_sig_pairs_sql(*, shingle_k: int = 5,
+                                       min_wcont_bp: int = 8000) -> str:
+    """Exact twin: the shared sha/FNV multiset chain, directional
+    Σleast // w_a in HUGEINT."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    k = shingle_k
+    leads = ",\n         ".join(
+        f"lead(h, {j - 1}) OVER w AS h{j}" for j in range(2, k + 1))
+    expr = "h1"
+    for j in range(2, k + 1):
+        expr = (f"(({expr} * 1099511628211::HUGEINT + h{j})"
+                " % 18446744073709551616::HUGEINT)")
+    return f"""
+WITH {WEB_PAGES_CTE},
+mtok AS (SELECT url AS id, g.i AS pos, t[g.i] AS tok
+         FROM (SELECT url, regexp_extract_all(text, '[a-z0-9]+') AS t
+               FROM web_pages) u,
+              UNNEST(generate_series(1, len(t))) AS g(i)),
+mh AS (SELECT id, pos,
+              CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+       FROM mtok),
+mw AS (SELECT id, h AS h1,
+         {leads}
+       FROM mh WINDOW w AS (PARTITION BY id ORDER BY pos)),
+ws AS (SELECT id, {expr} AS s FROM mw WHERE h{k} IS NOT NULL),
+shc AS (SELECT id, s, CAST(count(*) AS BIGINT) AS c
+        FROM ws GROUP BY 1, 2),
+tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS w FROM shc GROUP BY 1),
+inter AS (SELECT a.id AS ia, b.id AS ib,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM shc a JOIN shc b ON a.s = b.s AND a.id <> b.id
+          GROUP BY 1, 2)
+SELECT ia AS url_a, ib AS url_b,
+       CAST((10000 * m) // ta.w AS BIGINT) AS wcont_bp
+FROM inter
+JOIN tot ta ON ta.id = ia
+WHERE (10000 * m) // ta.w >= {min_wcont_bp}
 ORDER BY url_a, url_b"""

@@ -204,3 +204,12 @@ def test_fixed_incremental_store_parity(con, tmp_path):
     again = icws.incremental_icws_fixed_pairs_web(
         SF, store_dir=store).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_fixed_clusters_closure_oracle(con):
+    got = (icws.icws_fixed_clusters(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = con.execute(icws.icws_fixed_clusters_sql()).fetchdf() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["cluster_id"] <= got["url"]).all()  # min-member labels

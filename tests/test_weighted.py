@@ -112,3 +112,32 @@ def test_partition_invariance():
     b = weighted.weighted_jaccard_sig_pairs(SF, num_partitions=16) \
         .to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_containment_oracle_parity(con):
+    got = (weighted.weighted_containment_sig_pairs(SF).to_pandas()
+           .reset_index(drop=True))
+    want = con.execute(
+        weighted.weighted_containment_sig_pairs_sql()).fetchdf() \
+        .astype({"wcont_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    assert len(got) > 0
+
+
+def test_containment_is_directional_and_repetition_aware():
+    """quote pages (base + shared span) contain their base almost fully
+    in the weighted sense; the reverse direction scores lower when the
+    quote page added material — and a doubled doc fully contains its
+    single copy while the reverse is ~5000 bp."""
+    docs = [
+        {"url": "u/base", "text": " ".join(f"w{i}" for i in range(60))},
+        {"url": "u/double",
+         "text": " ".join(f"w{i}" for i in range(60)) * 2},
+    ]
+    ds = ray.data.from_items(docs)
+    got = weighted.weighted_containment_pairs(
+        ds, min_wcont_bp=1, num_partitions=2).to_pandas()
+    m = {(r.url_a, r.url_b): r.wcont_bp for r in got.itertuples()}
+    # base ⊂ double fully; double ⊂ base only ~half its windows
+    assert m[("u/base", "u/double")] == 10000
+    assert 4000 < m[("u/double", "u/base")] < 6000
