@@ -213,3 +213,25 @@ def test_fixed_clusters_closure_oracle(con):
         .sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert (got["cluster_id"] <= got["url"]).all()  # min-member labels
+
+
+def test_fixed_estimator_tracks_wj_within_binomial_bound():
+    """The quantized-draw fixed mode must still estimate WJ: lane match
+    fraction within 5σ binomial + a small quantization allowance
+    (12-bit inverse-CDF tables ⇒ per-lane bias O(2⁻¹²))."""
+    rng = np.random.default_rng(7)
+    K = 2048
+    for _ in range(5):
+        a = {int(rng.integers(0, 1 << 60)): int(rng.integers(1, 9))
+             for _ in range(25)}
+        b = dict(a)
+        for k in list(b)[:8]:
+            b[k] = max(1, b[k] + int(rng.integers(-3, 4)))
+        b[int(rng.integers(0, 1 << 60))] = 4
+        vals, cnts, sizes = _sets_to_flat([a, b])
+        sv, st = icws.icws_fixed_signatures_flat(vals, cnts, sizes,
+                                                 n_samples=K)
+        est = ((sv[0] == sv[1]) & (st[0] == st[1])).mean()
+        true = _wj(a, b)
+        bound = 5 * np.sqrt(true * (1 - true) / K) + 0.01
+        assert abs(est - true) <= bound, (est, true, bound)
