@@ -545,14 +545,19 @@ def _fixed_tables_values_sql() -> tuple[str, str]:
     return tq, wq
 
 
-def _fixed_chain_ctes(*, corpus: str, n_samples: int = 64,
-                      shingle_k: int = 5) -> str:
+def _fixed_chain_ctes(*, corpus: str = "", n_samples: int = 64,
+                      shingle_k: int = 5,
+                      shc_sql: str | None = None) -> str:
     """CTE fragment from a ``mall(id, text)``-producing ``corpus`` CTE
     block through ``sel(id, k, v, t)`` — the full integer-exact fixed
     ICWS chain (sha/FNV weighted shingles, xorshift64 draw hash with
     wrap-exact left shifts, quantized-table lookups, integer t/score,
     argmin by (score, s)).  Shared by the flat-pairs, estimator-eval
-    and incremental-store oracles."""
+    and incremental-store oracles.
+
+    ``shc_sql``: optional replacement for the corpus→shc derivation —
+    a full "WITH …" block defining ``shc(id, s UBIGINT, c)`` directly
+    (property tests inject arbitrary multisets this way)."""
     k = shingle_k
     K = n_samples
     leads = ",\n         ".join(
@@ -585,7 +590,10 @@ def _fixed_chain_ctes(*, corpus: str, n_samples: int = 64,
         xs_chain += (f"{nm} AS (SELECT id, s, c, k, {step}"
                      f" FROM {prev}),\n")
         prev = nm
-    return f"""{corpus}
+    if shc_sql is not None:
+        head = shc_sql.rstrip().rstrip(",") + ","
+    else:
+        head = f"""{corpus}
 mtok AS (SELECT id, g.i AS pos, t[g.i] AS tok
          FROM (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t
                FROM mall) u,
@@ -599,7 +607,8 @@ mw AS (SELECT id, h AS h1,
 ws AS (SELECT id, CAST({expr} AS UBIGINT) AS s FROM mw
        WHERE h{k} IS NOT NULL),
 shc AS (SELECT id, s, least(CAST(count(*) AS BIGINT), {_FX_TSIZE}) AS c
-        FROM ws GROUP BY 1, 2),
+        FROM ws GROUP BY 1, 2),"""
+    return f"""{head}
 sd AS (SELECT * FROM (VALUES {sd}) AS t(k, seed)),
 tq AS (SELECT * FROM (VALUES {tq}) AS t(i, lnq, lgc)),
 wq AS (SELECT * FROM (VALUES {wq}) AS t(w, lnw)),

@@ -438,3 +438,51 @@ def test_weighted_shingles_mass_law(texts, k):
         want = max(0, ntok - k + 1)
         assert totals[i] == want
         assert cnts[starts[i]:starts[i + 1]].sum() == want
+
+
+# ---------------------------------------------------- fixed ICWS chain
+
+_wsets = st.lists(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        st.integers(min_value=1, max_value=10_000),  # exercises the 4096 cap
+        min_size=1, max_size=12),
+    min_size=1, max_size=5)
+
+
+@given(_wsets)
+@settings(max_examples=25, deadline=None)
+def test_fixed_icws_chain_matches_duckdb_on_arbitrary_multisets(sets):
+    """The ENTIRE integer fixed-ICWS chain (xorshift draw hash, table
+    lookups, t, score, argmin with (score, s) tie-break, count cap) is
+    bit-identical between numpy and DuckDB for arbitrary multisets —
+    not just the synthetic corpus."""
+    import duckdb
+
+    from data_dedup_ray.pipelines import icws
+
+    K = 8
+    vals = np.concatenate(
+        [np.array(sorted(d), np.uint64) for d in sets])
+    cnts = np.concatenate(
+        [np.array([d[k] for k in sorted(d)], np.int64) for d in sets])
+    sizes = np.array([len(d) for d in sets], np.int64)
+    sv, stt = icws.icws_fixed_signatures_flat(vals, cnts, sizes,
+                                              n_samples=K)
+
+    rows = []
+    for i, d in enumerate(sets):
+        for k in sorted(d):
+            rows.append(f"('d{i}', {k}::UBIGINT, {d[k]})")
+    shc = ("\nWITH raw(id, s, c) AS (SELECT * FROM (VALUES "
+           + ", ".join(rows) + ")),\n"
+           "shc AS (SELECT id, s, least(CAST(c AS BIGINT), 4096) AS c"
+           " FROM raw)")
+    sql = (icws._fixed_chain_ctes(shc_sql=shc, n_samples=K)
+           + "\nSELECT id, k, v, t FROM sel ORDER BY id, k")
+    got = duckdb.connect().execute(sql).fetchdf()
+    for i in range(len(sets)):
+        sub = got[got["id"] == f"d{i}"].sort_values("k")
+        assert len(sub) == K
+        assert (sub["v"].to_numpy().astype(np.uint64) == sv[i]).all()
+        assert (sub["t"].to_numpy().astype(np.int64) == stt[i]).all()
