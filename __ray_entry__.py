@@ -1779,6 +1779,24 @@ def _q_icws_fixed_clusters(sf_dir: str):
     return icws.icws_fixed_clusters(sf_dir)
 
 
+def _q_weighted_containment_clusters(sf_dir: str):
+    """Components over the containment-LINKED graph (edge when either
+    direction clears the bar — quote chains A⊂B⊂C in one family);
+    RECURSIVE closure twin over the directional pair twin."""
+    from data_dedup_ray.pipelines import weighted
+
+    return weighted.weighted_containment_clusters(sf_dir)
+
+
+def _q_host_containment_stats(sf_dir: str):
+    """Per-host quote-farm dashboard: contained-side vs container-side
+    tallies from the directional weighted-containment pairs (scrapers
+    score high n_contained, canonical sources high n_containers)."""
+    from data_dedup_ray.pipelines import weighted
+
+    return weighted.host_containment_stats(sf_dir)
+
+
 def _q_incremental_icws_fixed_pairs(sf_dir: str):
     """Fixed-ICWS incremental store rung: snapshot2 pages banded
     against the persisted K·16 B/doc (v, t) sketch store — weighted-
@@ -2145,6 +2163,9 @@ _R5_NEW: list = [
     "icws_fixed_clusters",
     # directional weighted containment (repetition-aware quote detection)
     "weighted_containment_pairs",
+    # its linked-cluster view and the per-host quote-farm rollup
+    "weighted_containment_clusters",
+    "host_containment_stats",
     # the input_hint invariant extract_text(html) == text as a driver-
     # checked query (the Ray side extracts from the html BYTES only)
     "extract_text",
@@ -2267,6 +2288,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "incremental_icws_fixed_pairs": _q_incremental_icws_fixed_pairs,
         "icws_fixed_clusters": _q_icws_fixed_clusters,
         "weighted_containment_pairs": _q_weighted_containment_pairs,
+        "weighted_containment_clusters": _q_weighted_containment_clusters,
+        "host_containment_stats": _q_host_containment_stats,
         "extract_text": text.extract_text_pages,
         "similarity_layout": _q_similarity_layout,
         "layout_locality": _q_layout_locality,
@@ -2615,6 +2638,10 @@ def oracle_sql() -> dict[str, str]:
         "icws_fixed_clusters": _icws.icws_fixed_clusters_sql(),
         "weighted_containment_pairs":
             _weighted.weighted_containment_sig_pairs_sql(),
+        "weighted_containment_clusters":
+            _weighted.weighted_containment_clusters_sql(),
+        "host_containment_stats":
+            _weighted.host_containment_stats_sql(),
         "extract_text": _text.extract_text_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),

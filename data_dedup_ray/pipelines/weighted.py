@@ -467,3 +467,107 @@ FROM inter
 JOIN tot ta ON ta.id = ia
 WHERE (10000 * m) // ta.w >= {min_wcont_bp}
 ORDER BY url_a, url_b"""
+
+
+def weighted_containment_clusters(
+    sf_dir: str, *, shingle_k: int = 5, min_wcont_bp: int = 8000,
+    num_partitions: int = 16, dsu_max_edges: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Connected components over the containment-LINKED graph — an
+    undirected edge wherever EITHER direction clears ``min_wcont_bp``
+    (quote chains: A ⊂ B ⊂ C all land in one family even when A and C
+    share no direct edge).  ``(url, cluster_id)`` min-member labels,
+    count-gated DSU with the distributed fallback."""
+    from data_dedup_ray.pipelines.components import (attach_clusters,
+                                                     dsu_components,
+                                                     label_propagation)
+    pages = web_pages(sf_dir).select_columns(["url"])
+    edges = weighted_containment_sig_pairs(
+        sf_dir, shingle_k=shingle_k, min_wcont_bp=min_wcont_bp,
+        num_partitions=num_partitions).materialize()
+    if edges.count() > dsu_max_edges:
+        return label_propagation(
+            pages, edges.select_columns(["url_a", "url_b"]),
+            node_col="url")
+    assignment = dsu_components(edges.to_pandas())
+    return attach_clusters(pages, assignment, id_col="url")
+
+
+def weighted_containment_clusters_sql(*, shingle_k: int = 5,
+                                      min_wcont_bp: int = 8000) -> str:
+    """RECURSIVE closure over the directional pair twin (symmetrized)."""
+    pairs = weighted_containment_sig_pairs_sql(
+        shingle_k=shingle_k, min_wcont_bp=min_wcont_bp)
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    return f"""
+WITH RECURSIVE {WEB_PAGES_CTE},
+dup AS (SELECT url_a, url_b FROM ({pairs}) p),
+edges AS (SELECT url_a AS a, url_b AS b FROM dup
+          UNION SELECT url_b, url_a FROM dup),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION SELECT r.a, e.b FROM reach r
+                JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT w.url, coalesce(c.cluster_id, w.url) AS cluster_id
+FROM web_pages w LEFT JOIN comp c ON c.url = w.url"""
+
+
+def host_containment_stats(
+    sf_dir: str, *, shingle_k: int = 5, min_wcont_bp: int = 8000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(host, n_contained, n_containers)`` per host of the CONTAINED
+    side's url — the quote-farm dashboard: hosts whose pages are mostly
+    contained in other pages (scrapers / aggregators) versus hosts that
+    contain many others (canonical sources).  One skinny rollup over
+    the directional pair list; host-count-sized output."""
+    pairs = weighted_containment_sig_pairs(
+        sf_dir, shingle_k=shingle_k, min_wcont_bp=min_wcont_bp,
+        num_partitions=num_partitions)
+    P = num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ha = df["url_a"].astype(object).str.split("/").str[2].fillna("")
+        hb = df["url_b"].astype(object).str.split("/").str[2].fillna("")
+        out = pd.concat([
+            pd.DataFrame({"host": ha, "n_contained": 1,
+                          "n_containers": 0}),
+            pd.DataFrame({"host": hb, "n_contained": 0,
+                          "n_containers": 1}),
+        ]).groupby("host", as_index=False).sum()
+        h = pd.util.hash_array(out["host"].to_numpy(dtype=object))
+        out["_part"] = (h % np.uint64(P)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("host", as_index=False)[
+            ["n_contained", "n_containers"]].sum()
+
+    return hash_exchange(
+        [pairs.map_batches(partial, batch_format="pyarrow")],
+        final, num_partitions=P,
+        schema=pa.schema([("host", pa.string()),
+                          ("n_contained", pa.int64()),
+                          ("n_containers", pa.int64())]),
+        in_schemas=[pa.schema([("host", pa.string()),
+                               ("n_contained", pa.int64()),
+                               ("n_containers", pa.int64())])],
+    ).sort("host")
+
+
+def host_containment_stats_sql(*, shingle_k: int = 5,
+                               min_wcont_bp: int = 8000) -> str:
+    """Twin: split_part hosts over the directional pair twin."""
+    pairs = weighted_containment_sig_pairs_sql(
+        shingle_k=shingle_k, min_wcont_bp=min_wcont_bp)
+    return f"""
+WITH dup AS (SELECT url_a, url_b FROM ({pairs}) p),
+tal AS (SELECT split_part(url_a, '/', 3) AS host,
+               1 AS n_contained, 0 AS n_containers FROM dup
+        UNION ALL
+        SELECT split_part(url_b, '/', 3), 0, 1 FROM dup)
+SELECT host, CAST(sum(n_contained) AS BIGINT) AS n_contained,
+       CAST(sum(n_containers) AS BIGINT) AS n_containers
+FROM tal GROUP BY host ORDER BY host"""

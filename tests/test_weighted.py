@@ -141,3 +141,25 @@ def test_containment_is_directional_and_repetition_aware():
     # base ⊂ double fully; double ⊂ base only ~half its windows
     assert m[("u/base", "u/double")] == 10000
     assert 4000 < m[("u/double", "u/base")] < 6000
+
+
+def test_containment_clusters_closure_oracle(con):
+    got = (weighted.weighted_containment_clusters(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = con.execute(
+        weighted.weighted_containment_clusters_sql()).fetchdf() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # quote pages must co-cluster with their base (planted family)
+    quotes = got[got["url"].str.startswith("https://quote.")]
+    assert len(quotes) and (quotes["cluster_id"] != quotes["url"]).any()
+
+
+def test_host_containment_stats_oracle(con):
+    got = weighted.host_containment_stats(SF).to_pandas() \
+        .reset_index(drop=True)
+    want = con.execute(weighted.host_containment_stats_sql()).fetchdf() \
+        .astype({"n_contained": "int64", "n_containers": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    # tallies are two ends of the same directed edges
+    assert got["n_contained"].sum() == got["n_containers"].sum()
