@@ -1779,6 +1779,16 @@ def _q_icws_fixed_clusters(sf_dir: str):
     return icws.icws_fixed_clusters(sf_dir)
 
 
+def _q_incremental_weighted_jaccard_pairs(sf_dir: str):
+    """Exact weighted store rung: snapshot2 scored against the
+    persisted (sv, sc, w) multiset-blob store — TRUE Σmin/Σmax per
+    pair, complete share-any blocking, no index-text re-read; the
+    exact-tier counterpart of the fixed-ICWS sketch rung."""
+    from data_dedup_ray.pipelines import weighted
+
+    return weighted.incremental_weighted_jaccard_pairs_web(sf_dir)
+
+
 def _q_weighted_containment_clusters(sf_dir: str):
     """Components over the containment-LINKED graph (edge when either
     direction clears the bar — quote chains A⊂B⊂C in one family);
@@ -2166,6 +2176,8 @@ _R5_NEW: list = [
     # its linked-cluster view and the per-host quote-farm rollup
     "weighted_containment_clusters",
     "host_containment_stats",
+    # the exact weighted store rung (persisted multiset blobs)
+    "incremental_weighted_jaccard_pairs",
     # the input_hint invariant extract_text(html) == text as a driver-
     # checked query (the Ray side extracts from the html BYTES only)
     "extract_text",
@@ -2290,6 +2302,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "weighted_containment_pairs": _q_weighted_containment_pairs,
         "weighted_containment_clusters": _q_weighted_containment_clusters,
         "host_containment_stats": _q_host_containment_stats,
+        "incremental_weighted_jaccard_pairs":
+            _q_incremental_weighted_jaccard_pairs,
         "extract_text": text.extract_text_pages,
         "similarity_layout": _q_similarity_layout,
         "layout_locality": _q_layout_locality,
@@ -2642,6 +2656,8 @@ def oracle_sql() -> dict[str, str]:
             _weighted.weighted_containment_clusters_sql(),
         "host_containment_stats":
             _weighted.host_containment_stats_sql(),
+        "incremental_weighted_jaccard_pairs":
+            _weighted.incremental_weighted_jaccard_pairs_sql(),
         "extract_text": _text.extract_text_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),

@@ -210,21 +210,29 @@ def weighted_jaccard_pairs(
     token_hash=None, id_col: str = "url", text_col: str = "text",
     num_partitions: int = 16, group_cap: int = 100_000,
     _metric: str = "jaccard",
+    _blobs: ray.data.Dataset | None = None,
+    _cross: tuple | None = None,
 ) -> ray.data.Dataset:
     """``(url_a, url_b, wjac_bp)`` — every pair with weighted Jaccard
     ≥ ``min_wjac_bp`` basis points, exact (share-any-value blocking has
     recall 1.0 for any positive threshold; a hot shingle value beyond
     ``group_cap`` fails loudly rather than degrading recall).
     ``_metric="containment"`` reuses the whole pipeline for the
-    directional Σmin/|A| measure (weighted_containment_pairs)."""
+    directional Σmin/|A| measure (weighted_containment_pairs);
+    ``_blobs``/``_cross`` feed a prebuilt (possibly tagged-union) blob
+    table and keep only cross-side candidates — the incremental-store
+    path (incremental_weighted_jaccard_pairs)."""
     from data_dedup_ray.pipelines.near import (_blob_views,
                                                _distinct_pairs,
                                                _hash_str_column,
                                                _pairs_in_partition)
     P = num_partitions
-    blobs = weighted_blobs(ds, shingle_k=shingle_k,
-                           token_hash=token_hash, id_col=id_col,
-                           text_col=text_col).materialize()
+    if _blobs is not None:
+        blobs = _blobs
+    else:
+        blobs = weighted_blobs(ds, shingle_k=shingle_k,
+                               token_hash=token_hash, id_col=id_col,
+                               text_col=text_col).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         data, offs = _blob_views(t["sv"])
@@ -236,11 +244,19 @@ def weighted_jaccard_pairs(
             "_part": pa.array((data % np.uint64(P)).astype(np.int64)),
         })
 
+    def cand_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs_in_partition(g, key_cols=["h"], id_col="url",
+                                  group_cap=group_cap, on_cap="error")
+        if len(out) and _cross is not None:
+            # 'i|' < 'n|' ⇒ the index side is always url_a
+            pidx, pnew = _cross
+            out = out[out["url_a"].str.startswith(pidx)
+                      & out["url_b"].str.startswith(pnew)]
+        return out
+
     cand = hash_exchange(
         [blobs.map_batches(explode, batch_format="pyarrow")],
-        lambda g: _pairs_in_partition(g, key_cols=["h"], id_col="url",
-                                      group_cap=group_cap,
-                                      on_cap="error"),
+        cand_fn,
         num_partitions=P,
         schema=pa.schema([("url_a", pa.string()), ("url_b", pa.string())]),
         in_schemas=[pa.schema([("h", pa.uint64()), ("url", pa.string())])],
@@ -571,3 +587,157 @@ tal AS (SELECT split_part(url_a, '/', 3) AS host,
 SELECT host, CAST(sum(n_contained) AS BIGINT) AS n_contained,
        CAST(sum(n_containers) AS BIGINT) AS n_containers
 FROM tal GROUP BY host ORDER BY host"""
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted store rung — persist the (sv, sc, w) multiset blobs
+# (24 B per distinct shingle) so a new crawl can be scored against the
+# corpus with EXACT weighted Jaccard and no index-text re-read: the
+# exact-tier counterpart of the fixed-ICWS sketch rung above it in the
+# ladder (sketches when 16 B/sample must suffice, exact blobs when the
+# index can afford ~1-2 KB/doc and the answer must be the true Σmin/Σmax).
+# ---------------------------------------------------------------------------
+
+
+def build_weighted_store(
+    ds: ray.data.Dataset, path: str, *, shingle_k: int = 5,
+    token_hash="sha", id_col: str = "url", text_col: str = "text",
+    num_partitions: int = 16,
+) -> None:
+    """Persist ``(url, sv, sc, w)`` weighted-shingle blobs — resumable
+    hash-partitioned parquet with config lineage."""
+    from data_dedup_ray.state.sink import resumable_write_parquet
+    th = sha256_token_hash if token_hash == "sha" else token_hash
+    name = "sha" if token_hash in ("sha", sha256_token_hash) else "fast"
+    resumable_write_parquet(
+        weighted_blobs(ds, shingle_k=shingle_k, token_hash=th,
+                       id_col=id_col, text_col=text_col),
+        path, key_col=id_col, num_partitions=num_partitions,
+        config={"kind": "weighted_store", "shingle_k": shingle_k,
+                "token_hash": name})
+
+
+def incremental_weighted_jaccard_pairs(
+    new_ds: ray.data.Dataset, store_path: str, *, shingle_k: int = 5,
+    min_wjac_bp: int = 5000, token_hash="sha",
+    num_partitions: int = 16, group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """``(new_url, index_url, wjac_bp)`` — EXACT weighted Jaccard of
+    each new-crawl page against the persisted blob store (share-any
+    blocking is complete, so recall 1.0 at any positive threshold, and
+    the verify is the true integer Σmin/Σmax — no estimator).  Index
+    text is never re-read; store config is validated."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    from data_dedup_ray.state.sink import validate_store_config
+    name = "sha" if token_hash in ("sha", sha256_token_hash) else "fast"
+    validate_store_config(store_path, {
+        "kind": "weighted_store", "shingle_k": shingle_k,
+        "token_hash": name})
+    th = sha256_token_hash if token_hash == "sha" else token_hash
+
+    def tag(prefix):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            u = pc.binary_join_element_wise(
+                pa.array([prefix] * t.num_rows, pa.string()),
+                t["url"].combine_chunks().cast(pa.string()), "")
+            return pa.table({
+                "url": u,
+                "sv": t["sv"].combine_chunks().cast(pa.large_binary()),
+                "sc": t["sc"].combine_chunks().cast(pa.large_binary()),
+                "w": t["w"].combine_chunks().cast(pa.int64()),
+            })
+        return fn
+
+    new_blobs = weighted_blobs(new_ds, shingle_k=shingle_k,
+                               token_hash=th) \
+        .map_batches(tag("n|"), batch_format="pyarrow")
+    idx_blobs = _read_store(store_path).map_batches(
+        tag("i|"), batch_format="pyarrow")
+    blobs = new_blobs.union(idx_blobs).materialize()
+    pairs = weighted_jaccard_pairs(
+        None, shingle_k=shingle_k, min_wjac_bp=min_wjac_bp,
+        num_partitions=num_partitions, group_cap=group_cap,
+        _blobs=blobs, _cross=("i|", "n|"))
+
+    def strip(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "new_url": pc.utf8_slice_codeunits(
+                t["url_b"].combine_chunks(), 2),
+            "index_url": pc.utf8_slice_codeunits(
+                t["url_a"].combine_chunks(), 2),
+            "wjac_bp": t["wjac_bp"].combine_chunks(),
+        })
+
+    return pairs.map_batches(strip, batch_format="pyarrow") \
+        .sort(["new_url", "index_url"])
+
+
+def incremental_weighted_jaccard_pairs_web(
+    sf_dir: str, *, store_dir: str | None = None, **kw
+) -> ray.data.Dataset:
+    """Driver query: build (or reuse) the weighted blob store from the
+    sf corpus, then score snapshot2 against it."""
+    import hashlib
+    import os
+
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+    shingle_k = kw.get("shingle_k", 5)
+    if store_dir is None:
+        tag = hashlib.sha256(
+            f"{os.path.abspath(sf_dir)}|wstore|{shingle_k}"
+            .encode()).hexdigest()[:16]
+        store_dir = f"/tmp/weighted_store_{tag}"
+    build_weighted_store(web_pages(sf_dir), store_dir,
+                         shingle_k=shingle_k)
+    return incremental_weighted_jaccard_pairs(snapshot2(sf_dir),
+                                              store_dir, **kw)
+
+
+def incremental_weighted_jaccard_pairs_sql(
+    *, shingle_k: int = 5, min_wjac_bp: int = 5000,
+) -> str:
+    """Twin over the tagged web_pages ('i|') × snapshot2 ('n|') union —
+    the HUGEINT multiset chain with cross-side pairs."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.pipelines.snapshots import SNAPSHOT2_CTE
+    k = shingle_k
+    leads = ",\n         ".join(
+        f"lead(h, {j - 1}) OVER w AS h{j}" for j in range(2, k + 1))
+    expr = "h1"
+    for j in range(2, k + 1):
+        expr = (f"(({expr} * 1099511628211::HUGEINT + h{j})"
+                " % 18446744073709551616::HUGEINT)")
+    return f"""
+WITH {WEB_PAGES_CTE},
+{SNAPSHOT2_CTE},
+mall AS (
+  SELECT 'i|' || url AS id, text FROM web_pages
+  UNION ALL SELECT 'n|' || url, text FROM snapshot2),
+mtok AS (SELECT id, g.i AS pos, t[g.i] AS tok
+         FROM (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t
+               FROM mall) u,
+              UNNEST(generate_series(1, len(t))) AS g(i)),
+mh AS (SELECT id, pos,
+              CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+       FROM mtok),
+mw AS (SELECT id, h AS h1,
+         {leads}
+       FROM mh WINDOW w AS (PARTITION BY id ORDER BY pos)),
+ws AS (SELECT id, {expr} AS s FROM mw WHERE h{k} IS NOT NULL),
+shc AS (SELECT id, s, CAST(count(*) AS BIGINT) AS c
+        FROM ws GROUP BY 1, 2),
+tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS w FROM shc GROUP BY 1),
+inter AS (SELECT a.id AS ia, b.id AS ib,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM shc a JOIN shc b ON a.s = b.s
+          WHERE substr(a.id, 1, 2) = 'i|' AND substr(b.id, 1, 2) = 'n|'
+          GROUP BY 1, 2)
+SELECT substr(ib, 3) AS new_url, substr(ia, 3) AS index_url,
+       CAST((10000 * m) // (ta.w + tb.w - m) AS BIGINT) AS wjac_bp
+FROM inter
+JOIN tot ta ON ta.id = ia
+JOIN tot tb ON tb.id = ib
+WHERE (10000 * m) // (ta.w + tb.w - m) >= {min_wjac_bp}
+ORDER BY new_url, index_url"""

@@ -163,3 +163,22 @@ def test_host_containment_stats_oracle(con):
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
     # tallies are two ends of the same directed edges
     assert got["n_contained"].sum() == got["n_containers"].sum()
+
+
+def test_incremental_store_parity_and_lineage(con, tmp_path):
+    """Exact weighted store rung: build → incremental query equals the
+    tagged-union SQL twin bit-for-bit; config mismatch fails loudly."""
+    store = str(tmp_path / "wstore")
+    got = weighted.incremental_weighted_jaccard_pairs_web(
+        SF, store_dir=store).to_pandas().reset_index(drop=True)
+    want = con.execute(
+        weighted.incremental_weighted_jaccard_pairs_sql()).fetchdf() \
+        .astype({"wjac_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    assert len(got) > 0
+    # unchanged recaptures (doc_id % 6 == 0) score exactly 10000
+    assert (got["wjac_bp"] == 10000).any()
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+    with pytest.raises(ValueError):
+        weighted.incremental_weighted_jaccard_pairs(
+            snapshot2(SF), store, shingle_k=7)
