@@ -1789,6 +1789,16 @@ def _q_incremental_weighted_jaccard_pairs(sf_dir: str):
     return weighted.incremental_weighted_jaccard_pairs_web(sf_dir)
 
 
+def _q_incremental_weighted_containment_pairs(sf_dir: str):
+    """Exact weighted containment vs the SAME persisted blob store,
+    both directions explicit ('new_in_index' = scraped content,
+    'index_in_new' = aggregation) — one store build serves the Jaccard
+    AND containment rungs."""
+    from data_dedup_ray.pipelines import weighted
+
+    return weighted.incremental_weighted_containment_pairs_web(sf_dir)
+
+
 def _q_weighted_containment_clusters(sf_dir: str):
     """Components over the containment-LINKED graph (edge when either
     direction clears the bar — quote chains A⊂B⊂C in one family);
@@ -2178,6 +2188,7 @@ _R5_NEW: list = [
     "host_containment_stats",
     # the exact weighted store rung (persisted multiset blobs)
     "incremental_weighted_jaccard_pairs",
+    "incremental_weighted_containment_pairs",
     # the input_hint invariant extract_text(html) == text as a driver-
     # checked query (the Ray side extracts from the html BYTES only)
     "extract_text",
@@ -2304,6 +2315,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "host_containment_stats": _q_host_containment_stats,
         "incremental_weighted_jaccard_pairs":
             _q_incremental_weighted_jaccard_pairs,
+        "incremental_weighted_containment_pairs":
+            _q_incremental_weighted_containment_pairs,
         "extract_text": text.extract_text_pages,
         "similarity_layout": _q_similarity_layout,
         "layout_locality": _q_layout_locality,
@@ -2658,6 +2671,8 @@ def oracle_sql() -> dict[str, str]:
             _weighted.host_containment_stats_sql(),
         "incremental_weighted_jaccard_pairs":
             _weighted.incremental_weighted_jaccard_pairs_sql(),
+        "incremental_weighted_containment_pairs":
+            _weighted.incremental_weighted_containment_pairs_sql(),
         "extract_text": _text.extract_text_sql(),
         "similar_docs_topk": _related.similar_docs_topk_sql(),
         "srp_pairs": _srp.srp_pairs_sql(),

@@ -741,3 +741,144 @@ JOIN tot ta ON ta.id = ia
 JOIN tot tb ON tb.id = ib
 WHERE (10000 * m) // (ta.w + tb.w - m) >= {min_wjac_bp}
 ORDER BY new_url, index_url"""
+
+
+def incremental_weighted_containment_pairs(
+    new_ds: ray.data.Dataset, store_path: str, *, shingle_k: int = 5,
+    min_wcont_bp: int = 8000, token_hash="sha",
+    num_partitions: int = 16, group_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """``(new_url, index_url, direction, wcont_bp)`` — EXACT weighted
+    containment between each new-crawl page and the persisted blob
+    store, BOTH directions reported explicitly: ``direction =
+    'new_in_index'`` (the new page is mostly quoted from the index —
+    scraped content) or ``'index_in_new'`` (the new page absorbed an
+    index page — aggregation).  Same store and blocking as
+    incremental_weighted_jaccard_pairs."""
+    from data_dedup_ray.pipelines.fpstore import _read_store
+    from data_dedup_ray.state.sink import validate_store_config
+    name = "sha" if token_hash in ("sha", sha256_token_hash) else "fast"
+    validate_store_config(store_path, {
+        "kind": "weighted_store", "shingle_k": shingle_k,
+        "token_hash": name})
+    th = sha256_token_hash if token_hash == "sha" else token_hash
+
+    def tag(prefix):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            u = pc.binary_join_element_wise(
+                pa.array([prefix] * t.num_rows, pa.string()),
+                t["url"].combine_chunks().cast(pa.string()), "")
+            return pa.table({
+                "url": u,
+                "sv": t["sv"].combine_chunks().cast(pa.large_binary()),
+                "sc": t["sc"].combine_chunks().cast(pa.large_binary()),
+                "w": t["w"].combine_chunks().cast(pa.int64()),
+            })
+        return fn
+
+    new_blobs = weighted_blobs(new_ds, shingle_k=shingle_k,
+                               token_hash=th) \
+        .map_batches(tag("n|"), batch_format="pyarrow")
+    idx_blobs = _read_store(store_path).map_batches(
+        tag("i|"), batch_format="pyarrow")
+    blobs = new_blobs.union(idx_blobs).materialize()
+    pairs = weighted_jaccard_pairs(
+        None, shingle_k=shingle_k, min_wjac_bp=min_wcont_bp,
+        num_partitions=num_partitions, group_cap=group_cap,
+        _metric="containment", _blobs=blobs, _cross=("i|", "n|"))
+
+    def orient(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # containment rows: url_a = contained side (either corpus)
+        a = t["url_a"].combine_chunks()
+        b = t["url_b"].combine_chunks()
+        a_is_new = pc.starts_with(a, "n|")
+        new_u = pc.if_else(a_is_new, a, b)
+        idx_u = pc.if_else(a_is_new, b, a)
+        return pa.table({
+            "new_url": pc.utf8_slice_codeunits(new_u, 2),
+            "index_url": pc.utf8_slice_codeunits(idx_u, 2),
+            "direction": pc.if_else(
+                a_is_new,
+                pa.array(["new_in_index"] * t.num_rows),
+                pa.array(["index_in_new"] * t.num_rows)),
+            "wcont_bp": t["wcont_bp"].combine_chunks(),
+        })
+
+    return pairs.map_batches(orient, batch_format="pyarrow") \
+        .sort(["new_url", "index_url", "direction"])
+
+
+def incremental_weighted_containment_pairs_web(
+    sf_dir: str, *, store_dir: str | None = None, **kw
+) -> ray.data.Dataset:
+    """Driver query: the same store as the Jaccard rung, containment
+    reduction — both reuse one build."""
+    import hashlib
+    import os
+
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+    shingle_k = kw.get("shingle_k", 5)
+    if store_dir is None:
+        tag = hashlib.sha256(
+            f"{os.path.abspath(sf_dir)}|wstore|{shingle_k}"
+            .encode()).hexdigest()[:16]
+        store_dir = f"/tmp/weighted_store_{tag}"
+    build_weighted_store(web_pages(sf_dir), store_dir,
+                         shingle_k=shingle_k)
+    return incremental_weighted_containment_pairs(
+        snapshot2(sf_dir), store_dir, **kw)
+
+
+def incremental_weighted_containment_pairs_sql(
+    *, shingle_k: int = 5, min_wcont_bp: int = 8000,
+) -> str:
+    """Twin: both directions over the tagged cross join, oriented."""
+    from data_dedup_ray.corpus import WEB_PAGES_CTE
+    from data_dedup_ray.pipelines.snapshots import SNAPSHOT2_CTE
+    k = shingle_k
+    leads = ",\n         ".join(
+        f"lead(h, {j - 1}) OVER w AS h{j}" for j in range(2, k + 1))
+    expr = "h1"
+    for j in range(2, k + 1):
+        expr = (f"(({expr} * 1099511628211::HUGEINT + h{j})"
+                " % 18446744073709551616::HUGEINT)")
+    return f"""
+WITH {WEB_PAGES_CTE},
+{SNAPSHOT2_CTE},
+mall AS (
+  SELECT 'i|' || url AS id, text FROM web_pages
+  UNION ALL SELECT 'n|' || url, text FROM snapshot2),
+mtok AS (SELECT id, g.i AS pos, t[g.i] AS tok
+         FROM (SELECT id, regexp_extract_all(text, '[a-z0-9]+') AS t
+               FROM mall) u,
+              UNNEST(generate_series(1, len(t))) AS g(i)),
+mh AS (SELECT id, pos,
+              CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+       FROM mtok),
+mw AS (SELECT id, h AS h1,
+         {leads}
+       FROM mh WINDOW w AS (PARTITION BY id ORDER BY pos)),
+ws AS (SELECT id, {expr} AS s FROM mw WHERE h{k} IS NOT NULL),
+shc AS (SELECT id, s, CAST(count(*) AS BIGINT) AS c
+        FROM ws GROUP BY 1, 2),
+tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS w FROM shc GROUP BY 1),
+inter AS (SELECT a.id AS ia, b.id AS ib,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM shc a JOIN shc b ON a.s = b.s
+          WHERE substr(a.id, 1, 2) = 'i|' AND substr(b.id, 1, 2) = 'n|'
+          GROUP BY 1, 2),
+dirs AS (
+  SELECT substr(ib, 3) AS new_url, substr(ia, 3) AS index_url,
+         'index_in_new' AS direction,
+         (10000 * m) // ta.w AS wcont_bp
+  FROM inter JOIN tot ta ON ta.id = ia
+  UNION ALL
+  SELECT substr(ib, 3), substr(ia, 3), 'new_in_index',
+         (10000 * m) // tb.w
+  FROM inter JOIN tot tb ON tb.id = ib)
+SELECT new_url, index_url, direction,
+       CAST(wcont_bp AS BIGINT) AS wcont_bp
+FROM dirs WHERE wcont_bp >= {min_wcont_bp}
+ORDER BY new_url, index_url, direction"""

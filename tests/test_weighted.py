@@ -182,3 +182,21 @@ def test_incremental_store_parity_and_lineage(con, tmp_path):
     with pytest.raises(ValueError):
         weighted.incremental_weighted_jaccard_pairs(
             snapshot2(SF), store, shingle_k=7)
+
+
+def test_incremental_containment_parity_and_direction_law(con, tmp_path):
+    """Containment rung over the SAME store: SQL parity, and unchanged
+    recaptures (byte-identical re-crawls) must contain AND be
+    contained at exactly 10000 bp in both directions."""
+    store = str(tmp_path / "wstore_c")
+    got = weighted.incremental_weighted_containment_pairs_web(
+        SF, store_dir=store).to_pandas().reset_index(drop=True)
+    want = con.execute(
+        weighted.incremental_weighted_containment_pairs_sql()).fetchdf() \
+        .astype({"wcont_bp": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    assert set(got["direction"]) <= {"new_in_index", "index_in_new"}
+    # a byte-identical recapture appears in both directions at 10000
+    full = got[got["wcont_bp"] == 10000]
+    both = full.groupby(["new_url", "index_url"])["direction"].nunique()
+    assert (both == 2).any()
