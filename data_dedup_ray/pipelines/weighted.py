@@ -618,7 +618,8 @@ def build_weighted_store(
 
 
 def incremental_weighted_jaccard_pairs(
-    new_ds: ray.data.Dataset, store_path: str, *, shingle_k: int = 5,
+    new_ds: ray.data.Dataset, store_path: "str | list", *,
+    shingle_k: int = 5,
     min_wjac_bp: int = 5000, token_hash="sha",
     num_partitions: int = 16, group_cap: int = 100_000,
 ) -> ray.data.Dataset:
@@ -626,7 +627,11 @@ def incremental_weighted_jaccard_pairs(
     each new-crawl page against the persisted blob store (share-any
     blocking is complete, so recall 1.0 at any positive threshold, and
     the verify is the true integer Σmin/Σmax — no estimator).  Index
-    text is never re-read; store config is validated."""
+    text is never re-read; store config is validated.  ``store_path``
+    may be a LIST of disjoint crawl-slice stores (rolling form): the
+    multiset blobs of distinct urls concatenate losslessly, so slice
+    stores roll up by multi-path read with no merge pass — every
+    member's config must match."""
     from data_dedup_ray.pipelines.fpstore import _read_store
     from data_dedup_ray.state.sink import validate_store_config
     name = "sha" if token_hash in ("sha", sha256_token_hash) else "fast"
@@ -744,7 +749,8 @@ ORDER BY new_url, index_url"""
 
 
 def incremental_weighted_containment_pairs(
-    new_ds: ray.data.Dataset, store_path: str, *, shingle_k: int = 5,
+    new_ds: ray.data.Dataset, store_path: "str | list", *,
+    shingle_k: int = 5,
     min_wcont_bp: int = 8000, token_hash="sha",
     num_partitions: int = 16, group_cap: int = 100_000,
 ) -> ray.data.Dataset:

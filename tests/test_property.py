@@ -486,3 +486,57 @@ def test_fixed_icws_chain_matches_duckdb_on_arbitrary_multisets(sets):
         assert len(sub) == K
         assert (sub["v"].to_numpy().astype(np.uint64) == sv[i]).all()
         assert (sub["t"].to_numpy().astype(np.int64) == stt[i]).all()
+
+
+# ------------------------------------------------ weighted verify laws
+
+
+@given(_wsets)
+@settings(max_examples=25, deadline=None)
+def test_weighted_reductions_match_bruteforce(sets):
+    """The vectorized Σmin verify (rank-packed searchsorted +
+    weights-bincount) must equal the dict brute force for BOTH
+    reductions — Jaccard Σmin/Σmax and directional containment
+    Σmin/|A| — on arbitrary multisets."""
+    import pyarrow as pa
+
+    from data_dedup_ray.pipelines.weighted import _wjac_verify
+
+    docs = [dict(d) for d in sets]
+    ids = [f"d{i}" for i in range(len(docs))]
+    blobs = {
+        "sv": [np.array(sorted(d), np.uint64).tobytes() for d in docs],
+        "sc": [np.array([d[k] for k in sorted(d)],
+                        np.int64).tobytes() for d in docs],
+        "w": [int(sum(d.values())) for d in docs],
+    }
+    bt = pa.table({"url": ids, **blobs})
+    pairs = [(i, j) for i in range(len(docs))
+             for j in range(i + 1, len(docs))]
+    if not pairs:
+        return
+    pt = pa.table({
+        "url_a": [ids[i] for i, _ in pairs],
+        "url_b": [ids[j] for _, j in pairs],
+        "sv_a": pa.array([blobs["sv"][i] for i, _ in pairs],
+                         pa.large_binary()),
+        "sc_a": pa.array([blobs["sc"][i] for i, _ in pairs],
+                         pa.large_binary()),
+        "w_a": [blobs["w"][i] for i, _ in pairs],
+    })
+
+    def smin(a, b):
+        return sum(min(a.get(k, 0), b.get(k, 0)) for k in a)
+
+    jac = _wjac_verify(pt, bt, id_col="url", min_wjac_bp=0).to_pandas()
+    got_j = {(r.url_a, r.url_b): r.wjac_bp for r in jac.itertuples()}
+    cont = _wjac_verify(pt, bt, id_col="url", min_wjac_bp=0,
+                        metric="containment").to_pandas()
+    got_c = {(r.url_a, r.url_b): r.wcont_bp for r in cont.itertuples()}
+    for i, j in pairs:
+        a, b = docs[i], docs[j]
+        m = smin(a, b)
+        wa, wb = sum(a.values()), sum(b.values())
+        assert got_j[(ids[i], ids[j])] == (10000 * m) // max(wa + wb - m, 1)
+        assert got_c[(ids[i], ids[j])] == (10000 * m) // max(wa, 1)
+        assert got_c[(ids[j], ids[i])] == (10000 * m) // max(wb, 1)

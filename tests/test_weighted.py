@@ -200,3 +200,41 @@ def test_incremental_containment_parity_and_direction_law(con, tmp_path):
     full = got[got["wcont_bp"] == 10000]
     both = full.groupby(["new_url", "index_url"])["direction"].nunique()
     assert (both == 2).any()
+
+
+def test_incremental_store_disjoint_slices_roll_up(con, tmp_path):
+    """A list of disjoint crawl-slice stores must reproduce the single
+    full-store result exactly (multiset blobs of distinct urls
+    concatenate losslessly — no merge pass)."""
+    import ray.data
+
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+
+    full = str(tmp_path / "full")
+    s1 = str(tmp_path / "s1")
+    s2 = str(tmp_path / "s2")
+    pages = web_pages(SF).materialize()
+    weighted.build_weighted_store(pages, full)
+
+    def half(which):
+        def fn(t):
+            import pyarrow.compute as pc
+            h = pc.bit_wise_and(
+                pc.utf8_length(t["url"]), 1)
+            keep = pc.equal(h, which)
+            return t.filter(keep)
+        return fn
+
+    weighted.build_weighted_store(
+        pages.map_batches(half(0), batch_format="pyarrow"), s1)
+    weighted.build_weighted_store(
+        pages.map_batches(half(1), batch_format="pyarrow"), s2)
+
+    new = snapshot2(SF)
+    a = weighted.incremental_weighted_jaccard_pairs(
+        new, full).to_pandas().reset_index(drop=True)
+    b = weighted.incremental_weighted_jaccard_pairs(
+        new, [s1, s2]).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
