@@ -776,7 +776,8 @@ def build_icws_fixed_store(
 
 
 def incremental_icws_fixed_pairs(
-    new_ds: ray.data.Dataset, store_path: str, *, n_samples: int = 64,
+    new_ds: ray.data.Dataset, store_path: "str | list", *,
+    n_samples: int = 64,
     band_r: int = 2, shingle_k: int = 5, min_est_bp: int = 5000,
     token_hash="sha", num_partitions: int = 16,
     group_cap: int = 100_000,
@@ -784,7 +785,10 @@ def incremental_icws_fixed_pairs(
     """``(new_url, index_url, est_bp)`` — each new-crawl page's
     fixed-ICWS weighted-Jaccard estimate against the persisted sketch
     store; index text is never re-read.  Store config is validated
-    against the query's parameters."""
+    against the query's parameters.  ``store_path`` may be a LIST of
+    disjoint crawl-slice stores (rolling form — distinct urls' sketch
+    rows concatenate losslessly; NOT a per-url sketch merge, which CWS
+    argmin state cannot support)."""
     from data_dedup_ray.pipelines.fpstore import _read_store
     from data_dedup_ray.state.sink import validate_store_config
     validate_store_config(store_path, {

@@ -235,3 +235,34 @@ def test_fixed_estimator_tracks_wj_within_binomial_bound():
         true = _wj(a, b)
         bound = 5 * np.sqrt(true * (1 - true) / K) + 0.01
         assert abs(est - true) <= bound, (est, true, bound)
+
+
+def test_fixed_incremental_disjoint_slices_roll_up(tmp_path):
+    """A list of disjoint crawl-slice sketch stores must reproduce the
+    single full-store result exactly."""
+    import pyarrow.compute as pc
+    from data_dedup_ray.corpus import web_pages
+    from data_dedup_ray.pipelines.snapshots import snapshot2
+
+    full, s1, s2 = (str(tmp_path / n) for n in ("full", "s1", "s2"))
+    pages = web_pages(SF).materialize()
+    icws.build_icws_fixed_store(pages, full)
+
+    def half(which):
+        def fn(t):
+            keep = pc.equal(
+                pc.bit_wise_and(pc.utf8_length(t["url"]), 1), which)
+            return t.filter(keep)
+        return fn
+
+    icws.build_icws_fixed_store(
+        pages.map_batches(half(0), batch_format="pyarrow"), s1)
+    icws.build_icws_fixed_store(
+        pages.map_batches(half(1), batch_format="pyarrow"), s2)
+    new = snapshot2(SF)
+    a = icws.incremental_icws_fixed_pairs(new, full) \
+        .to_pandas().reset_index(drop=True)
+    b = icws.incremental_icws_fixed_pairs(new, [s1, s2]) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
