@@ -540,3 +540,30 @@ def test_weighted_reductions_match_bruteforce(sets):
         assert got_j[(ids[i], ids[j])] == (10000 * m) // max(wa + wb - m, 1)
         assert got_c[(ids[i], ids[j])] == (10000 * m) // max(wa, 1)
         assert got_c[(ids[j], ids[i])] == (10000 * m) // max(wb, 1)
+
+
+# ------------------------------------------------------ extract_text
+
+
+@given(st.lists(
+    st.text(alphabet=st.characters(blacklist_characters="<>",
+                                   blacklist_categories=("Cs",)),
+            max_size=120),
+    min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_extract_text_inverts_corpus_html(texts):
+    """extract_text(html) == text for ANY tag-free payload wrapped in
+    the corpus html skeleton (the input_hint invariant as a law, not
+    just over the synthetic corpus), and the polars fast path agrees
+    with the pure-Python fallback."""
+    import pyarrow as pa
+
+    from data_dedup_ray.corpus import HTML_POST, HTML_PRE_A, HTML_PRE_B
+    from data_dedup_ray.stages.extract import _extract_one, extract_text
+
+    html = [(HTML_PRE_A + str(i) + HTML_PRE_B + t + HTML_POST)
+            .encode("utf-8") for i, t in enumerate(texts)]
+    batch = pa.table({"html": pa.array(html, pa.binary())})
+    out = extract_text(batch)["extracted_text"].to_pylist()
+    assert out == texts
+    assert [_extract_one(h) for h in html] == texts
